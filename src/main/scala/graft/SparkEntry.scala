@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,18 @@ object SparkEntry {
     "q15_duplicate_detection" -> (CoreQueries.duplicateDetection _),
     "q16_symmetric_diff" -> (CoreQueries.symmetricDiff _),
     "q17_union_by_name" -> (CoreQueries.unionByNameConcat _),
+    "qd01_text_stats" -> (PipelineQueries.textStats _),
+    "qd02_lang_quality" -> (PipelineQueries.langQuality _),
+    "qd03_dedup_exact" -> (PipelineQueries.dedupExact _),
+    "qd04_ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
+    "qd05_minhash_neardup" -> (PipelineQueries.minhashNearDup _),
+    "qd06_simhash_neardup" -> (PipelineQueries.simhashNearDup _),
+    "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
+    "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
+    "qe03_ann_lsh" -> (PipelineQueries.annTopK _),
+    "qv01_event_hourly" -> (PipelineQueries.eventHourly _),
+    "qv02_sessionize" -> (PipelineQueries.sessionize _),
+    "qv03_session_stats" -> (PipelineQueries.sessionStats _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -139,5 +151,117 @@ object SparkEntry {
          CAST(s_nationkey AS INTEGER) AS nationkey, 'supplier' AS kind
          FROM supplier
          ORDER BY kind, name""",
+    "qd01_text_stats" ->
+      """SELECT doc_id, length(text) AS chars,
+         len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+         floor((CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) END) * 10000.0) / 10000.0
+           AS punct_ratio,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "qd02_lang_quality" ->
+      """WITH tk AS (SELECT doc_id, text,
+           regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+         sc AS (SELECT doc_id, text, toks,
+           len(list_filter(toks, t -> list_contains(
+             ['the','of','and','to','in','is','that','it','was','for'], t))) AS en_hits,
+           len(list_filter(toks, t -> list_contains(
+             ['el','la','de','que','y','los','en','un','por','con'], t))) AS es_hits,
+           len(list_filter(toks, t -> list_contains(
+             ['le','la','les','des','et','est','que','pour','dans','une'], t))) AS fr_hits,
+           len(list_filter(toks, t -> list_contains(
+             ['der','die','das','und','ist','nicht','ein','mit','auf','zu'], t))) AS de_hits
+           FROM tk)
+         SELECT doc_id,
+           CASE WHEN greatest(en_hits, es_hits, fr_hits, de_hits) <= 0 THEN 'und'
+                WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'en'
+                WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'es'
+                WHEN fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'fr'
+                ELSE 'de' END AS lang_pred,
+           floor((0.4 * (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               CAST(en_hits AS DOUBLE) / CAST(len(toks) AS DOUBLE) END)
+             + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+               / CAST(length(text) AS DOUBLE) END)
+             + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0))
+             * 10000.0) / 10000.0 AS quality
+         FROM sc ORDER BY doc_id""",
+    "qd03_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "qd04_ngram_jaccard" ->
+      """WITH words AS (SELECT DISTINCT doc_id, source,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
+         c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nab
+           FROM words a JOIN words b
+             ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           floor(CAST(nab AS DOUBLE)
+             / CAST(sa.n + sb.n - nab AS DOUBLE) * 10000.0) / 10000.0
+             AS jaccard
+         FROM c JOIN sizes sa ON c.doc_a = sa.doc_id
+                JOIN sizes sb ON c.doc_b = sb.doc_id
+         WHERE floor(CAST(nab AS DOUBLE)
+             / CAST(sa.n + sb.n - nab AS DOUBLE) * 10000.0) / 10000.0 >= 0.8
+         ORDER BY 1, 2""",
+    "qe01_cosine_topk" ->
+      """WITH z AS (SELECT e.vec_id,
+           CAST(unnest(e.embedding) AS DOUBLE) AS a,
+           CAST(unnest((SELECT embedding FROM embeddings WHERE vec_id = 0))
+             AS DOUBLE) AS b
+           FROM embeddings e),
+         s AS (SELECT vec_id, sum(a*b) AS ab, sum(a*a) AS aa, sum(b*b) AS bb
+           FROM z GROUP BY 1)
+         SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos,
+           row_number() OVER (ORDER BY round(ab / (sqrt(aa) * sqrt(bb)), 4)
+             DESC, vec_id) AS rank
+         FROM s QUALIFY rank <= 10 ORDER BY rank""",
+    "qe02_embedding_neardup" ->
+      """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(unnest(a.embedding) AS DOUBLE) AS x,
+           CAST(unnest(b.embedding) AS DOUBLE) AS y
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id),
+         s AS (SELECT vec_a, vec_b, sum(x*y) AS xy, sum(x*x) AS xx,
+           sum(y*y) AS yy FROM p GROUP BY 1, 2)
+         SELECT vec_a, vec_b, round(xy / (sqrt(xx) * sqrt(yy)), 4) AS cos
+         FROM s WHERE round(xy / (sqrt(xx) * sqrt(yy)), 4) >= 0.3
+         ORDER BY 1, 2""",
+    "qv01_event_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) // 1000 AS hour_secs,
+         event_type, count(*) AS n_events,
+         round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "qv02_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+           epoch_ms(ts) // 1000 AS secs FROM events),
+         f AS (SELECT event_id, user_id, ts, secs,
+           lag(secs) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM e),
+         g AS (SELECT event_id, user_id, ts, secs,
+           CASE WHEN prev IS NULL OR secs - prev > 1800 THEN 1 ELSE 0 END AS ns
+           FROM f)
+         SELECT event_id, user_id,
+           CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM g ORDER BY event_id""",
+    "qv03_session_stats" ->
+      """WITH e AS (SELECT event_id, user_id, ts, value,
+           epoch_ms(ts) // 1000 AS secs FROM events),
+         f AS (SELECT *, lag(secs) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+         g AS (SELECT *, CASE WHEN prev IS NULL OR secs - prev > 1800
+           THEN 1 ELSE 0 END AS ns FROM f),
+         h AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(secs) AS start_secs, max(secs) AS end_secs,
+           round(sum(value), 2) AS session_value
+         FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -19,6 +19,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark has no native type for — read them as nanos-since-epoch longs
+    * (column `ts`, LongType). Keeping the raw int64 preserves the exact
+    * event ordering the oracle sees. */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+  }
+
   /** Register every table as a temp view so `spark.sql` works on them. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

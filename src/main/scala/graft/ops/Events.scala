@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over the append-only `events` table — the shapes that
+  * also run under Structured Streaming (see graft.streaming).
+  *
+  * Input contract: `ts` is nanos-since-epoch (LongType, see
+  * [[graft.Tables.loadEvents]]). All second-granularity math uses integer
+  * division — no doubles touch the timestamps, so ordering and bucketing
+  * are bit-identical to the oracle's nanosecond view. */
+object Events {
+
+  private val secs = expr("ts div 1000000000")
+
+  /** Tumbling 1-hour rollup per event type: the batch twin of the
+    * streaming windowed aggregation. Partial aggregation before the
+    * exchange; (hour, type) is the natural partition key at scale. */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy((expr("ts div 1000000000 div 3600") * 3600).as("hour_secs"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+
+  /** Gap-based sessionization: a new session starts after `gapSeconds` of
+    * user inactivity. Two windows over one (user_id, ts) shuffle: lag to
+    * flag session starts, running sum to number them. */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("secs", secs)
+      .withColumn("prev_secs", lag(col("secs"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_secs").isNull ||
+          col("secs") - col("prev_secs") > gapSeconds, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("event_id"), col("user_id"), col("session_id"))
+  }
+
+  /** Per-session summary built on sessionize — session span + volume. */
+  def sessionStats(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val sess = sessionize(events, gapSeconds)
+    events.withColumn("secs", secs)
+      .join(sess, Seq("event_id", "user_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("secs")).as("start_secs"),
+        max(col("secs")).as("end_secs"),
+        round(sum(col("value")), 2).as("session_value"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (tiny) query
+  * side against the corpus, one narrow map + one top-k aggregation; scales
+  * to any corpus size because the corpus is never shuffled.
+  *
+  * Scale path: random-hyperplane LSH — each vector hashed to a
+  * `numPlanes`-bit bucket; at query time only matching (or near-matching)
+  * buckets are scanned. Bucketing is a deterministic seeded projection, so
+  * the bucket id can be a partition/cluster key for a 100 TB corpus.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two double-array columns (codegen'd,
+    * no UDF). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cast a float vector to double and L2-normalize it. Normalizing once
+    * at ingest makes every later similarity a plain dot product. */
+  def l2Normalize(vec: Column): Column = {
+    val d = transform(vec, x => x.cast("double"))
+    val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+    transform(d, x => x / norm)
+  }
+
+  /** Brute-force cosine scores of every corpus vector against one query
+    * vector (given as a 1-row DataFrame with column `qv`, pre-normalized).
+    * The query side is broadcast; the corpus scan stays partition-local. */
+  def cosineScores(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame): DataFrame =
+    corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"))
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos"))
+
+  /** Brute-force top-k: scores above are ranked with a deterministic
+    * (score desc, id asc) tiebreak. For one query the window is global —
+    * acceptable because the scored frame is k-prunable; for query batches
+    * partition by query id. */
+  def bruteForceTopK(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, k: Int): DataFrame = {
+    val w = Window.orderBy(col("cos").desc, col("vec_id"))
+    cosineScores(corpus, id, vec, query)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed-seed hash mapped to [-1, 1]. Same plane on every executor
+    * without shipping a matrix. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (hash(lit(plane), dim, lit(20260812)).cast("double") / lit(Int.MaxValue.toDouble))
+
+  /** Random-hyperplane LSH bucket id: one sign bit per plane. */
+  def lshBucket(vec: Column, numPlanes: Int): Column = {
+    val d = transform(vec, x => x.cast("double"))
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(zip_with(d, sequence(lit(0), size(d) - 1),
+        (x, i) => x * planeComponent(p, i)), lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed ANN: score only corpus vectors in the query's bucket
+    * (single-probe). Recall depends on numPlanes; the candidate scan is
+    * |corpus| / 2^numPlanes in expectation. */
+  def annTopK(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, k: Int, numPlanes: Int = 8): DataFrame = {
+    val bucketed = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"),
+      lshBucket(vec, numPlanes).as("bucket"))
+    val q = query.withColumn("qbucket", lshBucket(col("qv"), numPlanes))
+    val w = Window.orderBy(col("cos").desc, col("vec_id"))
+    bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

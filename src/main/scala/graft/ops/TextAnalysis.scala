@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language ID, fingerprinting.
+  *
+  * All operators are pure `Column` expressions (whole-stage codegen'd, no
+  * UDFs) so they scale linearly over a 100 TB `documents` table: a single
+  * narrow map stage, no shuffle, pushdown-friendly.
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited tokens (lowercased). `\S+` rather than
+    * `split(' ')` so runs of whitespace / leading blanks don't produce
+    * empty tokens. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+
+  /** Token count without materializing the token array twice. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small + public-knowledge word lists. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "que", "pour", "dans", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"))
+
+  /** Count of tokens belonging to `words` — a codegen'd array filter,
+    * no explode, no shuffle. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** Language-ID: argmax of per-language stopword hit counts with a
+    * deterministic first-wins tiebreak in `stopwords` order; "und"
+    * (undetermined) when no list scores a hit. */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = stopwords.map { case (lang, words) =>
+      lang -> stopwordHits(toks, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // when-chain: first matching language wins ties (stable stopwords order)
+    scores.foldLeft(when(best <= 0, lit("und"))) {
+      case (acc, (lang, sc)) => acc.when(sc === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Ratio of punctuation chars to total chars (0 for empty text). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** English-stopword token ratio — a standard fluency proxy. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      stopwordHits(toks, stopwords.head._2).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards stopword density and
+    * length, penalizes punctuation soup. Weights are the operator's
+    * contract — the DuckDB oracle replicates them verbatim. Floor-scaled
+    * (not rounded) to 4 decimals: see [[Num.floor4]]. */
+  def qualityScore(text: Column): Column =
+    Num.floor4(
+      lit(0.4) * stopwordRatio(text) +
+        lit(0.3) * (lit(1.0) - punctRatio(text)) +
+        lit(0.3) * least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)))
+
+  /** Content fingerprint: md5 over case- and whitespace-normalized text.
+    * The exact-dedup key for `documents`. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Per-document stats frame: the §2-style profile of a text column. */
+  def textStats(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(
+      id.as("doc_id"),
+      length(text).as("n_chars"),
+      tokenCount(text).as("n_tokens"),
+      round(punctRatio(text), 4).as("punct_ratio"),
+      qualityScore(text).as("quality"),
+      languageId(text).as("lang_pred"),
+      fingerprint(text).as("fp"))
+}

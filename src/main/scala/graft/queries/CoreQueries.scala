@@ -158,7 +158,7 @@ object CoreQueries {
     val w = Window.orderBy(col("p_brand"), col("p_type"))
     t(s, dir, "part")
       .select(col("p_brand"), col("p_type")).distinct()
-      .withColumn("surrogate_key", dense_rank().over(w))
+      .withColumn("surrogate_key", dense_rank().over(w).cast("long"))
       .orderBy(col("surrogate_key"))
   }
 

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Events, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators (beyond-reference surface) bound
+  * to the driver's `documents` / `embeddings` / `events` tables. */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Per-document text profile: chars, tokens, punct ratio, fingerprint. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("chars"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      graft.ops.Num.floor4(TextAnalysis.punctRatio(col("text")))
+        .as("punct_ratio"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID + quality score per document. */
+  def langQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(
+      col("doc_id"),
+      TextAnalysis.languageId(col("text")).as("lang_pred"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact dedup by normalized-content fingerprint. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("fp"))
+
+  /** Word-set Jaccard near-dup pairs blocked by source. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
+      col("source"), col("text"), threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** MinHash+LSH near-dup (no SQL oracle: Spark-hash-specific). */
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDup(t(s, dir, "documents"), col("doc_id"), col("text"),
+      threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SimHash near-dup (no SQL oracle: Spark-hash-specific). */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(t(s, dir, "documents"), col("doc_id"), col("text"),
+      maxHamming = 8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Brute-force cosine top-10 against the vec_id=0 embedding. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"), q, k = 10)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+  }
+
+  /** LSH-bucketed ANN against the vec_id=0 embedding (approximate —
+    * rows-only check, no oracle). */
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    Similarity.annTopK(e, col("vec_id"), col("embedding"), q, k = 10,
+      numPlanes = 6)
+      .orderBy(col("rank"))
+  }
+
+  /** Embedding-cosine near-dup pairs blocked by label. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(s, dir, "embeddings"), col("vec_id"),
+      col("label"), col("embedding"), threshold = 0.3)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Tumbling-hour rollup of events per type (hour as epoch seconds for
+    * cross-engine timestamp stability). */
+  def eventHourly(s: SparkSession, dir: String): DataFrame =
+    Events.hourlyRollup(Tables.loadEvents(s, dir))
+      .orderBy(col("hour_secs"), col("event_type"))
+
+  /** Gap-based sessionization (30-minute inactivity gap). */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Events.sessionize(Tables.loadEvents(s, dir), gapSeconds = 1800)
+      .orderBy(col("event_id"))
+
+  /** Per-session volume/span stats. */
+  def sessionStats(s: SparkSession, dir: String): DataFrame =
+    Events.sessionStats(Tables.loadEvents(s, dir), gapSeconds = 1800)
+      .orderBy(col("user_id"), col("session_id"))
+}
