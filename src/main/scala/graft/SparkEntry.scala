@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, PipelineQueries}
+import graft.queries.{CoreQueries, ExtraQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,15 @@ object SparkEntry {
     "q15_duplicate_detection" -> (CoreQueries.duplicateDetection _),
     "q16_symmetric_diff" -> (CoreQueries.symmetricDiff _),
     "q17_union_by_name" -> (CoreQueries.unionByNameConcat _),
+    "q09_null_safe_join" -> (ExtraQueries.nullSafeJoin _),
+    "q18_icd_parse" -> (ExtraQueries.icdParse _),
+    "q19_levenshtein" -> (ExtraQueries.levenshteinNames _),
+    "q20_date_range_check" -> (ExtraQueries.dateRangeCheck _),
+    "q21_rls_filter" -> (ExtraQueries.rlsFilter _),
+    "q22_distinct_agg" -> (ExtraQueries.distinctAgg _),
+    "q23_topk_per_group" -> (ExtraQueries.topKPerGroup _),
+    "q24_column_profile" -> (ExtraQueries.columnProfile _),
+    "q25_rollup_revenue" -> (ExtraQueries.rollupRevenue _),
     "qd01_text_stats" -> (PipelineQueries.textStats _),
     "qd02_lang_quality" -> (PipelineQueries.langQuality _),
     "qd03_dedup_exact" -> (PipelineQueries.dedupExact _),
@@ -151,6 +160,87 @@ object SparkEntry {
          CAST(s_nationkey AS INTEGER) AS nationkey, 'supplier' AS kind
          FROM supplier
          ORDER BY kind, name""",
+    "q09_null_safe_join" ->
+      """WITH proj AS (SELECT DISTINCT o_orderpriority AS prio,
+           nullif(o_orderstatus, 'O') AS st FROM orders)
+         SELECT l.prio AS l_prio, r.prio AS r_prio, l.st AS st
+         FROM proj l JOIN proj r ON l.st IS NOT DISTINCT FROM r.st
+         ORDER BY l_prio, r_prio, l.st""",
+    "q18_icd_parse" ->
+      """WITH coded AS (SELECT p_partkey,
+           substring(upper(p_brand), 1, 1)
+           || lpad(CAST(p_size % 100 AS VARCHAR), 2, '0') || '.'
+           || lpad(CAST(p_partkey % 1000 AS VARCHAR), 3, '0')
+           || upper(substring(p_type, 1, 1)) AS code FROM part)
+         SELECT p_partkey, code,
+           substring(split_part(code, '.', 1), 1, 1) AS first_char,
+           CAST(substring(split_part(code, '.', 1), 2) AS BIGINT)
+             AS category,
+           substring(split_part(code, '.', 2), 1,
+             length(split_part(code, '.', 2)) - 1) AS details,
+           substring(split_part(code, '.', 2),
+             length(split_part(code, '.', 2)), 1) AS extension
+         FROM coded ORDER BY p_partkey""",
+    "q19_levenshtein" ->
+      """SELECT n_name, r_name,
+         CAST(levenshtein(n_name, r_name) AS BIGINT) AS dist,
+         CAST(levenshtein(n_name, 'GERMANY') AS BIGINT) AS dist_de
+         FROM nation CROSS JOIN region ORDER BY n_name, r_name""",
+    "q20_date_range_check" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         count(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+           CAST(l_shipdate AS DATE)) <= 30 THEN 1 END) AS shipped_fast,
+         count(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+           CAST(l_shipdate AS DATE)) < 0 THEN 1 END) AS invalid_range
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+    "q21_rls_filter" ->
+      """SELECT user_id, event_type, count(*) AS n,
+         round(sum(value), 2) AS total
+         FROM events WHERE user_id IN (7, 1)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q22_distinct_agg" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+         count(*) AS n_customers
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    "q23_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+         round(o_totalprice, 2) AS totalprice
+         FROM orders QUALIFY rank <= 3 ORDER BY o_custkey, rank""",
+    "q24_column_profile" ->
+      """WITH p AS (
+           SELECT 'o_orderpriority' AS "column",
+             count(DISTINCT o_orderpriority) AS n_distinct,
+             count(o_orderpriority) AS n_present, count(*) AS n_rows,
+             false AS continuous FROM orders
+           UNION ALL SELECT 'o_orderstatus',
+             count(DISTINCT o_orderstatus), count(o_orderstatus),
+             count(*), false FROM orders
+           UNION ALL SELECT 'o_custkey', count(DISTINCT o_custkey),
+             count(o_custkey), count(*), true FROM orders
+           UNION ALL SELECT 'o_totalprice', count(DISTINCT o_totalprice),
+             count(o_totalprice), count(*), true FROM orders)
+         SELECT "column", n_distinct, n_present, n_rows,
+           n_present = 0 AS all_null, n_distinct = 1 AS single_valued,
+           (NOT continuous AND n_distinct = n_present AND n_present > 0)
+             AS all_unique,
+           continuous,
+           (n_present > 0 AND n_distinct <> 1 AND (continuous OR NOT
+             (n_distinct = n_present AND n_present > 0))) AS valid
+         FROM p ORDER BY "column"""",
+    "q25_rollup_revenue" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+         coalesce(n_name, 'ALL') AS nation,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY region, nation""",
     "qd01_text_stats" ->
       """SELECT doc_id, length(text) AS chars,
          len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
