@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media travel as opaque `binary` columns with a typed metadata struct;
+  * decode/feature-extraction run per-partition over iterator batches so
+  * a 100 TB corpus streams through executors without collecting. The
+  * actual codec calls are STUBBED behind [[Decoder]] — the image/audio
+  * libraries are not in this container — but the Spark-side contract
+  * (schema, batching, partitioning, deterministic output) is real and
+  * tested; a production deployment swaps in a real decoder only.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted from a media payload. */
+  case class MediaMeta(format: String, width: Int, height: Int,
+      nFrames: Int, durationMs: Long)
+
+  /** media table schema: id + kind + raw bytes + sidecar metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("content", BinaryType, nullable = true)))
+
+  /** A decode function: bytes -> metadata. Swappable seam. */
+  type Decoder = Array[Byte] => MediaMeta
+
+  /** Deterministic stub decoder: derives plausible metadata purely from
+    * the byte content (so tests are stable). A real build replaces this
+    * with an actual codec — the ONLY line that changes. */
+  val stubDecoder: Decoder = { bytes =>
+    val n = if (bytes == null) 0 else bytes.length
+    val h = java.util.Arrays.hashCode(bytes)
+    MediaMeta(
+      format = Seq("jpeg", "png", "wav", "mp4")(math.abs(h % 4)),
+      width = 64 + math.abs(h % 1024),
+      height = 64 + math.abs((h / 7) % 1024),
+      nFrames = 1 + math.abs(h % 240),
+      durationMs = n.toLong)
+  }
+
+  /** Attach deterministic fake binary payloads derived from an id column
+    * — the test-data generator for the plumbing. */
+  def withFakeMedia(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn("media_type",
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(idCol), lit(3)) + 1).cast("int")))
+      .withColumn("content",
+        to_binary(sha2(concat(lit("media"), col(idCol).cast("string")), 256),
+          lit("hex")))
+
+  /** Decode metadata per partition: iterator-at-a-time (no per-row task
+    * overhead, no driver collect), preserving partitioning. */
+  def decodeMeta(df: DataFrame, idCol: String,
+      decoder: Decoder = stubDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val m = decoder(bytes)
+          (id, m.format, m.width, m.height, m.nFrames, m.durationMs)
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "n_frames",
+        "duration_ms")
+  }
+
+  /** Fake feature extractor: a deterministic `dim`-float embedding from
+    * the payload bytes (xxhash-seeded), as a pure Column expression —
+    * the shape a real encoder UDF would produce. */
+  def fakeEmbedding(content: org.apache.spark.sql.Column,
+      dim: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(xxhash64(content, i), lit(2000L)).cast("double") / 1000.0) - 1.0)
+
+  /** Frame sampling plan: one row per sampled frame index — a generator
+    * (explode) over the decoded frame count; downstream decode of the
+    * selected frames stays distributed. */
+  def frameSample(decoded: DataFrame, everyN: Int): DataFrame =
+    decoded
+      .filter(col("n_frames") > 0)
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1,
+          lit(everyN))).as("frame_idx"))
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+import graft.streaming.StreamingIngest
+
+/** Specs for the streaming + multimodal plumbing and spot-checks of the
+  * pipeline operators not covered by the DuckDB oracle. */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("streaming windowed rollup matches the batch rollup") {
+    // batch twin
+    val batch = graft.ops.Events.hourlyRollup(Tables.loadEvents(spark, sf))
+    val batchTotal = batch.agg(sum("n_events")).head().getLong(0)
+
+    // stream the same file through the watcher semantics
+    val events = Tables.loadEvents(spark, sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = java.nio.file.Files.createTempDirectory("stream").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = StreamingIngest.watchParquetDir(spark, s"$dir/in",
+      events.schema)
+    StreamingIngest.drainToMemory(
+      StreamingIngest.windowedRollup(stream), "rollup_out",
+      outputMode = "complete")
+    val streamed = spark.table("rollup_out")
+    assert(streamed.agg(sum("n_events")).head().getLong(0) == batchTotal)
+    // same distinct (hour, type) buckets
+    assert(streamed.count() == batch.count())
+  }
+
+  test("file watcher drains exactly once (AvailableNow)") {
+    val dir = java.nio.file.Files.createTempDirectory("watch").toString
+    val docs = Tables.load(spark, sf, "documents")
+    docs.limit(100).write.mode("overwrite").parquet(s"$dir/in")
+    StreamingIngest.ingestTo(
+      StreamingIngest.watchParquetDir(spark, s"$dir/in", docs.schema),
+      s"$dir/out", s"$dir/ckpt").start().awaitTermination()
+    assert(spark.read.parquet(s"$dir/out").count() == 100)
+    // re-running with the same checkpoint ingests nothing new
+    StreamingIngest.ingestTo(
+      StreamingIngest.watchParquetDir(spark, s"$dir/in", docs.schema),
+      s"$dir/out", s"$dir/ckpt").start().awaitTermination()
+    assert(spark.read.parquet(s"$dir/out").count() == 100)
+  }
+
+  test("multimodal decode plumbing: schema, determinism, partitioning") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+      .select(col("doc_id").as("media_id"))
+    val media = Multimodal.withFakeMedia(docs, "media_id")
+      .repartition(3)
+    val decoded = Multimodal.decodeMeta(media, "media_id")
+    assert(decoded.count() == 50)
+    assert(decoded.schema.fieldNames.toSeq ==
+      Seq("media_id", "format", "width", "height", "n_frames",
+        "duration_ms"))
+    // deterministic: same input -> same metadata
+    val a = decoded.orderBy("media_id").collect()
+    val b = Multimodal.decodeMeta(media, "media_id")
+      .orderBy("media_id").collect()
+    assert(a.sameElements(b))
+    assert(decoded.rdd.getNumPartitions == 3) // partitioning preserved
+  }
+
+  test("multimodal frame sampling and fake embeddings") {
+    val docs = Tables.load(spark, sf, "documents").limit(20)
+      .select(col("doc_id").as("media_id"))
+    val media = Multimodal.withFakeMedia(docs, "media_id")
+    val decoded = Multimodal.decodeMeta(media, "media_id")
+    val frames = Multimodal.frameSample(decoded, everyN = 10)
+    val expected = decoded.select(
+      sum(ceil(col("n_frames").cast("double") / 10.0))).head().getLong(0)
+    assert(frames.count() == expected)
+
+    val emb = media.select(col("media_id"),
+      Multimodal.fakeEmbedding(col("content"), 16).as("v"))
+    val row = emb.head()
+    assert(row.getAs[scala.collection.Seq[Double]]("v").length == 16)
+  }
+
+  test("minhash LSH candidates superset check on near-identical docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (2L, base + " tail"), (3L, "completely different words"),
+      (4L, base)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDup(docs, col("doc_id"), col("text"),
+      threshold = 0.8).collect()
+    // identical docs 1 and 4 must be found; doc 3 must pair with nobody
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 4L))
+    assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("simhash of identical docs is identical, hamming 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDup(docs, col("doc_id"), col("text"),
+      maxHamming = 0).collect()
+    assert(pairs.length == 1 && pairs.head.getInt(2) == 0)
+  }
+}
