@@ -73,27 +73,32 @@ object AnalysisOps {
     * per-column profile — all-null, single-valued, all-unique
     * categorical — and the continuous/discrete classification. */
   def columnProfile(meta: DataFrame, cols: Seq[String]): DataFrame = {
-    val n = meta.count()
-    val profiles = cols.map { c =>
-      val dt = meta.schema(c).dataType
-      val continuous = dt match {
+    // ONE aggregation job for every column's stats (Catalyst plans the
+    // multi-distinct via a single expand), then reshape to long
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"_d_$c"),
+        count(col(c)).as(s"_p_$c"))
+    } :+ count(lit(1)).as("_n")
+    val wide = meta.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      val continuous = meta.schema(c).dataType match {
         case _: NumericType => true
         case _ => false
       }
-      meta.agg(
-        countDistinct(col(c)).as("n_distinct"),
-        count(col(c)).as("n_present"))
-        .select(lit(c).as("column"), col("n_distinct"), col("n_present"),
-          lit(n).as("n_rows"),
-          (col("n_present") === 0).as("all_null"),
-          (col("n_distinct") === 1).as("single_valued"),
-          (lit(!continuous) && col("n_distinct") === col("n_present") &&
-            col("n_present") > 0).as("all_unique"),
-          lit(continuous).as("continuous"))
+      s"'$c', `_d_$c`, `_p_$c`, $continuous"
     }
-    val profile = profiles.reduce(_.unionByName(_))
-    profile.withColumn("valid",
-      !col("all_null") && !col("single_valued") &&
-        (col("continuous") || !col("all_unique")))
+    wide.select(col("_n"), expr(
+      s"stack(${cols.length}, ${entries.mkString(", ")}) as " +
+        "(column, n_distinct, n_present, continuous)"))
+      .select(col("column"), col("n_distinct"), col("n_present"),
+        col("_n").as("n_rows"),
+        (col("n_present") === 0).as("all_null"),
+        (col("n_distinct") === 1).as("single_valued"),
+        (!col("continuous") && col("n_distinct") === col("n_present") &&
+          col("n_present") > 0).as("all_unique"),
+        col("continuous"))
+      .withColumn("valid",
+        !col("all_null") && !col("single_valued") &&
+          (col("continuous") || !col("all_unique")))
   }
 }

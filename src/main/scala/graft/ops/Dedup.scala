@@ -57,41 +57,64 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the document's token hashes. One array column — no
-    * explode, no shuffle (xxhash64 is codegen'd). */
-  def minhashSignature(text: Column, numHashes: Int): Column = {
-    val toks = array_distinct(TextAnalysis.tokens(text))
-    val sigs = (0 until numHashes).map { seed =>
-      array_min(transform(toks, t => xxhash64(t, lit(seed))))
-    }
-    array(sigs: _*)
+  /** MinHash signatures via single-pass aggregation: explode distinct
+    * tokens once, then `numHashes` seeded `min(xxhash64(token, seed))`
+    * aggregates in ONE grouped pass (partial aggregation before the
+    * exchange) — versus a naive per-seed array-transform expression that
+    * walks the token array `numHashes` times. */
+  def minhashSignatures(docs: DataFrame, id: Column, text: Column,
+      numHashes: Int): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
+    val mins = (0 until numHashes).map(seed =>
+      min(xxhash64(col("w"), lit(seed))).as(s"_m$seed"))
+    toks.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(s => col(s"_m$s")): _*).as("sig"))
   }
 
   /** LSH banding over a MinHash signature: `numBands` buckets of
     * `rowsPerBand` signature entries each, hashed to a bucket id.
-    * Docs sharing any (band, bucket) become candidate pairs. */
+    * Docs sharing any (band, bucket) — within the same blocking key —
+    * become candidate pairs. The banded frame is checkpointed so the
+    * signature aggregation runs once, not once per self-join side. */
   def minhashCandidatePairs(docs: DataFrame, id: Column, text: Column,
-      numBands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignature(text, numBands * rowsPerBand)
-    val banded = docs.select(id.as("doc_id"), sig.as("sig"))
-      .select(col("doc_id"), posexplode(
+      numBands: Int, rowsPerBand: Int,
+      block: Column = lit(true)): DataFrame = {
+    val numHashes = numBands * rowsPerBand
+    val toks = docs.select(id.as("doc_id"), block.as("_block"),
+      explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
+    val mins = (0 until numHashes).map(seed =>
+      min(xxhash64(col("w"), lit(seed))).as(s"_m$seed"))
+    val banded = toks.groupBy(col("doc_id"), col("_block"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), col("_block"),
+        array((0 until numHashes).map(s => col(s"_m$s")): _*).as("sig"))
+      .select(col("doc_id"), col("_block"), posexplode(
         array((0 until numBands).map(b =>
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
         .as(Seq("band", "bucket")))
+      .localCheckpoint(eager = false)
     banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a._block") <=> col("b._block") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
 
   /** MinHash near-dup: LSH candidates verified with exact word-set
-    * Jaccard (candidates only — the verify join is semi-bounded by LSH). */
+    * Jaccard (candidates only — the verify join is semi-bounded by LSH).
+    * `block` optionally confines pairs to a partition key (e.g. source,
+    * language) exactly like the other near-dup operators. */
   def minhashNearDup(docs: DataFrame, id: Column, text: Column,
-      threshold: Double, numBands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val cands = minhashCandidatePairs(docs, id, text, numBands, rowsPerBand)
+      threshold: Double, numBands: Int = 8, rowsPerBand: Int = 8,
+      block: Column = lit(true)): DataFrame = {
+    val cands = minhashCandidatePairs(docs, id, text, numBands,
+      rowsPerBand, block)
     val words = docs.select(id.as("doc_id"),
       array_distinct(TextAnalysis.tokens(text)).as("toks"))
     cands
@@ -104,20 +127,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over token hashes: sign-sum each bit position of
-    * xxhash64(token), weighted by token frequency 1. Expressed with array
-    * ops (no UDF): for bit i, count tokens with bit set minus tokens with
-    * bit clear; simhash bit i = 1 if positive. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(array_distinct(TextAnalysis.tokens(text)),
-      t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
-      val ones = size(filter(hashes,
-        h => shiftright(h, i).bitwiseAND(lit(1L)) === 1L))
-      val setBit = (ones * 2) > size(hashes)
-      when(setBit, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+  /** 64-bit SimHash signatures via single-pass aggregation: explode
+    * distinct tokens, hash each once, then one grouped aggregation with
+    * 64 sign-sums (+1 if bit set, -1 if clear); bit i of the signature is
+    * 1 when the sum is positive. One shuffle on the doc id, each token
+    * hashed exactly once — versus a naive per-bit array expression that
+    * re-tokenizes 64 times. */
+  def simhashSignatures(docs: DataFrame, id: Column,
+      text: Column): DataFrame = {
+    val toks = docs
+      .select(id.as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_b$i"))
+    toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sh"))
   }
 
   /** SimHash near-dup: block on the top `prefixBits` bits (near-dups
@@ -125,7 +155,7 @@ object Dedup {
     * distance <= maxHamming. Equi-join on the prefix — no cross join. */
   def simhashNearDup(docs: DataFrame, id: Column, text: Column,
       maxHamming: Int, prefixBits: Int = 12): DataFrame = {
-    val sigs = docs.select(id.as("doc_id"), simhash64(text).as("sh"))
+    val sigs = simhashSignatures(docs, id, text)
       .withColumn("prefix", shiftrightunsigned(col("sh"), 64 - prefixBits))
     sigs.as("a")
       .join(sigs.as("b"),

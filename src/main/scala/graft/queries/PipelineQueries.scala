@@ -47,10 +47,11 @@ object PipelineQueries {
       col("source"), col("text"), threshold = 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** MinHash+LSH near-dup (no SQL oracle: Spark-hash-specific). */
+  /** MinHash+LSH near-dup, blocked by source like the exact-Jaccard
+    * twin (no SQL oracle: Spark-hash-specific). */
   def minhashNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDup(t(s, dir, "documents"), col("doc_id"), col("text"),
-      threshold = 0.8)
+      threshold = 0.8, block = col("source"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** SimHash near-dup (no SQL oracle: Spark-hash-specific). */
