@@ -1,0 +1,87 @@
+package graft.mmeds
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Fastq
+
+/** Specs for the docs catalog, scalar functions, derived weights, and
+  * the fastq source. */
+class MiscSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("camelCase and identifier validation") {
+    import spark.implicits._
+    val got = Seq("body_site", "rotator-cuff replacement", "a.b'c")
+      .toDF("s").select(Functions.camelCase(col("s"))).as[String]
+      .collect().toSeq
+    assert(got == Seq("BodySite", "RotatorCuffReplacement", "ABC"))
+    assert(Functions.validIdentifier("SpecimenWeight_1"))
+    assert(!Functions.validIdentifier("drop table"))
+    assert(!Functions.validIdentifier("1abc"))
+    assert(!Functions.validIdentifier("a" * 67))
+  }
+
+  test("docs catalog: save, access-code lookup, file index, run ids") {
+    val catalog = new InMemoryCatalog
+    val docs = new Docs(spark, catalog)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    docs.save(Seq(
+      MmedsDoc(1, "study", "alice", "a@x.org", "code-1", "StudyA", "",
+        t0, Map("metadata" -> "/x/meta.tsv", "reads" -> "/x/r.fq.gz"),
+        Map("approach" -> "qiime2")),
+      MmedsDoc(2, "analysis", "alice", "a@x.org", "code-2", "StudyA",
+        "qiime2", t0, Map.empty, Map.empty)))
+    assert(docs.byAccessCode("alice", "code-1").exists(_.doc_id == 1))
+    assert(docs.byAccessCode("bob", "code-1").isEmpty)
+    assert(docs.forStudy("StudyA").count() == 2)
+    assert(docs.fileIndex.filter(col("path").isNotNull).count() == 2)
+    assert(docs.nextRunId("StudyA", "qiime2") == 1)
+  }
+
+  test("effective weights derive the trigger semantics") {
+    val subject = MetadataTsv.read(spark,
+      "/root/reference/test_files/test_subject.tsv")
+    val specimen = MetadataTsv.read(spark,
+      "/root/reference/test_files/test_specimen.tsv")
+    val catalog = new InMemoryCatalog
+    Normalizer.ingest(
+      MetadataTsv.joinMetadata(subject, specimen, "human"), 2L, catalog)
+    val w = Functions.effectiveSpecimenWeights(catalog)
+    assert(w.count() == catalog.table("Specimen").get.count())
+    // effective = initial - allocated, exactly
+    assert(w.filter(col("effective_weight") =!=
+      col("initial_weight") - col("allocated_weight")).count() == 0)
+    // at least one specimen has multiple aliquots -> allocation > 0
+    assert(w.filter(col("allocated_weight") > 0).count() > 0)
+  }
+
+  test("fastq reader groups 4-line records and demultiplexes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fq").toString
+    val fq = Seq(
+      "@r1", "GATCGATCAAAA", "+", "IIIIIIIIIIII",
+      "@r2", "TTTTGATCGGGG", "+", "IIIIIIIIIIII",
+      "@r3", "GATCGATCTTTT", "+", "IIIIIIIIIIII").mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/reads.fastq"), fq)
+    val reads = Fastq.read(spark, s"$dir/reads.fastq")
+    assert(reads.count() == 3)
+    assert(reads.filter(col("read_id") === "r1")
+      .head().getAs[String]("sequence") == "GATCGATCAAAA")
+
+    val barcodes = Seq(("s1", "GATCGATC"), ("s2", "TTTTGATC"))
+      .toDF("sample", "barcode")
+    val demux = Fastq.demultiplex(reads, barcodes, maxErrors = 1)
+    assert(demux.count() == 3)
+    assert(demux.filter(col("read_id") === "r2")
+      .head().getAs[String]("sample") == "s2")
+  }
+}
