@@ -42,6 +42,7 @@ object SparkEntry {
     "q23_topk_per_group" -> (ExtraQueries.topKPerGroup _),
     "q24_column_profile" -> (ExtraQueries.columnProfile _),
     "q25_rollup_revenue" -> (ExtraQueries.rollupRevenue _),
+    "q26_pivot_wide" -> (ExtraQueries.pivotWide _),
     "qd01_text_stats" -> (PipelineQueries.textStats _),
     "qd02_lang_quality" -> (PipelineQueries.langQuality _),
     "qd03_dedup_exact" -> (PipelineQueries.dedupExact _),
@@ -241,6 +242,19 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)
          ORDER BY region, nation""",
+    "q26_pivot_wide" ->
+      """SELECT o_custkey,
+         round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+           THEN o_totalprice END), 2) AS "1-URGENT",
+         round(sum(CASE WHEN o_orderpriority = '2-HIGH'
+           THEN o_totalprice END), 2) AS "2-HIGH",
+         round(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+           THEN o_totalprice END), 2) AS "3-MEDIUM",
+         round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+           THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
+         round(sum(CASE WHEN o_orderpriority = '5-LOW'
+           THEN o_totalprice END), 2) AS "5-LOW"
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "qd01_text_stats" ->
       """SELECT doc_id, length(text) AS chars,
          len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,

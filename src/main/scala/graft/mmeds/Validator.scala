@@ -367,6 +367,30 @@ object Validator {
     onlySubject.unionByName(onlySpecimen)
   }
 
+  /** Sequencing-run existence check (validate.py:254-274): every
+    * `RawDataProtocolID` named in the sheet must be a known run (from
+    * the docs catalog) or declared in this same sheet's
+    * RawDataProtocols rows. */
+  def checkSequencingRuns(sheet: MetadataSheet,
+      knownRuns: Seq[String]): DataFrame = {
+    val runCol = "RawDataProtocol__RawDataProtocolID"
+    val df = sheet.df
+    if (!df.columns.contains(runCol))
+      return df.sparkSession.emptyDataFrame
+        .withColumn("row", lit(0L)).withColumn("column", lit(""))
+        .withColumn("kind", lit("")).withColumn("message", lit(""))
+        .withColumn("isError", lit(true)).limit(0)
+    df.filter(col(runCol).isNotNull && col(runCol) =!= "NA" &&
+        !col(runCol).isin(knownRuns: _*))
+      .groupBy(col(runCol))
+      .agg(min(col("_row")).as("row"))
+      .select(col("row"), lit(runCol).as("column"),
+        lit("Sequencing Run").as("kind"),
+        concat(lit("Sequencing Run Error: unknown sequencing run "),
+          col(runCol)).as("message"),
+        lit(true).as("isError"))
+  }
+
   /** Errors only / warnings only convenience splits. */
   def errors(findings: DataFrame): DataFrame =
     findings.filter(col("isError"))

@@ -110,6 +110,20 @@ object ExtraQueries {
       Seq("o_orderpriority", "o_orderstatus", "o_custkey", "o_totalprice"))
       .orderBy(col("column"))
 
+  /** Long -> wide pivot (the OTU-table / LEfSe export shape,
+    * util.py:1698-1762, AnalysisOps.otuLongToWide): per-customer spend
+    * matrix across order priorities. Explicit pivot values keep the
+    * schema static — mandatory at scale (no dry-run distinct scan). */
+  def pivotWide(s: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .pivot("o_orderpriority", prios)
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Rollup totals over the region/nation hierarchy. */
   def rollupRevenue(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")

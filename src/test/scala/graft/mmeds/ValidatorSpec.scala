@@ -118,6 +118,16 @@ class ValidatorSpec extends AnyFunSuite {
       .filter(col("kind") === "Categorical Data").count() > 0)
   }
 
+  test("sequencing-run existence check flags unknown runs") {
+    val specimen = MetadataTsv.readRaw(spark, s"$fixtures/test_specimen.tsv")
+    val bad = Validator.checkSequencingRuns(specimen, Seq("NotARun"))
+    assert(bad.count() > 0)
+    val runs = specimen.df
+      .select("RawDataProtocol__RawDataProtocolID").distinct()
+      .collect().map(_.getString(0)).filter(_ != null).toSeq
+    assert(Validator.checkSequencingRuns(specimen, runs).count() == 0)
+  }
+
   test("subject reconciliation reports orphans on both sides") {
     val subject = MetadataTsv.readRaw(spark, s"$fixtures/test_subject.tsv")
     val specimen = MetadataTsv.readRaw(spark,
