@@ -24,7 +24,9 @@ object SparkEntry {
     "q03_revenue_by_nation" -> (CoreQueries.revenueByNation _),
     "q04_flagship_multijoin" -> (CoreQueries.flagshipMultiJoin _),
     "q05_cust_order_stats" -> (CoreQueries.custOrderStats _),
+    "q06_full_outer" -> (CoreQueries.fullOuterNationProfile _),
     "q07_semi_join" -> (CoreQueries.semiJoinUrgent _),
+    "q12_derived_weights" -> (CoreQueries.derivedWeights _),
     "q08_anti_join" -> (CoreQueries.antiJoinNoOrders _),
     "q10_child_ids" -> (CoreQueries.childIdGeneration _),
     "q11_surrogate_keys" -> (CoreQueries.surrogateKeys _),
@@ -52,6 +54,7 @@ object SparkEntry {
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
     "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
     "qe03_ann_lsh" -> (PipelineQueries.annTopK _),
+    "qe04_ann_ivf" -> (PipelineQueries.ivfTopK _),
     "qv01_event_hourly" -> (PipelineQueries.eventHourly _),
     "qv02_sessionize" -> (PipelineQueries.sessionize _),
     "qv03_session_stats" -> (PipelineQueries.sessionStats _),
@@ -104,6 +107,28 @@ object SparkEntry {
          round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
          GROUP BY 1 ORDER BY 1""",
+    "q06_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_customers
+             FROM customer WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY 1),
+         s AS (SELECT s_nationkey AS sk, count(*) AS n_suppliers
+             FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+         SELECT CAST(coalesce(ck, sk) AS INTEGER) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+         FROM c FULL OUTER JOIN s ON ck = sk
+         ORDER BY 1""",
+    "q12_derived_weights" ->
+      """WITH li AS (SELECT l_orderkey,
+           sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+             AS BIGINT)) AS consumed_cents
+           FROM lineitem GROUP BY 1)
+         SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100.0) AS BIGINT) AS initial_cents,
+           coalesce(consumed_cents, 0) AS consumed_cents,
+           CAST(floor(o_totalprice * 100.0) AS BIGINT)
+             - coalesce(consumed_cents, 0) AS remaining_cents
+         FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+         ORDER BY 1""",
     "q07_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
          WHERE EXISTS (SELECT 1 FROM orders

@@ -83,4 +83,66 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Dot product of a vector column against a literal centroid —
+    * stays inside codegen (`zip_with`/`aggregate` over an array literal). */
+  private def dotLit(v: Column, centroid: Array[Double]): Column =
+    aggregate(zip_with(v, lit(centroid), (x, c) => x * c),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Deterministically sample `nList` corpus vectors as IVF centroids:
+    * the nList ids with the smallest hash — stable across runs and
+    * partitionings, no RNG. One small collect (nList × dim doubles). */
+  def ivfCentroids(corpus: DataFrame, id: Column, vec: Column,
+      nList: Int): Array[(Int, Array[Double])] =
+    corpus.select(id.as("cid"), l2Normalize(vec).as("cv"))
+      .orderBy(hash(col("cid")), col("cid"))
+      .limit(nList)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+
+  /** Assign each vector to its nearest centroid without any shuffle:
+    * the centroid list is embedded as literals, so assignment is a pure
+    * per-row map over the corpus — the core IVF property that lets the
+    * index build scan 100 TB once, partition-locally. Returns
+    * (bestCell, bestScore) columns via a fold over the centroids. */
+  private def nearestCell(v: Column,
+      centroids: Array[(Int, Array[Double])]): Column = {
+    val scored = centroids.map { case (cell, cv) =>
+      struct(dotLit(v, cv).as("score"), lit(cell).as("cell"))
+    }
+    // greatest() on structs compares field-by-field: score first, then
+    // cell id as the deterministic tiebreak (higher cell wins ties).
+    greatest(scored.toIndexedSeq: _*).getField("cell")
+  }
+
+  /** IVF (inverted-file) ANN. Index build: one partition-local pass
+    * assigning every vector to its nearest of `nList` sampled centroids —
+    * at scale the `cell` column becomes the partition key of the stored
+    * index. Query: score the centroids, probe the `nProbe` best cells,
+    * scan only those cells' vectors. Expected candidate fraction
+    * nProbe/nList of the corpus. */
+  def ivfTopK(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, k: Int, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(corpus, id, vec, nList)
+    val indexed = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"))
+      .withColumn("cell", nearestCell(col("v"), cents))
+    // nProbe best cells for the query vector: explode the (tiny) centroid
+    // list against the 1-row query frame and rank.
+    val centDf = query.sparkSession.createDataFrame(
+      cents.map { case (cell, cv) => (cell, cv) }.toSeq
+    ).toDF("cell", "cv")
+    val wq = Window.orderBy(col("qscore").desc, col("cell"))
+    val probeCells = centDf.crossJoin(broadcast(query))
+      .select(col("cell"), col("qv"), dot(col("cv"), col("qv")).as("qscore"))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= nProbe)
+      .select(col("cell"), col("qv"))
+    val w = Window.orderBy(col("cos").desc, col("vec_id"))
+    indexed.join(broadcast(probeCells), Seq("cell"))
+      .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

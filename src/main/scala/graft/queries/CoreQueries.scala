@@ -117,6 +117,50 @@ object CoreQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Full-outer join on a coalesced key: the `join_metadata` shape
+    * (SURVEY §2.4, util.py:166-182 — subject ⟗ specimen with coalesced
+    * subject id). Per-nation customer vs supplier profiles; either side
+    * may be absent. */
+  def fullOuterNationProfile(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sup = t(s, dir, "supplier")
+      .filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(sup, col("ck") === col("sk"), "full_outer")
+      .select(
+        coalesce(col("ck"), col("sk")).cast("int").as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Derived-weight view replacing the reference's SQL triggers
+    * (SURVEY §2.9, sql/triggers.sql:5-36): effective remaining weight =
+    * initial − Σ(child weights), computed as an aggregation instead of
+    * mutation-on-insert. Order total vs its lineitems' gross charge. */
+  def derivedWeights(s: SparkSession, dir: String): DataFrame = {
+    // Integer-cents arithmetic: each charge floors to a BIGINT before the
+    // sum, so the aggregate is order-independent (exact) across engines —
+    // a double sum re-rounded to 2dp tie-flips on partition order.
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * lit(100.0)).cast("long")).as("consumed_cents"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(100.0)).cast("long")
+          .as("initial_cents"),
+        coalesce(col("consumed_cents"), lit(0L)).as("consumed_cents"),
+        (floor(col("o_totalprice") * lit(100.0)).cast("long") -
+          coalesce(col("consumed_cents"), lit(0L))).as("remaining_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Left-semi join: existence check (SURVEY §2.4 check_repeated_subjects
     * shape — `WHERE EXISTS`). */
   def semiJoinUrgent(s: SparkSession, dir: String): DataFrame = {

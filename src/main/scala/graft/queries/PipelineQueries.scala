@@ -81,6 +81,17 @@ object PipelineQueries {
       .orderBy(col("rank"))
   }
 
+  /** IVF ANN against the vec_id=0 embedding: 16 sampled centroids,
+    * probe the best 4 cells (approximate — rows-only check, no oracle). */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    Similarity.ivfTopK(e, col("vec_id"), col("embedding"), q, k = 10,
+      nList = 16, nProbe = 4)
+      .orderBy(col("rank"))
+  }
+
   /** Embedding-cosine near-dup pairs blocked by label. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(t(s, dir, "embeddings"), col("vec_id"),

@@ -103,6 +103,21 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
   }
 
+  test("IVF with all cells probed equals brute-force top-k") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val brute = Similarity.bruteForceTopK(e, col("vec_id"),
+      col("embedding"), q, k = 10).select("vec_id", "cos", "rank").collect()
+    val ivf = Similarity.ivfTopK(e, col("vec_id"), col("embedding"), q,
+      k = 10, nList = 8, nProbe = 8).select("vec_id", "cos", "rank").collect()
+    assert(ivf.sameElements(brute))
+    // partial probe still returns k rows and the self-match at rank 1
+    val partial = Similarity.ivfTopK(e, col("vec_id"), col("embedding"), q,
+      k = 10, nList = 8, nProbe = 2).collect()
+    assert(partial.length == 10)
+  }
+
   test("simhash of identical docs is identical, hamming 0") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"),
