@@ -3,6 +3,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Default 4 threads: at sf0.1 per-query fixed cost (planning, codegen,
+    // task launch) dominates, and measured totals on a 32-core box are
+    // local[4]=43.6s < local[32]=47.1s < local[8]=50s. The operators
+    // themselves scale by partitioning (see ARCHITECTURE.md); raise
+    // SPARK_GRAFT_CPUS when benching larger scale factors.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

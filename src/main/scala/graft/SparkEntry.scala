@@ -51,6 +51,7 @@ object SparkEntry {
     "qd04_ngram_jaccard" -> (PipelineQueries.ngramJaccard _),
     "qd05_minhash_neardup" -> (PipelineQueries.minhashNearDup _),
     "qd06_simhash_neardup" -> (PipelineQueries.simhashNearDup _),
+    "qd07_token_topk" -> (PipelineQueries.tokenTopK _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
     "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
     "qe03_ann_lsh" -> (PipelineQueries.annTopK _),
@@ -337,6 +338,16 @@ object SparkEntry {
          WHERE floor(CAST(nab AS DOUBLE)
              / CAST(sa.n + sb.n - nab AS DOUBLE) * 10000.0) / 10000.0 >= 0.8
          ORDER BY 1, 2""",
+    "qd07_token_topk" ->
+      """WITH words AS (SELECT source,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS w
+           FROM documents),
+         c AS (SELECT source, w, count(*) AS n FROM words GROUP BY 1, 2)
+         SELECT source, w, n, rank FROM (
+           SELECT source, w, n,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY n DESC, w) AS BIGINT) AS rank FROM c)
+         WHERE rank <= 5 ORDER BY source, rank""",
     "qe01_cosine_topk" ->
       """WITH z AS (SELECT e.vec_id,
            CAST(unnest(e.embedding) AS DOUBLE) AS a,

@@ -38,10 +38,12 @@ object Dedup {
     * shuffles on (block, token), never materializes the cross product. */
   def ngramJaccardPairs(docs: DataFrame, id: Column, block: Column,
       text: Column, threshold: Double): DataFrame = {
+    // the self-join's two exchanges hash on the same (w, block) key, so
+    // Spark reuses one shuffle; a checkpoint here measured slower
     val words = wordSet(docs, id, block, text)
     val sizes = words.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"))
-    val inter = words.as("a")
+    val inter = words.as("a").hint("shuffle_hash")
       .join(words.as("b"),
         col("a.w") === col("b.w") && col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))

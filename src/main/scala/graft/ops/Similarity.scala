@@ -18,16 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise dot product of two double-array columns (codegen'd,
-    * no UDF). */
+  /** Elementwise dot product of two double-array columns: a native
+    * Catalyst expression with `doGenCode` (graft.functions.DotProduct) —
+    * the declarative `aggregate(zip_with(...))` form evaluates an
+    * interpreted lambda per element, which dominates O(pairs × dim)
+    * similarity workloads. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.vecDot(a, b)
 
   /** Cast a float vector to double and L2-normalize it. Normalizing once
     * at ingest makes every later similarity a plain dot product. */
   def l2Normalize(vec: Column): Column = {
     val d = transform(vec, x => x.cast("double"))
-    val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
+    val norm = sqrt(graft.functions.VectorExpressions.vecDot(d, d))
     transform(d, x => x / norm)
   }
 
@@ -52,19 +55,30 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed-seed hash mapped to [-1, 1]. Same plane on every executor
-    * without shipping a matrix. */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (hash(lit(plane), dim, lit(20260812)).cast("double") / lit(Int.MaxValue.toDouble))
+  /** Deterministic pseudo-random hyperplanes — splitmix64 of
+    * (plane, dim, fixed seed) mapped to [-1, 1], materialized driver-side
+    * (numPlanes × dim doubles, trivially small) so bucketing compiles to
+    * a codegen'd dot against a literal instead of a per-element
+    * interpreted lambda. Stable across runs, partitions, and cluster
+    * sizes — the bucket id can key the stored index. */
+  def planeVectors(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes) { p =>
+      Array.tabulate(dim) { d =>
+        var z = p.toLong * 0x9E3779B97F4A7C15L +
+          d.toLong * 0xBF58476D1CE4E5B9L + 20260812L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        z.toDouble / Long.MaxValue.toDouble
+      }
+    }
 
   /** Random-hyperplane LSH bucket id: one sign bit per plane. */
-  def lshBucket(vec: Column, numPlanes: Int): Column = {
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
     val d = transform(vec, x => x.cast("double"))
-    val bits = (0 until numPlanes).map { p =>
-      val proj = aggregate(zip_with(d, sequence(lit(0), size(d) - 1),
-        (x, i) => x * planeComponent(p, i)), lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    val bits = planes.zipWithIndex.map { case (pl, p) =>
+      when(graft.functions.VectorExpressions.vecDot(d, lit(pl)) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
@@ -74,9 +88,11 @@ object Similarity {
     * |corpus| / 2^numPlanes in expectation. */
   def annTopK(corpus: DataFrame, id: Column, vec: Column,
       query: DataFrame, k: Int, numPlanes: Int = 8): DataFrame = {
+    val dim = query.select(size(col("qv"))).head().getInt(0)
+    val planes = planeVectors(numPlanes, dim)
     val bucketed = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"),
-      lshBucket(vec, numPlanes).as("bucket"))
-    val q = query.withColumn("qbucket", lshBucket(col("qv"), numPlanes))
+      lshBucket(vec, planes).as("bucket"))
+    val q = query.withColumn("qbucket", lshBucket(col("qv"), planes))
     val w = Window.orderBy(col("cos").desc, col("vec_id"))
     bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos"))
@@ -84,11 +100,10 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Dot product of a vector column against a literal centroid —
-    * stays inside codegen (`zip_with`/`aggregate` over an array literal). */
+  /** Dot product of a vector column against a literal centroid — the
+    * same codegen'd DotProduct expression over an array literal. */
   private def dotLit(v: Column, centroid: Array[Double]): Column =
-    aggregate(zip_with(v, lit(centroid), (x, c) => x * c),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.vecDot(v, lit(centroid))
 
   /** Deterministically sample `nList` corpus vectors as IVF centroids:
     * the nList ids with the smallest hash — stable across runs and

@@ -60,6 +60,21 @@ object PipelineQueries {
       maxHamming = 8)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Top-5 tokens per source by raw frequency: the corpus-vocabulary
+    * profile pass (explode → two-level agg → per-group top-k). */
+  def tokenTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t(s, dir, "documents")
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("w"))
+    counts.withColumn("rank", row_number().over(bySource).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("source"), col("rank"))
+  }
+
   /** Brute-force cosine top-10 against the vec_id=0 embedding. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState,
+  GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface.
@@ -55,4 +56,63 @@ object StreamingIngest {
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
+
+  /** One event on the stateful-sessionization input stream. */
+  case class SessionEvent(userId: Long, eventId: Long, secs: Long,
+      value: Double)
+
+  /** A closed (or flushed) session emitted by the stateful operator. */
+  case class SessionSummary(userId: Long, sessionStart: Long,
+      sessionEnd: Long, nEvents: Long, sessionValue: Double)
+
+  /** Internal per-user running-session state (public: the codegen'd
+    * state encoder instantiates it from generated Java). */
+  case class SessionState(start: Long, last: Long, n: Long,
+      total: Double)
+
+  /** Streaming gap-based sessionization with explicit per-key state —
+    * the `flatMapGroupsWithState` twin of [[graft.ops.Events.sessionize]].
+    * A session closes when `gapSeconds` pass without events for the user
+    * (enforced via processing-time timeout, so state is bounded); closed
+    * sessions are emitted downstream. Batches within one trigger also
+    * close sessions inline when a gap appears inside the batch. */
+  def sessionizeStream(events: Dataset[SessionEvent],
+      gapSeconds: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, batch: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionSummary(userId, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.secs, e.eventId))
+            val closed = Seq.newBuilder[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.secs - s.last <= gapSeconds =>
+                  cur = Some(SessionState(s.start, e.secs, s.n + 1,
+                    s.total + e.value))
+                case Some(s) =>
+                  closed += SessionSummary(userId, s.start, s.last, s.n,
+                    s.total)
+                  cur = Some(SessionState(e.secs, e.secs, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.secs, e.secs, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

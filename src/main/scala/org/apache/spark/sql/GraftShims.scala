@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column <-> Expression converters so the
+  * library can wrap its own native Catalyst expressions (e.g.
+  * graft.functions.DotProduct) in public `Column`s. The same pattern the
+  * Spark OSS ecosystem uses for custom expressions on Spark 4's
+  * ColumnNode API.
+  */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

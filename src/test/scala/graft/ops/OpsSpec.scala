@@ -56,6 +56,43 @@ class OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == 100)
   }
 
+  test("stateful streaming sessionization closes sessions on gap") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingIngest.{SessionEvent, sessionizeStream}
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val out = sessionizeStream(in.toDS(), gapSeconds = 1800)
+    // NOTE: with ProcessingTimeTimeout the engine keeps scheduling
+    // timeout-check batches, so processAllAvailable never settles —
+    // throttle the trigger and poll the sink with a deadline instead.
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table("sessions_out").count() < n &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+    }
+    // one user: two events in one session, then an in-batch gap opens a
+    // second session -> first must close within the same trigger
+    in.addData(SessionEvent(1, 1, 0, 1.0), SessionEvent(1, 2, 100, 2.0),
+      SessionEvent(1, 3, 10000, 4.0))
+    awaitRows(1)
+    val closed = spark.table("sessions_out").as[
+      graft.streaming.StreamingIngest.SessionSummary].collect()
+    assert(closed.length == 1)
+    assert(closed.head.sessionStart == 0 && closed.head.sessionEnd == 100 &&
+      closed.head.nEvents == 2 && closed.head.sessionValue == 3.0)
+    // a later event for the same user extends the open session
+    in.addData(SessionEvent(1, 4, 10100, 1.0))
+    Thread.sleep(1500)
+    assert(spark.table("sessions_out").count() == 1) // still open
+    q.stop()
+  }
+
   test("multimodal decode plumbing: schema, determinism, partitioning") {
     val docs = Tables.load(spark, sf, "documents").limit(50)
       .select(col("doc_id").as("media_id"))
@@ -101,6 +138,29 @@ class OpsSpec extends AnyFunSuite {
     // identical docs 1 and 4 must be found; doc 3 must pair with nobody
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 4L))
     assert(!pairs.exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L))
+  }
+
+  test("vec_dot: codegen expression matches interpreted HOF form; SQL-registered") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+    val native = df.select(
+      graft.functions.VectorExpressions.vecDot(col("a"), col("b"))).head().getDouble(0)
+    val hof = df.select(aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)).head().getDouble(0)
+    assert(native == 32.0 && native == hof)
+    // null propagation
+    val n = df.select(graft.functions.VectorExpressions.vecDot(
+      lit(null).cast("array<double>"), col("b"))).head()
+    assert(n.isNullAt(0))
+    // SQL registration via GraftExtensions descriptor
+    spark.sessionState.functionRegistry.registerFunction(
+      graft.GraftExtensions.vecDotDescriptor._1,
+      graft.GraftExtensions.vecDotDescriptor._2,
+      graft.GraftExtensions.vecDotDescriptor._3)
+    val viaSql = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head().getDouble(0)
+    assert(viaSql == 11.0)
   }
 
   test("IVF with all cells probed equals brute-force top-k") {
