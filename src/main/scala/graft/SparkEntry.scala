@@ -52,6 +52,8 @@ object SparkEntry {
     "qd05_minhash_neardup" -> (PipelineQueries.minhashNearDup _),
     "qd06_simhash_neardup" -> (PipelineQueries.simhashNearDup _),
     "qd07_token_topk" -> (PipelineQueries.tokenTopK _),
+    "qd08_bpe_tokens" -> (PipelineQueries.bpeTokenCounts _),
+    "qd09_winnow_fp" -> (PipelineQueries.winnowFingerprints _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
     "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
     "qe03_ann_lsh" -> (PipelineQueries.annTopK _),
@@ -348,6 +350,13 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY source
                ORDER BY n DESC, w) AS BIGINT) AS rank FROM c)
          WHERE rank <= 5 ORDER BY source, rank""",
+    "qd08_bpe_tokens" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\S+')) AS n_ws_tokens,
+         len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
+           AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
     "qe01_cosine_topk" ->
       """WITH z AS (SELECT e.vec_id,
            CAST(unnest(e.embedding) AS DOUBLE) AS a,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -79,6 +80,47 @@ object TextAnalysis {
     * The exact-dedup key for `documents`. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** BPE-ish subword segmentation: the GPT-2-style pre-tokenizer pattern
+    * (contractions | space+letter-run | space+digit-run | space+symbol-run
+    * | whitespace-run), restricted to ASCII classes so Java regex and
+    * RE2 (DuckDB) agree. The resulting count approximates LLM token
+    * counts without a vocabulary — the standard budget estimator for
+    * training-data pipelines. */
+  val bpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** k-shingle rolling fingerprints: hash every k-token window once via
+    * one explode (no per-shingle string rebuild of the whole doc). At
+    * scale this is the winnowing front half — a narrow map + generator,
+    * no shuffle. */
+  def shingleHashes(docs: DataFrame, id: Column, text: Column,
+      k: Int): DataFrame = {
+    val toks = tokens(text)
+    docs.select(id.as("doc_id"), posexplode(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .as(Seq("pos", "h")))
+  }
+
+  /** Winnowing signature: the minimum shingle hash per window of `w`
+    * consecutive shingles (Schleimer et al.'s robust winnowing shape) —
+    * documents sharing any selected fingerprint are near-dup candidates.
+    * Selected fingerprints are distinct per doc. */
+  def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val win = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos")).rowsBetween(0, w - 1)
+    shingleHashes(docs, id, text, k)
+      .withColumn("minh", min(col("h")).over(win))
+      .select(col("doc_id"), col("minh").as("fp"))
+      .distinct()
+  }
 
   /** Per-document stats frame: the §2-style profile of a text column. */
   def textStats(docs: DataFrame, id: Column, text: Column): DataFrame =

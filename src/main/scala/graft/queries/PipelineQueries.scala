@@ -75,6 +75,22 @@ object PipelineQueries {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** BPE-ish token budget per document: whitespace tokens vs subword
+    * segments (GPT-2 pre-tokenizer pattern, ASCII-restricted). */
+  def bpeTokenCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+      TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Winnowing fingerprints (k-shingle rolling hash, min-per-window) —
+    * Spark-hash-specific, rows-only check. */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprints(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+      .orderBy(col("doc_id"), col("fp"))
+
   /** Brute-force cosine top-10 against the vec_id=0 embedding. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
