@@ -43,12 +43,16 @@ class Engine(val spark: SparkSession, val catalog: Catalog) {
     def hasAnimal: Boolean = catalog.tableNames.contains("AnimalSubjects")
 
     /** Register `protected_T`-equivalent temp views + the view stack so
-      * `spark.sql` runs with this user's visibility. */
+      * `spark.sql` runs with this user's visibility. The view stack only
+      * registers when its base tables exist (a partial catalog — e.g.
+      * mid-ingest — still supports direct table queries). */
     def register(): Unit = {
       catalog.tableNames.foreach { n =>
         resolve(n).createOrReplaceTempView(n)
       }
-      views.registerAll(hasHuman, hasAnimal)
+      if (Seq("Specimen", "Experiment", "Study")
+        .forall(catalog.tableNames.contains))
+        views.registerAll(hasHuman, hasAnimal)
     }
 
     /** Guarded ad-hoc SQL (database.py:392-433): runs under this user's
@@ -121,6 +125,29 @@ class Engine(val spark: SparkSession, val catalog: Catalog) {
             .reduce(_ && _)
           candidates.join(mine, cond, "left_semi")
       }
+    }
+
+    /** Quoted-TSV dump of a table's rows under this user's visibility
+      * (database.py:182-189 get_table_contents: every value quoted,
+      * tab-separated, newline rows). Driver-side materialization — the
+      * reference's surface is a full in-memory dump by design. */
+    def tableContents(name: String): String = {
+      val df = resolve(name)
+      df.collect()
+        .map(_.toSeq.map(v => "\"" + String.valueOf(v) + "\"")
+          .mkString("\t"))
+        .mkString("\n")
+    }
+
+    /** Query-result TSV sink (server.py:1353-1359): run guarded SQL and
+      * write header + rows as a single tab-separated download file. */
+    def executeToTsv(sql: String, path: String): Unit = {
+      val df = execute(sql)
+      val header = df.columns.mkString("\t")
+      val rows = df.collect()
+        .map(_.toSeq.map(String.valueOf).mkString("\t"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        (header +: rows).mkString("\n"))
     }
 
     /** Remove exactly this user's rows from every table

@@ -63,6 +63,24 @@ class MiscSpec extends AnyFunSuite {
     assert(w.filter(col("allocated_weight") > 0).count() > 0)
   }
 
+  test("table-contents dump and query-result TSV sink respect RLS") {
+    import spark.implicits._
+    val catalog = new InMemoryCatalog
+    catalog.append("Lab", Seq((1L, "LabA", 2L), (2L, "LabB", 3L))
+      .toDF("idLab", "LabName", "user_id"))
+    val engine = new Engine(spark, catalog)
+    val mine = engine.forUser(2L)
+    // user 2 sees only its own row (Lab is a protected table)
+    val dump = mine.tableContents("Lab")
+    assert(dump.contains("\"LabA\"") && !dump.contains("LabB"))
+    val tsv = java.nio.file.Files.createTempFile("query", ".tsv").toString
+    mine.executeToTsv("SELECT LabName FROM Lab ORDER BY LabName", tsv)
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(tsv))
+    assert(lines.get(0) == "LabName" && lines.get(1) == "LabA" &&
+      lines.size == 2)
+  }
+
   test("fastq reader groups 4-line records and demultiplexes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fq").toString
