@@ -30,9 +30,13 @@ class InMemoryCatalog extends Catalog {
   def tableNames: Seq[String] = tables.keys.toSeq
 }
 
-/** Parquet warehouse catalog: one directory per table under `root`.
-  * At cluster scale these would be partitioned (by user_id / study) and
-  * registered in a metastore; the layout below is the same seam. */
+/** Parquet warehouse catalog: one directory per table under `root`,
+  * hive-partitioned by `user_id` wherever the table carries it (all
+  * protected tables + junctions). The RLS predicate
+  * `user_id ∈ {uid, public}` then resolves as PARTITION PRUNING — on a
+  * 1000-executor cluster a user's session reads only its own partitions,
+  * never scanning other tenants' data. At larger scale the same seam
+  * registers metastore tables; the layout is identical. */
 class ParquetCatalog(spark: SparkSession, root: String) extends Catalog {
   private def path(name: String) = s"$root/$name"
   private def exists(name: String): Boolean = {
@@ -41,12 +45,17 @@ class ParquetCatalog(spark: SparkSession, root: String) extends Catalog {
   }
   def table(name: String): Option[DataFrame] =
     if (exists(name)) Some(spark.read.parquet(path(name))) else None
-  def append(name: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).parquet(path(name))
+  def append(name: String, df: DataFrame): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (df.columns.contains("user_id")) w.partitionBy("user_id") else w)
+      .parquet(path(name))
+  }
   def overwrite(name: String, df: DataFrame): Unit = {
     // self-referential overwrite needs a materialization barrier
     val tmp = path(name) + "__tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (df.columns.contains("user_id")) w.partitionBy("user_id") else w)
+      .parquet(tmp)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path(name)), true)

@@ -1,0 +1,47 @@
+package graft.mmeds
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parquet warehouse catalog: durability, append semantics, and the
+  * scale property that matters — RLS resolving to partition pruning. */
+class ParquetCatalogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("append/table round-trip, user_id partition layout, RLS pruning") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("warehouse").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.append("Lab", Seq((1L, "LabA", 2L), (2L, "LabB", 3L))
+      .toDF("idLab", "LabName", "user_id"))
+    cat.append("Lab", Seq((3L, "LabC", 2L))
+      .toDF("idLab", "LabName", "user_id"))
+    assert(cat.table("Lab").get.count() == 3)
+    assert(cat.tableNames == Seq("Lab"))
+    // hive partition dirs exist per user
+    val dirs = new java.io.File(s"$root/Lab").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("user_id=2", "user_id=3"))
+
+    // the RLS filter becomes partition pruning, not a data scan filter
+    val engine = new Engine(spark, cat)
+    val visible = engine.forUser(3L).resolve("Lab")
+    assert(visible.collect().map(_.getAs[String]("LabName")).toSeq ==
+      Seq("LabB"))
+    val physical = visible.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+      physical.contains("user_id"))
+
+    // overwrite keeps partitioning and survives self-reference
+    val without3 = cat.table("Lab").get.filter(col("user_id") =!= 3L)
+    cat.overwrite("Lab", without3)
+    assert(cat.table("Lab").get.count() == 2)
+  }
+}
