@@ -290,6 +290,23 @@ object Validator {
         }
     }
 
+    // whole-column type mismatch by majority vote (util.py:505-550
+    // get_col_type + validate.py Column Wrong Type): a declared-numeric
+    // column whose present cells are MOSTLY non-numeric is mistyped as a
+    // column (individual strays stay Cell Wrong Type)
+    aligned.filter { case (s, _) => Set("Number", "Decimal", "Integer")
+      .contains(s.declaredType) }.foreach { case (s, f) =>
+      aggChecks += df.filter(col(f).isNotNull && col(f) =!= "NA")
+        .agg(count(lit(1)).as("n"),
+          count(when(col(f).try_cast("double").isNull, 1)).as("bad"))
+        .filter(col("n") > 0 && col("bad") * 2 > col("n"))
+        .select(lit(-1L).as("row"), lit(s.flatName).as("column"),
+          lit("Column Wrong Type").as("kind"),
+          lit(s"Column Wrong Type Error: column ${s.column} holds " +
+            s"mostly non-${s.declaredType} values").as("message"),
+          lit(true).as("isError"))
+    }
+
     // numeric ±2σ outliers -> warnings (validate.py:137-151)
     aligned.filter { case (s, _) => Set("Number", "Decimal", "Integer")
       .contains(s.declaredType) }.foreach { case (s, f) =>
@@ -365,6 +382,25 @@ object Validator {
           lit(" not present in the subject file")).as("message"),
         lit(true).as("isError"))
     onlySubject.unionByName(onlySpecimen)
+  }
+
+  /** Study-name consistency check (validate.py:654-659): when a sheet is
+    * uploaded into a named study, every non-NA `StudyName` cell must
+    * equal it. */
+  def checkStudyName(sheet: MetadataSheet, expected: String): DataFrame = {
+    val sc = "Study__StudyName"
+    val df = sheet.df
+    if (!df.columns.contains(sc))
+      return df.sparkSession.emptyDataFrame
+        .withColumn("row", lit(0L)).withColumn("column", lit(""))
+        .withColumn("kind", lit("")).withColumn("message", lit(""))
+        .withColumn("isError", lit(true)).limit(0)
+    df.filter(col(sc).isNotNull && col(sc) =!= "NA" && col(sc) =!= expected)
+      .select(col("_row").as("row"), lit(sc).as("column"),
+        lit("Study Name").as("kind"),
+        concat(lit("Study Name Error: study name "), col(sc),
+          lit(s" does not match the target study $expected")).as("message"),
+        lit(true).as("isError"))
   }
 
   /** Sequencing-run existence check (validate.py:254-274): every

@@ -107,6 +107,35 @@ class ValidatorSpec extends AnyFunSuite {
     assert(got.contains("Duplicate Header"), s"got $got")
   }
 
+  test("study-name mismatch flags rows; matching name is clean") {
+    val sheet = MetadataTsv.readRaw(spark, s"$fixtures/test_specimen.tsv")
+    assert(Validator.checkStudyName(sheet, "Good_Study").count() == 0)
+    val bad = Validator.checkStudyName(sheet, "Other_Study")
+    assert(bad.count() > 0)
+    assert(bad.select("kind").distinct().head().getString(0) == "Study Name")
+  }
+
+  test("majority non-numeric column raises Column Wrong Type") {
+    // declared-Number column holding mostly words -> column-level error
+    val tmp = java.nio.file.Files.createTempFile("cwt", ".tsv")
+    val rows = Seq(
+      "Subjects\tSubjects",
+      "HostSubjectId\tHeight",
+      "Required\tRequired",
+      "Text\tNumber",
+      "\t",
+      "s1\ttall",
+      "s2\tshort",
+      "s3\t12.5")
+    java.nio.file.Files.writeString(tmp, rows.mkString("\n"))
+    val f = Validator.validate(spark, tmp.toString, "human")
+    assert(Validator.errors(f)
+      .filter(col("kind") === "Column Wrong Type").count() == 1)
+    // and the stray numeric cells still get their cell-level errors
+    assert(Validator.errors(f)
+      .filter(col("kind") === "Cell Wrong Type").count() == 2)
+  }
+
   test("warning fixtures produce warnings, not errors") {
     val f = Validator.validate(spark,
       s"$dir/subject_validate_warning_stddev_warning.tsv", "human")
