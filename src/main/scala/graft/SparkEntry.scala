@@ -61,6 +61,7 @@ object SparkEntry {
     "qv01_event_hourly" -> (PipelineQueries.eventHourly _),
     "qv02_sessionize" -> (PipelineQueries.sessionize _),
     "qv03_session_stats" -> (PipelineQueries.sessionStats _),
+    "qv04_salted_totals" -> (PipelineQueries.saltedUserTotals _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -412,5 +413,9 @@ object SparkEntry {
            min(secs) AS start_secs, max(secs) AS end_secs,
            round(sum(value), 2) AS session_value
          FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
+    "qv04_salted_totals" ->
+      """SELECT user_id, count(*) AS n,
+         sum(CAST(floor(value * 100.0) AS BIGINT)) AS total_cents
+         FROM events GROUP BY 1 ORDER BY 1""",
   )
 }

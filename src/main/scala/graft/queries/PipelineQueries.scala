@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Events, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Events, Similarity, Skew, TextAnalysis}
 
 /** LLM-training-data pipeline operators (beyond-reference surface) bound
   * to the driver's `documents` / `embeddings` / `events` tables. */
@@ -139,6 +139,16 @@ object PipelineQueries {
   def sessionize(s: SparkSession, dir: String): DataFrame =
     Events.sessionize(Tables.loadEvents(s, dir), gapSeconds = 1800)
       .orderBy(col("event_id"))
+
+  /** Salted per-user event totals: the skew-mitigation path (two-phase
+    * aggregation over hashed sub-keys) — result must equal a plain
+    * GROUP BY, which is exactly what the oracle checks. Integer-cents
+    * sum keeps it order-independent across engines. */
+  def saltedUserTotals(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedCountSum(Tables.loadEvents(s, dir), col("user_id"),
+      floor(col("value") * lit(100.0)).cast("long"), buckets = 8)
+      .withColumnRenamed("k", "user_id")
+      .orderBy(col("user_id"))
 
   /** Per-session volume/span stats. */
   def sessionStats(s: SparkSession, dir: String): DataFrame =
