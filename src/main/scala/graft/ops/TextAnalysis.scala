@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -95,32 +94,30 @@ object TextAnalysis {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
-  /** k-shingle rolling fingerprints: hash every k-token window once via
-    * one explode (no per-shingle string rebuild of the whole doc). At
-    * scale this is the winnowing front half — a narrow map + generator,
-    * no shuffle. */
-  def shingleHashes(docs: DataFrame, id: Column, text: Column,
-      k: Int): DataFrame = {
+  /** k-shingle rolling hashes as a per-row array: one xxhash64 per
+    * k-token window. Stays inside the row — no explode, no shuffle. */
+  def shingleHashArray(text: Column, k: Int): Column = {
     val toks = tokens(text)
-    docs.select(id.as("doc_id"), posexplode(
-      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .as(Seq("pos", "h")))
+      .otherwise(when(size(toks) > 0,
+        array(xxhash64(concat_ws(" ", toks))))
+        .otherwise(array().cast("array<bigint>")))
   }
 
-  /** Winnowing signature: the minimum shingle hash per window of `w`
-    * consecutive shingles (Schleimer et al.'s robust winnowing shape) —
-    * documents sharing any selected fingerprint are near-dup candidates.
-    * Selected fingerprints are distinct per doc. */
+  /** Winnowing signature (Schleimer et al.): the minimum shingle hash
+    * per window of `w` consecutive shingles; documents sharing any
+    * selected fingerprint are near-dup candidates. One native codegen'd
+    * expression ([[graft.functions.ShingleWinnow]]) does tokenhash →
+    * shingle combine → sliding min → dedup in a primitive loop — a
+    * 100 TB corpus winnows in one narrow map stage with NO shuffle; the
+    * only wide op is whatever the caller does with the fingerprints
+    * (e.g. the candidate equi-join). */
   def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
-      k: Int = 5, w: Int = 4): DataFrame = {
-    val win = Window.partitionBy(col("doc_id"))
-      .orderBy(col("pos")).rowsBetween(0, w - 1)
-    shingleHashes(docs, id, text, k)
-      .withColumn("minh", min(col("h")).over(win))
-      .select(col("doc_id"), col("minh").as("fp"))
-      .distinct()
-  }
+      k: Int = 5, w: Int = 4): DataFrame =
+    docs.select(id.as("doc_id"), explode(
+      graft.functions.ShingleWinnow.winnow(tokens(text), k, w)).as("fp"))
 
   /** Per-document stats frame: the §2-style profile of a text column. */
   def textStats(docs: DataFrame, id: Column, text: Column): DataFrame =

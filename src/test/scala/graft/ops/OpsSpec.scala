@@ -178,6 +178,29 @@ class OpsSpec extends AnyFunSuite {
     assert(partial.length == 10)
   }
 
+  test("winnowing fingerprints: identical docs share, short docs covered") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, base), (2L, base), (3L, "tiny doc"),
+      (4L, "unrelated words entirely different content here today"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs, col("doc_id"),
+      col("text")).collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert(fps(1L) == fps(2L)) // identical docs -> identical signature
+    assert(fps(3L).size == 1) // shorter than k tokens -> one fingerprint
+    assert((fps(1L) & fps(4L)).isEmpty) // disjoint docs don't collide
+    // interpreted eval path (no codegen) agrees with the codegen path
+    val toksLit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      base.toLowerCase.split("\\s+").toSeq,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    val interp = graft.functions.ShingleWinnow(toksLit, 5, 4)
+      .eval(null).asInstanceOf[
+        org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSet
+    assert(interp == fps(1L))
+  }
+
   test("simhash of identical docs is identical, hamming 0") {
     import spark.implicits._
     val docs = Seq((1L, "alpha beta gamma delta"),
