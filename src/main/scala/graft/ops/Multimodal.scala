@@ -79,6 +79,20 @@ object Multimodal {
     transform(sequence(lit(0), lit(dim - 1)), i =>
       (pmod(xxhash64(content, i), lit(2000L)).cast("double") / 1000.0) - 1.0)
 
+  /** Resize plan: target dimensions preserving aspect ratio against a
+    * bounding box — the metadata half of a resize; the pixel transform
+    * itself is a codec call behind the [[Decoder]] seam (stubbed here,
+    * like decode). Pure column math, no UDF. */
+  def resizePlan(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"), lit(1.0))
+    decoded
+      .withColumn("target_width",
+        greatest(floor(col("width") * scale), lit(1)).cast("int"))
+      .withColumn("target_height",
+        greatest(floor(col("height") * scale), lit(1)).cast("int"))
+  }
+
   /** Frame sampling plan: one row per sampled frame index — a generator
     * (explode) over the decoded frame count; downstream decode of the
     * selected frames stays distributed. */

@@ -125,6 +125,16 @@ class OpsSpec extends AnyFunSuite {
       Multimodal.fakeEmbedding(col("content"), 16).as("v"))
     val row = emb.head()
     assert(row.getAs[scala.collection.Seq[Double]]("v").length == 16)
+
+    // resize plan: fits the bounding box, preserves aspect, never zero
+    val resized = Multimodal.resizePlan(decoded, maxW = 256, maxH = 256)
+    assert(resized.filter(col("target_width") > 256 ||
+      col("target_height") > 256 || col("target_width") < 1 ||
+      col("target_height") < 1).count() == 0)
+    // no upscaling: media already within bounds keep their dims
+    assert(resized.filter(col("width") <= 256 && col("height") <= 256 &&
+      (col("target_width") =!= col("width") ||
+        col("target_height") =!= col("height"))).count() == 0)
   }
 
   test("minhash LSH candidates superset check on near-identical docs") {
