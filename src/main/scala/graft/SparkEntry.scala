@@ -123,8 +123,8 @@ object SparkEntry {
          ORDER BY 1""",
     "q12_derived_weights" ->
       """WITH li AS (SELECT l_orderkey,
-           sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
-             AS BIGINT)) AS consumed_cents
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0)
+             AS BIGINT)) AS BIGINT) AS consumed_cents
            FROM lineitem GROUP BY 1)
          SELECT o_orderkey,
            CAST(floor(o_totalprice * 100.0) AS BIGINT) AS initial_cents,
@@ -415,7 +415,7 @@ object SparkEntry {
          FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
     "qv04_salted_totals" ->
       """SELECT user_id, count(*) AS n,
-         sum(CAST(floor(value * 100.0) AS BIGINT)) AS total_cents
+         CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
          FROM events GROUP BY 1 ORDER BY 1""",
   )
 }

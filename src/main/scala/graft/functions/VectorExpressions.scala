@@ -18,22 +18,33 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Contract: both children are `array<double>`; the sum runs in ascending
   * index order (identical to the fold order of the declarative form, so
-  * results are bit-equal and oracle checks are unaffected). Null in
-  * either input yields null.
+  * results are bit-equal and oracle checks are unaffected). Semantics match
+  * the `aggregate(zip_with(...))` form exactly: null input, mismatched
+  * lengths, or any null element yields null — a dimension-mismatched
+  * embedding surfaces as null, never a silently-truncated similarity. The
+  * well-formed case (equal-length, no null elements) still runs the tight
+  * primitive loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // Null even for non-null inputs (length mismatch / null element).
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -43,13 +54,23 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val bad = ctx.freshName("bad")
       s"""
-        final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += $a.getDouble($i) * $b.getDouble($i);
+        final int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $s = 0.0;
+          boolean $bad = false;
+          for (int $i = 0; $i < $n && !$bad; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) {
+              $bad = true;
+            } else {
+              $s += $a.getDouble($i) * $b.getDouble($i);
+            }
+          }
+          if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
         }
-        ${ev.value} = $s;
       """
     })
 

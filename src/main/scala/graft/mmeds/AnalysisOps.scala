@@ -10,16 +10,66 @@ import org.apache.spark.sql.types._
   */
 object AnalysisOps {
 
-  /** QIIME mapping-file projection (util.py:962-1012): `RawDataID` leads
-    * as `#SampleID`, Barcode/LinkerPrimer next, one row per sample. */
+  /** QIIME header order (util.py:962-991): `RawDataID` SWAPS with
+    * position 0 and becomes `#SampleID` (the displaced header takes
+    * RawDataID's old slot — swap, not move-to-front), `BarcodeSequence`
+    * swaps to position 1, `LinkerPrimerSequence` to position 2, and the
+    * MMEDS `SampleID` column is renamed `MmedsSampleID` so it can't
+    * collide with QIIME's sample id. */
+  def qiimeHeaders(cols: Seq[String]): Seq[String] = {
+    val h = cols.toBuffer
+    def swapTo(pos: Int, name: String, newName: String): Unit = {
+      val di = h.indexOf(name)
+      if (di >= 0 && pos < h.length) {
+        val hold = h(pos)
+        h(pos) = newName
+        if (di != pos) h(di) = hold
+      }
+    }
+    swapTo(0, "RawDataID", "#SampleID")
+    swapTo(1, "BarcodeSequence", "BarcodeSequence")
+    swapTo(2, "LinkerPrimerSequence", "LinkerPrimerSequence")
+    val si = h.indexOf("SampleID")
+    if (si >= 0) h(si) = "MmedsSampleID"
+    h.toSeq
+  }
+
+  /** QIIME mapping-file projection (util.py:962-1012): columns reordered
+    * per [[qiimeHeaders]], one row per sample (first occurrence of each
+    * `RawDataID` wins, like the reference's seen-ids scan — pre-sort the
+    * frame if a specific survivor matters). */
   def qiimeMapping(meta: DataFrame): DataFrame = {
-    val lead = Seq("RawDataID", "BarcodeSequence", "LinkerPrimerSequence")
-      .filter(meta.columns.contains)
-    val rest = meta.columns.filterNot(lead.contains).toSeq
-    meta
-      .dropDuplicates("RawDataID")
-      .select((lead ++ rest).map(col): _*)
-      .withColumnRenamed("RawDataID", "#SampleID")
+    val srcFor = Map("#SampleID" -> "RawDataID", "MmedsSampleID" -> "SampleID")
+    val projected = qiimeHeaders(meta.columns.toSeq)
+      .map(hn => col(srcFor.getOrElse(hn, hn)).as(hn))
+    val deduped =
+      if (meta.columns.contains("RawDataID")) meta.dropDuplicates("RawDataID")
+      else meta
+    deduped.select(projected: _*)
+  }
+
+  /** QIIME mapping-file writer (util.py:992-1012): the projected frame as
+    * a TSV with the `#SampleID ...` header row followed by the
+    * `#q2:types` row (every metadata column declared categorical, as the
+    * reference does — util.py:994). Rows stream through the driver
+    * partition-by-partition; nulls print as the reference's pandas `nan`
+    * string does via NA. */
+  def writeQiimeMapping(mapping: DataFrame, path: String): Unit = {
+    val out = java.nio.file.Files.newBufferedWriter(
+      java.nio.file.Paths.get(path))
+    try {
+      out.write(mapping.columns.mkString("\t")); out.write('\n')
+      out.write(("#q2:types" +:
+        Seq.fill(mapping.columns.length - 1)("categorical")).mkString("\t"))
+      out.write('\n')
+      val it = mapping.toLocalIterator()
+      while (it.hasNext) {
+        out.write(it.next().toSeq
+          .map(v => if (v == null) "NA" else String.valueOf(v))
+          .mkString("\t"))
+        out.write('\n')
+      }
+    } finally out.close()
   }
 
   /** Per-run mapping subset (util.py:1413-1425). */

@@ -38,34 +38,79 @@ class InMemoryCatalog extends Catalog {
   * never scanning other tenants' data. At larger scale the same seam
   * registers metastore tables; the layout is identical. */
 class ParquetCatalog(spark: SparkSession, root: String) extends Catalog {
+  import org.apache.hadoop.fs.Path
+  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.types.{DataType, StructType}
+
   private def path(name: String) = s"$root/$name"
-  private def exists(name: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path(name))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def exists(name: String): Boolean =
+    fs(path(name)).exists(new Path(path(name)))
+
+  /** Hive partition folders re-enter the read schema with an INFERRED type
+    * (bigint user_id comes back int) and at the END of the column list —
+    * so the written schema is persisted next to the data (underscore
+    * files are invisible to the parquet scan, like _SUCCESS) and reads
+    * are cast/reordered back to it. Round-tripping a table through the
+    * warehouse is then schema-identical to the frame that was written:
+    * typed Dataset reads and strict unions keep working. */
+  private def schemaFile(name: String) = new Path(path(name), "_graft_schema.json")
+
+  private def saveSchema(name: String, df: DataFrame): Unit = {
+    val out = fs(path(name)).create(schemaFile(name), true)
+    try out.write(df.schema.json.getBytes("UTF-8")) finally out.close()
   }
+
+  private def savedSchema(name: String): Option[StructType] = {
+    val f = schemaFile(name)
+    val filesystem = fs(path(name))
+    if (!filesystem.exists(f)) None
+    else {
+      val in = filesystem.open(f)
+      try {
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        Some(DataType.fromJson(txt).asInstanceOf[StructType])
+      } finally in.close()
+    }
+  }
+
   def table(name: String): Option[DataFrame] =
-    if (exists(name)) Some(spark.read.parquet(path(name))) else None
+    if (!exists(name)) None
+    else {
+      val raw = spark.read.parquet(path(name))
+      Some(savedSchema(name) match {
+        case Some(s) if s.fieldNames.sorted.sameElements(raw.columns.sorted) =>
+          raw.select(s.fields.toIndexedSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)): _*)
+        case _ => raw
+      })
+    }
+
   def append(name: String, df: DataFrame): Unit = {
     val w = df.write.mode(SaveMode.Append)
     (if (df.columns.contains("user_id")) w.partitionBy("user_id") else w)
       .parquet(path(name))
+    saveSchema(name, df)
   }
+
   def overwrite(name: String, df: DataFrame): Unit = {
     // self-referential overwrite needs a materialization barrier
     val tmp = path(name) + "__tmp"
     val w = df.write.mode(SaveMode.Overwrite)
     (if (df.columns.contains("user_id")) w.partitionBy("user_id") else w)
       .parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path(name)), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path(name)))
+    val filesystem = fs(root)
+    filesystem.delete(new Path(path(name)), true)
+    filesystem.rename(new Path(tmp), new Path(path(name)))
+    saveSchema(name, df)
   }
+
   def tableNames: Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+    val p = new Path(root)
+    val filesystem = fs(root)
+    if (!filesystem.exists(p)) Seq.empty
+    else filesystem.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.endsWith("__tmp")).toSeq
   }
 }

@@ -46,13 +46,27 @@ class Docs(spark: SparkSession, catalog: Catalog) {
     all.filter(_.study_name == studyName)
       .orderBy(col("created").desc)
 
-  /** Distinct sequencing-run names in first-seen order
-    * (database.py:1030-1043, util.py:409-411). */
+  /** Distinct sequencing-run NAMES in first-seen order — a run doc
+    * stores its run name in `study_name`
+    * (database/database.py:1030-1043: the run list is distinct
+    * RawDataProtocolID values, each resolved to the sequencing_run doc
+    * with that study_name). */
   def sequencingRuns: DataFrame =
     all.filter(_.doc_type == "sequencing_run")
-      .groupBy(col("study_name"), col("analysis_type"))
+      .groupBy(col("study_name"))
       .agg(min(col("created")).as("first_seen"))
       .orderBy(col("first_seen"))
+
+  /** Run-name guard (database/database.py:1023-1028): alphanumeric/_
+    * only and not already in use. Returns the rejection reason. */
+  def checkSequencingRunName(name: String): Option[String] =
+    if (!Functions.validRunName(name))
+      Some("Only alpha-numeric characters and '_' are allowed in the " +
+        "sequencing run name")
+    else if (!all.filter(d => d.doc_type == "sequencing_run" &&
+        d.study_name == name).isEmpty)
+      Some(s"Sequencing Run name $name already in use")
+    else None
 
   /** The per-doc file index (documents.py:52-70 writes file_index.tsv on
     * each save): exploded (doc_id, file_key, path) rows. */

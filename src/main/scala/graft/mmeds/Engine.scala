@@ -129,25 +129,40 @@ class Engine(val spark: SparkSession, val catalog: Catalog) {
 
     /** Quoted-TSV dump of a table's rows under this user's visibility
       * (database.py:182-189 get_table_contents: every value quoted,
-      * tab-separated, newline rows). Driver-side materialization — the
-      * reference's surface is a full in-memory dump by design. */
+      * tab-separated, newline rows). Streams partitions through the
+      * driver one at a time (`toLocalIterator`, same pattern as
+      * MetadataTsv.write) instead of collect()ing the whole table —
+      * driver memory stays bounded by one partition. */
     def tableContents(name: String): String = {
       val df = resolve(name)
-      df.collect()
-        .map(_.toSeq.map(v => "\"" + String.valueOf(v) + "\"")
+      val sb = new StringBuilder
+      val it = df.toLocalIterator()
+      var first = true
+      while (it.hasNext) {
+        val r = it.next()
+        if (!first) sb.append('\n')
+        first = false
+        sb.append(r.toSeq.map(v => "\"" + String.valueOf(v) + "\"")
           .mkString("\t"))
-        .mkString("\n")
+      }
+      sb.toString
     }
 
     /** Query-result TSV sink (server.py:1353-1359): run guarded SQL and
-      * write header + rows as a single tab-separated download file. */
+      * write header + rows as a single tab-separated download file,
+      * streaming rows partition-by-partition — never a full collect(). */
     def executeToTsv(sql: String, path: String): Unit = {
       val df = execute(sql)
-      val header = df.columns.mkString("\t")
-      val rows = df.collect()
-        .map(_.toSeq.map(String.valueOf).mkString("\t"))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-        (header +: rows).mkString("\n"))
+      val out = java.nio.file.Files.newBufferedWriter(
+        java.nio.file.Paths.get(path))
+      try {
+        out.write(df.columns.mkString("\t"))
+        val it = df.toLocalIterator()
+        while (it.hasNext) {
+          out.write('\n')
+          out.write(it.next().toSeq.map(String.valueOf).mkString("\t"))
+        }
+      } finally out.close()
     }
 
     /** Remove exactly this user's rows from every table

@@ -29,6 +29,25 @@ object Functions {
       name.forall(ch => ch.isLetterOrDigit || ch == '_') &&
       name.head.isLetter
 
+  /** Access-code / salt generation (config.py:863-865 `get_salt`):
+    * `length` lowercase letters. Driver-side utility — every study doc
+    * gets one at creation (`study_code`). Takes an injectable RNG so
+    * tests are reproducible; defaults to SecureRandom because the code
+    * gates study access. (The reference's literal alphabet string has a
+    * typo — duplicate z, missing t; semantics, not the typo, carried
+    * over.) */
+  def accessCode(length: Int = 10,
+      rng: java.util.Random = new java.security.SecureRandom()): String = {
+    val alphabet = "abcdefghijklmnopqrstuvwxyz"
+    Seq.fill(length)(alphabet(rng.nextInt(alphabet.length))).mkString
+  }
+
+  /** Study/run name validity (database/database.py:1023-1028): only
+    * alphanumerics and underscore. */
+  def validRunName(name: String): Boolean =
+    name.nonEmpty && name.replace("_", "").nonEmpty &&
+      name.forall(ch => ch.isLetterOrDigit || ch == '_')
+
   /** Trigger replacement (sql/triggers.sql:5-36): MySQL decrements
     * SpecimenWeight on each Aliquot insert and AliquotWeight on each
     * Sample insert. No mutation here — the *effective* weight is a

@@ -1,6 +1,6 @@
 package graft.mmeds
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ICD-10 code handling (util.py:553-610, sql/views.sql:69).
@@ -46,4 +46,26 @@ object Icd {
   def reassembled(first: Column, cat: Column, det: Column,
       ext: Column): Column =
     concat(first, cat.cast("string"), lit("."), det, ext)
+
+  /** Load an ICD-10-CM code file (`load_ICD_codes`, util.py:553-572) into
+    * a (category, detail) membership table. File format: one code per
+    * line, `CODE description...`; the code is X-padded to 7 chars, the
+    * first 3 become the category, the last 4 the detail. The reference's
+    * built-in entries ride along: `XXX.XXXX` (healthy), `NA.NA`, and
+    * every category present in the file implicitly accepts detail `XXXX`
+    * (its defaultdict seeds `'XXXX': 'Unknown details'` on first touch).
+    * The result is a few-MB dimension — broadcast it into the validation
+    * join; never shuffle the metadata side. */
+  def loadCodeTable(spark: SparkSession, path: String): DataFrame = {
+    val parsed = spark.read.text(path)
+      .select(rpad(split(trim(col("value")), " ")(0), 7, "X").as("_code"))
+      .filter(length(col("_code")) === 7)
+      .select(substring(col("_code"), 1, 3).as("category"),
+        substring(col("_code"), 4, 4).as("detail"))
+    val autoXXXX = parsed.select(col("category")).distinct()
+      .select(col("category"), lit("XXXX").as("detail"))
+    val builtIns = spark.createDataFrame(
+      Seq(("XXX", "XXXX"), ("NA", "NA"))).toDF("category", "detail")
+    parsed.union(autoXXXX).union(builtIns).distinct()
+  }
 }

@@ -33,16 +33,22 @@ object Validator {
   /** Chars illegal in a header (validate.py:20). */
   val illegalHeaderChars = "/\\ *?_.,"
 
-  /** Validate a metadata file. Returns a Finding DataFrame. */
+  /** Validate a metadata file. Returns a Finding DataFrame. `icdCodes`
+    * is an optional (category, detail) membership table from
+    * [[Icd.loadCodeTable]]; when present, ICD cells are validated against
+    * it (the reference's `check_ICD_codes`, validate.py:199-212) instead
+    * of the shape-only fallback. */
   def validate(spark: SparkSession, path: String,
       subjectType: String = "human",
-      template: Option[MetadataSheet] = None): DataFrame =
+      template: Option[MetadataSheet] = None,
+      icdCodes: Option[DataFrame] = None): DataFrame =
     validateSheet(spark, MetadataTsv.readRaw(spark, path), subjectType,
-      template)
+      template, icdCodes)
 
   def validateSheet(spark: SparkSession, sheet: MetadataSheet,
       subjectType: String,
-      template: Option[MetadataSheet] = None): DataFrame = {
+      template: Option[MetadataSheet] = None,
+      icdCodes: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
 
     val specs = sheet.specs
@@ -205,11 +211,29 @@ object Validator {
         col("colname") === "RawData__BarcodeSequence" &&
         regexp_replace(raw, "[GATC]", "") =!= "", "Barcode",
         concat(lit("Barcode Error: non-GATC character in "), raw)),
-      // ICD code shape (validate.py:199-212; code-table file absent from
-      // the snapshot, so shape-only: LDD[.DDDD], X-padded)
-      cellCheck(!col("isNA") && col("colname") === "ICDCode__ICDCode" &&
-        !raw.rlike("^[A-Z][0-9X]{2}\\.[0-9A-ZX]{1,4}$"), "ICD Code",
-        concat(lit("ICD Code Error: invalid code "), raw)))
+      // ICD code validity (validate.py:199-212). With a code table the
+      // check is MEMBERSHIP — split the cell on '.', anti-join the
+      // broadcast (category, detail) dimension; a well-formed-but-unknown
+      // code errors exactly like the reference. Without one (the
+      // icd10cm_codes_2018.txt resource is absent from the snapshot),
+      // fall back to the shape-only regex.
+      (icdCodes match {
+        case Some(codes) =>
+          long.filter(!col("isNA") && col("colname") === "ICDCode__ICDCode")
+            .withColumn("category", substring_index(raw, ".", 1))
+            .withColumn("detail",
+              when(raw.contains("."), substring_index(raw, ".", -1)))
+            .join(broadcast(codes), Seq("category", "detail"), "left_anti")
+            .select(col("_row").as("row"), col("colname").as("column"),
+              lit("ICD Code").as("kind"),
+              concat(lit("ICD Code Error: invalid code "), raw)
+                .as("message"),
+              lit(true).as("isError"))
+        case None =>
+          cellCheck(!col("isNA") && col("colname") === "ICDCode__ICDCode" &&
+            !raw.rlike("^[A-Z][0-9X]{2}\\.[0-9A-ZX]{1,4}$"), "ICD Code",
+            concat(lit("ICD Code Error: invalid code "), raw))
+      }))
 
     // ---- aggregate checks ----
     val aggChecks = scala.collection.mutable.ArrayBuffer[DataFrame]()

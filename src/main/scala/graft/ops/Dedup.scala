@@ -35,16 +35,37 @@ object Dedup {
     *
     * The block column bounds the candidate space (same role the LSH
     * bucket plays for MinHash); inverted-index self-join on token —
-    * shuffles on (block, token), never materializes the cross product. */
+    * shuffles on (block, token), never materializes the cross product.
+    *
+    * `maxDocFreq` caps the posting-list length: a token appearing in more
+    * than that many docs of a block (a stopword) is dropped from the
+    * inverted index BEFORE the self-join — without the cap one hot token
+    * makes the join quadratic in its posting list, the stage that never
+    * finishes at 100 TB. Set sizes stay exact (computed pre-cap), so a
+    * dropped token only shrinks the intersection count: reported Jaccard
+    * is a lower bound, and a stopword shared by >maxDocFreq docs
+    * contributes almost nothing to a >= 0.8 similarity anyway. The
+    * default (`Int.MaxValue`) disables the cap and skips the
+    * document-frequency pass entirely. */
   def ngramJaccardPairs(docs: DataFrame, id: Column, block: Column,
-      text: Column, threshold: Double): DataFrame = {
+      text: Column, threshold: Double,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // the self-join's two exchanges hash on the same (w, block) key, so
     // Spark reuses one shuffle; a checkpoint here measured slower
     val words = wordSet(docs, id, block, text)
     val sizes = words.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"))
-    val inter = words.as("a").hint("shuffle_hash")
-      .join(words.as("b"),
+    val posting = if (maxDocFreq == Int.MaxValue) words else {
+      // words is distinct per (doc, token), so count(*) IS document
+      // frequency; the hot-token list is tiny → broadcast anti-join.
+      val hot = words.groupBy(col("block"), col("w"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDocFreq)
+        .select(col("block"), col("w"))
+      words.join(broadcast(hot), Seq("block", "w"), "left_anti")
+    }
+    val inter = posting.as("a").hint("shuffle_hash")
+      .join(posting.as("b"),
         col("a.w") === col("b.w") && col("a.block") === col("b.block") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -152,20 +173,40 @@ object Dedup {
           .reduce(_.bitwiseOR(_)).as("sh"))
   }
 
-  /** SimHash near-dup: block on the top `prefixBits` bits (near-dups
-    * almost always share the high prefix), verify with full Hamming
-    * distance <= maxHamming. Equi-join on the prefix — no cross join. */
+  /** SimHash near-dup with PIGEONHOLE banding: the 64-bit signature is
+    * split into `maxHamming + 1` contiguous blocks; two signatures within
+    * Hamming distance `maxHamming` differ in at most `maxHamming` bit
+    * positions, so at least one block is bit-identical — candidates on any
+    * shared (block_idx, block_value) give recall 1.0 for
+    * hamming <= maxHamming (a top-bits-only prefix block misses ~80% of
+    * true pairs at maxHamming = 8: any flipped prefix bit hides the pair).
+    * Still a pure equi-join on the block key — no cross join; verification
+    * is full 64-bit Hamming on the candidate pairs. The signature frame is
+    * checkpointed so the aggregation runs once, not per self-join side. */
   def simhashNearDup(docs: DataFrame, id: Column, text: Column,
-      maxHamming: Int, prefixBits: Int = 12): DataFrame = {
+      maxHamming: Int): DataFrame = {
+    val numBlocks = maxHamming + 1
     val sigs = simhashSignatures(docs, id, text)
-      .withColumn("prefix", shiftrightunsigned(col("sh"), 64 - prefixBits))
-    sigs.as("a")
-      .join(sigs.as("b"),
-        col("a.prefix") === col("b.prefix") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
-      .filter(col("hamming") <= maxHamming)
+      .localCheckpoint(eager = false)
+    // Contiguous bit ranges [i*64/numBlocks, (i+1)*64/numBlocks) — widths
+    // differ by at most 1; a full-width mask needs -1L (1L<<64 overflows).
+    val blocks = (0 until numBlocks).map { i =>
+      val start = i * 64 / numBlocks
+      val width = (i + 1) * 64 / numBlocks - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("sh"), start).bitwiseAND(lit(mask))
+    }
+    val banded = sigs.select(col("doc_id"), col("sh"),
+      posexplode(array(blocks: _*)).as(Seq("block_idx", "block_val")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.block_idx") === col("b.block_idx") &&
+          col("a.block_val") === col("b.block_val") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("hamming"))
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup: pairs within a blocking key whose cosine

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -43,17 +42,38 @@ object Similarity {
       .crossJoin(broadcast(query))
       .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos"))
 
-  /** Brute-force top-k: scores above are ranked with a deterministic
-    * (score desc, id asc) tiebreak. For one query the window is global —
-    * acceptable because the scored frame is k-prunable; for query batches
-    * partition by query id. */
-  def bruteForceTopK(corpus: DataFrame, id: Column, vec: Column,
-      query: DataFrame, k: Int): DataFrame = {
-    val w = Window.orderBy(col("cos").desc, col("vec_id"))
-    cosineScores(corpus, id, vec, query)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  /** Take the top `k` of a scored frame by (`cos` desc, `vec_id` asc) and
+    * attach a 1-based `rank` — WITHOUT a global window. `orderBy().limit(k)`
+    * compiles to a distributed `TakeOrderedAndProject` (per-partition top-k
+    * then a k-row merge on the driver), so the corpus never collapses to a
+    * single partition; `rank` is then derived over the k-row result by
+    * counting strictly-better rows (a broadcast nested-loop over k×k rows),
+    * which equals row_number because (cos, vec_id) is unique per row. The
+    * k-row frame is localCheckpoint'ed so the corpus scan runs once, not
+    * once per self-join side. */
+  def topKRanked(scored: DataFrame, k: Int): DataFrame = {
+    val top = scored.orderBy(col("cos").desc, col("vec_id")).limit(k)
+      .localCheckpoint()
+    val better = col("b.cos") > col("a.cos") ||
+      (col("b.cos") === col("a.cos") && col("b.vec_id") < col("a.vec_id"))
+    top.as("a").join(broadcast(top.as("b")), better, "left")
+      .groupBy(col("a.vec_id").as("vec_id"), col("a.cos").as("cos"))
+      .agg((count(col("b.vec_id")) + 1).cast("int").as("rank"))
+      .orderBy(col("rank"))
   }
+
+  /** Brute-force top-k: cosine scores ranked with a deterministic
+    * (score desc, id asc) tiebreak via [[topKRanked]] — a distributed
+    * TakeOrderedAndProject, never a single-partition window. */
+  def bruteForceTopK(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, k: Int): DataFrame =
+    topKRanked(cosineScores(corpus, id, vec, query), k)
+
+  /** 0-row (vec_id, cos, rank) frame matching the top-k result schema —
+    * returned when the query frame is empty instead of throwing. */
+  private def emptyTopK(corpus: DataFrame, id: Column): DataFrame =
+    corpus.select(id.as("vec_id"), lit(0.0d).as("cos"),
+      lit(0).as("rank")).limit(0)
 
   /** Deterministic pseudo-random hyperplanes — splitmix64 of
     * (plane, dim, fixed seed) mapped to [-1, 1], materialized driver-side
@@ -85,19 +105,24 @@ object Similarity {
 
   /** LSH-bucketed ANN: score only corpus vectors in the query's bucket
     * (single-probe). Recall depends on numPlanes; the candidate scan is
-    * |corpus| / 2^numPlanes in expectation. */
+    * |corpus| / 2^numPlanes in expectation. The query frame's FIRST column
+    * is taken as the (pre-normalized) query vector; an empty query frame
+    * yields an empty result instead of throwing. */
   def annTopK(corpus: DataFrame, id: Column, vec: Column,
       query: DataFrame, k: Int, numPlanes: Int = 8): DataFrame = {
-    val dim = query.select(size(col("qv"))).head().getInt(0)
+    val qvName = query.columns.head
+    val qHead = query.select(size(col(qvName)).as("d")).head(1)
+    if (qHead.isEmpty) return emptyTopK(corpus, id)
+    val dim = qHead(0).getInt(0)
     val planes = planeVectors(numPlanes, dim)
     val bucketed = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"),
       lshBucket(vec, planes).as("bucket"))
-    val q = query.withColumn("qbucket", lshBucket(col("qv"), planes))
-    val w = Window.orderBy(col("cos").desc, col("vec_id"))
-    bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
-      .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val q = query.select(col(qvName).as("qv"))
+      .withColumn("qbucket", lshBucket(col("qv"), planes))
+    topKRanked(
+      bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
+        .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos")),
+      k)
   }
 
   /** Dot product of a vector column against a literal centroid — the
@@ -129,7 +154,9 @@ object Similarity {
     }
     // greatest() on structs compares field-by-field: score first, then
     // cell id as the deterministic tiebreak (higher cell wins ties).
-    greatest(scored.toIndexedSeq: _*).getField("cell")
+    // greatest() needs >= 2 args, so a single-centroid index short-circuits.
+    if (scored.length == 1) lit(centroids.head._1)
+    else greatest(scored.toIndexedSeq: _*).getField("cell")
   }
 
   /** IVF (inverted-file) ANN. Index build: one partition-local pass
@@ -140,24 +167,26 @@ object Similarity {
     * nProbe/nList of the corpus. */
   def ivfTopK(corpus: DataFrame, id: Column, vec: Column,
       query: DataFrame, k: Int, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val qvName = query.columns.head
+    if (query.select(col(qvName)).head(1).isEmpty) return emptyTopK(corpus, id)
+    val q = query.select(col(qvName).as("qv"))
     val cents = ivfCentroids(corpus, id, vec, nList)
     val indexed = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"))
       .withColumn("cell", nearestCell(col("v"), cents))
     // nProbe best cells for the query vector: explode the (tiny) centroid
-    // list against the 1-row query frame and rank.
+    // list against the 1-row query frame; orderBy().limit() keeps even this
+    // small rank window-free.
     val centDf = query.sparkSession.createDataFrame(
       cents.map { case (cell, cv) => (cell, cv) }.toSeq
     ).toDF("cell", "cv")
-    val wq = Window.orderBy(col("qscore").desc, col("cell"))
-    val probeCells = centDf.crossJoin(broadcast(query))
+    val probeCells = centDf.crossJoin(broadcast(q))
       .select(col("cell"), col("qv"), dot(col("cv"), col("qv")).as("qscore"))
-      .withColumn("qrank", row_number().over(wq))
-      .filter(col("qrank") <= nProbe)
+      .orderBy(col("qscore").desc, col("cell"))
+      .limit(nProbe)
       .select(col("cell"), col("qv"))
-    val w = Window.orderBy(col("cos").desc, col("vec_id"))
-    indexed.join(broadcast(probeCells), Seq("cell"))
-      .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKRanked(
+      indexed.join(broadcast(probeCells), Seq("cell"))
+        .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos")),
+      k)
   }
 }

@@ -146,7 +146,8 @@ object PipelineQueries {
     * sum keeps it order-independent across engines. */
   def saltedUserTotals(s: SparkSession, dir: String): DataFrame =
     Skew.saltedCountSum(Tables.loadEvents(s, dir), col("user_id"),
-      floor(col("value") * lit(100.0)).cast("long"), buckets = 8)
+      floor(col("value") * lit(100.0)).cast("long"),
+      rowId = col("event_id"), buckets = 8)
       .withColumnRenamed("k", "user_id")
       .orderBy(col("user_id"))
 

@@ -31,6 +31,30 @@ class AnalysisOpsSpec extends AnyFunSuite {
     assert(m.count() == 2)
   }
 
+  test("qiime mapping writer: swap order, MmedsSampleID, #q2:types row (golden)") {
+    // reference layout: RawDataID buried mid-sheet, SampleID present —
+    // util.py:969-991 SWAPS RawDataID with col 0 (displaced header lands
+    // in RawDataID's old slot) and renames SampleID -> MmedsSampleID
+    val meta = Seq(
+      ("s1", "fecal", "r1", "GATC", "ACGT"),
+      ("s2", "oral", "r2", "TTAA", "ACGT"))
+      .toDF("SampleID", "BodySite", "RawDataID", "BarcodeSequence",
+        "LinkerPrimerSequence")
+    val m = AnalysisOps.qiimeMapping(meta)
+    assert(m.columns.toSeq == Seq("#SampleID", "BarcodeSequence",
+      "LinkerPrimerSequence", "BodySite", "MmedsSampleID"))
+    val path = java.nio.file.Files.createTempFile("qiime", ".tsv").toString
+    AnalysisOps.writeQiimeMapping(m.orderBy(col("#SampleID")), path)
+    val golden = Seq(
+      "#SampleID\tBarcodeSequence\tLinkerPrimerSequence\tBodySite\tMmedsSampleID",
+      "#q2:types\tcategorical\tcategorical\tcategorical\tcategorical",
+      "r1\tGATC\tACGT\tfecal\ts1",
+      "r2\tTTAA\tACGT\toral\ts2",
+      "").mkString("\n")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path)) == golden)
+  }
+
   test("OTU wide -> long -> wide round-trips") {
     val wide = Seq(("otu1", 5.0, 0.0), ("otu2", 1.0, 3.0))
       .toDF("OTU_id", "sampleA", "sampleB")

@@ -46,6 +46,51 @@ class MiscSpec extends AnyFunSuite {
     assert(docs.nextRunId("StudyA", "qiime2") == 1)
   }
 
+  test("access-code generation: length, charset, seeded determinism") {
+    val code = Functions.accessCode()
+    assert(code.length == 10 && code.forall(c => c >= 'a' && c <= 'z'))
+    // injectable RNG -> reproducible codes (and distinct across draws)
+    val a = Functions.accessCode(rng = new java.util.Random(42L))
+    val b = Functions.accessCode(rng = new java.util.Random(42L))
+    val c = Functions.accessCode(12, new java.util.Random(43L))
+    assert(a == b && c.length == 12 && a != c.take(10))
+  }
+
+  test("sequencing runs list distinct run names; run-name guard") {
+    val catalog = new InMemoryCatalog
+    val docs = new Docs(spark, catalog)
+    def runDoc(id: Long, run: String, t: String) = MmedsDoc(id,
+      "sequencing_run", "alice", "a@x.org", s"code-$id", run, "",
+      java.sql.Timestamp.valueOf(s"2026-01-0$id 00:00:00"),
+      Map.empty, Map.empty)
+    docs.save(Seq(runDoc(1, "run_B", ""), runDoc(2, "run_A", ""),
+      runDoc(3, "run_B", "")))
+    // distinct run NAMES (not (study, analysis) groups), first-seen order
+    val runs = docs.sequencingRuns.collect().map(_.getString(0)).toSeq
+    assert(runs == Seq("run_B", "run_A"))
+    assert(docs.checkSequencingRunName("run_B").exists(
+      _.contains("already in use")))
+    assert(docs.checkSequencingRunName("bad name!").exists(
+      _.contains("alpha-numeric")))
+    assert(docs.checkSequencingRunName("run_C_2026").isEmpty)
+  }
+
+  test("MIxS <-> MMEDS column mapping round-trips") {
+    import spark.implicits._
+    val mixs = Seq(("AmpliconSeq", "StudyX", "40.7 -74.0", "16S", "extra"))
+      .toDF("investigation_type", "project_name", "lat_lon", "target_gene",
+        "custom_field")
+    val mmeds = Mixs.mixsToMmeds(mixs)
+    assert(mmeds.columns.toSeq == Seq("Study__StudyType", "Study__StudyName",
+      "CollectionSite__Latitude", "CollectionSite__Longitude",
+      "RawDataProtocols__TargetGene", "AdditionalMetaData__custom_field"))
+    val r = mmeds.head()
+    assert(r.getString(2) == "40.7" && r.getString(3) == "-74.0")
+    val back = Mixs.mmedsToMixs(mmeds)
+    assert(back.columns.sorted.toSeq == mixs.columns.sorted.toSeq)
+    assert(back.select(mixs.columns.map(col): _*).head() == mixs.head())
+  }
+
   test("effective weights derive the trigger semantics") {
     val subject = MetadataTsv.read(spark,
       "/root/reference/test_files/test_subject.tsv")

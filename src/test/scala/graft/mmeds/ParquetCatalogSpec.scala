@@ -44,4 +44,23 @@ class ParquetCatalogSpec extends AnyFunSuite {
     cat.overwrite("Lab", without3)
     assert(cat.table("Lab").get.count() == 2)
   }
+
+  test("round-trip preserves column order and types despite hive partitioning") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("warehouse2").toString
+    val cat = new ParquetCatalog(spark, root)
+    val written = Seq((1L, 10L, "A"), (2L, 11L, "B"))
+      .toDF("idLab", "user_id", "LabName")
+    cat.append("Lab", written)
+    val back = cat.table("Lab").get
+    // hive inference alone would type user_id int and move it to the end;
+    // the persisted schema restores names, order, and types as written
+    // (nullability is always relaxed on a parquet read — expected)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      written.schema.map(f => (f.name, f.dataType)))
+    // so typed Dataset reads and strict unions keep working
+    assert(written.unionByName(back).count() == 4)
+    assert(back.as[(Long, Long, String)].collect().sorted.toSeq ==
+      Seq((1L, 10L, "A"), (2L, 11L, "B")))
+  }
 }

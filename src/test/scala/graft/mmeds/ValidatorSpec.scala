@@ -66,6 +66,26 @@ class ValidatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ICD code-table membership: unknown well-formed code errors, known pass") {
+    val codes = Some(Icd.loadCodeTable(spark,
+      getClass.getResource("/icd10cm_sample.txt").getPath))
+    def icdKinds(path: String, tbl: Option[
+        org.apache.spark.sql.DataFrame]): Set[String] =
+      Validator.errors(Validator.validate(spark, path, "human", None, tbl))
+        .filter(col("kind") === "ICD Code")
+        .select("kind").distinct().collect().map(_.getString(0)).toSet
+    // every code in the clean fixture is a known public ICD-10-CM code
+    assert(icdKinds(s"$fixtures/test_subject.tsv", codes).isEmpty)
+    // a WELL-FORMED but unknown code: passes the shape-only fallback,
+    // caught only by the membership join (validate.py:199-212 semantics)
+    val tampered = java.nio.file.Files.createTempFile("icd", ".tsv")
+    java.nio.file.Files.writeString(tampered, java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$fixtures/test_subject.tsv"))
+      .replace("A19.XXXX", "Q99.9999"))
+    assert(icdKinds(tampered.toString, None).isEmpty)
+    assert(icdKinds(tampered.toString, codes) == Set("ICD Code"))
+  }
+
   val specimenCases: Seq[(String, String)] = Seq(
     "cell_length" -> "Cell Length",
     "duplicate_value" -> "Duplicate Value",

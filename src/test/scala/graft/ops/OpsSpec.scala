@@ -219,4 +219,104 @@ class OpsSpec extends AnyFunSuite {
       maxHamming = 0).collect()
     assert(pairs.length == 1 && pairs.head.getInt(2) == 0)
   }
+
+  test("simhash pigeonhole banding finds EVERY pair within maxHamming") {
+    import spark.implicits._
+    // Word-substituted variants produce a spread of hamming distances with
+    // flipped bits at arbitrary positions — including the top bits a
+    // prefix-blocking scheme would rely on. Recall must be exactly 1.0:
+    // the returned set equals the set computed from the raw signatures.
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+    val alts = Seq("one", "two", "three", "four", "five", "six", "seven")
+    val docs = (0 until 12).map { i =>
+      val words = vocab.zipWithIndex.map { case (w, j) =>
+        if (j < i % 5) alts((i + j) % alts.length) else w
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val maxH = 8
+    val sigs = Dedup.simhashSignatures(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxH
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty) // fixture sanity: something to find
+    val got = Dedup.simhashNearDup(docs, col("doc_id"), col("text"),
+      maxHamming = maxH).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("ngram jaccard df cap drops stopword-only pairs, keeps real dups") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the unique alpha beta gamma delta epsilon zeta"),
+      (2L, "the unique alpha beta gamma delta epsilon eta"),
+      (3L, "the red fish"),
+      (4L, "the blue bird"),
+      (5L, "the green tree")).toDF("doc_id", "text")
+    // uncapped: docs 1/2 share 7 of 9 words -> jaccard 0.7777
+    val uncapped = Dedup.ngramJaccardPairs(docs, col("doc_id"), lit(1),
+      col("text"), threshold = 0.5).collect()
+    assert(uncapped.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+    // cap at df > 4 drops "the" (df 5): pair 1/2 survives (intersection
+    // 6, denominator 8+8-6 = 10 -> 0.6), stopword-only pairs never join
+    val capped = Dedup.ngramJaccardPairs(docs, col("doc_id"), lit(1),
+      col("text"), threshold = 0.5, maxDocFreq = 4).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 2L)))
+    assert(capped.head.getDouble(2) < uncapped.head.getDouble(2))
+  }
+
+  test("vec_dot nulls on length mismatch and null elements, not truncation") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0))).toDF("a", "b")
+    // mismatched dims -> null (the HOF zip_with/aggregate form also nulls)
+    assert(df.select(graft.functions.VectorExpressions.vecDot(
+      col("a"), col("b"))).head().isNullAt(0))
+    // null element -> null
+    val withNull = df.select(
+      array(lit(1.0), lit(null).cast("double")).as("a"),
+      array(lit(2.0), lit(3.0)).as("b"))
+    assert(withNull.select(graft.functions.VectorExpressions.vecDot(
+      col("a"), col("b"))).head().isNullAt(0))
+    // well-formed fast path unaffected
+    assert(df.select(graft.functions.VectorExpressions.vecDot(
+      array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))))
+      .head().getDouble(0) == 11.0)
+  }
+
+  test("salted aggregation equals plain groupBy and is repartition-stable") {
+    val ev = Tables.loadEvents(spark, sf)
+    val cents = floor(col("value") * lit(100.0)).cast("long")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Skew.saltedCountSum(df, col("user_id"), cents,
+        rowId = col("event_id"), buckets = 8).orderBy("k").collect()
+    val a = run(ev)
+    // deterministic salt -> identical result under any repartitioning
+    // (a monotonically_increasing_id salt would shift bucket contents)
+    assert(a.sameElements(run(ev.repartition(7))))
+    val plain = ev.groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("total_cents"))
+      .orderBy("k").collect()
+    assert(a.sameElements(plain))
+  }
+
+  test("ANN guards: empty query frame yields empty result, not a throw") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val emptyQ = e.filter(col("vec_id") === -999)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    assert(Similarity.annTopK(e, col("vec_id"), col("embedding"), emptyQ,
+      k = 5).count() == 0)
+    assert(Similarity.ivfTopK(e, col("vec_id"), col("embedding"), emptyQ,
+      k = 5, nList = 4, nProbe = 2).count() == 0)
+    // single-centroid IVF exercises the greatest()-needs-2-args guard
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    assert(Similarity.ivfTopK(e, col("vec_id"), col("embedding"), q,
+      k = 3, nList = 1, nProbe = 1).count() == 3)
+  }
 }
