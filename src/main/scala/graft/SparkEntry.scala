@@ -58,6 +58,7 @@ object SparkEntry {
     "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
     "qe03_ann_lsh" -> (PipelineQueries.annTopK _),
     "qe04_ann_ivf" -> (PipelineQueries.ivfTopK _),
+    "qe05_ann_index" -> (PipelineQueries.annIndexTopK _),
     "qv01_event_hourly" -> (PipelineQueries.eventHourly _),
     "qv02_sessionize" -> (PipelineQueries.sessionize _),
     "qv03_session_stats" -> (PipelineQueries.sessionStats _),
@@ -359,6 +360,21 @@ object SparkEntry {
            AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
     "qe01_cosine_topk" ->
+      """WITH z AS (SELECT e.vec_id,
+           CAST(unnest(e.embedding) AS DOUBLE) AS a,
+           CAST(unnest((SELECT embedding FROM embeddings WHERE vec_id = 0))
+             AS DOUBLE) AS b
+           FROM embeddings e),
+         s AS (SELECT vec_id, sum(a*b) AS ab, sum(a*a) AS aa, sum(b*b) AS bb
+           FROM z GROUP BY 1)
+         SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos,
+           row_number() OVER (ORDER BY round(ab / (sqrt(aa) * sqrt(bb)), 4)
+             DESC, vec_id) AS rank
+         FROM s QUALIFY rank <= 10 ORDER BY rank""",
+    // Persisted-LSH-index top-k with every bucket probed is EXACT, so the
+    // brute-force oracle applies — a strict correctness check on the
+    // index write + partition-pruned read path, not just a rows count.
+    "qe05_ann_index" ->
       """WITH z AS (SELECT e.vec_id,
            CAST(unnest(e.embedding) AS DOUBLE) AS a,
            CAST(unnest((SELECT embedding FROM embeddings WHERE vec_id = 0))

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN indexes: the 100 TB path for similarity search.
+  *
+  * The in-memory operators in [[Similarity]] bucket/assign the corpus per
+  * query. At scale the index is built ONCE — a single partition-local scan
+  * over the corpus — and stored as a parquet table PARTITIONED BY the
+  * bucket (LSH) or cell (IVF) key. A query then reads only the probed
+  * partitions: the probe list is computed driver-side (from the stored
+  * plane seed / centroid table, both tiny) and pushed down as a partition
+  * filter, so a top-k over a 100 TB corpus touches
+  * `probes / 2^numPlanes` (LSH) or `nProbe / nList` (IVF) of the files
+  * and never shuffles the corpus.
+  *
+  * Layout (all plain parquet, no external service):
+  *   `<path>/index/`      vec_id, v (normalized), partitioned by bucket|cell
+  *   `<path>/centroids/`  IVF only: cell, cv
+  */
+object AnnIndex {
+
+  private def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Build + persist the LSH index: one corpus scan, no shuffle except the
+    * partitioned write's file clustering. `numPlanes` is embedded in the
+    * path's metadata row so the query side derives the same planes. */
+  def writeLshIndex(corpus: DataFrame, id: Column, vec: Column,
+      path: String, numPlanes: Int): Unit = {
+    val dim = corpus.select(size(vec)).head().getInt(0)
+    val planes = Similarity.planeVectors(numPlanes, dim)
+    corpus.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"),
+        Similarity.lshBucket(vec, planes).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/index")
+    // tiny sidecar so the reader needs no out-of-band parameters
+    corpus.sparkSession.createDataFrame(Seq((numPlanes, dim)))
+      .toDF("num_planes", "dim")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Top-k against a persisted LSH index. The query vector is collected
+    * (one row), its bucket and the `probeFlips`-adjacent buckets are
+    * computed driver-side, and the scan filters `bucket IN (...)` — a
+    * partition-pruning predicate, so only the probed directories are read.
+    * An empty query frame yields an empty result. */
+  def queryLshIndex(spark: SparkSession, path: String, query: DataFrame,
+      k: Int, probeFlips: Int = 1): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (numPlanes, dim) = (meta.getInt(0), meta.getInt(1))
+    val index = spark.read.parquet(s"$path/index")
+    val qRows = query.select(col(query.columns.head).as("qv")).head(1)
+    if (qRows.isEmpty)
+      return index.select(col("vec_id"), lit(0.0d).as("cos"),
+        lit(0).as("rank")).limit(0)
+    val qv = qRows(0).getSeq[Double](0).toArray
+    val planes = Similarity.planeVectors(numPlanes, dim)
+    val qbucket = planes.zipWithIndex.foldLeft(0L) { case (acc, (pl, p)) =>
+      if (dotLocal(pl, qv) >= 0) acc | (1L << p) else acc
+    }
+    val probes = (0L until (1L << numPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeFlips)
+      .map(_ ^ qbucket)
+    Similarity.topKRanked(
+      index.filter(col("bucket").isin(probes: _*))
+        .select(col("vec_id"),
+          round(Similarity.dot(col("v"), lit(qv)), 4).as("cos")),
+      k)
+  }
+
+  /** Build + persist the IVF index: centroids sampled deterministically,
+    * every vector assigned partition-locally (centroids are literals in
+    * the plan — no shuffle), stored partitioned by cell. */
+  def writeIvfIndex(corpus: DataFrame, id: Column, vec: Column,
+      path: String, nList: Int): Unit = {
+    val cents = Similarity.ivfCentroids(corpus, id, vec, nList)
+    corpus.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+      .withColumn("cell", Similarity.nearestCell(col("v"), cents))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+    corpus.sparkSession.createDataFrame(
+        cents.map { case (cell, cv) => (cell, cv) }.toSeq)
+      .toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Top-k against a persisted IVF index: centroid table (nList rows) is
+    * read and scored driver-side, the best `nProbe` cells become a
+    * partition-pruning `cell IN (...)` filter. An empty query frame yields
+    * an empty result. */
+  def queryIvfIndex(spark: SparkSession, path: String, query: DataFrame,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val index = spark.read.parquet(s"$path/index")
+    val qRows = query.select(col(query.columns.head).as("qv")).head(1)
+    if (qRows.isEmpty)
+      return index.select(col("vec_id"), lit(0.0d).as("cos"),
+        lit(0).as("rank")).limit(0)
+    val qv = qRows(0).getSeq[Double](0).toArray
+    val cells = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .map { case (cell, cv) => (cell, dotLocal(cv, qv)) }
+      .sortBy { case (cell, score) => (-score, cell) }
+      .take(nProbe).map(_._1)
+    Similarity.topKRanked(
+      index.filter(col("cell").isin(cells.toIndexedSeq: _*))
+        .select(col("vec_id"),
+          round(Similarity.dot(col("v"), lit(qv)), 4).as("cos")),
+      k)
+  }
+}

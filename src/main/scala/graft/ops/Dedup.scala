@@ -81,21 +81,18 @@ object Dedup {
   }
 
   /** MinHash signatures via single-pass aggregation: explode distinct
-    * tokens once, then `numHashes` seeded `min(xxhash64(token, seed))`
-    * aggregates in ONE grouped pass (partial aggregation before the
-    * exchange) — versus a naive per-seed array-transform expression that
-    * walks the token array `numHashes` times. */
+    * tokens once, then ONE `minhash_agg` buffer aggregate
+    * (graft.functions.MinHashAgg) builds all `numHashes` lanes — each
+    * token hashed once, partial aggregation before the exchange, and no
+    * 64-agg-column codegen blow-up. Lane s is bit-identical to
+    * `min(xxhash64(token, seed = s))`. */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
-      numHashes: Int): DataFrame = {
-    val toks = docs.select(id.as("doc_id"),
-      explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
-    val mins = (0 until numHashes).map(seed =>
-      min(xxhash64(col("w"), lit(seed))).as(s"_m$seed"))
-    toks.groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(s => col(s"_m$s")): _*).as("sig"))
-  }
+      numHashes: Int): DataFrame =
+    docs.select(id.as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SignatureAggregates
+        .minhash(col("w"), numHashes).as("sig"))
 
   /** LSH banding over a MinHash signature: `numBands` buckets of
     * `rowsPerBand` signature entries each, hashed to a bucket id.
@@ -108,12 +105,9 @@ object Dedup {
     val numHashes = numBands * rowsPerBand
     val toks = docs.select(id.as("doc_id"), block.as("_block"),
       explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
-    val mins = (0 until numHashes).map(seed =>
-      min(xxhash64(col("w"), lit(seed))).as(s"_m$seed"))
     val banded = toks.groupBy(col("doc_id"), col("_block"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), col("_block"),
-        array((0 until numHashes).map(s => col(s"_m$s")): _*).as("sig"))
+      .agg(graft.functions.SignatureAggregates
+        .minhash(col("w"), numHashes).as("sig"))
       .select(col("doc_id"), col("_block"), posexplode(
         array((0 until numBands).map(b =>
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*))
@@ -151,27 +145,17 @@ object Dedup {
   }
 
   /** 64-bit SimHash signatures via single-pass aggregation: explode
-    * distinct tokens, hash each once, then one grouped aggregation with
-    * 64 sign-sums (+1 if bit set, -1 if clear); bit i of the signature is
-    * 1 when the sum is positive. One shuffle on the doc id, each token
-    * hashed exactly once — versus a naive per-bit array expression that
-    * re-tokenizes 64 times. */
+    * distinct tokens, then ONE `simhash_agg` buffer aggregate
+    * (graft.functions.SimHashAgg) — each token hashed once, all 64
+    * sign-sums in a single primitive-array buffer (bit i of the signature
+    * is 1 when its sum is positive), partial aggregation before the
+    * exchange, and no 64-agg-column codegen blow-up. */
   def simhashSignatures(docs: DataFrame, id: Column,
-      text: Column): DataFrame = {
-    val toks = docs
-      .select(id.as("doc_id"),
+      text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"_b$i"))
-    toks.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("sh"))
-  }
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SignatureAggregates.simhash(col("w")).as("sh"))
 
   /** SimHash near-dup with PIGEONHOLE banding: the 64-bit signature is
     * split into `maxHamming + 1` contiguous blocks; two signatures within

@@ -103,13 +103,24 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** LSH-bucketed ANN: score only corpus vectors in the query's bucket
-    * (single-probe). Recall depends on numPlanes; the candidate scan is
-    * |corpus| / 2^numPlanes in expectation. The query frame's FIRST column
-    * is taken as the (pre-normalized) query vector; an empty query frame
-    * yields an empty result instead of throwing. */
+  /** LSH-bucketed ANN with MULTI-PROBE: scan the query's own bucket plus
+    * every bucket within Hamming distance `probeFlips` of it (flipping the
+    * least-confident sign bits first is the classical refinement; flipping
+    * ALL r-subsets, as here, is strictly better recall at the same probe
+    * budget bound). Single-probe recall decays as (1 - theta/pi)^numPlanes
+    * — a near neighbor crossing ONE hyperplane is lost; probing the
+    * C(numPlanes, <=probeFlips) adjacent buckets recovers those pairs while
+    * the candidate scan stays |corpus| * probes / 2^numPlanes in
+    * expectation. The probe-bucket list is built driver-side (tiny) and
+    * broadcast, so the corpus side remains one partition-local scan + an
+    * equi-join on the stored bucket key — at 100 TB the bucket is the
+    * index's partition key and each probe prunes to its partition.
+    * The query frame's FIRST column is taken as the (pre-normalized) query
+    * vector; an empty query frame yields an empty result instead of
+    * throwing. */
   def annTopK(corpus: DataFrame, id: Column, vec: Column,
-      query: DataFrame, k: Int, numPlanes: Int = 8): DataFrame = {
+      query: DataFrame, k: Int, numPlanes: Int = 8,
+      probeFlips: Int = 1): DataFrame = {
     val qvName = query.columns.head
     val qHead = query.select(size(col(qvName)).as("d")).head(1)
     if (qHead.isEmpty) return emptyTopK(corpus, id)
@@ -117,8 +128,15 @@ object Similarity {
     val planes = planeVectors(numPlanes, dim)
     val bucketed = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"),
       lshBucket(vec, planes).as("bucket"))
+    // All bit-masks with <= probeFlips of numPlanes bits set, 0 first —
+    // XORing the query bucket with each yields the probe buckets.
+    val flips = (0L until (1L << numPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeFlips)
     val q = query.select(col(qvName).as("qv"))
       .withColumn("qbucket", lshBucket(col("qv"), planes))
+      .select(col("qv"), explode(
+        array(flips.map(m => col("qbucket").bitwiseXOR(lit(m))): _*))
+        .as("qbucket"))
     topKRanked(
       bucketed.join(broadcast(q), col("bucket") === col("qbucket"))
         .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos")),
@@ -147,7 +165,7 @@ object Similarity {
     * per-row map over the corpus — the core IVF property that lets the
     * index build scan 100 TB once, partition-locally. Returns
     * (bestCell, bestScore) columns via a fold over the centroids. */
-  private def nearestCell(v: Column,
+  private[ops] def nearestCell(v: Column,
       centroids: Array[(Int, Array[Double])]): Column = {
     val scored = centroids.map { case (cell, cv) =>
       struct(dotLit(v, cv).as("score"), lit(cell).as("cell"))

@@ -101,14 +101,15 @@ object PipelineQueries {
       .orderBy(col("rank"))
   }
 
-  /** LSH-bucketed ANN against the vec_id=0 embedding (approximate —
-    * rows-only check, no oracle). */
+  /** LSH-bucketed ANN against the vec_id=0 embedding, multi-probe with
+    * one bit flip — own bucket + 6 adjacent (approximate — rows-only
+    * check, no oracle). */
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0)
       .select(Similarity.l2Normalize(col("embedding")).as("qv"))
     Similarity.annTopK(e, col("vec_id"), col("embedding"), q, k = 10,
-      numPlanes = 6)
+      numPlanes = 6, probeFlips = 1)
       .orderBy(col("rank"))
   }
 
@@ -120,6 +121,22 @@ object PipelineQueries {
       .select(Similarity.l2Normalize(col("embedding")).as("qv"))
     Similarity.ivfTopK(e, col("vec_id"), col("embedding"), q, k = 10,
       nList = 16, nProbe = 4)
+      .orderBy(col("rank"))
+  }
+
+  /** Persisted-LSH-index top-10: build the partitioned parquet index,
+    * then query it probing EVERY bucket — exact, so the brute-force
+    * oracle applies; exercises the write + partition-pruned read path
+    * end-to-end. */
+  def annIndexTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    graft.ops.AnnIndex.writeLshIndex(e, col("vec_id"), col("embedding"),
+      path, numPlanes = 4)
+    graft.ops.AnnIndex.queryLshIndex(s, path, q, k = 10, probeFlips = 4)
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("rank"))
   }
 

@@ -15,20 +15,38 @@ import org.apache.spark.sql.functions._
   */
 object Fastq {
 
-  /** Parse fastq text file(s) into (read_id, sequence, plus, quality). */
+  /** Parse fastq text file(s) into (record, read_id, sequence, quality,
+    * file). Lines are numbered PER FILE (a glob or directory of fastq
+    * files whose line counts aren't multiples of 4 would mis-align under
+    * one global index), so records never straddle file boundaries.
+    * `record` packs (file ordinal, in-file record) into one long —
+    * single-file reads keep their old 0,1,2,... ids. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.sparkContext.textFile(path).zipWithIndex()
-      .map { case (l, i) => (i, l) }
     import spark.implicits._
-    lines.toDF("idx", "line")
-      .withColumn("record", expr("idx div 4"))
+    val sc = spark.sparkContext
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(sc.hadoopConfiguration)
+    val stats = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+    val files: Seq[String] =
+      if (stats.isEmpty) Seq(path)
+      else stats.flatMap { s =>
+        if (s.isDirectory)
+          fs.listStatus(s.getPath).filter(_.isFile).map(_.getPath.toString)
+        else Seq(s.getPath.toString)
+      }.sorted
+    val rdds = files.zipWithIndex.map { case (f, fi) =>
+      sc.textFile(f).zipWithIndex().map { case (l, i) => (fi.toLong, i, f, l) }
+    }
+    sc.union(rdds.toIndexedSeq).toDF("file_idx", "idx", "file", "line")
+      .withColumn("record",
+        col("file_idx") * lit(1L << 40) + expr("idx div 4"))
       .withColumn("pos", col("idx") % 4)
-      .groupBy(col("record"))
+      .groupBy(col("record"), col("file"))
       .pivot("pos", Seq(0, 1, 2, 3))
       .agg(first(col("line")))
       .select(col("record"),
         regexp_replace(col("0"), "^@", "").as("read_id"),
-        col("1").as("sequence"), col("3").as("quality"))
+        col("1").as("sequence"), col("3").as("quality"), col("file"))
   }
 
   /** Per-read barcode match with error tolerance (util.py:1233-1234):

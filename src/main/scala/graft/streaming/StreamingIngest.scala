@@ -34,6 +34,21 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value")).as("total_value"))
 
+  /** Streaming exact-dedup: drop documents whose content fingerprint was
+    * already seen, across micro-batches. The watermark bounds the
+    * dedup state — a duplicate arriving later than `retention` after the
+    * original can slip through, which is the standard state/recall trade
+    * for an unbounded feed (state never grows past one fingerprint per
+    * distinct doc inside the retention horizon). `ts` must be a
+    * TimestampType event-time column; `text` is fingerprinted with the
+    * same normalization as the batch [[graft.ops.Dedup.exact]], so a
+    * backfill dedup and the live stream agree on what is a duplicate. */
+  def dedupStream(docs: DataFrame, retention: String = "24 hours"): DataFrame =
+    docs
+      .withColumn("fp", graft.ops.TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ts", retention)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Drain-everything-then-stop runner (Watcher semantics): processes
     * all files currently in the source, exactly once, then returns. */
   def drainToMemory(df: DataFrame, queryName: String,

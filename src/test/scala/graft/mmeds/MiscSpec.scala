@@ -146,5 +146,19 @@ class MiscSpec extends AnyFunSuite {
     assert(demux.count() == 3)
     assert(demux.filter(col("read_id") === "r2")
       .head().getAs[String]("sample") == "s2")
+
+    // multi-file alignment: a truncated first file must not shift the
+    // records of the second file (per-file line numbering)
+    val multi = java.nio.file.Files.createTempDirectory("fqm").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$multi/a.fastq"),
+      Seq("@a1", "AAAA", "+", "IIII", "@trunc", "CCCC").mkString("\n"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$multi/b.fastq"),
+      Seq("@b1", "GGGG", "+", "JJJJ").mkString("\n"))
+    val m = Fastq.read(spark, s"$multi/*.fastq")
+    val b1 = m.filter(col("read_id") === "b1").head()
+    assert(b1.getAs[String]("sequence") == "GGGG" &&
+      b1.getAs[String]("quality") == "JJJJ")
   }
 }

@@ -177,6 +177,27 @@ class ValidatorSpec extends AnyFunSuite {
     assert(Validator.checkSequencingRuns(specimen, runs).count() == 0)
   }
 
+  test("findings render to an HTML report with cell + banner markup") {
+    val path = s"$dir/subject_validate_error_empty_cell.tsv"
+    val sheet = MetadataTsv.readRaw(spark, path)
+    val f = Validator.validate(spark, path, "human")
+    val html = FindingsHtml.render(sheet, f)
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("</table>"))
+    // the empty-cell error is cell-level: highlighted cell with message
+    assert(html.contains("bgcolor=\"red\""))
+    assert(html.contains("-----------<br>"))
+    // every data row renders
+    val nRows = sheet.df.count()
+    assert(html.sliding(4).count(_ == "<tr>") >= nRows + 2)
+    // a clean sheet renders no highlights or banners
+    val cleanPath = s"$fixtures/test_subject.tsv"
+    val clean = FindingsHtml.render(MetadataTsv.readRaw(spark, cleanPath),
+      Validator.validate(spark, cleanPath, "human",
+        Some(MetadataTsv.readRaw(spark, cleanPath))))
+    assert(!clean.contains("bgcolor=") && !clean.contains("<h3"))
+  }
+
   test("subject reconciliation reports orphans on both sides") {
     val subject = MetadataTsv.readRaw(spark, s"$fixtures/test_subject.tsv")
     val specimen = MetadataTsv.readRaw(spark,

@@ -93,6 +93,29 @@ class OpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming dedup drops repeats across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("secs", "text")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+    val out = StreamingIngest.dedupStream(docs, retention = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData((0L, "alpha doc"), (10L, "beta doc"), (20L, "alpha doc"))
+    q.processAllAvailable()
+    // in-batch duplicate dropped
+    assert(spark.table("dedup_out").count() == 2)
+    // cross-batch duplicate dropped, new doc kept
+    in.addData((30L, "beta doc"), (40L, "gamma doc"))
+    q.processAllAvailable()
+    val texts = spark.table("dedup_out").select("text").as[String]
+      .collect().sorted
+    assert(texts.toSeq == Seq("alpha doc", "beta doc", "gamma doc"))
+    q.stop()
+  }
+
   test("multimodal decode plumbing: schema, determinism, partitioning") {
     val docs = Tables.load(spark, sf, "documents").limit(50)
       .select(col("doc_id").as("media_id"))
@@ -318,5 +341,95 @@ class OpsSpec extends AnyFunSuite {
       .select(Similarity.l2Normalize(col("embedding")).as("qv"))
     assert(Similarity.ivfTopK(e, col("vec_id"), col("embedding"), q,
       k = 3, nList = 1, nProbe = 1).count() == 3)
+  }
+
+  test("multi-probe LSH: recall grows with probes; all-flips equals brute") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val planes = 4
+    def ann(flips: Int) = Similarity.annTopK(e, col("vec_id"),
+      col("embedding"), q, k = 5, numPlanes = planes, probeFlips = flips)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val p0 = ann(0); val p1 = ann(1); val pAll = ann(planes)
+    // candidate sets are nested, so the k-th best cos never degrades
+    assert(p0.length <= p1.length && p1.length <= pAll.length)
+    if (p0.nonEmpty && p1.nonEmpty) assert(p1.head._2 >= p0.head._2)
+    // probing every bucket == brute force, rank for rank
+    val brute = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      q, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pAll.toSeq == brute.toSeq)
+  }
+
+  test("persisted ANN indexes: prune partitions, match in-memory results") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+
+    AnnIndex.writeLshIndex(e, col("vec_id"), col("embedding"),
+      s"$dir/lsh", numPlanes = 4)
+    // probing every bucket reproduces brute force exactly
+    val brute = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+      q, k = 5).collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val idxAll = AnnIndex.queryLshIndex(spark, s"$dir/lsh", q, k = 5,
+      probeFlips = 4).collect().map(r => (r.getLong(0), r.getDouble(1),
+      r.getInt(2)))
+    assert(idxAll.toSeq == brute.toSeq)
+    // single-flip probe equals the in-memory multi-probe operator
+    val mem = Similarity.annTopK(e, col("vec_id"), col("embedding"), q,
+      k = 5, numPlanes = 4, probeFlips = 1).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val idx1 = AnnIndex.queryLshIndex(spark, s"$dir/lsh", q, k = 5,
+      probeFlips = 1).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(idx1.toSeq == mem.toSeq)
+    // the probe scan is partition-pruned, not a full read
+    val idxFiles = new java.io.File(s"$dir/lsh/index").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    assert(idxFiles > 5) // enough buckets that pruning means something
+
+    AnnIndex.writeIvfIndex(e, col("vec_id"), col("embedding"),
+      s"$dir/ivf", nList = 8)
+    val memIvf = Similarity.ivfTopK(e, col("vec_id"), col("embedding"), q,
+      k = 5, nList = 8, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val idxIvf = AnnIndex.queryIvfIndex(spark, s"$dir/ivf", q, k = 5,
+      nProbe = 2).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(idxIvf.toSeq == memIvf.toSeq)
+  }
+
+  test("signature aggregates are bit-identical to the declarative forms") {
+    // minhash_agg lane s must equal min(xxhash64(w, lit(s))); simhash_agg
+    // must equal the 64-sign-sum construction. Checked over real docs so
+    // partial aggregation + merge paths run (4 shuffle partitions).
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
+
+    val n = 16
+    val declMins = (0 until n).map(s =>
+      min(xxhash64(col("w"), lit(s))).as(s"_m$s"))
+    val decl = toks.groupBy(col("doc_id"))
+      .agg(declMins.head, declMins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until n).map(s => col(s"_m$s")): _*).as("sig"))
+    val agg = toks.groupBy(col("doc_id"))
+      .agg(graft.functions.SignatureAggregates.minhash(col("w"), n).as("sig"))
+    assert(decl.join(agg.withColumnRenamed("sig", "sig2"), "doc_id")
+      .filter(col("sig") =!= col("sig2")).count() == 0)
+
+    val h = toks.withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_b$i"))
+    val declSh = h.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sh"))
+    val aggSh = Dedup.simhashSignatures(docs, col("doc_id"), col("text"))
+    assert(declSh.join(aggSh.withColumnRenamed("sh", "sh2"), "doc_id")
+      .filter(col("sh") =!= col("sh2")).count() == 0)
   }
 }
