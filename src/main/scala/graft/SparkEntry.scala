@@ -54,6 +54,7 @@ object SparkEntry {
     "qd07_token_topk" -> (PipelineQueries.tokenTopK _),
     "qd08_bpe_tokens" -> (PipelineQueries.bpeTokenCounts _),
     "qd09_winnow_fp" -> (PipelineQueries.winnowFingerprints _),
+    "qd10_repetition" -> (PipelineQueries.repetitionStats _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
     "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
     "qe03_ann_lsh" -> (PipelineQueries.annTopK _),
@@ -359,6 +360,29 @@ object SparkEntry {
            '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))
            AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "qd10_repetition" ->
+      """WITH t AS (SELECT doc_id, text,
+           regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+         w AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+         m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS BIGINT) AS max_c FROM c GROUP BY 1)
+         SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           coalesce(m.n_distinct, 0) AS n_distinct,
+           CASE WHEN len(t.toks) > 0 THEN
+             floor((1.0 - CAST(coalesce(m.n_distinct, 0) AS DOUBLE)
+               / CAST(len(t.toks) AS DOUBLE)) * 10000.0) / 10000.0
+             ELSE 0.0 END AS dup_ratio,
+           CASE WHEN len(t.toks) > 0 THEN
+             floor(CAST(coalesce(m.max_c, 0) AS DOUBLE)
+               / CAST(len(t.toks) AS DOUBLE) * 10000.0) / 10000.0
+             ELSE 0.0 END AS top_share,
+           CASE WHEN length(t.text) > 0 THEN
+             floor(CAST(length(regexp_replace(t.text, '[^#@~^|]', '', 'g'))
+               AS DOUBLE) / CAST(length(t.text) AS DOUBLE) * 10000.0) / 10000.0
+             ELSE 0.0 END AS symbol_ratio
+         FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+         ORDER BY t.doc_id""",
     "qe01_cosine_topk" ->
       """WITH z AS (SELECT e.vec_id,
            CAST(unnest(e.embedding) AS DOUBLE) AS a,

@@ -34,8 +34,13 @@ object AnnIndex {
       path: String, numPlanes: Int): Unit = {
     val dim = corpus.select(size(vec)).head().getInt(0)
     val planes = Similarity.planeVectors(numPlanes, dim)
+    // cluster by bucket before the partitioned write: one file per
+    // bucket per shuffle partition instead of one per (task x bucket) —
+    // without it a 1000-task corpus scan writes 1000 x 2^planes tiny
+    // files and the write dominates
     corpus.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"),
         Similarity.lshBucket(vec, planes).as("bucket"))
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/index")
     // tiny sidecar so the reader needs no out-of-band parameters
     corpus.sparkSession.createDataFrame(Seq((numPlanes, dim)))
@@ -72,14 +77,19 @@ object AnnIndex {
       k)
   }
 
-  /** Build + persist the IVF index: centroids sampled deterministically,
-    * every vector assigned partition-locally (centroids are literals in
-    * the plan — no shuffle), stored partitioned by cell. */
+  /** Build + persist the IVF index: centroids sampled deterministically
+    * (optionally Lloyd-refined with `refineIters` spherical k-means
+    * passes), every vector assigned partition-locally (centroids are
+    * literals in the plan — no shuffle), stored partitioned by cell. */
   def writeIvfIndex(corpus: DataFrame, id: Column, vec: Column,
-      path: String, nList: Int): Unit = {
-    val cents = Similarity.ivfCentroids(corpus, id, vec, nList)
+      path: String, nList: Int, refineIters: Int = 0): Unit = {
+    val cents =
+      if (refineIters > 0)
+        Similarity.ivfCentroidsKMeans(corpus, id, vec, nList, refineIters)
+      else Similarity.ivfCentroids(corpus, id, vec, nList)
     corpus.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
       .withColumn("cell", Similarity.nearestCell(col("v"), cents))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
     corpus.sparkSession.createDataFrame(
         cents.map { case (cell, cv) => (cell, cv) }.toSeq)

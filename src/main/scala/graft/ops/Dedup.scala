@@ -193,6 +193,26 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding-cosine near-dup WITHOUT a caller blocking key: the
+    * hyperplane-LSH bucket is the block, so the pair join is subquadratic
+    * on an unblocked corpus (expected bucket size |corpus| / 2^numPlanes).
+    * Precision is exact (every candidate is verified with the true
+    * cosine); recall is the LSH trade — a near-dup pair split by a
+    * hyperplane is missed, and more planes = smaller buckets but lower
+    * recall. Identical vectors always share a bucket. This is the
+    * 100 TB default when no natural partition key exists; with one,
+    * prefer [[embeddingNearDup]] (exact within blocks). */
+  def embeddingNearDupLsh(embs: DataFrame, id: Column, vec: Column,
+      threshold: Double, numPlanes: Int = 8): DataFrame = {
+    val dHead = embs.select(size(vec).as("d")).head(1)
+    if (dHead.isEmpty)
+      return embs.select(id.as("vec_a"), id.as("vec_b"),
+        lit(0.0d).as("cos")).limit(0)
+    val planes = Similarity.planeVectors(numPlanes, dHead(0).getInt(0))
+    embeddingNearDup(embs, id, Similarity.lshBucket(vec, planes), vec,
+      threshold)
+  }
+
   /** Embedding-cosine near-dup: pairs within a blocking key whose cosine
     * similarity >= threshold. Vectors are L2-normalized once up front so
     * the pair step is a pure dot product. */

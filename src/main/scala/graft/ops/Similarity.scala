@@ -160,6 +160,45 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
 
+  /** Lloyd (k-means) refinement of the sampled IVF centroids: each
+    * iteration assigns every vector partition-locally (centroids are
+    * literals — no shuffle on the corpus), then recomputes the per-cell
+    * mean via posexplode + ONE (cell, dim) aggregation (map-side combined
+    * to at most nList x dim rows per partition before the exchange) and
+    * re-normalizes to the unit sphere (spherical k-means — right for
+    * cosine). The collected state per iteration is nList x dim doubles —
+    * trivially driver-sized at any corpus scale. Empty cells keep their
+    * previous centroid. Deterministic: seeded sample start, no RNG. */
+  def ivfCentroidsKMeans(corpus: DataFrame, id: Column, vec: Column,
+      nList: Int, iters: Int): Array[(Int, Array[Double])] = {
+    var cents = ivfCentroids(corpus, id, vec, nList)
+    if (iters <= 0 || cents.length <= 1) return cents
+    val normed = corpus.select(l2Normalize(vec).as("v"))
+    for (_ <- 0 until iters) {
+      val sums = normed
+        .withColumn("cell", nearestCell(col("v"), cents))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (cell, old) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val mean = new Array[Double](old.length)
+            rows.foreach { r =>
+              mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3).toDouble
+            }
+            val norm = math.sqrt(mean.map(x => x * x).sum)
+            if (norm == 0.0) (cell, old)
+            else (cell, mean.map(_ / norm))
+          case None => (cell, old)
+        }
+      }
+    }
+    cents
+  }
+
   /** Assign each vector to its nearest centroid without any shuffle:
     * the centroid list is embedded as literals, so assignment is a pure
     * per-row map over the corpus — the core IVF property that lets the
@@ -184,11 +223,15 @@ object Similarity {
     * scan only those cells' vectors. Expected candidate fraction
     * nProbe/nList of the corpus. */
   def ivfTopK(corpus: DataFrame, id: Column, vec: Column,
-      query: DataFrame, k: Int, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+      query: DataFrame, k: Int, nList: Int = 16, nProbe: Int = 4,
+      refineIters: Int = 0): DataFrame = {
     val qvName = query.columns.head
     if (query.select(col(qvName)).head(1).isEmpty) return emptyTopK(corpus, id)
     val q = query.select(col(qvName).as("qv"))
-    val cents = ivfCentroids(corpus, id, vec, nList)
+    val cents =
+      if (refineIters > 0) ivfCentroidsKMeans(corpus, id, vec, nList,
+        refineIters)
+      else ivfCentroids(corpus, id, vec, nList)
     val indexed = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"))
       .withColumn("cell", nearestCell(col("v"), cents))
     // nProbe best cells for the query vector: explode the (tiny) centroid

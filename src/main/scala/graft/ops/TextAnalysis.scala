@@ -119,6 +119,41 @@ object TextAnalysis {
     docs.select(id.as("doc_id"), explode(
       graft.functions.ShingleWinnow.winnow(tokens(text), k, w)).as("fp"))
 
+  /** Gopher-style repetition + symbol heuristics (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1 — public filtering rules for web-scale
+    * training corpora): duplicate-token fraction, most-frequent-token
+    * dominance, and symbol-to-char ratio. The per-token counts take ONE
+    * shuffle on doc_id (map-side combined); everything else is a narrow
+    * codegen'd projection, so the pass scales like any token-stats scan.
+    * Ratios floor to 4 decimals ([[Num.floor4]]) for cross-engine
+    * stability; token-less docs report 0 ratios. */
+  def repetitionStats(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = docs.select(id.as("doc_id"), text.as("_text"))
+    val counts = base
+      .select(col("doc_id"), explode(tokens(col("_text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"), max(col("c")).as("max_c"))
+    val n = size(tokens(col("_text"))).cast("long")
+    base.join(counts, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(n > 0, Num.floor4(lit(1.0) -
+            coalesce(col("n_distinct"), lit(0L)).cast("double") /
+              n.cast("double")))
+          .otherwise(lit(0.0)).as("dup_ratio"),
+        when(n > 0, Num.floor4(
+            coalesce(col("max_c"), lit(0L)).cast("double") / n.cast("double")))
+          .otherwise(lit(0.0)).as("top_share"),
+        when(length(col("_text")) > 0, Num.floor4(
+            length(regexp_replace(col("_text"), "[^#@~^|]", ""))
+              .cast("double") / length(col("_text")).cast("double")))
+          .otherwise(lit(0.0)).as("symbol_ratio"))
+  }
+
   /** Per-document stats frame: the §2-style profile of a text column. */
   def textStats(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.select(

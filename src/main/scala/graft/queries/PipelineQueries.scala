@@ -124,6 +124,12 @@ object PipelineQueries {
       .orderBy(col("rank"))
   }
 
+  /** Gopher-style repetition/symbol heuristics per document. */
+  def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+      .orderBy(col("doc_id"))
+
   /** Persisted-LSH-index top-10: build the partitioned parquet index,
     * then query it probing EVERY bucket — exact, so the brute-force
     * oracle applies; exercises the write + partition-pruned read path

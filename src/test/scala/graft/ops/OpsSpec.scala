@@ -398,6 +398,72 @@ class OpsSpec extends AnyFunSuite {
     assert(idxIvf.toSeq == memIvf.toSeq)
   }
 
+  test("repetition stats: dup/top/symbol ratios on known docs") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b"), (2L, ""), (3L, "#|#|"),
+      (4L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getLong(1) == 4 && r1.getLong(2) == 2)
+    assert(r1.getDouble(3) == 0.5)    // dup_ratio: 1 - 2/4
+    assert(r1.getDouble(4) == 0.75)   // top_share: 'a' 3 of 4
+    val r2 = got(1)                   // empty doc -> all zeros
+    assert(r2.getLong(1) == 0 && r2.getDouble(3) == 0.0 &&
+      r2.getDouble(4) == 0.0 && r2.getDouble(5) == 0.0)
+    assert(got(2).getDouble(5) == 1.0) // all-symbol doc
+    assert(got(3).getDouble(3) == 0.0) // all-distinct doc
+  }
+
+  test("LSH-blocked embedding near-dup: exact precision, finds identicals") {
+    val e = Tables.load(spark, sf, "embeddings")
+    // duplicate vec_id 0 under a fresh id -> identical pair must be found
+    val dup = e.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = e.unionByName(dup)
+    val got = Dedup.embeddingNearDupLsh(corpus, col("vec_id"),
+      col("embedding"), threshold = 0.9, numPlanes = 4).collect()
+    assert(got.exists(r => r.getLong(0) == 0L && r.getLong(1) == 100000L))
+    // precision 1.0: every reported pair really has cos >= threshold
+    // (verified against the exact all-pairs operator, block = constant)
+    val exact = Dedup.embeddingNearDup(corpus, col("vec_id"), lit(1),
+      col("embedding"), threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall(r => exact.contains((r.getLong(0), r.getLong(1)))))
+  }
+
+  test("IVF k-means refinement: objective never degrades, stays exact") {
+    val e = Tables.load(spark, sf, "embeddings")
+    def objective(cents: Array[(Int, Array[Double])]): Double = {
+      val assigned = e.select(Similarity.l2Normalize(col("embedding"))
+        .as("v"))
+        .withColumn("cell", Similarity.nearestCell(col("v"), cents))
+      val centDf = spark.createDataFrame(cents.toSeq).toDF("cell", "cv")
+      assigned.join(broadcast(centDf), "cell")
+        .select(avg(Similarity.dot(col("v"), col("cv"))))
+        .head().getDouble(0)
+    }
+    val init = Similarity.ivfCentroids(e, col("vec_id"), col("embedding"), 8)
+    val refined = Similarity.ivfCentroidsKMeans(e, col("vec_id"),
+      col("embedding"), 8, iters = 3)
+    assert(objective(refined) >= objective(init) - 1e-9)
+    // deterministic across runs
+    val refined2 = Similarity.ivfCentroidsKMeans(e, col("vec_id"),
+      col("embedding"), 8, iters = 3)
+    assert(refined.map(_._2.toSeq).toSeq == refined2.map(_._2.toSeq).toSeq)
+    // refined centroids with every cell probed still reproduce brute force
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val brute = Similarity.bruteForceTopK(e, col("vec_id"),
+      col("embedding"), q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val ivf = Similarity.ivfTopK(e, col("vec_id"), col("embedding"), q,
+      k = 5, nList = 8, nProbe = 8, refineIters = 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.toSeq == brute.toSeq)
+  }
+
   test("signature aggregates are bit-identical to the declarative forms") {
     // minhash_agg lane s must equal min(xxhash64(w, lit(s))); simhash_agg
     // must equal the 64-sign-sum construction. Checked over real docs so
