@@ -55,6 +55,7 @@ object SparkEntry {
     "qd08_bpe_tokens" -> (PipelineQueries.bpeTokenCounts _),
     "qd09_winnow_fp" -> (PipelineQueries.winnowFingerprints _),
     "qd10_repetition" -> (PipelineQueries.repetitionStats _),
+    "qd11_tfidf_topk" -> (PipelineQueries.tfidfTopTerms _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
     "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
     "qe03_ann_lsh" -> (PipelineQueries.annTopK _),
@@ -383,6 +384,23 @@ object SparkEntry {
              ELSE 0.0 END AS symbol_ratio
          FROM t LEFT JOIN m ON t.doc_id = m.doc_id
          ORDER BY t.doc_id""",
+    "qd11_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+           FROM w GROUP BY 1, 2),
+         df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         s AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+           floor(CAST(tf.tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE))
+             * 10000.0) / 10000.0 AS score
+           FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, w) AS BIGINT) AS rank,
+           w, tf, df, score
+         FROM s QUALIFY rank <= 3 ORDER BY doc_id, rank""",
     "qe01_cosine_topk" ->
       """WITH z AS (SELECT e.vec_id,
            CAST(unnest(e.embedding) AS DOUBLE) AS a,

@@ -54,14 +54,26 @@ object AnnIndex {
     * partition-pruning predicate, so only the probed directories are read.
     * An empty query frame yields an empty result. */
   def queryLshIndex(spark: SparkSession, path: String, query: DataFrame,
-      k: Int, probeFlips: Int = 1): DataFrame = {
+      k: Int, probeFlips: Int = 1): DataFrame =
+    lshCandidates(spark, path, query, probeFlips) match {
+      case None =>
+        spark.read.parquet(s"$path/index")
+          .select(col("vec_id"), lit(0.0d).as("cos"),
+            lit(0).as("rank")).limit(0)
+      case Some(scored) => Similarity.topKRanked(scored, k)
+    }
+
+  /** The partition-pruned candidate scan behind [[queryLshIndex]]:
+    * (vec_id, cos) over only the probed buckets, or None for an empty
+    * query. Exposed so the pruning is testable (the top-k stage
+    * checkpoints, which hides the scan from its final plan). */
+  private[graft] def lshCandidates(spark: SparkSession, path: String,
+      query: DataFrame, probeFlips: Int): Option[DataFrame] = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (numPlanes, dim) = (meta.getInt(0), meta.getInt(1))
     val index = spark.read.parquet(s"$path/index")
     val qRows = query.select(col(query.columns.head).as("qv")).head(1)
-    if (qRows.isEmpty)
-      return index.select(col("vec_id"), lit(0.0d).as("cos"),
-        lit(0).as("rank")).limit(0)
+    if (qRows.isEmpty) return None
     val qv = qRows(0).getSeq[Double](0).toArray
     val planes = Similarity.planeVectors(numPlanes, dim)
     val qbucket = planes.zipWithIndex.foldLeft(0L) { case (acc, (pl, p)) =>
@@ -70,11 +82,9 @@ object AnnIndex {
     val probes = (0L until (1L << numPlanes))
       .filter(m => java.lang.Long.bitCount(m) <= probeFlips)
       .map(_ ^ qbucket)
-    Similarity.topKRanked(
-      index.filter(col("bucket").isin(probes: _*))
-        .select(col("vec_id"),
-          round(Similarity.dot(col("v"), lit(qv)), 4).as("cos")),
-      k)
+    Some(index.filter(col("bucket").isin(probes: _*))
+      .select(col("vec_id"),
+        round(Similarity.dot(col("v"), lit(qv)), 4).as("cos")))
   }
 
   /** Build + persist the IVF index: centroids sampled deterministically

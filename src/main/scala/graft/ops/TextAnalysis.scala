@@ -154,6 +154,32 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("symbol_ratio"))
   }
 
+  /** Top-k characteristic terms per document by TF-IDF. One (doc, token)
+    * count pass (map-side combined), document frequency derived from the
+    * SAME frame (one row per (doc, token) already), a broadcast join of
+    * the tiny token-df side, then a doc-partitioned window for the top-k
+    * — every wide op keys on doc_id or token, nothing global. `nDocs` is
+    * taken as a parameter (the caller usually knows it; counting here
+    * would force an extra action). Scores floor to 4 decimals and ties
+    * break on the term so ranks are stable across engines. */
+  def tfidfTopTerms(docs: DataFrame, id: Column, text: Column,
+      nDocs: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(id.as("doc_id"), explode(tokens(text)).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df_), "w")
+      .withColumn("score", Num.floor4(col("tf").cast("double") *
+        log(lit(nDocs.toDouble) / col("df").cast("double"))))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    scored.withColumn("rank", row_number().over(byDoc).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("w"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Per-document stats frame: the §2-style profile of a text column. */
   def textStats(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.select(

@@ -130,6 +130,14 @@ object PipelineQueries {
       col("text"))
       .orderBy(col("doc_id"))
 
+  /** Top-3 TF-IDF terms per document (characteristic-keyword pass). */
+  def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextAnalysis.tfidfTopTerms(d, col("doc_id"), col("text"),
+      nDocs = d.count(), k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Persisted-LSH-index top-10: build the partitioned parquet index,
     * then query it probing EVERY bucket — exact, so the brute-force
     * oracle applies; exercises the write + partition-pruned read path

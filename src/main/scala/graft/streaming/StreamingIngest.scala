@@ -49,6 +49,15 @@ object StreamingIngest {
       .withWatermark("ts", retention)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Enrich a stream with a static dimension table (stream-static join).
+    * The dim side is broadcast, so each micro-batch joins partition-
+    * locally — no stream-side shuffle, no state store; the standard
+    * attach-metadata step of an always-on ingest (the batch twin is the
+    * broadcast dim join used throughout the views). */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Drain-everything-then-stop runner (Watcher semantics): processes
     * all files currently in the source, exactly once, then returns. */
   def drainToMemory(df: DataFrame, queryName: String,

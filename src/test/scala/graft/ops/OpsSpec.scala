@@ -464,6 +464,59 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.toSeq == brute.toSeq)
   }
 
+  test("ANN index probes are partition-pruned at the scan") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val dir = java.nio.file.Files.createTempDirectory("annprune").toString
+    AnnIndex.writeLshIndex(e, col("vec_id"), col("embedding"),
+      s"$dir/lsh", numPlanes = 4)
+    val scan = AnnIndex.lshCandidates(spark, s"$dir/lsh", q,
+      probeFlips = 0).get
+    scan.collect()
+    val plan = scan.queryExecution.executedPlan.toString
+    // the scan carries a non-empty PartitionFilters clause on bucket
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    assert(!plan.contains("PartitionFilters: []"), plan.take(2000))
+    // and the full query over the pruned scan still works
+    assert(AnnIndex.queryLshIndex(spark, s"$dir/lsh", q, k = 5,
+      probeFlips = 0).count() <= 5)
+  }
+
+  test("stream-static enrichment joins each micro-batch broadcast-local") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "alpha"), (2L, "beta")).toDF("user_id", "segment")
+    val in = MemoryStream[(Long, Double)]
+    val stream = in.toDF().toDF("user_id", "value")
+    val q = StreamingIngest.enrichStream(stream, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    in.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    q.processAllAvailable()
+    val got = spark.table("enrich_out").orderBy("user_id").collect()
+    assert(got.length == 3)
+    assert(got(0).getString(2) == "alpha" && got(1).getString(2) == "beta")
+    assert(got(2).isNullAt(2)) // unknown key keeps the event (left join)
+    q.stop()
+  }
+
+  test("tf-idf top terms: rare term outranks common term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared shared unique1"),
+      (2L, "shared shared unique2"),
+      (3L, "shared shared unique3")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text"),
+      nDocs = 3, k = 2).orderBy("doc_id", "rank").collect()
+    // 'sharedx2' has tf 2 but df 3 -> idf 0 -> score 0; uniqueN wins
+    assert(got.filter(_.getLong(1) == 1L).map(_.getString(2)).toSeq ==
+      Seq("unique1", "unique2", "unique3"))
+    got.filter(_.getLong(1) == 2L).foreach(r =>
+      assert(r.getString(2) == "shared" && r.getDouble(5) == 0.0))
+  }
+
   test("signature aggregates are bit-identical to the declarative forms") {
     // minhash_agg lane s must equal min(xxhash64(w, lit(s))); simhash_agg
     // must equal the 64-sign-sum construction. Checked over real docs so
