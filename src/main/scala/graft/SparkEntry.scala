@@ -56,6 +56,7 @@ object SparkEntry {
     "qd09_winnow_fp" -> (PipelineQueries.winnowFingerprints _),
     "qd10_repetition" -> (PipelineQueries.repetitionStats _),
     "qd11_tfidf_topk" -> (PipelineQueries.tfidfTopTerms _),
+    "qd12_pii_flags" -> (PipelineQueries.piiFlags _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
     "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
     "qe03_ann_lsh" -> (PipelineQueries.annTopK _),
@@ -401,6 +402,21 @@ object SparkEntry {
              ORDER BY score DESC, w) AS BIGINT) AS rank,
            w, tf, df, score
          FROM s QUALIFY rank <= 3 ORDER BY doc_id, rank""",
+    "qd12_pii_flags" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(text,
+           '\d{3}[-.]\d{3}[-.]\d{4}')) AS BIGINT) AS n_phones,
+         CAST(len(regexp_extract_all(text,
+           '\d{3}-\d{2}-\d{4}')) AS BIGINT) AS n_ssns,
+         (len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(text, '\d{3}[-.]\d{3}[-.]\d{4}'))
+          + len(regexp_extract_all(text, '\d{3}-\d{2}-\d{4}'))) > 0
+           AS has_pii
+         FROM documents ORDER BY doc_id""",
     "qe01_cosine_topk" ->
       """WITH z AS (SELECT e.vec_id,
            CAST(unnest(e.embedding) AS DOUBLE) AS a,

@@ -154,6 +154,28 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("symbol_ratio"))
   }
 
+  /** PII detection flags: counts of email / phone / SSN-shaped spans per
+    * document plus an aggregate boolean — the training-data twin of the
+    * reference's PHI-header rejection (validate.py HIPAA list), applied
+    * to content instead of column names. Patterns are RE2-compatible
+    * (no backreferences/lookaround) so Java regex and DuckDB/RE2 agree;
+    * pure narrow projection, codegen'd, no shuffle. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+  val ssnPattern = "\\d{3}-\\d{2}-\\d{4}"
+
+  def piiFlags(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(
+      id.as("doc_id"),
+      size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(text, lit(ssnPattern), lit(0)))
+        .cast("long").as("n_ssns"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ssns") > 0)
+
   /** Top-k characteristic terms per document by TF-IDF. One (doc, token)
     * count pass (map-side combined), document frequency derived from the
     * SAME frame (one row per (doc, token) already), a broadcast join of

@@ -130,6 +130,11 @@ object PipelineQueries {
       col("text"))
       .orderBy(col("doc_id"))
 
+  /** PII content flags per document (emails / phones / SSNs). */
+  def piiFlags(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiFlags(t(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   /** Top-3 TF-IDF terms per document (characteristic-keyword pass). */
   def tfidfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")

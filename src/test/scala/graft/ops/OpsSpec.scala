@@ -517,6 +517,22 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getString(2) == "shared" && r.getDouble(5) == 0.0))
   }
 
+  test("pii flags: emails, phones, ssns detected; clean text passes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at jane.doe+lab@example.org or bob@x.io"),
+      (2L, "call 555-867-5309 or 555.123.4567 today"),
+      (3L, "ssn 123-45-6789 on file"),
+      (4L, "a perfectly clean document 12345")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiFlags(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 2 && got(0).getBoolean(4))
+    assert(got(1).getLong(2) == 2 && got(1).getBoolean(4))
+    assert(got(2).getLong(3) == 1 && got(2).getBoolean(4))
+    assert(got(3).getLong(1) == 0 && got(3).getLong(2) == 0 &&
+      got(3).getLong(3) == 0 && !got(3).getBoolean(4))
+  }
+
   test("signature aggregates are bit-identical to the declarative forms") {
     // minhash_agg lane s must equal min(xxhash64(w, lit(s))); simhash_agg
     // must equal the 64-sign-sum construction. Checked over real docs so
