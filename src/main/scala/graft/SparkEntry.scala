@@ -57,6 +57,7 @@ object SparkEntry {
     "qd10_repetition" -> (PipelineQueries.repetitionStats _),
     "qd11_tfidf_topk" -> (PipelineQueries.tfidfTopTerms _),
     "qd12_pii_flags" -> (PipelineQueries.piiFlags _),
+    "qd13_dup_clusters" -> (PipelineQueries.dupClusters _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
     "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
     "qe03_ann_lsh" -> (PipelineQueries.annTopK _),
@@ -402,6 +403,28 @@ object SparkEntry {
              ORDER BY score DESC, w) AS BIGINT) AS rank,
            w, tf, df, score
          FROM s QUALIFY rank <= 3 ORDER BY doc_id, rank""",
+    // Transitive closure via recursive CTE reproduces the iterative
+    // min-label propagation exactly (both assign each component its
+    // minimum doc id).
+    "qd13_dup_clusters" ->
+      """WITH RECURSIVE words AS (SELECT DISTINCT doc_id, source,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
+         c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nab
+           FROM words a JOIN words b
+             ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b
+           FROM c JOIN sizes sa ON c.doc_a = sa.doc_id
+                  JOIN sizes sb ON c.doc_b = sb.doc_id
+           WHERE floor(CAST(nab AS DOUBLE)
+               / CAST(sa.n + sb.n - nab AS DOUBLE) * 10000.0) / 10000.0 >= 0.8),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         cc(a, b) AS (SELECT a, b FROM e
+           UNION SELECT cc.a, e.b FROM cc JOIN e ON cc.b = e.a)
+         SELECT a AS doc_id, least(a, min(b)) AS cluster
+         FROM cc GROUP BY a ORDER BY doc_id""",
     "qd12_pii_flags" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text,

@@ -193,6 +193,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS (connected
+    * components): every document in a component gets the component's
+    * minimum doc id as its cluster label, so "keep one per cluster"
+    * becomes a trivial filter. Iterative min-label propagation — each
+    * round every node takes the min of its own and its neighbors'
+    * labels; rounds = graph diameter, each ONE equi-join + ONE
+    * aggregation on the (small) pair graph, with edges and labels
+    * checkpointed so no lineage re-execution compounds. Near-dup
+    * components are tiny and shallow in practice (dup families, not web
+    * graphs), so the loop converges in a few rounds; for adversarially
+    * deep graphs at 100 TB swap in the large-star/small-star contraction
+    * (Kiveris et al.) — same join shape, fewer rounds. */
+  def dupClusters(pairs: DataFrame, a: Column, b: Column): DataFrame = {
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .union(pairs.select(b.as("src"), a.as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("lab")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("lab")).as("nlab"))
+      val stepped = labels.join(neighborMin, Seq("id"))
+        .select(col("id"), least(col("lab"), col("nlab")).as("lab"),
+          (col("nlab") < col("lab")).as("_chg"))
+        .localCheckpoint()
+      changed = stepped.filter(col("_chg")).count()
+      labels = stepped.select(col("id"), col("lab"))
+    }
+    labels.select(col("id").as("doc_id"), col("lab").as("cluster"))
+  }
+
   /** Embedding-cosine near-dup WITHOUT a caller blocking key: the
     * hyperplane-LSH bucket is the block, so the pair join is subquadratic
     * on an unblocked corpus (expected bucket size |corpus| / 2^numPlanes).

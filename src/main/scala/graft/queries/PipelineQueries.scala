@@ -130,6 +130,15 @@ object PipelineQueries {
       col("text"))
       .orderBy(col("doc_id"))
 
+  /** Duplicate clusters: connected components over the word-set Jaccard
+    * near-dup pairs — the keep-one-per-cluster resolution step. */
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
+        col("source"), col("text"), threshold = 0.8),
+      col("doc_a"), col("doc_b"))
+      .orderBy(col("doc_id"))
+
   /** PII content flags per document (emails / phones / SSNs). */
   def piiFlags(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.piiFlags(t(s, dir, "documents"), col("doc_id"), col("text"))

@@ -517,6 +517,18 @@ class OpsSpec extends AnyFunSuite {
       assert(r.getString(2) == "shared" && r.getDouble(5) == 0.0))
   }
 
+  test("dup clusters: chains collapse to min-id components") {
+    import spark.implicits._
+    // 1-2-3 is a chain (1,3 never directly paired); 5-6 separate; 9-2
+    // joins a high id into the first component
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (2L, 9L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs, col("doc_a"), col("doc_b"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L),
+      (6L, 5L), (9L, 1L)))
+  }
+
   test("pii flags: emails, phones, ssns detected; clean text passes") {
     import spark.implicits._
     val docs = Seq(
