@@ -58,6 +58,7 @@ object SparkEntry {
     "qd11_tfidf_topk" -> (PipelineQueries.tfidfTopTerms _),
     "qd12_pii_flags" -> (PipelineQueries.piiFlags _),
     "qd13_dup_clusters" -> (PipelineQueries.dupClusters _),
+    "qd14_curated_corpus" -> (PipelineQueries.curatedCorpus _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
     "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
     "qe03_ann_lsh" -> (PipelineQueries.annTopK _),
@@ -425,6 +426,55 @@ object SparkEntry {
            UNION SELECT cc.a, e.b FROM cc JOIN e ON cc.b = e.a)
          SELECT a AS doc_id, least(a, min(b)) AS cluster
          FROM cc GROUP BY a ORDER BY doc_id""",
+    // The composed curation pipeline: quality/PII gate -> exact dedup
+    // (min doc per fingerprint) -> near-dup cluster representative.
+    "qd14_curated_corpus" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, source, text,
+           regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+         q AS (SELECT doc_id, source, text, toks,
+           floor((0.4 * (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(toks, t -> list_contains(
+                 ['the','of','and','to','in','is','that','it','was','for'],
+                 t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END)
+             + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                 AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+             + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0))
+             * 10000.0) / 10000.0 AS quality
+           FROM tk),
+         passed AS (SELECT doc_id, source, text, toks, quality FROM q
+           WHERE quality >= 0.5
+             AND (len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               + len(regexp_extract_all(text, '\d{3}[-.]\d{3}[-.]\d{4}'))
+               + len(regexp_extract_all(text, '\d{3}-\d{2}-\d{4}'))) = 0),
+         ex AS (SELECT *, min(doc_id) OVER (PARTITION BY
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+             AS keep_id FROM passed),
+         kept AS (SELECT doc_id, source, toks, quality FROM ex
+           WHERE doc_id = keep_id),
+         words AS (SELECT DISTINCT doc_id, source, unnest(toks) AS w
+           FROM kept),
+         sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
+         c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nab
+           FROM words a JOIN words b
+             ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (SELECT doc_a, doc_b
+           FROM c JOIN sizes sa ON c.doc_a = sa.doc_id
+                  JOIN sizes sb ON c.doc_b = sb.doc_id
+           WHERE floor(CAST(nab AS DOUBLE)
+               / CAST(sa.n + sb.n - nab AS DOUBLE) * 10000.0) / 10000.0 >= 0.8),
+         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           UNION SELECT doc_b, doc_a FROM pairs),
+         cc(a, b) AS (SELECT a, b FROM e
+           UNION SELECT cc.a, e.b FROM cc JOIN e ON cc.b = e.a),
+         clus AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+           FROM cc GROUP BY a)
+         SELECT k.doc_id, k.source, k.quality
+         FROM kept k LEFT JOIN clus ON k.doc_id = clus.doc_id
+         WHERE clus.doc_id IS NULL OR clus.cluster = k.doc_id
+         ORDER BY k.doc_id""",
     "qd12_pii_flags" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text,

@@ -130,6 +130,38 @@ object PipelineQueries {
       col("text"))
       .orderBy(col("doc_id"))
 
+  /** The flagship curation pipeline, composed end-to-end from the
+    * individual operators: (1) drop documents carrying PII or scoring
+    * below the quality floor; (2) exact-dedup the survivors, keeping the
+    * minimum doc id per content fingerprint; (3) resolve word-set
+    * near-dup pairs into clusters and keep only each cluster's
+    * representative. What remains is the training corpus. Every stage is
+    * the same code verified individually (qd12, qd02, qd03, qd04, qd13)
+    * — this query checks they COMPOSE correctly against one oracle. */
+  def curatedCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val pii = TextAnalysis.piiFlags(d, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("has_pii"))
+    val passed = d.join(pii, "doc_id")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(!col("has_pii") && col("quality") >= 0.5)
+      .select(col("doc_id"), col("source"), col("text"), col("quality"))
+    val keptExact = passed
+      .withColumn("_keep", col("doc_id") === min(col("doc_id")).over(
+        Window.partitionBy(TextAnalysis.fingerprint(col("text")))))
+      .filter(col("_keep")).drop("_keep")
+    val clusters = Dedup.dupClusters(
+      Dedup.ngramJaccardPairs(keptExact, col("doc_id"), col("source"),
+        col("text"), threshold = 0.8),
+      col("doc_a"), col("doc_b"))
+    keptExact
+      .join(clusters.filter(col("cluster") =!= col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate clusters: connected components over the word-set Jaccard
     * near-dup pairs — the keep-one-per-cluster resolution step. */
   def dupClusters(s: SparkSession, dir: String): DataFrame =
