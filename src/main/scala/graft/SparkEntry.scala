@@ -59,6 +59,10 @@ object SparkEntry {
     "qd12_pii_flags" -> (PipelineQueries.piiFlags _),
     "qd13_dup_clusters" -> (PipelineQueries.dupClusters _),
     "qd14_curated_corpus" -> (PipelineQueries.curatedCorpus _),
+    "qd15_decontaminate" -> (PipelineQueries.decontaminate _),
+    "qd16_det_sample" -> (PipelineQueries.stratifiedSample _),
+    "qd17_seq_pack" -> (PipelineQueries.seqPacking _),
+    "qe06_label_centroids" -> (PipelineQueries.labelCentroids _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
     "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
     "qe03_ann_lsh" -> (PipelineQueries.annTopK _),
@@ -475,6 +479,70 @@ object SparkEntry {
          FROM kept k LEFT JOIN clus ON k.doc_id = clus.doc_id
          WHERE clus.doc_id IS NULL OR clus.cluster = k.doc_id
          ORDER BY k.doc_id""",
+    // Training docs sharing any 4-token n-gram with the eval subset
+    // (doc_id % 97 == 0). Gram strings reproduce Spark's concat_ws(" ").
+    "qd15_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+')
+           AS toks FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+3], ' ')
+               FOR i IN range(1, len(toks) - 2)])) AS gram
+           FROM tk WHERE len(toks) >= 4)
+         SELECT t.doc_id, count(*) AS n_shared
+         FROM (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) t
+         JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) e
+           USING (gram)
+         GROUP BY 1 ORDER BY 1""",
+    // Deterministic stratified sample: md5(doc_id) hex-prefix threshold,
+    // 0.75 for quality >= 0.5 ('c0000000'), 0.25 below ('40000000').
+    "qd16_det_sample" ->
+      """WITH tk AS (SELECT doc_id, text,
+           regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+         q AS (SELECT doc_id,
+           floor((0.4 * (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(toks, t -> list_contains(
+                 ['the','of','and','to','in','is','that','it','was','for'],
+                 t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END)
+             + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                 AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+             + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0))
+             * 10000.0) / 10000.0 AS quality
+           FROM tk),
+         s AS (SELECT doc_id, quality,
+           CASE WHEN quality >= 0.5 THEN 'high' ELSE 'low' END AS stratum
+           FROM q)
+         SELECT doc_id, stratum, quality FROM s
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           CASE WHEN stratum = 'high' THEN 'c0000000' ELSE '40000000' END
+         ORDER BY doc_id""",
+    // Greedy 512-token sequence packing per source stream: a document
+    // starts in sequence floor(tokens_before/512) at offset
+    // tokens_before % 512.
+    "qd17_seq_pack" ->
+      """WITH n AS (SELECT doc_id, source AS stream,
+           CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+             AS n_tokens
+           FROM documents),
+         c AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY stream
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS tokens_before FROM n)
+         SELECT doc_id, stream, n_tokens,
+           CAST(floor(CAST(tokens_before AS DOUBLE) / 512.0) AS BIGINT)
+             AS seq_id,
+           CAST(tokens_before % 512 AS BIGINT) AS seq_offset
+         FROM c ORDER BY stream, doc_id""",
+    // Per-label centroid element sums at 1e-4 integer resolution —
+    // exact integer math on both engines (sum cast per the HUGEINT rule).
+    "qe06_label_centroids" ->
+      """SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))
+           AS BIGINT) AS sum_e4
+         FROM (SELECT label, unnest(embedding) AS x,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS dim
+           FROM embeddings)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "qd12_pii_flags" ->
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text,

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share any
+  * token n-gram with an evaluation/benchmark set — the standard guard
+  * against test-set leakage in LLM training corpora (the 13-gram overlap
+  * rule popularized by GPT-3's appendix; n is a parameter here because
+  * fixture documents are short).
+  *
+  * Scale design: the eval side of the join is the BENCHMARK — thousands
+  * of documents, not billions — so its distinct gram set is broadcast and
+  * the 100 TB training side is ONE narrow scan + broadcast-hash semi-join;
+  * the only aggregation keys on doc_id (map-side combined). No shuffle of
+  * the corpus at all unless the benchmark outgrows the broadcast
+  * threshold, in which case the same plan degrades gracefully to a
+  * sort-merge join on the gram string.
+  */
+object Decontaminate {
+
+  /** Distinct whitespace-token n-grams per document, as strings (joined
+    * with single spaces) so an external engine can reproduce them; docs
+    * with fewer than `n` tokens contribute nothing. Stays inside the row
+    * until the final explode. */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-training-document contamination report: how many distinct
+    * n-grams of the doc also appear anywhere in `eval`. Only contaminated
+    * docs (n_shared > 0) are returned — at scale the complement (the
+    * clean corpus) is the same join with `left_anti`. */
+  def ngramOverlap(train: DataFrame, eval_ : DataFrame, id: Column,
+      text: Column, n: Int): DataFrame = {
+    val evalGrams = eval_.select(explode(ngrams(text, n)).as("gram"))
+      .distinct()
+    train.select(id.as("doc_id"), explode(ngrams(text, n)).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+}

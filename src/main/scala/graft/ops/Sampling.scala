@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * `sample(fraction)` is seeded per partition, so its output changes with
+  * partitioning, task retries, and cluster size — unacceptable for a
+  * reproducible 100 TB curation run. These operators key the keep/drop
+  * decision on a CONTENT hash (md5 of a stable key), so the same row gets
+  * the same verdict on any cluster, any partitioning, any engine: a pure
+  * narrow filter, no shuffle, and the sampled corpus is re-derivable
+  * forever from the key alone.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) hash of a key: the first 8 hex chars of md5, which
+    * both the JVM and every SQL engine render as the same lowercase hex
+    * string — comparisons are plain byte-wise string compares, immune to
+    * float formatting. */
+  def hashHex(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
+  /** Hex threshold for a keep-rate in [0, 1]: floor(rate * 16^8) as
+    * 8-digit zero-padded lowercase hex. A row survives when
+    * hashHex(key) < threshold — i.e. with probability ~rate, exactly
+    * reproducibly. */
+  def rateThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+    val n = math.min((rate * 4294967296.0).toLong, 4294967295L)
+    f"$n%08x"
+  }
+
+  /** Keep-predicate for a deterministic uniform sample at `rate`. */
+  def keep(key: Column, rate: Double): Column =
+    hashHex(key) < lit(rateThreshold(rate))
+
+  /** Keep-predicate for a STRATIFIED deterministic sample: each stratum
+    * samples at its own rate (e.g. downsample low-quality documents,
+    * keep all high-quality ones — the standard quality-pruning move).
+    * `strata` maps a stratum label to its keep-rate; rows in unlisted
+    * strata keep `defaultRate`. The per-row test is still one codegen'd
+    * string compare — no shuffle, no state. */
+  def stratifiedKeep(key: Column, stratum: Column,
+      strata: Seq[(String, Double)], defaultRate: Double): Column = {
+    val h = hashHex(key)
+    strata.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (s, rate)) =>
+        acc.when(stratum === s, h < lit(rateThreshold(rate)))
+    }.otherwise(h < lit(rateThreshold(defaultRate)))
+  }
+}

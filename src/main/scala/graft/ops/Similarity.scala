@@ -148,6 +148,21 @@ object Similarity {
   private def dotLit(v: Column, centroid: Array[Double]): Column =
     graft.functions.VectorExpressions.vecDot(v, lit(centroid))
 
+  /** Per-group embedding centroid as EXACT integer sums: each element is
+    * floored to 1e-4 resolution and summed as a long, so the result is
+    * identical on any engine and any partitioning (float summation order
+    * flips low bits; integer sums don't — the same discipline as the
+    * cents-sum queries). The caller derives the mean as sum_e4 / (n·1e4).
+    * Plan shape: posexplode (narrow, ×dim) then ONE hash aggregation on
+    * (label, dim) with map-side partials — at 100 TB each partition
+    * pre-reduces to at most |labels|×dim rows before the exchange. */
+  def centroidSums(embs: DataFrame, group: Column, vec: Column): DataFrame =
+    embs.select(group.as("label"), posexplode(vec).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * lit(10000.0)).cast("long"))
+          .as("sum_e4"))
+
   /** Deterministically sample `nList` corpus vectors as IVF centroids:
     * the nList ids with the smallest hash — stable across runs and
     * partitionings, no RNG. One small collect (nList × dim doubles). */

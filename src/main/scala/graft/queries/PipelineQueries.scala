@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Events, Similarity, Skew, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Events, Packing, Sampling,
+  Similarity, Skew, TextAnalysis}
 
 /** LLM-training-data pipeline operators (beyond-reference surface) bound
   * to the driver's `documents` / `embeddings` / `events` tables. */
@@ -232,4 +233,44 @@ object PipelineQueries {
   def sessionStats(s: SparkSession, dir: String): DataFrame =
     Events.sessionStats(Tables.loadEvents(s, dir), gapSeconds = 1800)
       .orderBy(col("user_id"), col("session_id"))
+
+  /** Benchmark decontamination: every 97th document plays the eval set;
+    * the rest is the training corpus. Flags training docs sharing any
+    * 4-token n-gram with an eval doc (4, not 13, because fixture docs are
+    * short — the operator takes n as a parameter). */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Decontaminate.ngramOverlap(
+      d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0),
+      col("doc_id"), col("text"), n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified sample: quality >= 0.5 docs keep at 75%,
+    * the rest at 25%, keyed on md5(doc_id) so the sample is identical on
+    * any engine, partitioning, or cluster size. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("stratum",
+        when(col("quality") >= 0.5, lit("high")).otherwise(lit("low")))
+    d.filter(Sampling.stratifiedKeep(col("doc_id"), col("stratum"),
+        Seq("high" -> 0.75, "low" -> 0.25), defaultRate = 0.0))
+      .select(col("doc_id"), col("stratum"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Greedy sequence packing: documents laid end-to-end per source into
+    * 512-token training sequences, deterministic doc_id order. */
+  def seqPacking(s: SparkSession, dir: String): DataFrame =
+    Packing.greedyPack(t(s, dir, "documents"), col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")), budget = 512)
+      .orderBy(col("stream"), col("doc_id"))
+
+  /** Per-label embedding centroids as exact integer element sums. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidSums(t(s, dir, "embeddings"), col("label"),
+      col("embedding"))
+      .orderBy(col("label"), col("dim"))
 }

@@ -579,4 +579,69 @@ class OpsSpec extends AnyFunSuite {
     assert(declSh.join(aggSh.withColumnRenamed("sh", "sh2"), "doc_id")
       .filter(col("sh") =!= col("sh2")).count() == 0)
   }
+
+  test("decontamination: only docs sharing an n-gram with eval are flagged") {
+    import spark.implicits._
+    val eval_ = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "zz alpha beta gamma delta yy"),    // shares "alpha beta gamma delta"
+      (2L, "alpha beta gamma something else"), // shares none (3-gram only)
+      (3L, "tiny doc"),                        // < n tokens: no grams at all
+      (4L, "beta gamma delta epsilon")         // shares exactly 1
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.ngramOverlap(train, eval_, col("doc_id"),
+      col("text"), n = 4).orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (4L, 1L)))
+  }
+
+  test("deterministic sampling: partitioning-invariant, threshold exact") {
+    assert(Sampling.rateThreshold(0.75) == "c0000000")
+    assert(Sampling.rateThreshold(0.25) == "40000000")
+    assert(Sampling.rateThreshold(0.0) == "00000000")
+    assert(Sampling.rateThreshold(1.0) == "ffffffff")
+    val docs = Tables.load(spark, sf, "documents")
+    val a = docs.filter(Sampling.keep(col("doc_id"), 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = docs.repartition(7, col("source"))
+      .filter(Sampling.keep(col("doc_id"), 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty && a.size < docs.count())
+    // rate 0 keeps nothing, rate 1 keeps everything
+    assert(docs.filter(Sampling.keep(col("doc_id"), 0.0)).count() == 0)
+    assert(docs.filter(Sampling.keep(col("doc_id"), 1.0)).count() ==
+      docs.count())
+  }
+
+  test("greedy packing: budget boundaries, offsets, stream independence") {
+    import spark.implicits._
+    val docs = Seq(
+      // stream s1: 60+40 fill seq 0 exactly; 30 starts seq 1 at offset 0
+      (1L, "s1", 60L), (2L, "s1", 40L), (3L, "s1", 30L),
+      // oversized doc spans seqs; next doc lands mid-seq
+      (4L, "s2", 250L), (5L, "s2", 10L),
+      (6L, "s3", 5L)
+    ).toDF("doc_id", "stream", "n")
+    val got = Packing.greedyPack(docs, col("doc_id"), col("stream"),
+      col("n"), budget = 100)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 0L, 60L), (3L, 1L, 0L),
+      (4L, 0L, 0L), (5L, 2L, 50L), (6L, 0L, 0L)))
+  }
+
+  test("centroid sums: exact integer element sums per group") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Seq(1.0f, -0.5f), 0), (2L, Seq(0.25f, 0.5f), 0),
+      (3L, Seq(2.0f, 2.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidSums(embs, col("label"), col("embedding"))
+      .orderBy("label", "dim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // label 0 dim 0: 10000 + 2500; dim 1: -5000 + 5000
+    assert(got == Seq((0, 0L, 2L, 12500L), (0, 1L, 2L, 0L),
+      (1, 0L, 1L, 20000L), (1, 1L, 1L, 20000L)))
+  }
 }
