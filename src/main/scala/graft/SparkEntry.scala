@@ -62,7 +62,11 @@ object SparkEntry {
     "qd15_decontaminate" -> (PipelineQueries.decontaminate _),
     "qd16_det_sample" -> (PipelineQueries.stratifiedSample _),
     "qd17_seq_pack" -> (PipelineQueries.seqPacking _),
+    "qd18_unigram_nll" -> (PipelineQueries.unigramNll _),
+    "qd19_mix_rebalance" -> (PipelineQueries.mixRebalance _),
+    "qd20_chunk" -> (PipelineQueries.chunkDocs _),
     "qe06_label_centroids" -> (PipelineQueries.labelCentroids _),
+    "qe07_quantize_int8" -> (PipelineQueries.quantizeEmbeddings _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
     "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
     "qe03_ann_lsh" -> (PipelineQueries.annTopK _),
@@ -533,6 +537,64 @@ object SparkEntry {
              AS seq_id,
            CAST(tokens_before % 512 AS BIGINT) AS seq_offset
          FROM c ORDER BY stream, doc_id""",
+    // Unigram NLL quality signal: corpus token frequencies, per-token
+    // -ln(c/N) floored to 1e-4 longs BEFORE the per-doc sum (exact ints).
+    "qd18_unigram_nll" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS w
+           FROM documents),
+         c AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+         n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM c)
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CAST(floor(-ln(CAST(c.c AS DOUBLE)
+             / CAST(n.n_total AS DOUBLE)) * 10000.0) AS BIGINT)) AS BIGINT)
+             AS nll_sum_e4
+         FROM toks JOIN c USING (w) CROSS JOIN n
+         GROUP BY 1 ORDER BY 1""",
+    // Language-mix rebalance: keep-rate min(1, uniform-share/n_lang),
+    // deterministic md5 threshold with the rate's hex computed in-plan.
+    "qd19_mix_rebalance" ->
+      """WITH n AS (SELECT lang, count(*) AS n_docs FROM documents
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+           count(*) AS n_groups FROM n),
+         r AS (SELECT lang, least(1.0, (CAST(n_total AS DOUBLE)
+             / CAST(n_groups AS DOUBLE)) / CAST(n_docs AS DOUBLE)) AS rate0
+           FROM n CROSS JOIN tot)
+         SELECT d.doc_id, d.lang,
+           floor(r.rate0 * 10000.0) / 10000.0 AS rate
+         FROM documents d JOIN r USING (lang)
+         WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+           printf('%08x', CAST(least(floor(r.rate0 * 4294967296.0),
+             4294967295.0) AS BIGINT))
+         ORDER BY d.doc_id""",
+    // Overlapping 64-token chunks with 48-token stride; final partial
+    // window kept. Slicing clamps at the array end in both engines.
+    "qd20_chunk" ->
+      """WITH tk AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+         c AS (SELECT doc_id, unnest(range(0, len(toks), 48)) AS st, toks
+           FROM tk WHERE len(toks) > 0)
+         SELECT doc_id, CAST(st / 48 AS BIGINT) AS chunk_id,
+           CAST(len(toks[st+1:st+64]) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[st+1:st+64], ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_id""",
+    // Int8 scalar quantization: per-dim [min,max] -> 0..255 on 1e-4
+    // integer element values — exact integer math on both engines.
+    "qe07_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+             CAST(unnest(range(len(embedding))) AS BIGINT) AS dim
+           FROM embeddings),
+         i AS (SELECT vec_id, dim,
+             CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) AS x_e4
+           FROM e),
+         s AS (SELECT dim, min(x_e4) AS mn, max(x_e4) AS mx FROM i
+           GROUP BY 1)
+         SELECT vec_id, dim,
+           CAST(CASE WHEN mx = mn THEN 0 ELSE
+             least(floor(CAST((x_e4 - mn) * 255 AS DOUBLE)
+               / CAST(mx - mn AS DOUBLE)), 255.0) END AS BIGINT) AS q
+         FROM i JOIN s USING (dim) ORDER BY vec_id, dim""",
     // Per-label centroid element sums at 1e-4 integer resolution —
     // exact integer math on both engines (sum cast per the HUGEINT rule).
     "qe06_label_centroids" ->

@@ -24,6 +24,31 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Overlapping token-window chunking: split each document into
+    * `chunkSize`-token windows starting every `stride` tokens (stride <
+    * chunkSize ⇒ adjacent chunks overlap by chunkSize - stride tokens —
+    * the standard context-window prep for RAG / long-doc training).
+    * Purely narrow: tokens stay inside the row until one explode over
+    * the chunk starts, no shuffle anywhere, so a 100 TB corpus chunks in
+    * a single map stage. Token-less documents produce no chunks; a final
+    * partial window is kept (its `n_chunk_tokens` says how short it is). */
+  def chunkTokens(docs: DataFrame, id: Column, text: Column,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunk=$chunkSize")
+    docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("doc_id"), col("_toks"),
+        explode(sequence(lit(0), size(col("_toks")) - 1, lit(stride)))
+          .as("st"))
+      .select(col("doc_id"),
+        (col("st") / lit(stride)).cast("long").as("chunk_id"),
+        size(slice(col("_toks"), col("st") + 1, lit(chunkSize)))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("_toks"), col("st") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
   /** Sequence assignment per document: `seq_id` (0-based within the
     * stream) and `seq_offset` (token offset where the document starts in
     * its sequence). Documents longer than `budget` span sequences —

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling for training-data pipelines.
@@ -35,6 +35,33 @@ object Sampling {
   /** Keep-predicate for a deterministic uniform sample at `rate`. */
   def keep(key: Column, rate: Double): Column =
     hashHex(key) < lit(rateThreshold(rate))
+
+  /** Rebalance a skewed group mix toward UNIFORM: group g keeps at rate
+    * min(1, (N/|groups|)/n_g), so over-represented groups downsample to
+    * the uniform share and under-represented ones keep everything — the
+    * domain/language mix-balancing pass of a training-data pipeline.
+    * Rates are DATA-DEPENDENT, so the hex threshold is computed in-plan
+    * (`format_string("%08x", ...)` — no collect, no driver round-trip):
+    * group stats are one tiny aggregation, broadcast back, and the
+    * keep/drop test stays the same engine-portable md5 compare as
+    * [[keep]]. Returns the input rows that survive plus their group's
+    * `rate` (floored to 4 decimals). */
+  def mixBalancedSample(df: DataFrame, group: Column,
+      key: Column): DataFrame = {
+    val n = df.groupBy(group.as("_g")).agg(count(lit(1)).as("_n"))
+    val tot = n.agg(sum(col("_n")).as("_tot"), count(lit(1)).as("_k"))
+    val rates = n.crossJoin(broadcast(tot))
+      .select(col("_g"), least(lit(1.0),
+        (col("_tot").cast("double") / col("_k").cast("double")) /
+          col("_n").cast("double")).as("_rate0"))
+    val thr = format_string("%08x",
+      least(floor(col("_rate0") * lit(4294967296.0)), lit(4294967295.0))
+        .cast("long"))
+    df.join(broadcast(rates), group === col("_g"))
+      .filter(hashHex(key) < thr)
+      .withColumn("rate", Num.floor4(col("_rate0")))
+      .drop("_g", "_rate0")
+  }
 
   /** Keep-predicate for a STRATIFIED deterministic sample: each stratum
     * samples at its own rate (e.g. downsample low-quality documents,

@@ -163,6 +163,29 @@ object Similarity {
         sum(floor(col("x").cast("double") * lit(10000.0)).cast("long"))
           .as("sum_e4"))
 
+  /** Scalar int8 quantization of an embedding column: each dimension
+    * maps linearly from its corpus [min, max] onto 0..255 — the standard
+    * index-compression pass before ANN (4× smaller than float32, and
+    * distance kernels go integer). Elements are floored to 1e-4 longs
+    * first, so min/max and the quantized code are EXACT integer math —
+    * identical on any engine or partitioning. Two passes over the
+    * corpus: per-dim stats (one hash agg, at most `dim` rows out) and a
+    * broadcast join back — no corpus shuffle at all. A constant
+    * dimension (max == min) quantizes to 0. */
+  def quantizeInt8(embs: DataFrame, id: Column, vec: Column): DataFrame = {
+    val e = embs.select(id.as("vec_id"), posexplode(vec).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * lit(10000.0)).cast("long").as("x_e4"))
+    val stats = e.groupBy(col("dim"))
+      .agg(min(col("x_e4")).as("mn"), max(col("x_e4")).as("mx"))
+    e.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(floor(((col("x_e4") - col("mn")) * lit(255)).cast("double") /
+            (col("mx") - col("mn")).cast("double")), lit(255.0)).cast("long"))
+          .as("q"))
+  }
+
   /** Deterministically sample `nList` corpus vectors as IVF centroids:
     * the nList ids with the smallest hash — stable across runs and
     * partitionings, no RNG. One small collect (nList × dim doubles). */

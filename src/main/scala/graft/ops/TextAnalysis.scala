@@ -202,6 +202,31 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Unigram negative-log-likelihood: the perplexity-proxy quality
+    * signal — rare-token-heavy (gibberish, boilerplate-free) documents
+    * score high, stopword soup scores low. Two passes: (1) corpus
+    * unigram counts — one hash aggregation on the token, map-side
+    * combined; (2) per-token -ln(c/N) joined back and summed per doc.
+    * The vocabulary side of the join is millions of rows at worst (heaps
+    * smaller than the corpus) — Catalyst/AQE broadcasts it when it fits
+    * and falls back to sort-merge when it doesn't, so no hint is pinned.
+    * Each term floors to 1e-4 units (long) BEFORE the per-doc sum, so
+    * the result is exact integer math — independent of partitioning and
+    * engine (the float-sum discipline every oracle query here follows).
+    * Docs with zero tokens have no likelihood and are omitted. */
+  def unigramNll(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), explode(tokens(text)).as("w"))
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totalDf = counts.agg(sum(col("c")).as("n_total"))
+    toks.join(counts, "w")
+      .crossJoin(broadcast(totalDf))
+      .select(col("doc_id"),
+        floor(-log(col("c").cast("double") / col("n_total").cast("double"))
+          * lit(10000.0)).cast("long").as("t_e4"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("t_e4")).as("nll_sum_e4"))
+  }
+
   /** Per-document stats frame: the §2-style profile of a text column. */
   def textStats(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.select(

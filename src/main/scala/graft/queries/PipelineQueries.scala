@@ -273,4 +273,30 @@ object PipelineQueries {
     Similarity.centroidSums(t(s, dir, "embeddings"), col("label"),
       col("embedding"))
       .orderBy(col("label"), col("dim"))
+
+  /** Unigram NLL (perplexity-proxy) quality signal per document. */
+  def unigramNll(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramNll(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+      .orderBy(col("doc_id"))
+
+  /** Int8 scalar quantization of the embedding corpus (per-dim linear). */
+  def quantizeEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"))
+      .orderBy(col("vec_id"), col("dim"))
+
+  /** Language-mix rebalancing: downsample over-represented languages to
+    * the uniform share, deterministically (md5-threshold on doc_id). */
+  def mixRebalance(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixBalancedSample(t(s, dir, "documents"), col("lang"),
+      col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("rate"))
+      .orderBy(col("doc_id"))
+
+  /** Overlapping 64-token chunks every 48 tokens (16-token overlap). */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
+      chunkSize = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
 }

@@ -630,6 +630,76 @@ class OpsSpec extends AnyFunSuite {
       (4L, 0L, 0L), (5L, 2L, 50L), (6L, 0L, 0L)))
   }
 
+  test("unigram NLL: exact term-floored sums on known counts") {
+    import spark.implicits._
+    // corpus counts: a=2, b=2, c=1, N=5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramNll(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val t25 = math.floor(-math.log(2.0 / 5.0) * 10000.0).toLong // 9162
+    val t15 = math.floor(-math.log(1.0 / 5.0) * 10000.0).toLong // 16094
+    assert(got == Seq((1L, 3L, 3 * t25), (2L, 2L, t25 + t15)))
+  }
+
+  test("int8 quantization: per-dim linear map, constant dim -> 0") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 1.0f)), (3L, Seq(0.5f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(embs, col("vec_id"), col("embedding"))
+      .orderBy("vec_id", "dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // dim0 range [0,10000]: 0 -> 0, 10000 -> 255, 5000 -> floor(127.5)=127
+    // dim1 constant -> 0
+    assert(got == Seq((1L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 255L),
+      (2L, 1L, 0L), (3L, 0L, 127L), (3L, 1L, 0L)))
+  }
+
+  test("decontamination plan broadcasts the eval gram set") {
+    val d = Tables.load(spark, sf, "documents")
+    val plan = Decontaminate.ngramOverlap(
+      d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+      col("doc_id"), col("text"), n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast-hash join for the eval side, got:\n$plan")
+  }
+
+  test("mix rebalance: under-represented groups keep everything") {
+    import spark.implicits._
+    val docs = ((1L to 8L).map(i => (i, "A")) ++ Seq((9L, "B"), (10L, "B")))
+      .toDF("doc_id", "grp")
+    val got = Sampling.mixBalancedSample(docs, col("grp"), col("doc_id"))
+      .select("doc_id", "grp", "rate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // rate_B = min(1, (10/2)/2) = 1.0 -> both B docs survive
+    assert(got.filter(_._2 == "B").map(_._1).sorted.toSeq == Seq(9L, 10L))
+    assert(got.filter(_._2 == "B").forall(_._3 == 1.0))
+    // rate_A = min(1, 5/8) = 0.625, floored to 4 decimals; md5 of "1".."8"
+    // puts exactly ids 6 and 7 under the a0000000 threshold
+    assert(got.filter(_._2 == "A").forall(_._3 == 0.625))
+    assert(got.filter(_._2 == "A").map(_._1).sorted.toSeq == Seq(6L, 7L))
+  }
+
+  test("token chunking: overlap, final partial window, empty docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, ""),
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = Packing.chunkTokens(docs, col("doc_id"), col("text"),
+      chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"), (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"), (1L, 3L, 1L, "t10"),
+      (3L, 0L, 3L, "a b c")))
+  }
+
   test("centroid sums: exact integer element sums per group") {
     import spark.implicits._
     val embs = Seq(
