@@ -76,6 +76,8 @@ object SparkEntry {
     "qv02_sessionize" -> (PipelineQueries.sessionize _),
     "qv03_session_stats" -> (PipelineQueries.sessionStats _),
     "qv04_salted_totals" -> (PipelineQueries.saltedUserTotals _),
+    "qv05_rolling" -> (PipelineQueries.rollingStats _),
+    "qv06_asof_join" -> (PipelineQueries.asofPurchaseClick _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -694,5 +696,31 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n,
          CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS total_cents
          FROM events GROUP BY 1 ORDER BY 1""",
+    // Per-user lag / gap / 3-event moving sum — integer cents + micros.
+    "qv05_rolling" ->
+      """WITH e AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us,
+           CAST(floor(value * 100.0) AS BIGINT) AS cents FROM events)
+         SELECT event_id, user_id, ts_us, cents,
+           lag(cents) OVER w AS prev_cents,
+           ts_us - lag(ts_us) OVER w AS gap_us,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS roll3_cents
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY event_id""",
+    // As-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    // composed union+window merge implementation (ops/AsOf).
+    "qv06_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, epoch_us(ts) AS click_ts_us,
+           CAST(floor(value * 100.0) AS BIGINT) AS click_cents
+           FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, p.ts_us, c.click_ts_us,
+           c.click_cents
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
   )
 }

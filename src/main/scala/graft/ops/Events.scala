@@ -43,6 +43,25 @@ object Events {
       .select(col("event_id"), col("user_id"), col("session_id"))
   }
 
+  /** Per-user rolling analytics: previous-event cents, inter-event gap
+    * in microseconds, and a 3-event rolling cents sum — the lag /
+    * moving-window shapes, all integer math (cents + integer micros) so
+    * results are engine-exact. One shuffle on user_id feeds every
+    * window. */
+  def rollingStats(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("ts div 1000").as("ts_us"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+      .withColumn("prev_cents", lag(col("cents"), 1).over(byUser))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+      .withColumn("roll3_cents",
+        sum(col("cents")).over(byUser.rowsBetween(-2, 0)))
+      .drop("ts")
+  }
+
   /** Per-session summary built on sessionize — session span + volume. */
   def sessionStats(events: DataFrame, gapSeconds: Long): DataFrame = {
     val sess = sessionize(events, gapSeconds)

@@ -299,4 +299,29 @@ object PipelineQueries {
     Packing.chunkTokens(t(s, dir, "documents"), col("doc_id"), col("text"),
       chunkSize = 64, stride = 48)
       .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Per-user rolling window analytics (lag, gap, 3-event moving sum). */
+  def rollingStats(s: SparkSession, dir: String): DataFrame =
+    Events.rollingStats(Tables.loadEvents(s, dir))
+      .orderBy(col("event_id"))
+
+  /** As-of join: every purchase annotated with the user's latest click
+    * at-or-before it (null when none) — the composed merge-shape as-of. */
+  def asofPurchaseClick(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("ts div 1000").as("ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        expr("ts div 1000").as("click_ts_us"),
+        floor(col("value") * lit(100.0)).cast("long").as("click_cents"))
+    graft.ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+      payload = Seq("click_ts_us", "click_cents"),
+      tieBreak = Seq("click_ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_click_ts_us").as("click_ts_us"),
+        col("asof_click_cents").as("click_cents"))
+      .orderBy(col("event_id"))
+  }
 }

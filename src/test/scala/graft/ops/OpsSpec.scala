@@ -700,6 +700,20 @@ class OpsSpec extends AnyFunSuite {
       (3L, 0L, 3L, "a b c")))
   }
 
+  test("as-of join: latest right at-or-before, equal ts visible, none -> null") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 20L, 50L))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq((10L, 100L, 7L), (10L, 200L, 8L), (20L, 60L, 9L))
+      .toDF("user_id", "ts", "p")
+    val got = AsOf.asofJoin(l, r, "user_id", "ts", Seq("p"))
+      .orderBy("event_id").collect()
+      .map(x => (x.getLong(0), Option(x.get(x.fieldIndex("asof_p")))))
+    // e1: right row at exactly ts=100 is visible; e2: latest of {100,200};
+    // e3: the only right row for user 20 is later -> null
+    assert(got.toSeq == Seq((1L, Some(7L)), (2L, Some(8L)), (3L, None)))
+  }
+
   test("centroid sums: exact integer element sums per group") {
     import spark.implicits._
     val embs = Seq(
