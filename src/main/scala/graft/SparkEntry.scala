@@ -78,6 +78,8 @@ object SparkEntry {
     "qv04_salted_totals" -> (PipelineQueries.saltedUserTotals _),
     "qv05_rolling" -> (PipelineQueries.rollingStats _),
     "qv06_asof_join" -> (PipelineQueries.asofPurchaseClick _),
+    "qv07_group_median" -> (PipelineQueries.medianByType _),
+    "qv08_json_props" -> (PipelineQueries.jsonPropsStats _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -709,6 +711,30 @@ object SparkEntry {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY event_id""",
+    // Exact lower median per type: the ((n+1) div 2)-th order statistic,
+    // selected inside the group partition — no global sort.
+    "qv07_group_median" ->
+      """WITH e AS (SELECT event_type,
+           CAST(floor(value * 100.0) AS BIGINT) AS cents, event_id
+           FROM events),
+         r AS (SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type
+             ORDER BY cents, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+           FROM e)
+         SELECT event_type, n AS n_events, cents AS median_cents
+         FROM r WHERE rn = (n + 1) // 2
+         ORDER BY event_type""",
+    // Semi-structured JSON extraction over the props column.
+    "qv08_json_props" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS sum_k,
+         CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS min_k,
+         CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
     // As-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
     // composed union+window merge implementation (ops/AsOf).
     "qv06_asof_join" ->

@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-statistic aggregations that avoid a global sort.
+  *
+  * The classic way to get an exact median is ORDER BY + pick the middle —
+  * a single-partition sort at scale. Here each group's rows get a
+  * row_number within ONE (group)-keyed shuffle and the (n+1)/2-th row is
+  * filtered out, so the heavy data never leaves its group partition and
+  * no stage sees more than one group's rows sorted together. Works for
+  * any quantile; exact, not sketched (use approx_percentile when a
+  * t-digest error is acceptable — this is the exact path).
+  */
+object Stats {
+
+  /** Exact LOWER median of `value` per `group`: the ((n+1) div 2)-th
+    * smallest value, ties broken deterministically by `tie` so the
+    * selected row (and therefore the result) is stable across engines
+    * and partitionings. Returns (grp, n, median_v). */
+  def groupMedian(df: DataFrame, group: Column, value: Column,
+      tie: Column): DataFrame = {
+    val base = df.select(group.as("grp"), value.as("v"), tie.as("t"))
+    val ordered = Window.partitionBy(col("grp")).orderBy(col("v"), col("t"))
+    val whole = Window.partitionBy(col("grp"))
+    base
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("n", count(lit(1)).over(whole))
+      .filter(col("rn") === floor((col("n") + 1) / 2))
+      .select(col("grp"), col("n"), col("v").as("median_v"))
+  }
+}

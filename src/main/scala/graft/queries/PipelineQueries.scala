@@ -324,4 +324,25 @@ object PipelineQueries {
         col("asof_click_cents").as("click_cents"))
       .orderBy(col("event_id"))
   }
+
+  /** Exact per-type lower-median event value (order statistic, no global
+    * sort). */
+  def medianByType(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.groupMedian(Tables.loadEvents(s, dir),
+      col("event_type"), floor(col("value") * lit(100.0)).cast("long"),
+      col("event_id"))
+      .select(col("grp").as("event_type"), col("n").as("n_events"),
+        col("median_v").as("median_cents"))
+      .orderBy(col("event_type"))
+
+  /** Semi-structured extraction: per-type stats over the JSON `props.k`
+    * field — one narrow codegen'd get_json_object, one aggregation. */
+  def jsonPropsStats(s: SparkSession, dir: String): DataFrame =
+    Tables.loadEvents(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
 }
