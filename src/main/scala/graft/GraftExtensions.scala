@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MinHashAgg, ShingleWinnow, SimHashAgg}
 
 /** Session extension injecting the library's native expressions into the
   * SQL function registry, so `spark.sql("SELECT vec_dot(a, b) ...")`
@@ -18,17 +18,64 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.minhashDescriptor)
+    ext.injectFunction(GraftExtensions.simhashDescriptor)
+    ext.injectFunction(GraftExtensions.winnowDescriptor)
   }
 }
 
 object GraftExtensions {
+
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  /** Constant-fold an argument to an Int (SQL passes sizes as literal
+    * expressions). */
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other =>
+        throw new IllegalArgumentException(s"$what must be an integer, " +
+          s"got $other")
+    }
+  }
+
   /** (name, info, builder) triple for the vec_dot scalar function. */
-  val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression) = (
+  val vecDotDescriptor: Descriptor = (
     FunctionIdentifier("vec_dot"),
     new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
     { args: Seq[Expression] =>
       require(args.length == 2, "vec_dot requires exactly 2 arguments")
       DotProduct(args.head, args(1))
+    })
+
+  /** `minhash_agg(token, numHashes)` — the signature-buffer aggregate. */
+  val minhashDescriptor: Descriptor = (
+    FunctionIdentifier("minhash_agg"),
+    new ExpressionInfo(classOf[MinHashAgg].getName, "minhash_agg"),
+    { args: Seq[Expression] =>
+      require(args.length == 2,
+        "minhash_agg requires (token, numHashes) arguments")
+      MinHashAgg(args.head, litInt(args(1), "numHashes"))
+    })
+
+  /** `simhash_agg(token)` — the 64-bit sign-vote aggregate. */
+  val simhashDescriptor: Descriptor = (
+    FunctionIdentifier("simhash_agg"),
+    new ExpressionInfo(classOf[SimHashAgg].getName, "simhash_agg"),
+    { args: Seq[Expression] =>
+      require(args.length == 1, "simhash_agg requires (token) argument")
+      SimHashAgg(args.head)
+    })
+
+  /** `shingle_winnow(tokens, k, w)` — the winnowing fingerprint array. */
+  val winnowDescriptor: Descriptor = (
+    FunctionIdentifier("shingle_winnow"),
+    new ExpressionInfo(classOf[ShingleWinnow].getName, "shingle_winnow"),
+    { args: Seq[Expression] =>
+      require(args.length == 3,
+        "shingle_winnow requires (tokens, k, w) arguments")
+      ShingleWinnow(args.head, litInt(args(1), "k"), litInt(args(2), "w"))
     })
 }

@@ -65,6 +65,7 @@ object SparkEntry {
     "qd18_unigram_nll" -> (PipelineQueries.unigramNll _),
     "qd19_mix_rebalance" -> (PipelineQueries.mixRebalance _),
     "qd20_chunk" -> (PipelineQueries.chunkDocs _),
+    "qd21_cube_profile" -> (PipelineQueries.cubeProfile _),
     "qe06_label_centroids" -> (PipelineQueries.labelCentroids _),
     "qe07_quantize_int8" -> (PipelineQueries.quantizeEmbeddings _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
@@ -541,6 +542,14 @@ object SparkEntry {
              AS seq_id,
            CAST(tokens_before % 512 AS BIGINT) AS seq_offset
          FROM c ORDER BY stream, doc_id""",
+    // (lang x source) CUBE corpus dashboard; NULL grouping labels -> ALL.
+    "qd21_cube_profile" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+         coalesce(source, 'ALL') AS source,
+         count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT)
+           AS sum_tokens
+         FROM documents GROUP BY CUBE (lang, source) ORDER BY 1, 2""",
     // Unigram NLL quality signal: corpus token frequencies, per-token
     // -ln(c/N) floored to 1e-4 longs BEFORE the per-doc sum (exact ints).
     "qd18_unigram_nll" ->

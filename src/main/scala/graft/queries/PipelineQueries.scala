@@ -335,6 +335,20 @@ object PipelineQueries {
         col("median_v").as("median_cents"))
       .orderBy(col("event_type"))
 
+  /** Corpus dashboard: (lang × source) CUBE of doc counts and token
+    * sums — all four grouping-set levels in one pass (partial agg per
+    * set, one shuffle). NULL grouping labels render as 'ALL' so the
+    * result is unambiguous (fixture columns are never null). */
+  def cubeProfile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("sum_tokens"))
+      .orderBy(col("lang"), col("source"))
+
   /** Semi-structured extraction: per-type stats over the JSON `props.k`
     * field — one narrow codegen'd get_json_object, one aggregation. */
   def jsonPropsStats(s: SparkSession, dir: String): DataFrame =

@@ -58,6 +58,31 @@ object StreamingIngest {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Stream-stream event-time INTERVAL join: attribute each purchase to
+    * every click by the same user within the preceding `horizonSeconds`.
+    * Both sides carry watermarks and the join condition bounds c_ts to
+    * [p_ts - horizon, p_ts], so Spark can expire join state as the
+    * watermark advances — state stays proportional to the horizon, not
+    * the stream history; without the time bounds a stream-stream join
+    * must buffer both sides forever. `ts` must be TimestampType on both
+    * inputs. */
+  def attributeStream(purchases: DataFrame, clicks: DataFrame,
+      horizonSeconds: Long, watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") -
+          expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Drain-everything-then-stop runner (Watcher semantics): processes
     * all files currently in the source, exactly once, then returns. */
   def drainToMemory(df: DataFrame, queryName: String,

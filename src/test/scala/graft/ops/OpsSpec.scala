@@ -56,6 +56,31 @@ class OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == 100)
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    val events = Tables.loadEvents(spark, sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = java.nio.file.Files.createTempDirectory("ssjoin").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = StreamingIngest.watchParquetDir(spark, s"$dir/in",
+      events.schema)
+    val joined = StreamingIngest.attributeStream(
+      stream.filter(col("event_type") === "purchase"),
+      stream.filter(col("event_type") === "click"),
+      horizonSeconds = 3600)
+    StreamingIngest.drainToMemory(joined, "attr_out")
+    val got = spark.table("attr_out").count()
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val batch = p.join(c,
+      col("user_id") === col("c_user") && col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 3600 SECONDS")).count()
+    assert(got == batch && got > 0)
+  }
+
   test("stateful streaming sessionization closes sessions on gap") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -194,6 +219,39 @@ class OpsSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head().getDouble(0)
     assert(viaSql == 11.0)
+  }
+
+  test("signature aggregates and winnow are SQL-registered via extensions") {
+    Seq(graft.GraftExtensions.minhashDescriptor,
+      graft.GraftExtensions.simhashDescriptor,
+      graft.GraftExtensions.winnowDescriptor)
+      .foreach(d =>
+        spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3))
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    docs.createOrReplaceTempView("docs_sqlreg")
+    val viaSql = spark.sql(
+      """WITH t AS (SELECT doc_id, explode(array_distinct(
+           regexp_extract_all(lower(text), '\\S+', 0))) AS w
+           FROM docs_sqlreg)
+         SELECT doc_id, minhash_agg(w, 8) AS sig, simhash_agg(w) AS sh
+         FROM t GROUP BY doc_id""")
+    val api = Dedup.minhashSignatures(docs, col("doc_id"), col("text"), 8)
+      .join(Dedup.simhashSignatures(docs, col("doc_id"), col("text")),
+        "doc_id")
+    assert(viaSql.as("a")
+      .join(api.as("b"), col("a.doc_id") === col("b.doc_id"))
+      .filter(col("a.sig") =!= col("b.sig") || col("a.sh") =!= col("b.sh"))
+      .count() == 0)
+    val winSql = spark.sql(
+      """SELECT doc_id, shingle_winnow(
+           regexp_extract_all(lower(text), '\\S+', 0), 5, 4) AS fps
+         FROM docs_sqlreg""")
+    val winApi = docs.select(col("doc_id"),
+      graft.functions.ShingleWinnow.winnow(
+        TextAnalysis.tokens(col("text")), 5, 4).as("fps"))
+    assert(winSql.as("a")
+      .join(winApi.as("b"), col("a.doc_id") === col("b.doc_id"))
+      .filter(col("a.fps") =!= col("b.fps")).count() == 0)
   }
 
   test("IVF with all cells probed equals brute-force top-k") {
@@ -712,6 +770,32 @@ class OpsSpec extends AnyFunSuite {
     // e1: right row at exactly ts=100 is visible; e2: latest of {100,200};
     // e3: the only right row for user 20 is later -> null
     assert(got.toSeq == Seq((1L, Some(7L)), (2L, Some(8L)), (3L, None)))
+  }
+
+  test("pipeline ops are total on empty input (no throw, empty result)") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noEmb = Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(Packing.chunkTokens(noDocs, col("doc_id"), col("text"),
+      64, 48).count() == 0)
+    assert(Packing.greedyPack(noDocs.withColumn("src", lit("s")),
+      col("doc_id"), col("src"), lit(1L), 512).count() == 0)
+    assert(TextAnalysis.unigramNll(noDocs, col("doc_id"),
+      col("text")).count() == 0)
+    assert(Decontaminate.ngramOverlap(noDocs, noDocs, col("doc_id"),
+      col("text"), 4).count() == 0)
+    assert(Similarity.quantizeInt8(noEmb, col("vec_id"),
+      col("embedding")).count() == 0)
+    assert(Similarity.centroidSums(noEmb, col("label"),
+      col("embedding")).count() == 0)
+    assert(Sampling.mixBalancedSample(noDocs.withColumn("g", lit("x")),
+      col("g"), col("doc_id")).count() == 0)
+    assert(Stats.groupMedian(noDocs, col("text"), col("doc_id"),
+      col("doc_id")).count() == 0)
+    assert(AsOf.asofJoin(noDocs.withColumn("ts", lit(0L)),
+      noDocs.withColumn("ts", lit(0L)).withColumn("p", lit(0L)),
+      "doc_id", "ts", Seq("p")).count() == 0)
   }
 
   test("centroid sums: exact integer element sums per group") {
