@@ -66,6 +66,7 @@ object SparkEntry {
     "qd19_mix_rebalance" -> (PipelineQueries.mixRebalance _),
     "qd20_chunk" -> (PipelineQueries.chunkDocs _),
     "qd21_cube_profile" -> (PipelineQueries.cubeProfile _),
+    "qd22_char_pairs" -> (PipelineQueries.charPairs _),
     "qe06_label_centroids" -> (PipelineQueries.labelCentroids _),
     "qe07_quantize_int8" -> (PipelineQueries.quantizeEmbeddings _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
@@ -81,6 +82,8 @@ object SparkEntry {
     "qv06_asof_join" -> (PipelineQueries.asofPurchaseClick _),
     "qv07_group_median" -> (PipelineQueries.medianByType _),
     "qv08_json_props" -> (PipelineQueries.jsonPropsStats _),
+    "qv09_funnel" -> (PipelineQueries.funnelStages _),
+    "qv10_retention" -> (PipelineQueries.retention _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -550,6 +553,16 @@ object SparkEntry {
          CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT)
            AS sum_tokens
          FROM documents GROUP BY CUBE (lang, source) ORDER BY 1, 2""",
+    // Corpus-wide adjacent char-pair counts (BPE merge candidates).
+    "qd22_char_pairs" ->
+      """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),
+           '\S+')) AS w FROM documents),
+         pairs AS (SELECT unnest([w[i:i+1] FOR i IN range(1, length(w))])
+           AS pair FROM toks WHERE length(w) >= 2),
+         c AS (SELECT pair, count(*) AS n FROM pairs GROUP BY 1)
+         SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair)
+           AS BIGINT) AS rank
+         FROM c ORDER BY rank LIMIT 50""",
     // Unigram NLL quality signal: corpus token frequencies, per-token
     // -ln(c/N) floored to 1e-4 longs BEFORE the per-doc sum (exact ints).
     "qd18_unigram_nll" ->
@@ -744,6 +757,34 @@ object SparkEntry {
          CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
            AS BIGINT) AS max_k
          FROM events GROUP BY 1 ORDER BY 1""",
+    // Ordered conversion funnel: first signup, first click at-or-after,
+    // first purchase at-or-after that click; stage = depth reached.
+    "qv09_funnel" ->
+      """WITH s AS (SELECT user_id, epoch_us(min(ts)) AS s_us FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         c AS (SELECT e.user_id, epoch_us(min(e.ts)) AS c_us
+           FROM events e JOIN s ON e.user_id = s.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s.s_us
+           GROUP BY 1),
+         p AS (SELECT e.user_id, epoch_us(min(e.ts)) AS p_us
+           FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us
+           GROUP BY 1)
+         SELECT s.user_id, s.s_us, c.c_us, p.p_us,
+           CASE WHEN p.p_us IS NOT NULL THEN 3
+                WHEN c.c_us IS NOT NULL THEN 2 ELSE 1 END AS stage
+         FROM s LEFT JOIN c ON s.user_id = c.user_id
+                LEFT JOIN p ON s.user_id = p.user_id
+         ORDER BY s.user_id""",
+    // Weekly retention cohorts: first-active week x week offset.
+    "qv10_retention" ->
+      """WITH d AS (SELECT user_id,
+           epoch_us(ts) // (86400000000 * 7) AS week_ FROM events),
+         f AS (SELECT user_id, min(week_) AS cohort_week FROM d GROUP BY 1)
+         SELECT f.cohort_week, d.week_ - f.cohort_week AS week_offset,
+           count(DISTINCT d.user_id) AS n_users
+         FROM d JOIN f ON d.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // As-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
     // composed union+window merge implementation (ops/AsOf).
     "qv06_asof_join" ->

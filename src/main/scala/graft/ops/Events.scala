@@ -62,6 +62,47 @@ object Events {
       .drop("ts")
   }
 
+  /** Ordered conversion funnel signup → click → purchase: per user, the
+    * first signup, the first click AT OR AFTER it, and the first
+    * purchase at or after that click; `stage` is how far the user got.
+    * Three aggregations + joins, all keyed on user_id — one partitioning
+    * serves every step (Spark reuses the hash exchange), nothing global.
+    * Timestamps compare in integer microseconds. */
+  def funnel(events: DataFrame): DataFrame = {
+    val us = expr("ts div 1000")
+    val s = events.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(us).as("s_us"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("user_id"), us.as("_us"))
+      .join(s, "user_id")
+      .filter(col("_us") >= col("s_us"))
+      .groupBy(col("user_id")).agg(min(col("_us")).as("c_us"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), us.as("_us"))
+      .join(c, "user_id")
+      .filter(col("_us") >= col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("_us")).as("p_us"))
+    s.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("s_us"), col("c_us"), col("p_us"),
+        when(col("p_us").isNotNull, lit(3))
+          .when(col("c_us").isNotNull, lit(2))
+          .otherwise(lit(1)).as("stage"))
+  }
+
+  /** Weekly retention cohorts: each user's cohort is their first active
+    * week; the matrix counts distinct users per (cohort, offset). Two
+    * aggregations on user_id + one on the (tiny) cohort matrix. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val week = expr("(ts div 1000) div 604800000000").as("week_")
+    val d = events.select(col("user_id"), week)
+    val f = d.groupBy(col("user_id")).agg(min(col("week_")).as("cohort_week"))
+    d.join(f, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week_") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Per-session summary built on sessionize — session span + volume. */
   def sessionStats(events: DataFrame, gapSeconds: Long): DataFrame = {
     val sess = sessionize(events, gapSeconds)

@@ -227,6 +227,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"), sum(col("t_e4")).as("nll_sum_e4"))
   }
 
+  /** Corpus-wide adjacent character-pair frequencies — the candidate
+    * table for the first BPE merge (tokenizer training's inner loop).
+    * Pairs stay inside the row (one `transform` over the token's char
+    * positions) until a single explode feeds ONE hash aggregation —
+    * map-side combined, so each partition emits at most |alphabet|²
+    * rows no matter how many tokens it read. The top-k rank runs over
+    * the already-aggregated pair table (≤ |alphabet|² rows — dim-sized
+    * by construction) after a distributed orderBy().limit(). */
+  def charPairCounts(docs: DataFrame, text: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(explode(tokens(text)).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+    val counts = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+    // rank over the k-row result only (post-limit, driver-sized)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("pair")))
+        .cast("long"))
+  }
+
   /** Per-document stats frame: the §2-style profile of a text column. */
   def textStats(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.select(

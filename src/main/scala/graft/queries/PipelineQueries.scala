@@ -349,6 +349,21 @@ object PipelineQueries {
         col("n_docs"), col("sum_tokens"))
       .orderBy(col("lang"), col("source"))
 
+  /** Top-50 adjacent char pairs (the first BPE merge candidates). */
+  def charPairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charPairCounts(t(s, dir, "documents"), col("text"), k = 50)
+      .orderBy(col("rank"))
+
+  /** signup → click → purchase funnel stages per user. */
+  def funnelStages(s: SparkSession, dir: String): DataFrame =
+    Events.funnel(Tables.loadEvents(s, dir))
+      .orderBy(col("user_id"))
+
+  /** Weekly retention cohort matrix. */
+  def retention(s: SparkSession, dir: String): DataFrame =
+    Events.retentionCohorts(Tables.loadEvents(s, dir))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
   /** Semi-structured extraction: per-type stats over the JSON `props.k`
     * field — one narrow codegen'd get_json_object, one aggregation. */
   def jsonPropsStats(s: SparkSession, dir: String): DataFrame =

@@ -772,6 +772,52 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, Some(7L)), (2L, Some(8L)), (3L, None)))
   }
 
+  test("bucketed tables co-locate the join: no exchange in the plan") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val embs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label"))
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_docs")
+    spark.sql("DROP TABLE IF EXISTS graft_bucket_embs")
+    graft.sources.Bucketing.writeBucketed(docs, "graft_bucket_docs",
+      "doc_id", 4)
+    graft.sources.Bucketing.writeBucketed(embs, "graft_bucket_embs",
+      "doc_id", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bucket_docs")
+        .join(spark.table("graft_bucket_embs"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected exchange-free bucketed join, got:\n$plan")
+      assert(joined.count() == docs.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_docs")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_embs")
+    }
+  }
+
+  test("funnel: ordering matters — pre-signup clicks don't count") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: full ordered funnel -> stage 3
+      (1L, 10000000000L, 1L, "signup"), (2L, 20000000000L, 1L, "click"),
+      (3L, 30000000000L, 1L, "purchase"),
+      // user 2: click BEFORE signup only -> stage 1
+      (4L, 5000000000L, 2L, "click"), (5L, 10000000000L, 2L, "signup"),
+      // user 3: purchase before the first post-signup click -> stage 2
+      (6L, 10000000000L, 3L, "signup"), (7L, 20000000000L, 3L, "click"),
+      (8L, 15000000000L, 3L, "purchase"),
+      // user 4: never signed up -> absent from the funnel
+      (9L, 10000000000L, 4L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Events.funnel(ev).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(4))).toSeq
+    assert(got == Seq((1L, 3), (2L, 1), (3L, 2)))
+  }
+
   test("pipeline ops are total on empty input (no throw, empty result)") {
     import spark.implicits._
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
