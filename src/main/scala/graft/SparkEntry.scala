@@ -67,6 +67,7 @@ object SparkEntry {
     "qd20_chunk" -> (PipelineQueries.chunkDocs _),
     "qd21_cube_profile" -> (PipelineQueries.cubeProfile _),
     "qd22_char_pairs" -> (PipelineQueries.charPairs _),
+    "qd23_shared_passages" -> (PipelineQueries.sharedPassages _),
     "qe06_label_centroids" -> (PipelineQueries.labelCentroids _),
     "qe07_quantize_int8" -> (PipelineQueries.quantizeEmbeddings _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
@@ -563,6 +564,25 @@ object SparkEntry {
          SELECT pair, n, CAST(row_number() OVER (ORDER BY n DESC, pair)
            AS BIGINT) AS rank
          FROM c ORDER BY rank LIMIT 50""",
+    // Shared 6-token passages; the df<=50 cap is part of the contract
+    // and mirrored here, so the compare is exact.
+    "qd23_shared_passages" ->
+      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text),
+           '\S+') AS toks FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+5], ' ')
+               FOR i IN range(1, len(toks) - 4)])) AS gram
+           FROM tk WHERE len(toks) >= 6),
+         df_ AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+         kept AS (SELECT g.doc_id, g.gram FROM g JOIN df_ USING (gram)
+           WHERE df <= 50),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_shared
+           FROM kept a JOIN kept b
+             ON a.gram = b.gram AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
+         ORDER BY doc_a, doc_b""",
     // Unigram NLL quality signal: corpus token frequencies, per-token
     // -ln(c/N) floored to 1e-4 longs BEFORE the per-doc sum (exact ints).
     "qd18_unigram_nll" ->

@@ -193,6 +193,33 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-document shared-passage detection: pairs of documents sharing
+    * at least `minShared` distinct n-token grams — the passage-level
+    * near-dup signal (quote/boilerplate reuse) that token-set Jaccard
+    * washes out. The inverted index drops grams occurring in more than
+    * `maxDocFreq` documents BEFORE the self-join; unlike
+    * [[ngramJaccardPairs]] (where the cap is a recall trade-off), here
+    * the cap is part of the CONTRACT — a "passage" present in half the
+    * corpus is boilerplate, not shared authorship — so an external
+    * engine reproduces results exactly by mirroring the cap. Plan: one
+    * shuffle on the gram (df window + self-join reuse it), one on the
+    * pair for the count. */
+  def sharedPassages(docs: DataFrame, id: Column, text: Column, n: Int,
+      maxDocFreq: Int, minShared: Int): DataFrame = {
+    val grams = docs.select(id.as("doc_id"),
+      explode(Decontaminate.ngrams(text, n)).as("gram"))
+    val kept = grams
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("_df") <= maxDocFreq)
+      .drop("_df")
+    kept.as("a").hint("shuffle_hash")
+      .join(kept.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Resolve near-dup PAIRS into duplicate CLUSTERS (connected
     * components): every document in a component gets the component's
     * minimum doc id as its cluster label, so "keep one per cluster"

@@ -186,6 +186,56 @@ object Similarity {
           .as("q"))
   }
 
+  /** Two-stage retrieval over int8 codes (asymmetric-distance rerank,
+    * the ADC pattern): the corpus is stored as per-dim int8 codes (4×
+    * smaller than float32 — at scale the stored index is the code bytes
+    * plus a per-dim (min, max) dictionary); stage 1 scores the DECODED
+    * code value (a per-dim affine reconstruction — raw offset codes are
+    * NOT monotonic in cosine because each dim has its own offset/scale)
+    * against the EXACT query vector and keeps `rerank` candidates via a
+    * distributed TakeOrderedAndProject; stage 2 re-scores only those
+    * candidates with exact float cosine and ranks the final k. The
+    * candidate id set is tiny and broadcast, so the exact pass is a
+    * broadcast semi-join — no corpus shuffle in either stage. Recall is
+    * hurt only when quantization error pushes a true top-k member out
+    * of the top-`rerank` approximate set; rerank/k of ~5-10× is the
+    * standard safety margin. */
+  def quantizedTopK(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, k: Int, rerank: Int): DataFrame = {
+    val qvName = query.columns.head
+    if (query.select(col(qvName)).head(1).isEmpty)
+      return emptyTopK(corpus, id)
+    val normed = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"))
+    val e = normed
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("x") * lit(10000.0)).cast("long").as("x_e4"))
+    val stats = e.groupBy(col("dim"))
+      .agg(min(col("x_e4")).as("mn"), max(col("x_e4")).as("mx"))
+    // int8 code, then its affine reconstruction back to vector space —
+    // the only information kept per element is the 8-bit code
+    val code = when(col("mx") === col("mn"), lit(0.0)).otherwise(
+      least(floor(((col("x_e4") - col("mn")) * lit(255)).cast("double") /
+        (col("mx") - col("mn")).cast("double")), lit(255.0)))
+    val decoded = e.join(broadcast(stats), "dim")
+      .withColumn("c",
+        (col("mn").cast("double") +
+          code * (col("mx") - col("mn")).cast("double") / lit(255.0)) /
+          lit(10000.0))
+    val corpusCodes = decoded.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("codes"))
+    val candidates = corpusCodes
+      .crossJoin(broadcast(query.select(col(qvName).as("qv"))))
+      .select(col("vec_id"), dot(col("codes"), col("qv")).as("ascore"))
+      .orderBy(col("ascore").desc, col("vec_id")).limit(rerank)
+      .select(col("vec_id"))
+    val exact = normed.join(broadcast(candidates), "vec_id")
+      .crossJoin(broadcast(query.select(col(qvName).as("qv"))))
+      .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos"))
+    topKRanked(exact, k)
+  }
+
   /** Deterministically sample `nList` corpus vectors as IVF centroids:
     * the nList ids with the smallest hash — stable across runs and
     * partitionings, no RNG. One small collect (nList × dim doubles). */

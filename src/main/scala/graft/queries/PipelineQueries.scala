@@ -349,6 +349,13 @@ object PipelineQueries {
         col("n_docs"), col("sum_tokens"))
       .orderBy(col("lang"), col("source"))
 
+  /** Shared 6-token passages (df-capped inverted index, cap mirrored by
+    * the oracle — exact). */
+  def sharedPassages(s: SparkSession, dir: String): DataFrame =
+    Dedup.sharedPassages(t(s, dir, "documents"), col("doc_id"), col("text"),
+      n = 6, maxDocFreq = 50, minShared = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Top-50 adjacent char pairs (the first BPE merge candidates). */
   def charPairs(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.charPairCounts(t(s, dir, "documents"), col("text"), k = 50)

@@ -254,6 +254,20 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("a.fps") =!= col("b.fps")).count() == 0)
   }
 
+  test("quantized two-stage retrieval: self-match at rank 1, high recall") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val brute = Similarity.bruteForceTopK(e, col("vec_id"),
+      col("embedding"), q, k = 10).collect().map(_.getLong(0)).toSet
+    val got = Similarity.quantizedTopK(e, col("vec_id"), col("embedding"),
+      q, k = 10, rerank = 50).orderBy("rank").collect()
+    assert(got.length == 10 && got.head.getLong(0) == 0L)
+    // exact rerank: any candidate surviving stage 1 scores exactly, so
+    // overlap with brute force is high (8+/10 on this corpus)
+    assert(got.map(_.getLong(0)).toSet.intersect(brute).size >= 8)
+  }
+
   test("IVF with all cells probed equals brute-force top-k") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") === 0)
