@@ -85,6 +85,7 @@ object SparkEntry {
     "qv08_json_props" -> (PipelineQueries.jsonPropsStats _),
     "qv09_funnel" -> (PipelineQueries.funnelStages _),
     "qv10_retention" -> (PipelineQueries.retention _),
+    "qv11_dense_hourly" -> (PipelineQueries.denseHourly _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -805,6 +806,20 @@ object SparkEntry {
            count(DISTINCT d.user_id) AS n_users
          FROM d JOIN f ON d.user_id = f.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Dense (gap-filled) hourly counts: hour spine x distinct types,
+    // zero-filled left join against the rollup.
+    "qv11_dense_hourly" ->
+      """WITH r AS (SELECT epoch_us(ts) // 3600000000 * 3600 AS hour_secs,
+           event_type, count(*) AS n FROM events GROUP BY 1, 2),
+         b AS (SELECT min(hour_secs) AS h0, max(hour_secs) AS h1 FROM r),
+         hours AS (SELECT unnest(generate_series(h0, h1, 3600))
+           AS hour_secs FROM b),
+         types AS (SELECT DISTINCT event_type FROM events)
+         SELECT h.hour_secs, t.event_type, coalesce(r.n, 0) AS n_events
+         FROM hours h CROSS JOIN types t
+         LEFT JOIN r ON r.hour_secs = h.hour_secs
+           AND r.event_type = t.event_type
+         ORDER BY 1, 2""",
     // As-of join: DuckDB's native ASOF LEFT JOIN is the oracle for the
     // composed union+window merge implementation (ops/AsOf).
     "qv06_asof_join" ->

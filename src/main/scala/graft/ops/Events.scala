@@ -62,6 +62,29 @@ object Events {
       .drop("ts")
   }
 
+  /** DENSE hourly counts: the tumbling rollup with empty buckets
+    * zero-filled — resampling/gap-filling for time-series consumers
+    * that need every (hour, type) cell. The only corpus-sized work is
+    * the rollup itself (already reduced to one row per bucket); the
+    * hour spine is generated from the min/max bounds (range/3600 rows)
+    * and cross-joined with the distinct types — both broadcast-sized by
+    * construction at any corpus scale. */
+  def denseHourlyCounts(events: DataFrame): DataFrame = {
+    val r = events
+      .groupBy((expr("ts div 1000000000 div 3600") * 3600).as("hour_secs"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val hours = r.agg(min(col("hour_secs")).as("h0"),
+        max(col("hour_secs")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), lit(3600L)))
+        .as("hour_secs"))
+    val types = events.select(col("event_type")).distinct()
+    hours.crossJoin(broadcast(types))
+      .join(r, Seq("hour_secs", "event_type"), "left")
+      .select(col("hour_secs"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
   /** Ordered conversion funnel signup → click → purchase: per user, the
     * first signup, the first click AT OR AFTER it, and the first
     * purchase at or after that click; `stage` is how far the user got.

@@ -371,6 +371,11 @@ object PipelineQueries {
     Events.retentionCohorts(Tables.loadEvents(s, dir))
       .orderBy(col("cohort_week"), col("week_offset"))
 
+  /** Zero-filled (hour × type) counts — the resampled time series. */
+  def denseHourly(s: SparkSession, dir: String): DataFrame =
+    Events.denseHourlyCounts(Tables.loadEvents(s, dir))
+      .orderBy(col("hour_secs"), col("event_type"))
+
   /** Semi-structured extraction: per-type stats over the JSON `props.k`
     * field — one narrow codegen'd get_json_object, one aggregation. */
   def jsonPropsStats(s: SparkSession, dir: String): DataFrame =

@@ -832,6 +832,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 3), (2L, 1), (3L, 2)))
   }
 
+  test("built-in sketches stay within error bounds vs exact aggregates") {
+    // approx_count_distinct (HLL++) and approx_percentile (t-digest) are
+    // the scale path for cardinality/quantiles; this pins their accuracy
+    // on real data so a Spark upgrade that degrades them is caught.
+    val docs = Tables.load(spark, sf, "documents")
+    val exact = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val approx = docs.select(approx_count_distinct(col("doc_id"), 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"HLL said $approx, exact $exact")
+    val events = Tables.loadEvents(spark, sf)
+      .select(floor(col("value") * 100).cast("long").as("cents"))
+    val med = events.select(expr("approx_percentile(cents, 0.5, 1000)"))
+      .head().getLong(0)
+    val exactMed = events.select(expr("percentile(cents, 0.5)"))
+      .head().getDouble(0)
+    assert(math.abs(med - exactMed) / math.max(exactMed, 1.0) <= 0.05,
+      s"approx median $med, exact $exactMed")
+  }
+
   test("pipeline ops are total on empty input (no throw, empty result)") {
     import spark.implicits._
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
