@@ -70,6 +70,8 @@ object SparkEntry {
     "qd23_shared_passages" -> (PipelineQueries.sharedPassages _),
     "qe06_label_centroids" -> (PipelineQueries.labelCentroids _),
     "qe07_quantize_int8" -> (PipelineQueries.quantizeEmbeddings _),
+    "qe08_neardup_lsh" -> (PipelineQueries.embeddingNearDupLshQ _),
+    "qe09_quantized_topk" -> (PipelineQueries.quantizedTopKQ _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
     "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
     "qe03_ann_lsh" -> (PipelineQueries.annTopK _),

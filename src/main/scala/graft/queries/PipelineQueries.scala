@@ -376,6 +376,27 @@ object PipelineQueries {
     Events.denseHourlyCounts(Tables.loadEvents(s, dir))
       .orderBy(col("hour_secs"), col("event_type"))
 
+  /** LSH-blocked embedding near-dup — subquadratic without any caller
+    * blocking key (rows-only: bucket boundaries are Spark-plane
+    * specific; precision proven exact in OpsSpec). */
+  def embeddingNearDupLshQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), threshold = 0.3, numPlanes = 6)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Int8 ADC two-stage retrieval (rows-only: stage-1 float summation
+    * order near the rerank cutoff is engine-specific; recall and the
+    * exact rerank are OpsSpec-proven). */
+  def quantizedTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    Similarity.quantizedTopK(e, col("vec_id"), col("embedding"), q,
+      k = 10, rerank = 50)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+  }
+
   /** Semi-structured extraction: per-type stats over the JSON `props.k`
     * field — one narrow codegen'd get_json_object, one aggregation. */
   def jsonPropsStats(s: SparkSession, dir: String): DataFrame =
