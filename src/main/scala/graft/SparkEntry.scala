@@ -72,6 +72,7 @@ object SparkEntry {
     "qe07_quantize_int8" -> (PipelineQueries.quantizeEmbeddings _),
     "qe08_neardup_lsh" -> (PipelineQueries.embeddingNearDupLshQ _),
     "qe09_quantized_topk" -> (PipelineQueries.quantizedTopKQ _),
+    "qe10_quantized_index" -> (PipelineQueries.quantizedIndexTopK _),
     "qe01_cosine_topk" -> (PipelineQueries.cosineTopK _),
     "qe02_embedding_neardup" -> (PipelineQueries.embeddingNearDup _),
     "qe03_ann_lsh" -> (PipelineQueries.annTopK _),

@@ -87,6 +87,75 @@ object AnnIndex {
         round(Similarity.dot(col("v"), lit(qv)), 4).as("cos")))
   }
 
+  /** Build + persist the int8-quantized codes index (the ADC storage
+    * layout): `codes/` holds one signed byte per element (code − 128 —
+    * 4× smaller than float32, and parquet bit-packs it further),
+    * `stats/` the per-dim (min, max) dictionary, `vectors/` the
+    * full-precision normalized vectors sorted by vec_id for the rerank
+    * (row-group min/max stats prune the candidate `IN` lookup). One
+    * corpus scan builds everything; only `codes/` is touched by the
+    * stage-1 scan at query time. */
+  def writeQuantizedIndex(corpus: DataFrame, id: Column, vec: Column,
+      path: String): Unit = {
+    val normed = corpus.select(id.as("vec_id"),
+      Similarity.l2Normalize(vec).as("v"))
+    val e = normed
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        floor(col("x") * lit(10000.0)).cast("long").as("x_e4"))
+    val stats = e.groupBy(col("dim"))
+      .agg(min(col("x_e4")).as("mn"), max(col("x_e4")).as("mx"))
+    val code = when(col("mx") === col("mn"), lit(0.0)).otherwise(
+      least(floor(((col("x_e4") - col("mn")) * lit(255)).cast("double") /
+        (col("mx") - col("mn")).cast("double")), lit(255.0)))
+    e.join(broadcast(stats), "dim")
+      .withColumn("c", (code - lit(128)).cast("byte"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    stats.write.mode("overwrite").parquet(s"$path/stats")
+    normed.sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Two-stage top-k against a persisted quantized index. Stage 1 only
+    * scans `codes/`: the affine decode folds into ONE literal weight
+    * vector — score(v) = Σ decode(cᵢ)·qᵢ = const + Σ (cᵢ+128)·wᵢ with
+    * wᵢ = qᵢ·(mxᵢ−mnᵢ)/(255·10⁴) computed driver-side — so the scan is
+    * a single codegen'd dot against a literal and the constant drops out
+    * of the ranking. Stage 2 reads only the `rerank` candidate rows from
+    * `vectors/` (vec_id IN — row-group pruned) and rescores exactly. */
+  def queryQuantizedIndex(spark: SparkSession, path: String,
+      query: DataFrame, k: Int, rerank: Int): DataFrame = {
+    val codes = spark.read.parquet(s"$path/codes")
+    val qRows = query.select(col(query.columns.head).as("qv")).head(1)
+    if (qRows.isEmpty)
+      return codes.select(col("vec_id"), lit(0.0d).as("cos"),
+        lit(0).as("rank")).limit(0)
+    val qv = qRows(0).getSeq[Double](0).toArray
+    val statRows = spark.read.parquet(s"$path/stats").collect()
+    val mn = new Array[Long](qv.length); val mx = new Array[Long](qv.length)
+    statRows.foreach { r =>
+      val d = r.getLong(0).toInt; mn(d) = r.getLong(1); mx(d) = r.getLong(2)
+    }
+    val w = Array.tabulate(qv.length)(i =>
+      qv(i) * (mx(i) - mn(i)).toDouble / (255.0 * 10000.0))
+    val candidates = codes
+      .select(col("vec_id"),
+        Similarity.dot(transform(col("codes"),
+          c => (c.cast("int") + lit(128)).cast("double")), lit(w))
+          .as("ascore"))
+      .orderBy(col("ascore").desc, col("vec_id")).limit(rerank)
+      .collect().map(_.getLong(0))
+    Similarity.topKRanked(
+      spark.read.parquet(s"$path/vectors")
+        .filter(col("vec_id").isin(candidates.toIndexedSeq: _*))
+        .select(col("vec_id"),
+          round(Similarity.dot(col("v"), lit(qv)), 4).as("cos")),
+      k)
+  }
+
   /** Build + persist the IVF index: centroids sampled deterministically
     * (optionally Lloyd-refined with `refineIters` spherical k-means
     * passes), every vector assigned partition-locally (centroids are

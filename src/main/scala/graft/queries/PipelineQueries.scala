@@ -384,6 +384,21 @@ object PipelineQueries {
       col("embedding"), threshold = 0.3, numPlanes = 6)
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** Persisted int8 codes index: write codes/stats/vectors, query via
+    * the literal-weight ADC scan + exact rerank (rows-only; OpsSpec
+    * proves recall vs brute force). */
+  def quantizedIndexTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q8").toString
+    graft.ops.AnnIndex.writeQuantizedIndex(e, col("vec_id"),
+      col("embedding"), path)
+    graft.ops.AnnIndex.queryQuantizedIndex(s, path, q, k = 10, rerank = 50)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+  }
+
   /** Int8 ADC two-stage retrieval (rows-only: stage-1 float summation
     * order near the rerank cutoff is engine-specific; recall and the
     * exact rerank are OpsSpec-proven). */

@@ -254,6 +254,24 @@ class OpsSpec extends AnyFunSuite {
       .filter(col("a.fps") =!= col("b.fps")).count() == 0)
   }
 
+  test("persisted quantized index: self-match at rank 1, high recall") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val path = java.nio.file.Files.createTempDirectory("graft_q8").toString
+    graft.ops.AnnIndex.writeQuantizedIndex(e, col("vec_id"),
+      col("embedding"), path)
+    val brute = Similarity.bruteForceTopK(e, col("vec_id"),
+      col("embedding"), q, k = 10).collect().map(_.getLong(0)).toSet
+    val got = graft.ops.AnnIndex.queryQuantizedIndex(spark, path, q,
+      k = 10, rerank = 50).orderBy("rank").collect()
+    assert(got.length == 10 && got.head.getLong(0) == 0L)
+    assert(got.map(_.getLong(0)).toSet.intersect(brute).size >= 8)
+    // empty query -> empty result, no throw
+    assert(graft.ops.AnnIndex.queryQuantizedIndex(spark, path,
+      q.limit(0), k = 10, rerank = 50).count() == 0)
+  }
+
   test("quantized two-stage retrieval: self-match at rank 1, high recall") {
     val e = Tables.load(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") === 0)
