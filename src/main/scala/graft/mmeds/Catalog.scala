@@ -39,7 +39,7 @@ class InMemoryCatalog extends Catalog {
   * registers metastore tables; the layout is identical. */
 class ParquetCatalog(spark: SparkSession, root: String) extends Catalog {
   import org.apache.hadoop.fs.Path
-  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.types.{DataType, StructType}
 
   private def path(name: String) = s"$root/$name"
@@ -75,14 +75,26 @@ class ParquetCatalog(spark: SparkSession, root: String) extends Catalog {
     }
   }
 
+  /** Read back with `mergeSchema` so files written before a schema
+    * evolution (an append that added columns) still load — the scan's
+    * schema is the union of all file footers. The saved schema (the
+    * LAST writer's frame) then drives the projection: its columns are
+    * cast back to their written types, and any of them missing from
+    * older files surface as null via the merged scan. A column that
+    * only ever existed in older files is dropped — last-writer-wins is
+    * the catalog's schema contract. */
   def table(name: String): Option[DataFrame] =
     if (!exists(name)) None
     else {
-      val raw = spark.read.parquet(path(name))
+      val raw = spark.read.option("mergeSchema", "true").parquet(path(name))
       Some(savedSchema(name) match {
-        case Some(s) if s.fieldNames.sorted.sameElements(raw.columns.sorted) =>
-          raw.select(s.fields.toIndexedSeq.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)): _*)
+        case Some(s) =>
+          val present = raw.columns.toSet
+          raw.select(s.fields.toIndexedSeq.map { f =>
+            if (present.contains(f.name))
+              col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
         case _ => raw
       })
     }

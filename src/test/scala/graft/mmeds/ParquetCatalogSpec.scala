@@ -45,6 +45,21 @@ class ParquetCatalogSpec extends AnyFunSuite {
     assert(cat.table("Lab").get.count() == 2)
   }
 
+  test("schema evolution: append with a new column null-fills old rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("warehouse").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.append("Study", Seq((1L, "s1")).toDF("idStudy", "StudyName"))
+    // evolved append: a column the first write never had
+    cat.append("Study",
+      Seq((2L, "s2", "code2")).toDF("idStudy", "StudyName", "StudyCode"))
+    val got = cat.table("Study").get.orderBy("idStudy").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // old row reads null for the evolved column; new row carries it
+    assert(got(0).isNullAt(got(0).fieldIndex("StudyCode")))
+    assert(got(1).getAs[String]("StudyCode") == "code2")
+  }
+
   test("round-trip preserves column order and types despite hive partitioning") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("warehouse2").toString
