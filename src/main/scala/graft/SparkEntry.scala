@@ -68,6 +68,7 @@ object SparkEntry {
     "qd21_cube_profile" -> (PipelineQueries.cubeProfile _),
     "qd22_char_pairs" -> (PipelineQueries.charPairs _),
     "qd23_shared_passages" -> (PipelineQueries.sharedPassages _),
+    "qd24_minhash_portable" -> (PipelineQueries.minhashPortable _),
     "qe06_label_centroids" -> (PipelineQueries.labelCentroids _),
     "qe07_quantize_int8" -> (PipelineQueries.quantizeEmbeddings _),
     "qe08_neardup_lsh" -> (PipelineQueries.embeddingNearDupLshQ _),
@@ -586,6 +587,44 @@ object SparkEntry {
              ON a.gram = b.gram AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
+         ORDER BY doc_a, doc_b""",
+    // Portable MinHash+LSH: md5-prefix lanes, md5 band buckets, exact
+    // word-set verification — the whole sketch pipeline reproduced.
+    "qd24_minhash_portable" ->
+      """WITH w AS (SELECT DISTINCT doc_id, source,
+           unnest(list_distinct(regexp_extract_all(lower(text), '\S+')))
+             AS w
+           FROM documents),
+         sig AS (SELECT doc_id, source,
+           min(substring(md5('0:' || w), 1, 16)) AS l0,
+           min(substring(md5('1:' || w), 1, 16)) AS l1,
+           min(substring(md5('2:' || w), 1, 16)) AS l2,
+           min(substring(md5('3:' || w), 1, 16)) AS l3,
+           min(substring(md5('4:' || w), 1, 16)) AS l4,
+           min(substring(md5('5:' || w), 1, 16)) AS l5,
+           min(substring(md5('6:' || w), 1, 16)) AS l6,
+           min(substring(md5('7:' || w), 1, 16)) AS l7
+           FROM w GROUP BY 1, 2),
+         banded AS (
+           SELECT doc_id, source, 0 AS band, md5(l0 || l1) AS bucket
+             FROM sig
+           UNION ALL SELECT doc_id, source, 1, md5(l2 || l3) FROM sig
+           UNION ALL SELECT doc_id, source, 2, md5(l4 || l5) FROM sig
+           UNION ALL SELECT doc_id, source, 3, md5(l6 || l7) FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bucket = b.bucket
+               AND a.source = b.source AND a.doc_id < b.doc_id),
+         toks AS (SELECT doc_id,
+           list_distinct(regexp_extract_all(lower(text), '\S+')) AS t
+           FROM documents),
+         v AS (SELECT doc_a, doc_b,
+           floor(CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+             / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))
+               AS DOUBLE) * 10000.0) / 10000.0 AS jaccard
+           FROM cand JOIN toks ta ON cand.doc_a = ta.doc_id
+                     JOIN toks tb ON cand.doc_b = tb.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8
          ORDER BY doc_a, doc_b""",
     // Unigram NLL quality signal: corpus token frequencies, per-token
     // -ln(c/N) floored to 1e-4 longs BEFORE the per-doc sum (exact ints).

@@ -193,6 +193,59 @@ object Dedup {
       .distinct()
   }
 
+  /** ENGINE-PORTABLE MinHash+LSH near-dup: lanes are minima of md5
+    * hex prefixes (identical strings on every engine that has md5),
+    * band buckets are md5 over the lane concat — so unlike
+    * [[minhashNearDup]] (xxhash64 lanes — the fast Spark-specific
+    * path), every intermediate here is reproducible in external SQL
+    * and the WHOLE sketch pipeline is oracle-checkable end to end,
+    * candidates included. Same scale shape: one signature aggregation
+    * (numLanes min-aggs, map-side combined), banded equi-join
+    * candidates within the blocking key, exact word-set verification
+    * bounded by the candidates. md5-per-lane costs more per token than
+    * the one-hash buffer aggregate — portability is the trade. */
+  def minhashNearDupPortable(docs: DataFrame, id: Column, block: Column,
+      text: Column, threshold: Double, numLanes: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    require(numLanes % rowsPerBand == 0, "rowsPerBand must divide numLanes")
+    val w = docs.select(id.as("doc_id"), block.as("block"),
+      explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
+    val laneAggs = (0 until numLanes).map(s =>
+      min(substring(md5(concat(lit(s + ":"), col("w"))), 1, 16)).as(s"l$s"))
+    val sig = w.groupBy(col("doc_id"), col("block"))
+      .agg(laneAggs.head, laneAggs.tail: _*)
+    val numBands = numLanes / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat((0 until rowsPerBand)
+          .map(r => col(s"l${b * rowsPerBand + r}")): _*)).as("bucket"))
+    }
+    val banded = sig
+      .select(col("doc_id"), col("block"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("block"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint(eager = false)
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.block") === col("b.block") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val toks = docs.select(id.as("doc_id"),
+      array_distinct(TextAnalysis.tokens(text)).as("t"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .withColumn("jaccard", Num.floor4(inter.cast("double") /
+        (size(col("ta")) + size(col("tb")) - inter).cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Cross-document shared-passage detection: pairs of documents sharing
     * at least `minShared` distinct n-token grams — the passage-level
     * near-dup signal (quote/boilerplate reuse) that token-set Jaccard

@@ -349,6 +349,13 @@ object PipelineQueries {
         col("n_docs"), col("sum_tokens"))
       .orderBy(col("lang"), col("source"))
 
+  /** Engine-portable MinHash+LSH near-dup (md5 lanes — fully
+    * oracle-checkable, unlike the xxhash64 fast path of qd05). */
+  def minhashPortable(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDupPortable(t(s, dir, "documents"), col("doc_id"),
+      col("source"), col("text"), threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Shared 6-token passages (df-capped inverted index, cap mirrored by
     * the oracle — exact). */
   def sharedPassages(s: SparkSession, dir: String): DataFrame =

@@ -870,6 +870,23 @@ class OpsSpec extends AnyFunSuite {
       s"approx median $med, exact $exactMed")
   }
 
+  test("portable minhash: exact-verified subset of exact jaccard pairs") {
+    val docs = Tables.load(spark, sf, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("source"),
+        col("text"), threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val port = Dedup.minhashNearDupPortable(docs, col("doc_id"),
+        col("source"), col("text"), threshold = 0.8)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision 1.0 by construction (every candidate verified exactly)
+    assert(port.subsetOf(exact))
+    // LSH recall stays high at 4 bands x 2 rows for >= 0.8 similarity
+    assert(exact.isEmpty || port.size * 10 >= exact.size * 8,
+      s"recall ${port.size}/${exact.size}")
+  }
+
   test("pipeline ops are total on empty input (no throw, empty result)") {
     import spark.implicits._
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
