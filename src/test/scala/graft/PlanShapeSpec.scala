@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Sampling, Similarity, TextAnalysis}
+
+/** Executable assertions over PHYSICAL PLAN SHAPE — the properties that
+  * decide whether an operator survives a 100 TB scale-up. Each test pins
+  * one plan invariant so a refactor that silently de-optimizes (drops a
+  * pushdown, loses a broadcast, re-introduces a global window) fails CI
+  * instead of failing on a cluster. */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan (PushedFilters non-empty)") {
+    val p = plan(SparkEntry.queries("q02_revenue_filter")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+  }
+
+  test("column pruning: a 2-column projection reads a 2-column schema") {
+    val p = plan(Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity")))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      p.take(2000))
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side per dim)") {
+    val p = plan(SparkEntry.queries("q03_revenue_by_nation")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("top-k rank compiles to TakeOrderedAndProject, never a global window") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    // the k-row selection stage (pre-checkpoint: the final top-k plan
+    // hides it behind topKRanked's localCheckpoint)
+    val scored = Similarity.cosineScores(e, col("vec_id"),
+      col("embedding"), q)
+    val p1 = plan(scored.orderBy(col("cos").desc, col("vec_id")).limit(10))
+    assert(p1.contains("TakeOrderedAndProject"), p1.take(2000))
+    // and the full query never plans a window
+    val p = plan(Similarity.bruteForceTopK(e, col("vec_id"),
+      col("embedding"), q, k = 10))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("deterministic sampling and text profiling are shuffle-free") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sampled = plan(docs.filter(Sampling.keep(col("doc_id"), 0.5)))
+    assert(!sampled.contains("Exchange"), sampled.take(2000))
+    val stats = plan(TextAnalysis.textStats(docs, col("doc_id"), col("text")))
+    assert(!stats.contains("Exchange"), stats.take(2000))
+  }
+}
