@@ -90,6 +90,12 @@ object SparkEntry {
     "qv09_funnel" -> (PipelineQueries.funnelStages _),
     "qv10_retention" -> (PipelineQueries.retention _),
     "qv11_dense_hourly" -> (PipelineQueries.denseHourly _),
+    "qd25_prune_passages" -> (PipelineQueries.prunedPassages _),
+    "qd26_linear_score" -> (PipelineQueries.linearScoreQ _),
+    "qd27_bigram_nll" -> (PipelineQueries.bigramNllQ _),
+    "qd28_vocab_profile" -> (PipelineQueries.vocabProfileQ _),
+    "qe11_random_projection" -> (PipelineQueries.randomProjectionQ _),
+    "qv12_top_paths" -> (PipelineQueries.topPathsQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -875,5 +881,120 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+    // C4-style boilerplate pruning: tokens covered by any 3-shingle with
+    // document frequency > 5 are removed; surviving order preserved via
+    // the 1-based token index (Spark uses 0-based — internal only).
+    "qd25_prune_passages" ->
+      """WITH d AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+         tok AS (SELECT doc_id, unnest(ws) AS w,
+           unnest(range(1, len(ws) + 1)) AS i FROM d),
+         sh AS (SELECT doc_id,
+           unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+             for i in range(1, len(ws) - 1)]) AS s,
+           unnest(range(1, len(ws) - 1)) AS p FROM d),
+         hot AS (SELECT s FROM sh GROUP BY s
+           HAVING count(DISTINCT doc_id) > 5),
+         cov AS (SELECT DISTINCT doc_id, i FROM (
+           SELECT sh.doc_id, unnest([sh.p, sh.p + 1, sh.p + 2]) AS i
+           FROM sh JOIN hot USING (s))),
+         kept AS (SELECT t.doc_id, count(*) AS n_kept,
+             string_agg(t.w, ' ' ORDER BY t.i) AS text_pruned
+           FROM tok t ANTI JOIN cov
+             ON t.doc_id = cov.doc_id AND t.i = cov.i
+           GROUP BY t.doc_id)
+         SELECT d.doc_id, coalesce(k.text_pruned, '') AS text_pruned,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(d.ws) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+         FROM d LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""",
+    // Linear BoW classifier with md5-derived integer weights in [-8, 7]
+    // (first md5 hex digit's position in the hex alphabet, minus 9).
+    "qd26_linear_score" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS w
+           FROM documents),
+         wts AS (SELECT w,
+             CAST(strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 9
+               AS BIGINT) AS weight
+           FROM (SELECT DISTINCT w FROM toks))
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(coalesce(weight, 0)) AS BIGINT) AS score_sum,
+           CAST(floor(CAST(sum(coalesce(weight, 0)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 10000.0) AS BIGINT) AS score_e4
+         FROM toks LEFT JOIN wts USING (w) GROUP BY 1 ORDER BY 1""",
+    // Bigram-LM NLL: MLE P(b|a) = c(a,b)/c(a,.), per-bigram NLL floored
+    // to 1e-4 longs BEFORE the per-doc sum (exact ints, like qd18).
+    "qd27_bigram_nll" ->
+      """WITH d AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+         b2 AS (SELECT doc_id,
+           unnest([ws[i] for i in range(1, len(ws))]) AS a,
+           unnest([ws[i+1] for i in range(1, len(ws))]) AS b FROM d),
+         cab AS (SELECT a, b, count(*) AS cab FROM b2 GROUP BY 1, 2),
+         ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca
+           FROM cab GROUP BY 1),
+         s AS (SELECT doc_id, CAST(floor(-ln(CAST(cab AS DOUBLE)
+             / CAST(ca AS DOUBLE)) * 10000.0) AS BIGINT) AS t_e4
+           FROM b2 JOIN cab USING (a, b) JOIN ca USING (a)),
+         agg AS (SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(t_e4) AS BIGINT) AS nll_sum_e4 FROM s GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(agg.nll_sum_e4, 0) AS BIGINT) AS nll_sum_e4
+         FROM d LEFT JOIN agg USING (doc_id) ORDER BY 1""",
+    // Per-source lexical diversity: vocab, hapax, type-token ratio.
+    "qd28_vocab_profile" ->
+      """WITH toks AS (SELECT source,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS w
+           FROM documents),
+         c AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+         g AS (SELECT source, count(*) AS vocab,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax
+           FROM c GROUP BY 1),
+         nd AS (SELECT source, count(*) AS n_docs FROM documents
+           GROUP BY 1)
+         SELECT nd.source, n_docs, n_tokens, vocab, hapax,
+           CAST(floor(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             * 10000.0) AS BIGINT) AS ttr_e4,
+           CAST(floor(CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE)
+             * 10000.0) AS BIGINT) AS hapax_ratio_e4
+         FROM nd JOIN g USING (source) ORDER BY 1""",
+    // JL random projection with the md5-sign matrix: sign(j,i) = +1 iff
+    // first hex digit of md5('j:i') < '8'; elements quantized to 1e-4
+    // longs BEFORE the sum, so out_e4 is engine-exact.
+    "qe11_random_projection" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+           unnest(range(1, 65)) AS i FROM embeddings),
+         q AS (SELECT vec_id, i,
+           CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) AS x_e4
+           FROM e),
+         j AS (SELECT unnest(range(1, 17)) AS dim),
+         s AS (SELECT q.vec_id, j.dim, q.x_e4 *
+             (CASE WHEN substring(md5(j.dim || ':' || q.i), 1, 1) < '8'
+               THEN 1 ELSE -1 END) AS t
+           FROM q CROSS JOIN j)
+         SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+           CAST(sum(t) AS BIGINT) AS out_e4
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Top-20 session event-type paths over the qv02 session definition.
+    "qv12_top_paths" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type,
+           epoch_ms(ts) // 1000 AS secs FROM events),
+         f AS (SELECT *, lag(secs) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+         g AS (SELECT *, CASE WHEN prev IS NULL OR secs - prev > 1800
+           THEN 1 ELSE 0 END AS ns FROM f),
+         h AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id FROM g),
+         p AS (SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM h GROUP BY 1, 2),
+         c AS (SELECT path, count(*) AS n FROM p GROUP BY 1
+           ORDER BY n DESC, path LIMIT 20)
+         SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path)
+           AS BIGINT) AS rank FROM c ORDER BY rank""",
   )
 }

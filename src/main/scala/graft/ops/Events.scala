@@ -137,4 +137,28 @@ object Events {
         max(col("secs")).as("end_secs"),
         round(sum(col("value")), 2).as("session_value"))
   }
+
+  /** Top-k most common session paths — the ordered event-type sequence
+    * each session walked (`signup>click>purchase`), the clickstream
+    * view behind funnel design. Per-session path assembly rides the
+    * same (user_id) shuffle as sessionization (collect + in-row sort by
+    * (ts, event_id), so the path is deterministic under any partition
+    * order); the path frequency table is one map-side-combined hash
+    * aggregation, and the final top-k is a distributed
+    * orderBy().limit() — rank is derived on the k-row result only. */
+  def topPaths(events: DataFrame, gapSeconds: Long, k: Int): DataFrame = {
+    val sess = sessionize(events, gapSeconds)
+    val paths = events
+      .join(sess, Seq("event_id", "user_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))),
+        x => x("event_type")), ">").as("path"))
+    val top = paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("path")))
+        .cast("long"))
+  }
 }

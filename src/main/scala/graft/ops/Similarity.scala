@@ -338,4 +338,43 @@ object Similarity {
         .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos")),
       k)
   }
+
+  /** Deterministic ±1 sign for the random-projection matrix: +1 when
+    * the first hex digit of md5("j:i") is below '8'. md5 is the shared
+    * deterministic randomness primitive across engines (same trick as
+    * the portable MinHash lanes), so an oracle can rebuild the exact
+    * matrix in SQL while Spark inlines it as literals. */
+  def projectionSign(j: Int, i: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+    // first hex digit = high nibble of byte 0
+    if (((d(0) >> 4) & 0xf) < 8) 1 else -1
+  }
+
+  /** Random projection (Johnson-Lindenstrauss with a ±1 sign matrix —
+    * Achlioptas 2001): reduce `vec` to `outDims` components,
+    * out[j] = Σ_i floor(vec[i]·1e4) · sign(j,i), emitted long-format
+    * (vec_id, dim, out_e4). Elements are quantized to 1e-4 integers
+    * BEFORE the sum, so results are exact integers — independent of
+    * summation order and engine.
+    *
+    * Scale shape: the sign matrix is outDims×inDims literals baked into
+    * the plan (a few KB — the classic dense-matmul-by-broadcast), and
+    * the whole projection is ONE narrow codegen'd map stage: no
+    * explode, no shuffle, no driver data motion. A 100 TB embedding
+    * table projects at scan speed. */
+  def randomProjection(embs: DataFrame, id: Column, vec: Column,
+      outDims: Int, inDims: Int): DataFrame = {
+    val q = transform(vec, v =>
+      floor(v.cast("double") * lit(10000.0)).cast("long"))
+    val outs = array((1 to outDims).map { j =>
+      val signs = array((1 to inDims).map(i =>
+        lit(projectionSign(j, i).toLong)): _*)
+      aggregate(zip_with(q, signs, (v, s) => v * s),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    embs.select(id.as("vec_id"), posexplode(outs).as(Seq("dim0", "out_e4")))
+      .select(col("vec_id"), (col("dim0") + 1).cast("long").as("dim"),
+        col("out_e4"))
+  }
 }

@@ -260,4 +260,139 @@ object TextAnalysis {
       qualityScore(text).as("quality"),
       languageId(text).as("lang_pred"),
       fingerprint(text).as("fp"))
+
+  /** Boilerplate pruning — the C4-style "remove duplicated lines from
+    * every document" pass at k-token passage granularity: any k-shingle
+    * whose document frequency exceeds `maxDocFreq` is boilerplate, and
+    * every token it covers is removed from every document (surviving
+    * tokens keep their order). Detection's sibling is
+    * [[graft.ops.Dedup.sharedPassages]]; this one REWRITES the corpus.
+    *
+    * Scale shape: shingles are built in-row (one `transform`, no
+    * cross-row state); the df aggregation is one map-side-combined
+    * shuffle; the hot list is df-bounded boilerplate (small by
+    * construction — it is the content repeated across >maxDocFreq docs)
+    * so it broadcasts; and the rewrite is a per-document regroup — one
+    * shuffle on doc_id. Nothing is quadratic, unlike pair emission.
+    *
+    * Output: (doc_id, text_pruned, n_kept, n_removed); a fully-pruned
+    * document survives with empty text, never disappears. */
+  def prunePassages(docs: DataFrame, id: Column, text: Column,
+      k: Int, maxDocFreq: Long): DataFrame = {
+    val base = docs.select(id.as("doc_id"), tokens(text).as("ws"))
+    val tok = base.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos", "w")))
+    // k-shingles with their 0-based start position, built in-row
+    val sh = base.select(col("doc_id"), posexplode(
+      when(size(col("ws")) >= k,
+        transform(sequence(lit(0), size(col("ws")) - k),
+          p => concat_ws(" ", slice(col("ws"), p + 1, lit(k)))))
+        .otherwise(array().cast("array<string>"))).as(Seq("p", "s")))
+    val hot = sh.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("s"))
+    // positions covered by any hot shingle occurrence
+    val covered = sh.join(broadcast(hot), Seq("s"))
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x("w")), " ").as("text_pruned"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_pruned"), lit("")).as("text_pruned"),
+        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+  }
+
+  /** Score documents against a linear bag-of-words model — the
+    * fastText-shaped quality-classifier pass every production corpus
+    * runs. `weights` is the trained model, a (w, weight) dimension
+    * frame: per-document score = Σ weight(token) / n_tokens, with
+    * out-of-vocabulary tokens scoring 0. The model broadcasts (a
+    * vocabulary is dim-sized by definition); the corpus takes one
+    * map-side-combined shuffle on doc_id — the same scan shape as
+    * every other token-stats pass, so it composes with them.
+    *
+    * `score_sum` stays an exact integer; `score_e4` floors the mean to
+    * 1e-4 (`weight` must be integral — scale the model accordingly). */
+  def linearScore(docs: DataFrame, id: Column, text: Column,
+      weights: DataFrame): DataFrame =
+    docs.select(id.as("doc_id"), explode(tokens(text)).as("w"))
+      .join(broadcast(weights), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("weight"), lit(0L))).as("score_sum"))
+      .withColumn("score_e4",
+        floor(col("score_sum").cast("double") /
+          col("n_tokens").cast("double") * lit(10000.0)).cast("long"))
+
+  /** Bigram-LM negative log-likelihood per document (the step up from
+    * [[unigramNll]] as a perplexity-proxy quality signal). MLE bigram
+    * model estimated on the corpus itself: P(b|a) = c(a,b) / c(a,·),
+    * with c(a,·) derived from the bigram table (so it counts only
+    * non-final occurrences of `a` — every observed bigram has a
+    * well-defined probability, no smoothing needed). Per-bigram NLL is
+    * floored to 1e-4 integers BEFORE the per-document sum, so the
+    * result is engine-exact. Bigrams are built in-row; the model is
+    * two hash aggregations; docs with fewer than 2 tokens report 0
+    * bigrams and 0 NLL. */
+  def bigramNll(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = docs.select(id.as("doc_id"), tokens(text).as("ws"))
+    val bi = base
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(2), size(col("ws"))),
+          i => struct(element_at(col("ws"), i - 1).as("a"),
+            element_at(col("ws"), i).as("b"))))
+        .as("g"))
+      .select(col("doc_id"), col("g.a").as("a"), col("g.b").as("b"))
+    val cab = bi.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val scored = bi
+      .join(cab, Seq("a", "b"))
+      .join(ca, Seq("a"))
+      .select(col("doc_id"),
+        floor(-log(col("cab").cast("double") / col("ca").cast("double"))
+          * lit(10000.0)).cast("long").as("t_e4"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("t_e4")).as("nll_sum_e4"))
+    base.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(col("nll_sum_e4"), lit(0L)).cast("long").as("nll_sum_e4"))
+  }
+
+  /** Per-group vocabulary profile: corpus-level lexical-diversity stats
+    * (vocabulary size, hapax legomena, type-token ratio) per grouping
+    * key — the dashboard a tokenizer-training or data-mixing run reads
+    * first. Two chained hash aggregations, both map-side combined; the
+    * second input is (groups × vocab)-sized, never corpus-sized. */
+  def vocabProfile(docs: DataFrame, group: Column, text: Column): DataFrame = {
+    val counts = docs
+      .select(group.as("grp"), explode(tokens(text)).as("w"))
+      .groupBy(col("grp"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val byGroup = counts.groupBy(col("grp"))
+      .agg(count(lit(1)).as("vocab"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+    val nDocs = docs.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    nDocs.join(byGroup, Seq("grp"))
+      .select(col("grp"), col("n_docs"), col("n_tokens"), col("vocab"),
+        col("hapax"),
+        floor(col("vocab").cast("double") / col("n_tokens").cast("double")
+          * lit(10000.0)).cast("long").as("ttr_e4"),
+        floor(col("hapax").cast("double") / col("vocab").cast("double")
+          * lit(10000.0)).cast("long").as("hapax_ratio_e4"))
+  }
 }

@@ -429,4 +429,49 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
+
+  /** C4-style boilerplate pruning: drop every token covered by a
+    * 3-shingle shared by more than 5 documents. */
+  def prunedPassages(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.prunePassages(t(s, dir, "documents"), col("doc_id"),
+      col("text"), k = 3, maxDocFreq = 5)
+      .orderBy(col("doc_id"))
+
+  /** Linear bag-of-words classifier scoring against a deterministic
+    * md5-derived weight table (stands in for a trained fastText-style
+    * quality model; the weights frame is the model-loading seam). */
+  def linearScoreQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val weights = d
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct()
+      .withColumn("weight", expr(
+        "CAST(locate(substring(md5(w), 1, 1), '0123456789abcdef') - 9 AS BIGINT)"))
+    TextAnalysis.linearScore(d, col("doc_id"), col("text"), weights)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram-LM NLL quality signal (the step up from qd18's unigrams). */
+  def bigramNllQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramNll(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source lexical-diversity dashboard. */
+  def vocabProfileQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabProfile(t(s, dir, "documents"), col("source"),
+      col("text"))
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+
+  /** JL random projection 64 → 16 dims, exact integer output. */
+  def randomProjectionQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), outDims = 16, inDims = 64)
+      .orderBy(col("vec_id"), col("dim"))
+
+  /** Top-20 session event-type paths (30-minute gap sessions). */
+  def topPathsQ(s: SparkSession, dir: String): DataFrame =
+    Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)
+      .orderBy(col("rank"))
 }

@@ -927,4 +927,97 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Seq((0, 0L, 2L, 12500L), (0, 1L, 2L, 0L),
       (1, 0L, 1L, 20000L), (1, 1L, 1L, 20000L)))
   }
+
+  test("prunePassages removes only hot-shingle-covered tokens, in order") {
+    import spark.implicits._
+    // 'x y z' appears in 3 docs (> maxDocFreq 2); doc 4 shares no shingle
+    val docs = Seq(
+      (1L, "a b x y z c"), (2L, "x y z d e"), (3L, "f x y z"),
+      (4L, "g h i j"), (5L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.prunePassages(docs, col("doc_id"),
+      col("text"), k = 3, maxDocFreq = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "a b c", 3L, 3L), (2L, "d e", 2L, 3L), (3L, "f", 1L, 3L),
+      (4L, "g h i j", 4L, 0L),
+      (5L, "", 0L, 3L))) // fully-boilerplate doc survives, empty
+  }
+
+  test("linearScore: broadcast model, OOV scores 0, exact integer sums") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b zz"), (2L, "zz zz")).toDF("doc_id", "text")
+    val weights = Seq(("a", 3L), ("b", -5L)).toDF("w", "weight")
+    val got = graft.ops.TextAnalysis.linearScore(docs, col("doc_id"),
+      col("text"), weights)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1: 3+3-5+0 = 1 over 4 tokens -> floor(0.25*1e4) = 2500
+    assert(got.toSeq == Seq((1L, 4L, 1L, 2500L), (2L, 2L, 0L, 0L)))
+  }
+
+  test("bigramNll: MLE bigram model, short docs report zero") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "a b"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    // c(a,b)=2, c(b,a)=1, c(a,c)=1 -> c(a,.)=3, c(b,.)=1
+    // doc1: -ln(2/3) - ln(1/1) - ln(1/3); doc2: -ln(2/3)
+    val got = graft.ops.TextAnalysis.bigramNll(docs, col("doc_id"),
+      col("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def e4(p: Double) = math.floor(-math.log(p) * 10000).toLong
+    assert(got.toSeq == Seq(
+      (1L, 3L, e4(2.0 / 3.0) + e4(1.0) + e4(1.0 / 3.0)),
+      (2L, 1L, e4(2.0 / 3.0)), (3L, 0L, 0L)))
+  }
+
+  test("vocabProfile: vocab, hapax and exact ratios per group") {
+    import spark.implicits._
+    val docs = Seq(("s1", "a a b"), ("s1", "a c"), ("s2", "d d"))
+      .toDF("source", "text")
+    val got = graft.ops.TextAnalysis.vocabProfile(docs, col("source"),
+      col("text"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // s1: 5 tokens, vocab {a:3,b:1,c:1}, hapax 2, ttr=3/5, hapax/vocab=2/3
+    assert(got.toSeq == Seq(
+      ("s1", 2L, 5L, 3L, 2L, 6000L, 6666L),
+      ("s2", 1L, 2L, 1L, 0L, 5000L, 0L)))
+  }
+
+  test("randomProjection: unit vectors read the sign matrix back exactly") {
+    import spark.implicits._
+    // e_i scaled by 1.0 -> out[j] = 10000 * sign(j, i)
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.randomProjection(embs, col("vec_id"),
+      col("embedding"), outDims = 4, inDims = 3)
+      .orderBy("vec_id", "dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = for (v <- Seq(1L, 2L); j <- 1 to 4) yield
+      (v, j.toLong,
+        10000L * graft.ops.Similarity.projectionSign(j, v.toInt))
+    assert(got.toSeq == want)
+  }
+
+  test("topPaths orders events inside sessions and ranks deterministically") {
+    import spark.implicits._
+    val sec = 1000000000L // ns
+    val events = Seq(
+      // user 1, one session: a>b>c
+      (1L, 1L, 1L * sec, "a"), (2L, 1L, 2L * sec, "b"),
+      (3L, 1L, 3L * sec, "c"),
+      // user 2, two sessions split by a 2000s gap: a>b>c then d
+      (4L, 2L, 1L * sec, "a"), (5L, 2L, 2L * sec, "b"),
+      (6L, 2L, 3L * sec, "c"),
+      (7L, 2L, 2500L * sec, "d")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.ops.Events.topPaths(events, gapSeconds = 1800, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a>b>c", 2L, 1L), ("d", 1L, 2L)))
+  }
 }
