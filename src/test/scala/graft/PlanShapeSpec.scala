@@ -65,4 +65,22 @@ class PlanShapeSpec extends AnyFunSuite {
     val stats = plan(TextAnalysis.textStats(docs, col("doc_id"), col("text")))
     assert(!stats.contains("Exchange"), stats.take(2000))
   }
+
+  test("random projection is one narrow map stage (no shuffle, no join)") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val p = plan(Similarity.randomProjection(embs, col("vec_id"),
+      col("embedding"), outDims = 16, inDims = 64))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("linear scoring broadcasts the model (fact side never re-shuffles for the join)") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val weights = Seq(("the", 1L), ("a", -1L)).toDF("w", "weight")
+    val p = plan(TextAnalysis.linearScore(docs, col("doc_id"),
+      col("text"), weights))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }

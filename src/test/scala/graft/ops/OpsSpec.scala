@@ -911,6 +911,32 @@ class OpsSpec extends AnyFunSuite {
     assert(AsOf.asofJoin(noDocs.withColumn("ts", lit(0L)),
       noDocs.withColumn("ts", lit(0L)).withColumn("p", lit(0L)),
       "doc_id", "ts", Seq("p")).count() == 0)
+    assert(TextAnalysis.prunePassages(noDocs, col("doc_id"), col("text"),
+      3, 5).count() == 0)
+    assert(TextAnalysis.linearScore(noDocs, col("doc_id"), col("text"),
+      Seq(("a", 1L)).toDF("w", "weight")).count() == 0)
+    assert(TextAnalysis.bigramNll(noDocs, col("doc_id"),
+      col("text")).count() == 0)
+    assert(TextAnalysis.vocabProfile(noDocs, col("doc_id"),
+      col("text")).count() == 0)
+    assert(Similarity.randomProjection(noEmb, col("vec_id"),
+      col("embedding"), 4, 64).count() == 0)
+    assert(Events.topPaths(Seq.empty[(Long, Long, Long, String)]
+      .toDF("event_id", "user_id", "ts", "event_type"), 1800, 5)
+      .count() == 0)
+  }
+
+  test("prunePassages invariant: n_kept + n_removed == n_tokens (corpus)") {
+    val docs = Tables.load(spark, sf, "documents").limit(200)
+    val bad = graft.ops.TextAnalysis.prunePassages(docs, col("doc_id"),
+      col("text"), k = 3, maxDocFreq = 2)
+      .join(docs.select(col("doc_id"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n")), "doc_id")
+      .filter(col("n_kept") + col("n_removed") =!= col("n") ||
+        col("n_kept") =!= size(split(col("text_pruned"), " ")) &&
+          col("n_kept") =!= 0)
+    assert(bad.count() == 0)
   }
 
   test("centroid sums: exact integer element sums per group") {
