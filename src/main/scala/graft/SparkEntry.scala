@@ -96,6 +96,8 @@ object SparkEntry {
     "qd28_vocab_profile" -> (PipelineQueries.vocabProfileQ _),
     "qe11_random_projection" -> (PipelineQueries.randomProjectionQ _),
     "qv12_top_paths" -> (PipelineQueries.topPathsQ _),
+    "qd29_incremental_new" -> (PipelineQueries.incrementalNew _),
+    "qd30_index_neardup" -> (PipelineQueries.indexNearDup _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -996,5 +998,59 @@ object SparkEntry {
            ORDER BY n DESC, path LIMIT 20)
          SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path)
            AS BIGINT) AS rank FROM c ORDER BY rank""",
+    // Incremental exact dedup: odd-doc batch anti-joined against the
+    // even-doc fingerprint index (same content md5 as qd03).
+    "qd29_incremental_new" ->
+      """WITH f AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         idx AS (SELECT fp FROM f WHERE doc_id % 2 = 0),
+         b AS (SELECT doc_id, fp FROM f WHERE doc_id % 2 = 1)
+         SELECT doc_id, fp FROM b ANTI JOIN idx USING (fp)
+         ORDER BY doc_id""",
+    // Incremental near-dup against the persisted MinHash index: md5
+    // lanes (qd24 form), banded candidates batch-vs-index, similarity
+    // estimated from lane agreement, est >= 0.5.
+    "qd30_index_neardup" ->
+      """WITH w AS (SELECT DISTINCT doc_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '\S+')))
+             AS w
+           FROM documents),
+         sig AS (SELECT doc_id,
+           min(substring(md5('0:' || w), 1, 16)) AS l0,
+           min(substring(md5('1:' || w), 1, 16)) AS l1,
+           min(substring(md5('2:' || w), 1, 16)) AS l2,
+           min(substring(md5('3:' || w), 1, 16)) AS l3,
+           min(substring(md5('4:' || w), 1, 16)) AS l4,
+           min(substring(md5('5:' || w), 1, 16)) AS l5,
+           min(substring(md5('6:' || w), 1, 16)) AS l6,
+           min(substring(md5('7:' || w), 1, 16)) AS l7
+           FROM w GROUP BY 1),
+         banded AS (
+           SELECT doc_id, 0 AS band, md5(l0 || l1) AS bucket FROM sig
+           UNION ALL SELECT doc_id, 1, md5(l2 || l3) FROM sig
+           UNION ALL SELECT doc_id, 2, md5(l4 || l5) FROM sig
+           UNION ALL SELECT doc_id, 3, md5(l6 || l7) FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS batch_doc,
+             b.doc_id AS index_doc
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bucket = b.bucket
+           WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         est AS (SELECT batch_doc, index_doc,
+             CAST(floor((
+               (CASE WHEN sa.l0 = sb.l0 THEN 1 ELSE 0 END) +
+               (CASE WHEN sa.l1 = sb.l1 THEN 1 ELSE 0 END) +
+               (CASE WHEN sa.l2 = sb.l2 THEN 1 ELSE 0 END) +
+               (CASE WHEN sa.l3 = sb.l3 THEN 1 ELSE 0 END) +
+               (CASE WHEN sa.l4 = sb.l4 THEN 1 ELSE 0 END) +
+               (CASE WHEN sa.l5 = sb.l5 THEN 1 ELSE 0 END) +
+               (CASE WHEN sa.l6 = sb.l6 THEN 1 ELSE 0 END) +
+               (CASE WHEN sa.l7 = sb.l7 THEN 1 ELSE 0 END))
+               / 8.0 * 10000.0) AS BIGINT) AS est_e4
+           FROM cand
+           JOIN sig sa ON cand.batch_doc = sa.doc_id
+           JOIN sig sb ON cand.index_doc = sb.doc_id)
+         SELECT batch_doc, index_doc, est_e4 FROM est
+         WHERE est_e4 >= 5000 ORDER BY batch_doc, index_doc""",
   )
 }

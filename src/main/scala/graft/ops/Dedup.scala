@@ -204,27 +204,44 @@ object Dedup {
     * candidates within the blocking key, exact word-set verification
     * bounded by the candidates. md5-per-lane costs more per token than
     * the one-hash buffer aggregate — portability is the trade. */
-  def minhashNearDupPortable(docs: DataFrame, id: Column, block: Column,
-      text: Column, threshold: Double, numLanes: Int = 8,
-      rowsPerBand: Int = 2): DataFrame = {
-    require(numLanes % rowsPerBand == 0, "rowsPerBand must divide numLanes")
+  /** Engine-portable md5 MinHash lanes: one row per (doc, block) with
+    * lane columns `l0..l{numLanes-1}`, lane s = min over distinct
+    * tokens of the first 16 hex chars of md5("s:" + token). Shared by
+    * [[minhashNearDupPortable]] and the persisted
+    * [[DedupIndex.writeMinhashIndex]]. */
+  private[ops] def portableLanes(docs: DataFrame, id: Column,
+      block: Column, text: Column, numLanes: Int): DataFrame = {
     val w = docs.select(id.as("doc_id"), block.as("block"),
       explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
     val laneAggs = (0 until numLanes).map(s =>
       min(substring(md5(concat(lit(s + ":"), col("w"))), 1, 16)).as(s"l$s"))
-    val sig = w.groupBy(col("doc_id"), col("block"))
+    w.groupBy(col("doc_id"), col("block"))
       .agg(laneAggs.head, laneAggs.tail: _*)
+  }
+
+  /** LSH banding over [[portableLanes]] output: (doc_id, block, band,
+    * bucket) rows, bucket = md5 over the band's lane concat. */
+  private[ops] def portableBanded(sig: DataFrame, numLanes: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(numLanes % rowsPerBand == 0, "rowsPerBand must divide numLanes")
     val numBands = numLanes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         md5(concat((0 until rowsPerBand)
           .map(r => col(s"l${b * rowsPerBand + r}")): _*)).as("bucket"))
     }
-    val banded = sig
+    sig
       .select(col("doc_id"), col("block"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("block"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def minhashNearDupPortable(docs: DataFrame, id: Column, block: Column,
+      text: Column, threshold: Double, numLanes: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val sig = portableLanes(docs, id, block, text, numLanes)
+    val banded = portableBanded(sig, numLanes, rowsPerBand)
       .localCheckpoint(eager = false)
     val cand = banded.as("a")
       .join(banded.as("b"),

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted dedup indexes: the incremental-arrival path for corpus
+  * deduplication. The batch operators in [[Dedup]] re-fingerprint the
+  * whole corpus per run; at 100 TB, new data arrives in batches that are
+  * a tiny fraction of the corpus, and re-scanning everything per arrival
+  * is the cost that kills the pipeline. The index is built ONCE (one
+  * corpus scan), persisted as plain parquet, appended to as batches are
+  * accepted, and each new batch probes it with scans bounded by the
+  * batch — never by the corpus.
+  *
+  * Layout (all plain parquet, no external service):
+  *   `<path>/exact/`   fp (content md5), doc_id — partitioned by `pfx`
+  *                     (first 2 fp hex chars, 256 directories) so a
+  *                     small batch's probe prunes to the partitions its
+  *                     own prefixes name
+  *   `<path>/lanes/`   doc_id, l0..l{n-1} portable MinHash lanes
+  *   `<path>/bands/`   doc_id, band, bucket — partitioned by band
+  *   `<path>/meta/`    num_lanes, rows_per_band sidecar
+  *
+  * Every hash is the engine-portable md5 form ([[Dedup.portableLanes]]),
+  * so an external engine can rebuild the exact index content — the whole
+  * incremental path is oracle-checkable, stored bytes included.
+  */
+object DedupIndex {
+
+  private def withFp(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+        TextAnalysis.fingerprint(text).as("fp"))
+      .withColumn("pfx", substring(col("fp"), 1, 2))
+
+  /** Build + persist the exact-fingerprint index: one corpus scan. The
+    * pre-write `repartition(pfx)` clusters each prefix into one file per
+    * shuffle partition — without it a 1000-task scan writes 1000×256
+    * tiny files and the write dominates. */
+  def writeExactIndex(docs: DataFrame, id: Column, text: Column,
+      path: String): Unit =
+    withFp(docs, id, text)
+      .repartition(col("pfx"))
+      .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/exact")
+
+  /** Append an accepted batch's fingerprints to the index. */
+  def appendExact(batch: DataFrame, id: Column, text: Column,
+      path: String): Unit =
+    withFp(batch, id, text)
+      .repartition(col("pfx"))
+      .write.mode("append").partitionBy("pfx").parquet(s"$path/exact")
+
+  /** Filter a new batch down to documents whose content fingerprint is
+    * NOT already in the index. Returns (doc_id, fp) of the new docs.
+    *
+    * Scale shape: the batch's distinct prefixes (≤ 256 values — a
+    * driver-sized set by construction) become a STATIC partition filter
+    * on the index read, so a small batch touches only the index
+    * directories its own hashes name; the anti-join then shuffles the
+    * pruned index slice and the batch on fp. The corpus text is never
+    * re-read — only its stored 32-byte fingerprints. */
+  def newOnly(spark: SparkSession, batch: DataFrame, id: Column,
+      text: Column, path: String): DataFrame = {
+    val b = withFp(batch, id, text).localCheckpoint(eager = false)
+    val pfxs = b.select(col("pfx")).distinct().collect()
+      .map(_.getString(0)).toSeq
+    val idx = spark.read.parquet(s"$path/exact")
+      .filter(col("pfx").isin(pfxs: _*))
+    b.join(idx.select(col("pfx"), col("fp")), Seq("pfx", "fp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
+
+  /** Build + persist the near-dup (MinHash band) index: portable lanes
+    * for estimation plus banded buckets for candidate probing, band as
+    * the partition key so a probe that hits few bands reads few
+    * directories. One corpus scan feeds both tables. */
+  def writeMinhashIndex(docs: DataFrame, id: Column, text: Column,
+      path: String, numLanes: Int = 8, rowsPerBand: Int = 2): Unit = {
+    val sig = Dedup.portableLanes(docs, id, lit(true), text, numLanes)
+      .localCheckpoint(eager = false)
+    sig.drop("block")
+      .write.mode("overwrite").parquet(s"$path/lanes")
+    Dedup.portableBanded(sig, numLanes, rowsPerBand)
+      .drop("block")
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    docs.sparkSession.createDataFrame(Seq((numLanes, rowsPerBand)))
+      .toDF("num_lanes", "rows_per_band")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Near-dup pairs of a new batch AGAINST the indexed corpus:
+    * candidates from the banded equi-join (batch bands × index bands),
+    * similarity ESTIMATED from stored lane agreement — est_e4 =
+    * floor(matching_lanes / num_lanes · 1e4) — since the index stores
+    * sketches, not text (estimation error ~1/√lanes; raise `numLanes`
+    * at build time for tighter bounds, or re-verify survivors against
+    * the corpus text as a second stage). Returns
+    * (batch_doc, index_doc, est_e4) with est ≥ `minEstimate`.
+    *
+    * Scale shape: batch bands are batch-sized, the join against the
+    * band-partitioned index shuffles only bucket-matched rows, and the
+    * lane join touches index lanes only for candidate ids. */
+  def nearDupAgainstIndex(spark: SparkSession, batch: DataFrame,
+      id: Column, text: Column, path: String,
+      minEstimate: Double): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (numLanes, rowsPerBand) = (meta.getInt(0), meta.getInt(1))
+    val bSig = Dedup.portableLanes(batch, id, lit(true), text, numLanes)
+      .localCheckpoint(eager = false)
+    val bBands = Dedup.portableBanded(bSig, numLanes, rowsPerBand)
+    val iBands = spark.read.parquet(s"$path/bands")
+    val cand = bBands.as("a")
+      .join(iBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("index_doc"))
+      .distinct()
+    val iLanes = spark.read.parquet(s"$path/lanes")
+    val agree = (0 until numLanes).map(s =>
+      when(col(s"a.l$s") === col(s"b.l$s"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(bSig.as("a"), col("batch_doc") === col("a.doc_id"))
+      .join(iLanes.as("b"), col("index_doc") === col("b.doc_id"))
+      .withColumn("est_e4",
+        floor(agree.cast("double") / lit(numLanes.toDouble) * lit(10000.0))
+          .cast("long"))
+      .filter(col("est_e4") >= math.floor(minEstimate * 10000).toLong)
+      .select(col("batch_doc"), col("index_doc"), col("est_e4"))
+  }
+}

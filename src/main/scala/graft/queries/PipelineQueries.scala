@@ -474,4 +474,31 @@ object PipelineQueries {
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)
       .orderBy(col("rank"))
+
+  /** Incremental exact dedup: even doc_ids play the indexed corpus, odd
+    * doc_ids the arriving batch; result = batch docs with genuinely new
+    * content (index probed via partition-pruned fingerprint parquet). */
+  def incrementalNew(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    graft.ops.DedupIndex.writeExactIndex(
+      d.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), path)
+    graft.ops.DedupIndex.newOnly(s,
+      d.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"), path)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental near-dup: odd-doc batch probed against the even-doc
+    * MinHash band index, similarity estimated from stored lane
+    * agreement (est >= 0.5). */
+  def indexNearDup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val path = java.nio.file.Files.createTempDirectory("graft_mh").toString
+    graft.ops.DedupIndex.writeMinhashIndex(
+      d.filter(col("doc_id") % 2 === 0), col("doc_id"), col("text"), path)
+    graft.ops.DedupIndex.nearDupAgainstIndex(s,
+      d.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"), path,
+      minEstimate = 0.5)
+      .orderBy(col("batch_doc"), col("index_doc"))
+  }
 }

@@ -74,6 +74,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("dedup-index probe prunes to the batch's fingerprint partitions") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val path = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    graft.ops.DedupIndex.writeExactIndex(docs, col("doc_id"), col("text"),
+      path)
+    // one-doc batch -> the index scan must carry a pfx partition filter
+    val batch = Seq((9999L, "a single probe document")).toDF("doc_id", "text")
+    val probe = graft.ops.DedupIndex.newOnly(spark, batch, col("doc_id"),
+      col("text"), path)
+    val p = plan(probe)
+    assert(p.contains("PartitionFilters: [pfx#") ||
+      p.matches("(?s).*PartitionFilters: \\[.*pfx.*"), p.take(3000))
+  }
+
   test("linear scoring broadcasts the model (fact side never re-shuffles for the join)") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")

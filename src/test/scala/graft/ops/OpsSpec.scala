@@ -926,6 +926,44 @@ class OpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("exact dedup index: probe finds only new content; append closes it") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    val corpus = Seq((1L, "the quick fox"), (2L, "hello world"))
+      .toDF("doc_id", "text")
+    DedupIndex.writeExactIndex(corpus, col("doc_id"), col("text"), path)
+    // batch: doc 10 duplicates doc 1 (same normalized content),
+    // doc 11 is new
+    val batch = Seq((10L, "  THE  QUICK   FOX "), (11L, "brand new doc"))
+      .toDF("doc_id", "text")
+    val fresh = DedupIndex.newOnly(spark, batch, col("doc_id"),
+      col("text"), path)
+    assert(fresh.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+    // accept the batch; re-probing the same batch now yields nothing
+    DedupIndex.appendExact(fresh.join(batch, "doc_id"), col("doc_id"),
+      col("text"), path)
+    assert(DedupIndex.newOnly(spark, batch, col("doc_id"), col("text"),
+      path).count() == 0)
+  }
+
+  test("minhash index probe: identical doc estimates 1.0, disjoint stays out") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("mhidx").toString
+    val corpus = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    DedupIndex.writeMinhashIndex(corpus, col("doc_id"), col("text"), path)
+    val batch = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta"), // == doc 2
+      (13L, "totally unrelated words here now")
+    ).toDF("doc_id", "text")
+    val got = DedupIndex.nearDupAgainstIndex(spark, batch, col("doc_id"),
+      col("text"), path, minEstimate = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((11L, 2L, 10000L)))
+  }
+
   test("prunePassages invariant: n_kept + n_removed == n_tokens (corpus)") {
     val docs = Tables.load(spark, sf, "documents").limit(200)
     val bad = graft.ops.TextAnalysis.prunePassages(docs, col("doc_id"),
