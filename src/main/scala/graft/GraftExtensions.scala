@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashAgg, ShingleWinnow, SimHashAgg}
+import graft.functions.{DotProduct, MinHashAgg, ShingleWinnow, SimHashAgg, TopKAgg}
 
 /** Session extension injecting the library's native expressions into the
   * SQL function registry, so `spark.sql("SELECT vec_dot(a, b) ...")`
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.winnowDescriptor)
+    ext.injectFunction(GraftExtensions.topkDescriptor)
   }
 }
 
@@ -67,6 +68,16 @@ object GraftExtensions {
     { args: Seq[Expression] =>
       require(args.length == 1, "simhash_agg requires (token) argument")
       SimHashAgg(args.head)
+    })
+
+  /** `topk_agg(score, id, k)` — the bounded top-k pair aggregate. */
+  val topkDescriptor: Descriptor = (
+    FunctionIdentifier("topk_agg"),
+    new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+    { args: Seq[Expression] =>
+      require(args.length == 3,
+        "topk_agg requires (score, id, k) arguments")
+      TopKAgg(args.head, args(1), litInt(args(2), "k"))
     })
 
   /** `shingle_winnow(tokens, k, w)` — the winnowing fingerprint array. */

@@ -97,6 +97,7 @@ object SparkEntry {
     "qe11_random_projection" -> (PipelineQueries.randomProjectionQ _),
     "qv12_top_paths" -> (PipelineQueries.topPathsQ _),
     "qd29_incremental_new" -> (PipelineQueries.incrementalNew _),
+    "qe12_knn_join" -> (PipelineQueries.knnJoinQ _),
     "qd30_index_neardup" -> (PipelineQueries.indexNearDup _),
   )
 
@@ -998,6 +999,23 @@ object SparkEntry {
            ORDER BY n DESC, path LIMIT 20)
          SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path)
            AS BIGINT) AS rank FROM c ORDER BY rank""",
+    // Multi-query kNN join: brute-force cosine per (query, corpus) pair,
+    // rank partitioned by query with the (cos DESC, vec_id) tiebreak.
+    "qe12_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 5),
+         z AS (SELECT q.query_id, e.vec_id,
+           CAST(unnest(e.embedding) AS DOUBLE) AS a,
+           CAST(unnest(q.qe) AS DOUBLE) AS b
+           FROM embeddings e CROSS JOIN q),
+         s AS (SELECT query_id, vec_id,
+           round(sum(a*b) / (sqrt(sum(a*a)) * sqrt(sum(b*b))), 4) AS cos
+           FROM z GROUP BY 1, 2),
+         r AS (SELECT query_id, vec_id, cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS BIGINT) AS rank FROM s)
+         SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
     // Incremental exact dedup: odd-doc batch anti-joined against the
     // even-doc fingerprint index (same content md5 as qd03).
     "qd29_incremental_new" ->

@@ -339,6 +339,36 @@ object Similarity {
       k)
   }
 
+  /** Multi-query kNN join: for EACH query vector, the k nearest corpus
+    * vectors by cosine — the batch-retrieval shape behind evaluation
+    * sweeps, cluster assignment and hard-negative mining. The single-
+    * query operators ([[bruteForceTopK]] and friends) rank one result
+    * set; ranking per query needs per-group top-k, and the declarative
+    * form (`row_number` over a (query) window) shuffles and sorts the
+    * whole |corpus| × |queries| scored product. This uses the native
+    * bounded [[graft.functions.TopKAgg]] instead: map-side partial
+    * aggregation reduces each (query, partition) to k pairs BEFORE the
+    * exchange, so the corpus is scanned once, never shuffled, and the
+    * wire carries k × |queries| × |partitions| pairs.
+    *
+    * Queries broadcast (a query batch is dim-sized); scores round to 4
+    * decimals with (cos DESC, vec_id ASC) tiebreak, so results are
+    * deterministic and engine-reproducible. */
+  def knnJoin(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"))
+    val q = queries.select(qid.as("query_id"), l2Normalize(qvec).as("qv"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("v"), col("qv")), 4).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"),
+        col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
+  }
+
   /** Deterministic ±1 sign for the random-projection matrix: +1 when
     * the first hex digit of md5("j:i") is below '8'. md5 is the shared
     * deterministic randomness primitive across engines (same trick as

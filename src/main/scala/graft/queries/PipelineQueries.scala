@@ -488,6 +488,16 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Multi-query kNN join: 5 query vectors against the whole corpus,
+    * top-5 each, via the bounded topk_agg (corpus scanned once, never
+    * shuffled). */
+  def knnJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.knnJoin(e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Incremental near-dup: odd-doc batch probed against the even-doc
     * MinHash band index, similarity estimated from stored lane
     * agreement (est >= 0.5). */

@@ -74,6 +74,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("knnJoin aggregates map-side (ObjectHashAggregate, no window, no sort of the product)") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val p = plan(Similarity.knnJoin(e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"), k = 5))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(p.contains("partial_topk_agg"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(3000))
+  }
+
   test("dedup-index probe prunes to the batch's fingerprint partitions") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")

@@ -964,6 +964,67 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((11L, 2L, 10000L)))
   }
 
+  test("topk_agg equals the window-rank form and is partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // scored pairs with score ties (groups g, ids 0..99)
+    val scored = (0 until 200).map(i =>
+      (s"g${i % 2}", (i % 7).toDouble, i.toLong))
+      .toDF("g", "score", "id")
+    def viaAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("g"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("score"), col("id"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("g"), col("p.score"), col("p.id"), col("r"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getInt(3))).toSeq.sortBy(x => (x._1, x._4))
+    val viaWindow = scored
+      .withColumn("rn", row_number().over(Window.partitionBy("g")
+        .orderBy(col("score").desc, col("id"))))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getInt(3) - 1)).toSeq.sortBy(x => (x._1, x._4))
+    assert(viaAgg(scored) == viaWindow)
+    // repartitioning must not change the result (merge-order invariance)
+    assert(viaAgg(scored.repartition(7, col("id"))) == viaWindow)
+    // groups smaller than k return all their rows
+    val tiny = Seq(("g", 1.0, 1L), ("g", 2.0, 2L)).toDF("g", "score", "id")
+    assert(viaAgg(tiny).map(_._3) == Seq(2L, 1L))
+  }
+
+  test("topk_agg SQL registration matches the API form") {
+    import spark.implicits._
+    spark.sessionState.functionRegistry.registerFunction(
+      graft.GraftExtensions.topkDescriptor._1,
+      graft.GraftExtensions.topkDescriptor._2,
+      graft.GraftExtensions.topkDescriptor._3)
+    val df = (0 until 50).map(i => ("g", i.toDouble % 5, i.toLong))
+      .toDF("g", "score", "id")
+    df.createOrReplaceTempView("scored_topk")
+    val viaSql = spark.sql(
+      "SELECT topk_agg(score, id, 3) AS top FROM scored_topk GROUP BY g")
+      .select(explode(col("top")).as("p")).select("p.score", "p.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val viaApi = df.groupBy("g")
+      .agg(graft.functions.TopKAggregate.topk(col("score"), col("id"), 3)
+        .as("top"))
+      .select(explode(col("top")).as("p")).select("p.score", "p.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(viaSql == viaApi && viaApi.nonEmpty)
+  }
+
+  test("knnJoin: each query's self-match ranks first with cos 1.0") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val got = graft.ops.Similarity.knnJoin(e, col("vec_id"),
+      col("embedding"), e.filter(col("vec_id") < 3), col("vec_id"),
+      col("embedding"), k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((0L, 0L, 1.0), (1L, 1L, 1.0), (2L, 2L, 1.0)))
+  }
+
   test("prunePassages invariant: n_kept + n_removed == n_tokens (corpus)") {
     val docs = Tables.load(spark, sf, "documents").limit(200)
     val bad = graft.ops.TextAnalysis.prunePassages(docs, col("doc_id"),
