@@ -98,6 +98,7 @@ object SparkEntry {
     "qv12_top_paths" -> (PipelineQueries.topPathsQ _),
     "qd29_incremental_new" -> (PipelineQueries.incrementalNew _),
     "qe12_knn_join" -> (PipelineQueries.knnJoinQ _),
+    "qd31_temperature_mix" -> (PipelineQueries.temperatureMix _),
     "qd30_index_neardup" -> (PipelineQueries.indexNearDup _),
   )
 
@@ -999,6 +1000,22 @@ object SparkEntry {
            ORDER BY n DESC, path LIMIT 20)
          SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path)
            AS BIGINT) AS rank FROM c ORDER BY rank""",
+    // sqrt-temperature mix sampling: rate_g = sqrt(min_n / n_g); sqrt is
+    // correctly rounded per IEEE 754, so the in-plan hex threshold is
+    // bit-identical across engines (same keep mechanics as qd19).
+    "qd31_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         m AS (SELECT min(n) AS mn FROM n),
+         r AS (SELECT lang, sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE))
+             AS rate0
+           FROM n CROSS JOIN m)
+         SELECT d.doc_id, d.lang,
+           floor(r.rate0 * 10000.0) / 10000.0 AS rate
+         FROM documents d JOIN r USING (lang)
+         WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <
+           printf('%08x', CAST(least(floor(r.rate0 * 4294967296.0),
+             4294967295.0) AS BIGINT))
+         ORDER BY d.doc_id""",
     // Multi-query kNN join: brute-force cosine per (query, corpus) pair,
     // rank partitioned by query with the (cos DESC, vec_id) tiebreak.
     "qe12_knn_join" ->

@@ -27,10 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
+  /** The partition value is "x" + the first 2 fp hex chars — the letter
+    * prefix keeps Hive partition-column TYPE INFERENCE from reading an
+    * all-digit directory set ("42", "98", …) as integers on one run and
+    * strings on the next (a mixed-type read then fails casting "6d"). */
   private def withFp(docs: DataFrame, id: Column, text: Column): DataFrame =
     docs.select(id.as("doc_id"),
         TextAnalysis.fingerprint(text).as("fp"))
-      .withColumn("pfx", substring(col("fp"), 1, 2))
+      .withColumn("pfx", concat(lit("x"), substring(col("fp"), 1, 2)))
 
   /** Build + persist the exact-fingerprint index: one corpus scan. The
     * pre-write `repartition(pfx)` clusters each prefix into one file per

@@ -63,6 +63,37 @@ object Sampling {
       .drop("_g", "_rate0")
   }
 
+  /** Temperature-style mix sampling at α = 1/2: group g keeps at rate
+    * sqrt(min_n / n_g), so sampled sizes scale as sqrt(n) — the classic
+    * temperature flattening (probability ∝ n^α) that boosts
+    * low-resource languages/domains without collapsing the mix all the
+    * way to uniform the way [[mixBalancedSample]] does. The smallest
+    * group keeps everything; a 100× larger group keeps 10×, not 100×.
+    *
+    * α is FIXED at 1/2 because `sqrt` is the one fractional power IEEE
+    * 754 requires to be correctly rounded — the data-dependent hex
+    * threshold comes out bit-identical on every engine. A generic
+    * `pow(n, α−1)` would hang the kept-set on last-ulp libm behavior
+    * and is deliberately not offered. Same in-plan mechanics as
+    * [[mixBalancedSample]]: tiny group aggregation, broadcast back,
+    * md5-threshold keep — no collect, no shuffle of the fact table. */
+  def sqrtTemperatureSample(df: DataFrame, group: Column,
+      key: Column): DataFrame = {
+    val n = df.groupBy(group.as("_g")).agg(count(lit(1)).as("_n"))
+    val mn = n.agg(min(col("_n")).as("_mn"))
+    val rates = n.crossJoin(broadcast(mn))
+      .select(col("_g"),
+        sqrt(col("_mn").cast("double") / col("_n").cast("double"))
+          .as("_rate0"))
+    val thr = format_string("%08x",
+      least(floor(col("_rate0") * lit(4294967296.0)), lit(4294967295.0))
+        .cast("long"))
+    df.join(broadcast(rates), group === col("_g"))
+      .filter(hashHex(key) < thr)
+      .withColumn("rate", Num.floor4(col("_rate0")))
+      .drop("_g", "_rate0")
+  }
+
   /** Keep-predicate for a STRATIFIED deterministic sample: each stratum
     * samples at its own rate (e.g. downsample low-quality documents,
     * keep all high-quality ones — the standard quality-pruning move).

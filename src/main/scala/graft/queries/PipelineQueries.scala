@@ -294,6 +294,13 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("rate"))
       .orderBy(col("doc_id"))
 
+  /** Temperature (sqrt) language-mix sampling: kept docs + group rate. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.sqrtTemperatureSample(t(s, dir, "documents"), col("lang"),
+      col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("rate"))
+      .orderBy(col("doc_id"))
+
   /** Overlapping 64-token chunks every 48 tokens (16-token overlap). */
   def chunkDocs(s: SparkSession, dir: String): DataFrame =
     Packing.chunkTokens(t(s, dir, "documents"), col("doc_id"), col("text"),

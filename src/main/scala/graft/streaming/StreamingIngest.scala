@@ -49,6 +49,39 @@ object StreamingIngest {
       .withWatermark("ts", retention)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Incremental dedup ingest against the PERSISTED fingerprint index
+    * ([[graft.ops.DedupIndex]]): each micro-batch is probed with a
+    * partition-pruned anti-join, only genuinely-new documents land in
+    * the corpus sink, and their fingerprints are appended to the index
+    * so later batches (and later runs) see them. This is the unbounded
+    * twin of [[dedupStream]] with NO retention horizon: state lives in
+    * the index parquet, not the state store, so it never expires and
+    * never occupies executor memory.
+    *
+    * Failure semantics: `foreachBatch` may replay a batch after a
+    * crash, but the index makes the replay IDEMPOTENT at the content
+    * level — re-probing a batch whose fingerprints were already
+    * appended yields zero new docs, so the corpus sink sees no
+    * duplicates (the classic dedup-sink answer to at-least-once
+    * delivery). */
+  def dedupIngestTo(docs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.ops.DedupIndex.newOnly(spark, batch,
+          col("doc_id"), col("text"), indexPath)
+          .select(col("doc_id"))
+          .join(batch, Seq("doc_id"))
+          .localCheckpoint() // probe once: the write below mutates the index
+        fresh.write.mode("append").parquet(outPath)
+        graft.ops.DedupIndex.appendExact(fresh, col("doc_id"),
+          col("text"), indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Enrich a stream with a static dimension table (stream-static join).
     * The dim side is broadcast, so each micro-batch joins partition-
     * locally — no stream-side shuffle, no state store; the standard

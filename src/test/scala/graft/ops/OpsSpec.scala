@@ -772,6 +772,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got.filter(_._2 == "A").map(_._1).sorted.toSeq == Seq(6L, 7L))
   }
 
+  test("sqrt-temperature mix: smallest group keeps all, larger keeps sqrt share") {
+    import spark.implicits._
+    // |A| = 16, |B| = 4 -> rate_A = sqrt(4/16) = 0.5, rate_B = 1.0
+    val docs = ((1L to 16L).map(i => (i, "A")) ++
+      (17L to 20L).map(i => (i, "B"))).toDF("doc_id", "grp")
+    val got = Sampling.sqrtTemperatureSample(docs, col("grp"),
+      col("doc_id"))
+      .select("doc_id", "grp", "rate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.filter(_._2 == "B").map(_._1).sorted.toSeq ==
+      Seq(17L, 18L, 19L, 20L))
+    assert(got.filter(_._2 == "B").forall(_._3 == 1.0))
+    assert(got.filter(_._2 == "A").forall(_._3 == 0.5))
+    // exact kept set: ids whose md5 first-8-hex < 80000000
+    val expectA = (1L to 16L).filter { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      ((h(0) >> 4) & 0xf) < 8
+    }
+    assert(got.filter(_._2 == "A").map(_._1).sorted.toSeq == expectA)
+  }
+
   test("token chunking: overlap, final partial window, empty docs dropped") {
     import spark.implicits._
     val docs = Seq(
@@ -962,6 +984,33 @@ class OpsSpec extends AnyFunSuite {
       col("text"), path, minEstimate = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq((11L, 2L, 10000L)))
+  }
+
+  test("streaming dedup ingest vs persisted index admits only new content") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dedupingest").toString
+    val idx = s"$root/idx"; val in = s"$root/in"; val out = s"$root/out"
+    // bootstrap: corpus already holds docs 1 and 2
+    val corpus = Seq((1L, "seen before one"), (2L, "seen before two"))
+      .toDF("doc_id", "text")
+    DedupIndex.writeExactIndex(corpus, col("doc_id"), col("text"), idx)
+    // batch 1 arrives: one dup of doc 1, one new doc
+    Seq((10L, "seen  BEFORE   one"), (11L, "fresh content a"))
+      .toDF("doc_id", "text").write.parquet(s"$in/f1")
+    val schema = corpus.schema
+    StreamingIngest.dedupIngestTo(
+      StreamingIngest.watchParquetDir(spark, s"$in/*", schema),
+      idx, out, s"$root/ckpt").awaitTermination()
+    assert(spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().toSeq == Seq(11L))
+    // batch 2: a dup of the doc admitted in batch 1, plus another new one
+    Seq((20L, "fresh content a"), (21L, "fresh content b"))
+      .toDF("doc_id", "text").write.parquet(s"$in/f2")
+    StreamingIngest.dedupIngestTo(
+      StreamingIngest.watchParquetDir(spark, s"$in/*", schema),
+      idx, out, s"$root/ckpt").awaitTermination()
+    assert(spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(11L, 21L))
   }
 
   test("topk_agg equals the window-rank form and is partition-invariant") {
