@@ -99,6 +99,7 @@ object SparkEntry {
     "qd29_incremental_new" -> (PipelineQueries.incrementalNew _),
     "qe12_knn_join" -> (PipelineQueries.knnJoinQ _),
     "qd31_temperature_mix" -> (PipelineQueries.temperatureMix _),
+    "qv13_value_histogram" -> (PipelineQueries.valueHistogram _),
     "qd30_index_neardup" -> (PipelineQueries.indexNearDup _),
   )
 
@@ -1000,6 +1001,17 @@ object SparkEntry {
            ORDER BY n DESC, path LIMIT 20)
          SELECT path, n, CAST(row_number() OVER (ORDER BY n DESC, path)
            AS BIGINT) AS rank FROM c ORDER BY rank""",
+    // Equi-width cents histogram per event type; bins via floor division
+    // in double (Spark div truncates, DuckDB // floors — doubles agree).
+    "qv13_value_histogram" ->
+      """WITH c AS (SELECT event_type,
+           CAST(floor(value * 100.0) AS BIGINT) AS cents FROM events),
+         b AS (SELECT event_type,
+           CAST(floor(CAST(cents AS DOUBLE) / 1000.0) AS BIGINT) AS bin,
+           cents FROM c)
+         SELECT event_type, bin, bin * 1000 AS bin_lo_cents,
+           count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     // sqrt-temperature mix sampling: rate_g = sqrt(min_n / n_g); sqrt is
     // correctly rounded per IEEE 754, so the in-plan hex threshold is
     // bit-identical across engines (same keep mechanics as qd19).

@@ -31,4 +31,27 @@ object Stats {
       .filter(col("rn") === floor((col("n") + 1) / 2))
       .select(col("grp"), col("n"), col("v").as("median_v"))
   }
+
+  /** Per-group equi-width histogram over a monetary measure, on exact
+    * integer cents: bin b covers [b·width, (b+1)·width) cents. One
+    * map-side-combined hash aggregation — each partition emits at most
+    * (groups × occupied bins) rows regardless of input size, the
+    * profile-dashboard scan shape. Bins are derived with floor division
+    * in DOUBLE (exact for |cents| < 2^53) because integer `div`
+    * truncates toward zero in Spark but floors in other engines —
+    * doubles sidestep the negative-value disagreement. Empty bins are
+    * absent (join a spine like denseHourlyCounts when zero-filled
+    * output is wanted). */
+  def centsHistogram(df: DataFrame, group: Column, value: Column,
+      widthCents: Long): DataFrame =
+    df.select(group.as("grp"),
+        floor(value * lit(100.0)).cast("long").as("cents"))
+      .withColumn("bin",
+        floor(col("cents").cast("double") / lit(widthCents.toDouble))
+          .cast("long"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .withColumn("bin_lo_cents", col("bin") * widthCents)
 }

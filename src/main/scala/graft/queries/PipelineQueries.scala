@@ -294,6 +294,15 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), col("rate"))
       .orderBy(col("doc_id"))
 
+  /** Per-event-type value histogram ($10 bins, exact integer cents). */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.centsHistogram(Tables.loadEvents(s, dir),
+      col("event_type"), col("value"), widthCents = 1000L)
+      .withColumnRenamed("grp", "event_type")
+      .select(col("event_type"), col("bin"), col("bin_lo_cents"),
+        col("n"), col("min_cents"), col("max_cents"))
+      .orderBy(col("event_type"), col("bin"))
+
   /** Temperature (sqrt) language-mix sampling: kept docs + group rate. */
   def temperatureMix(s: SparkSession, dir: String): DataFrame =
     Sampling.sqrtTemperatureSample(t(s, dir, "documents"), col("lang"),

@@ -772,6 +772,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got.filter(_._2 == "A").map(_._1).sorted.toSeq == Seq(6L, 7L))
   }
 
+  test("centsHistogram: exact integer bins, occupied bins only") {
+    import spark.implicits._
+    val df = Seq(("a", 0.0), ("a", 9.99), ("a", 10.0), ("b", 25.5))
+      .toDF("t", "value")
+    val got = Stats.centsHistogram(df, col("t"), col("value"), 1000L)
+      .orderBy("grp", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // a: 0 and 999 in bin 0; 1000 in bin 1. b: 2550 in bin 2.
+    assert(got.toSeq == Seq(
+      ("a", 0L, 2L, 0L, 999L, 0L), ("a", 1L, 1L, 1000L, 1000L, 1000L),
+      ("b", 2L, 1L, 2550L, 2550L, 2000L)))
+  }
+
   test("sqrt-temperature mix: smallest group keeps all, larger keeps sqrt share") {
     import spark.implicits._
     // |A| = 16, |B| = 4 -> rate_A = sqrt(4/16) = 0.5, rate_B = 1.0
