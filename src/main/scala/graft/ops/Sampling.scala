@@ -94,6 +94,27 @@ object Sampling {
       .drop("_g", "_rate0")
   }
 
+  /** Deterministic train/validation/test SPLIT assignment: the md5 hash
+    * of the key lands in [0,1) and the cumulative weight ranges carve it
+    * into one labeled region per split — every row gets exactly one
+    * label, reproducibly on any cluster/partitioning/engine (the same
+    * property as [[keep]], and the reason `randomSplit` is unusable for
+    * a 100 TB corpus: its assignment changes with partitioning). Weights
+    * are normalized, so (8,1,1) and (0.8,0.1,0.1) agree. Pure codegen'd
+    * string compares — a narrow map, no shuffle, no state. */
+  def splitAssign(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits need positive weights: $splits")
+    val total = splits.map(_._2).sum
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val h = hashHex(key)
+    // last region is the otherwise-branch: no rounding gap at the top
+    splits.zip(cum).init.foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((label, _), c)) =>
+        acc.when(h < lit(rateThreshold(c)), label)
+    }.otherwise(lit(splits.last._1))
+  }
+
   /** Keep-predicate for a STRATIFIED deterministic sample: each stratum
     * samples at its own rate (e.g. downsample low-quality documents,
     * keep all high-quality ones — the standard quality-pruning move).

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-shard layout: the last step of a curation pipeline — turn a
+  * corpus into `numShards` balanced, deterministically-assigned,
+  * internally-ordered parquet shards that a data loader streams.
+  *
+  * Design for 100 TB:
+  *  - shard id = `pmod(xxhash64(key), numShards)` — content-derived, so
+  *    the layout is reproducible on any cluster/partitioning (same
+  *    discipline as [[Sampling]]; never `monotonically_increasing_id`).
+  *  - one `repartition(numShards, shard)` shuffle, then
+  *    `sortWithinPartitions` — NO global sort; each shard orders
+  *    independently.
+  *  - written `partitionBy("shard")` so a loader (or a later Spark job)
+  *    reads any subset of shards via partition pruning.
+  *  - a tiny manifest (shard → rows, bytes-ish) is computed from the
+  *    same frame, not by re-listing files.
+  */
+object Sharding {
+
+  /** Stable shard id in [0, numShards) — fast in-engine path. */
+  def shardId(key: Column, numShards: Int): Column = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    pmod(xxhash64(key), lit(numShards.toLong))
+  }
+
+  /** ENGINE-PORTABLE shard id: first 8 hex chars of md5 as an integer,
+    * mod `numShards` — reproducible in external SQL
+    * (`CAST('0x'||substr(md5(k),1,8) AS BIGINT) % n`), same md5
+    * discipline as [[Sampling.hashHex]]. Use when the shard layout must
+    * be re-derivable outside Spark; [[shardId]] (xxhash64) is cheaper
+    * when it only has to be stable within Spark. */
+  def portableShardId(key: Column, numShards: Int): Column = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % numShards
+  }
+
+  /** Assign shards and lay the frame out shard-per-partition, rows
+    * ordered by `order` inside each shard. Returns the frame WITH the
+    * `shard` column, partitioned so each task holds exactly one shard. */
+  def layout(df: DataFrame, key: Column, order: Column,
+      numShards: Int): DataFrame =
+    df.withColumn("shard", shardId(key, numShards))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), order)
+
+  /** Write the sharded corpus under `path` (dir per shard via hive-style
+    * `shard=N` partitions) and return the manifest (shard, n_rows). */
+  def write(df: DataFrame, key: Column, order: Column, numShards: Int,
+      path: String): DataFrame = {
+    val laid = layout(df, key, order, numShards)
+    laid.write.mode("overwrite").partitionBy("shard").parquet(path)
+    laid.sparkSession.read.parquet(path)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Shard-balance report straight from the assignment (no write):
+    * per-shard row count and total cost, for checking the hash spread
+    * before paying for the layout shuffle. Uses the portable shard id
+    * so the report is oracle-checkable end to end. */
+  def balance(df: DataFrame, key: Column, cost: Column,
+      numShards: Int): DataFrame =
+    df.select(portableShardId(key, numShards).as("shard"),
+        cost.cast("long").as("c"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c")).as("total_cost"))
+}

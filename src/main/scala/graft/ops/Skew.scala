@@ -36,4 +36,28 @@ object Skew {
       .agg(count(lit(1)).as("_n"), sum(col("v")).as("_s"))
       .groupBy(col("k"))
       .agg(sum(col("_n")).as("n"), sum(col("_s")).as("total_cents"))
+
+  /** Skew-safe EQUI-JOIN: every big-side row gets a content-derived salt
+    * (same determinism discipline as [[saltedCountSum]]) and the small
+    * side is REPLICATED across all `buckets` salt values, so a hot join
+    * key's rows spread over `buckets` reducers instead of stalling one.
+    * The join result is exactly the plain `big ⋈ small` — salting is
+    * invisible in the output (helper columns dropped), which is what
+    * makes it oracle-checkable against the unsalted join.
+    *
+    * Use when the small side is too big to broadcast but the big side's
+    * key distribution is skewed and AQE's skew-join split can't help
+    * (e.g. the skew is in a single unsplittable partition of a
+    * pre-shuffled input). Cost: small side × buckets. Column names must
+    * be disjoint between the two frames (Spark would otherwise emit
+    * ambiguous duplicates). */
+  def saltedEquiJoin(big: DataFrame, bigKey: Column, rowId: Column,
+      small: DataFrame, smallKey: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val b = big.withColumn("_salt", pmod(xxhash64(rowId), lit(buckets.toLong)))
+    val s = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1L))))
+    b.join(s, bigKey === smallKey && b("_salt") === s("_salt"))
+      .drop("_salt")
+  }
 }

@@ -142,4 +142,20 @@ object ExtraQueries {
         coalesce(col("n_name"), lit("ALL")).as("nation"), col("revenue"))
       .orderBy(col("region"), col("nation"))
   }
+
+  /** Skew-safe lineitem ⋈ part: salted equi-join whose output is exactly
+    * the plain join (the oracle runs the unsalted SQL). */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val p = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"))
+    graft.ops.Skew.saltedEquiJoin(
+        li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey")),
+        col("l_partkey"),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")),
+        p, col("p_partkey"), buckets = 8)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("p_partkey"), col("p_brand"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
 }

@@ -514,6 +514,45 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Deterministic 80/10/10 train/val/test split assignment per doc. */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+      .orderBy(col("doc_id"))
+
+  /** Best-first corpus selection: per source, highest-`n_chars` docs
+    * until 20k whitespace tokens are spent. */
+  def budgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Packing.budgetSelect(d, col("source"), col("doc_id"),
+        col("n_chars"), TextAnalysis.tokenCount(col("text")),
+        budget = 20000L, tieBreak = col("doc_id"))
+      .withColumnRenamed("group", "src")
+      .orderBy(col("src"), col("cum_cost"))
+  }
+
+  /** Exact per-type value percentiles (p50/p90/p99) on integer cents. */
+  def groupQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.groupQuantiles(Tables.loadEvents(s, dir),
+        col("event_type"),
+        floor(col("value") * lit(100.0)).cast("long"),
+        col("event_id"),
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .orderBy(col("grp"))
+
+  /** Training-shard balance report: 16 portable-hash shards over docs. */
+  def shardBalance(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sharding.balance(t(s, dir, "documents"), col("doc_id"),
+        col("n_chars"), numShards = 16)
+      .orderBy(col("shard"))
+
+  /** Curriculum interleave: languages round-robined through the epoch. */
+  def interleave(s: SparkSession, dir: String): DataFrame =
+    Packing.interleaveKey(t(s, dir, "documents"), col("lang"),
+        col("doc_id"), col("doc_id"))
+      .orderBy(col("interleave_key"))
+
   /** Incremental near-dup: odd-doc batch probed against the even-doc
     * MinHash band index, similarity estimated from stored lane
     * agreement (est >= 0.5). */

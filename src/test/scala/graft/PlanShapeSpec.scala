@@ -100,6 +100,30 @@ class PlanShapeSpec extends AnyFunSuite {
       p.matches("(?s).*PartitionFilters: \\[.*pfx.*"), p.take(3000))
   }
 
+  test("split assignment and shard balance stay narrow + single-shuffle") {
+    val docs = Tables.load(spark, sf, "documents")
+    // split label is a pure codegen'd compare: no shuffle at all
+    val p1 = plan(docs.select(col("doc_id"), Sampling.splitAssign(
+      col("doc_id"), Seq("train" -> 0.9, "test" -> 0.1)).as("s")))
+    assert(!p1.contains("Exchange"), p1.take(2000))
+    // balance is ONE hash-agg shuffle (partial + final), no sort
+    val p2 = plan(graft.ops.Sharding.balance(docs, col("doc_id"),
+      col("n_chars"), 16))
+    assert(p2.split("Exchange").length == 2, p2.take(3000))
+    assert(p2.contains("partial_count") || p2.contains("partial"),
+      p2.take(3000))
+  }
+
+  test("budgetSelect shuffles once on the group key, never globally") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(graft.ops.Packing.budgetSelect(docs, col("source"),
+      col("doc_id"), col("n_chars"), TextAnalysis.tokenCount(col("text")),
+      budget = 20000L, tieBreak = col("doc_id")))
+    // exactly one exchange: hashpartitioning on the group key
+    assert(p.split("Exchange hashpartitioning").length == 2, p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
+  }
+
   test("linear scoring broadcasts the model (fact side never re-shuffles for the join)") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")

@@ -1208,4 +1208,141 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq == Seq(("a>b>c", 2L, 1L), ("d", 1L, 2L)))
   }
+
+  test("splitAssign is total, deterministic, and near the target mix") {
+    val d = Tables.load(spark, sf, "documents")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = d.select(col("doc_id"),
+      Sampling.splitAssign(col("doc_id"), splits).as("split"))
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    assert(total == d.count(), "every row gets exactly one label")
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    // ~80/10/10 within generous tolerance at this scale
+    assert(math.abs(counts("train").toDouble / total - 0.8) < 0.05, counts)
+    // repartitioning does not change any assignment
+    val again = d.repartition(13).select(col("doc_id"),
+      Sampling.splitAssign(col("doc_id"), splits).as("split"))
+    assert(assigned.except(again).isEmpty && again.except(assigned).isEmpty)
+    // integer weights normalize to the same assignment
+    val ints = d.select(col("doc_id"), Sampling.splitAssign(col("doc_id"),
+      Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0)).as("split"))
+    assert(assigned.except(ints).isEmpty)
+  }
+
+  test("groupQuantiles selects the DuckDB quantile_disc ranks exactly") {
+    import spark.implicits._
+    // n=4: p=.25->rank1, .5->2, .75->3, .9->4 (probed against DuckDB)
+    val df = Seq(("g", 10L, 1L), ("g", 20L, 2L), ("g", 30L, 3L),
+      ("g", 40L, 4L)).toDF("grp0", "v0", "t0")
+    val got = Stats.groupQuantiles(df, col("grp0"), col("v0"), col("t0"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p90" -> 0.9))
+      .collect().head
+    assert((got.getAs[Long]("p25"), got.getAs[Long]("p50"),
+      got.getAs[Long]("p75"), got.getAs[Long]("p90")) == (10L, 20L, 30L, 40L))
+    // p=0 clamps to rank 1; p=1 is rank n; odd n median
+    val odd = Seq(("g", 10L, 1L), ("g", 20L, 2L), ("g", 30L, 3L),
+      ("g", 40L, 4L), ("g", 50L, 5L)).toDF("grp0", "v0", "t0")
+    val o = Stats.groupQuantiles(odd, col("grp0"), col("v0"), col("t0"),
+        Seq("p0" -> 0.0, "p50" -> 0.5, "p100" -> 1.0)).collect().head
+    assert((o.getAs[Long]("p0"), o.getAs[Long]("p50"),
+      o.getAs[Long]("p100")) == (10L, 30L, 50L))
+  }
+
+  test("saltedEquiJoin equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    // hot key: 100 of 101 rows share key 1
+    val big = ((1 to 100).map(i => (i.toLong, 1L)) :+ (101L, 2L))
+      .toDF("row_id", "k")
+    val small = Seq((1L, "hot"), (2L, "cold"), (3L, "unused"))
+      .toDF("sk", "label")
+    val salted = Skew.saltedEquiJoin(big, col("k"), col("row_id"),
+      small, col("sk"), buckets = 8)
+    val plain = big.join(small, col("k") === col("sk"))
+    assert(salted.select("row_id", "k", "sk", "label")
+      .except(plain.select("row_id", "k", "sk", "label")).isEmpty)
+    assert(plain.select("row_id", "k", "sk", "label")
+      .except(salted.select("row_id", "k", "sk", "label")).isEmpty)
+    assert(salted.count() == 101)
+    // the hot key's rows really do land under multiple salt values
+    val nSalts = big.filter(col("k") === 1L)
+      .select(pmod(xxhash64(col("row_id")), lit(8L)).as("s"))
+      .distinct().count()
+    assert(nSalts > 1, "salt must split the hot key")
+  }
+
+  test("sharding layout is deterministic, balanced, and prunable") {
+    val d = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val manifest = Sharding.write(d, col("doc_id"), col("doc_id"),
+      numShards = 8, path = dir)
+    val counts = manifest.collect().map(r =>
+      r.getAs[Long]("shard") -> r.getAs[Long]("n_rows")).toMap
+    assert(counts.keySet == (0L until 8L).toSet, s"all shards present: $counts")
+    assert(counts.values.sum == d.count())
+    // hash spread: no shard more than 3x the ideal share
+    val ideal = d.count().toDouble / 8
+    assert(counts.values.forall(_ < ideal * 3), s"skewed shards: $counts")
+    // re-running the assignment on a repartitioned input is identical
+    val a1 = d.select(col("doc_id"), Sharding.shardId(col("doc_id"), 8)
+      .as("s"))
+    val a2 = d.repartition(17).select(col("doc_id"),
+      Sharding.shardId(col("doc_id"), 8).as("s"))
+    assert(a1.except(a2).isEmpty && a2.except(a1).isEmpty)
+    // reading one shard prunes partitions: only shard=3 rows come back
+    val one = spark.read.parquet(dir).filter(col("shard") === 3)
+    assert(one.count() == counts(3L))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(shard"),
+      s"shard filter should prune partitions:\n$plan")
+    // portable id matches the documented external-SQL formula
+    val row = d.select(col("doc_id").cast("string").as("k"),
+      Sharding.portableShardId(col("doc_id"), 16).as("s")).head()
+    val expected = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        row.getString(0)).substring(0, 8), 16) % 16
+    assert(row.getLong(1) == expected)
+  }
+
+  test("interleaveKey round-robins groups through the epoch") {
+    import spark.implicits._
+    val docs = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("c", 6L)).toDF("g", "doc_id")
+    val keyed = Packing.interleaveKey(docs, col("g"), col("doc_id"),
+      col("doc_id"))
+    val inOrder = keyed.orderBy("interleave_key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // G=3: a->gidx0, b->1, c->2; keys a:(0,3,6) b:(1,4) c:(2)
+    assert(inOrder.toSeq == Seq(("a", 1L, 0L), ("b", 4L, 1L), ("c", 6L, 2L),
+      ("a", 2L, 3L), ("b", 5L, 4L), ("a", 3L, 6L)))
+    // keys are unique even with unequal groups
+    assert(keyed.select("interleave_key").distinct().count() == 6)
+  }
+
+  test("budgetSelect keeps best-first within budget, never over") {
+    import spark.implicits._
+    val docs = Seq(
+      // group g1: scores 5,4,3,2 with costs 4,3,2,1, budget 7 ->
+      // take score 5 (cum 4), score 4 (cum 7 == budget, inclusive),
+      // score 3 would hit 9 -> excluded, and selection STOPS there
+      // (cum is monotone, so score 2 at cum 10 is out too).
+      (1L, "g1", 5L, 4L), (2L, "g1", 4L, 3L),
+      (3L, "g1", 3L, 2L), (4L, "g1", 2L, 1L),
+      // g2: single doc bigger than the budget -> nothing selected
+      (5L, "g2", 9L, 8L)
+    ).toDF("doc_id", "grp", "score", "cost")
+    val got = Packing.budgetSelect(docs, col("grp"), col("doc_id"),
+        col("score"), col("cost"), budget = 7L, tieBreak = col("doc_id"))
+      .orderBy("group", "cum_cost")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_cost")))
+    assert(got.toSeq == Seq((1L, 4L), (2L, 7L)))
+    // ties break by doc_id ascending: equal scores, budget fits one
+    val tied = Seq((10L, "t", 1L, 5L), (11L, "t", 1L, 5L))
+      .toDF("doc_id", "grp", "score", "cost")
+    val winner = Packing.budgetSelect(tied, col("grp"), col("doc_id"),
+        col("score"), col("cost"), budget = 5L, tieBreak = col("doc_id"))
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(winner.toSeq == Seq(10L))
+  }
 }
