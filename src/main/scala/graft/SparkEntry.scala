@@ -107,6 +107,9 @@ object SparkEntry {
     "qv14_group_quantiles" -> (PipelineQueries.groupQuantiles _),
     "qd34_shard_balance" -> (PipelineQueries.shardBalance _),
     "qd35_interleave" -> (PipelineQueries.interleave _),
+    "qd36_clean_profile" -> (PipelineQueries.cleanProfile _),
+    "qd37_score_deciles" -> (PipelineQueries.scoreDeciles _),
+    "qv15_spend_outliers" -> (PipelineQueries.spendOutliers _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1110,6 +1113,48 @@ object SparkEntry {
            CAST(r.rn * n.ng + g.gidx AS BIGINT) AS interleave_key
          FROM r JOIN g ON r."group" = g.lang CROSS JOIN n
          ORDER BY 3""",
+    // Markup strip mirrored as the same regex chain ('g' = replace-all,
+    // Spark's default); entity decode order and ASCII classes match.
+    "qd36_clean_profile" ->
+      """WITH c AS (SELECT doc_id, trim(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text, '<!--.*?-->', ' ', 'g'),
+             '(?i)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+             '<[^>]+>', ' ', 'g'),
+             '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+             '&quot;', '"', 'g'), '&apos;', '''', 'g'),
+           '\s+', ' ', 'g')) AS clean
+           FROM documents)
+         SELECT d.doc_id, CAST(length(c.clean) AS BIGINT) AS clean_len,
+           CAST(len(regexp_extract_all(d.text, '�')) AS BIGINT)
+             AS n_replacement,
+           CAST(len(regexp_extract_all(d.text,
+             '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) AS BIGINT) AS n_control
+         FROM documents d JOIN c ON d.doc_id = c.doc_id
+         ORDER BY 1""",
+    // NTILE is standard SQL: both engines give the first buckets the
+    // remainder; ties broken by doc_id.
+    "qd37_score_deciles" ->
+      """SELECT lang AS grp, doc_id, CAST(n_chars AS BIGINT) AS v,
+           ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+             AS bucket
+         FROM documents ORDER BY 1, 2""",
+    // Exact z-score outlier test on integer window sums; squares are
+    // explicit self-multiplies (see Events.spendOutliers).
+    "qv15_spend_outliers" ->
+      """WITH e AS (SELECT event_id, user_id,
+           CAST(floor(value * 100.0) AS BIGINT) AS cents FROM events),
+         w AS (SELECT *,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+           CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS s,
+           CAST(sum(cents * cents) OVER (PARTITION BY user_id) AS BIGINT)
+             AS q FROM e)
+         SELECT event_id, user_id, cents, n, s FROM w
+         WHERE n > 1
+           AND CAST(n * cents - s AS DOUBLE) * CAST(n * cents - s AS DOUBLE)
+             > 9.0 * CAST(n * q - s * s AS DOUBLE)
+         ORDER BY 1""",
     // Multi-query kNN join: brute-force cosine per (query, corpus) pair,
     // rank partitioned by query with the (cos DESC, vec_id) tiebreak.
     "qe12_knn_join" ->

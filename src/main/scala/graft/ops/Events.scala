@@ -62,6 +62,36 @@ object Events {
       .drop("ts")
   }
 
+  /** Per-user spend outliers by EXACT z-score test: flag event x when
+    * (x − mean)² > k² · variance over that user's events, evaluated as
+    *   (n·x − s)² > k² · (n·q − s²)
+    * with s = Σcents, q = Σcents² (both exact BIGINT window sums, so the
+    * usual stddev float-accumulation-order nondeterminism never enters;
+    * the only floating math is the final IEEE multiplies of
+    * exactly-represented integers — identical on every engine).
+    * Integer headroom: needs n·Σcents² < 2^63, i.e. per-group
+    * n·max_cents ≲ 3·10^9 — comfortable for per-user spend; for
+    * coarser groups pre-aggregate or rescale the unit. One shuffle on
+    * user_id; users with one event never flag (variance term is 0). */
+  def spendOutliers(events: DataFrame, k: Double): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val e = events.select(col("event_id"), col("user_id"),
+      floor(col("value") * lit(100.0)).cast("long").as("cents"))
+    e.withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("s", sum(col("cents")).over(byUser))
+      .withColumn("q", sum(col("cents") * col("cents")).over(byUser))
+      .filter {
+        // square by self-multiply, not pow(): pow's libm path is not
+        // guaranteed to be a correctly-rounded square on every engine
+        val dev = (col("n") * col("cents") - col("s")).cast("double")
+        val variance =
+          (col("n") * col("q") - col("s") * col("s")).cast("double")
+        dev * dev > lit(k * k) * variance && col("n") > 1
+      }
+      .select(col("event_id"), col("user_id"), col("cents"),
+        col("n"), col("s"))
+  }
+
   /** DENSE hourly counts: the tumbling rollup with empty buckets
     * zero-filled — resampling/gap-filling for time-series consumers
     * that need every (hour, type) cell. The only corpus-sized work is

@@ -61,6 +61,25 @@ object Stats {
     ranked.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-row quantile-bucket assignment (`ntile`): every row of a group
+    * gets its 1-based bucket among `n` near-equal buckets by `value`
+    * order — the score-calibration shape ("which decile is this
+    * document's quality in?"). Standard SQL NTILE semantics (first
+    * buckets absorb the remainder), tie broken by `tie` so bucket
+    * boundaries are engine-stable. Same single (group)-shuffle
+    * discipline as [[groupMedian]]. */
+  def quantileBuckets(df: DataFrame, group: Column, id: Column,
+      value: Column, tie: Column, n: Int): DataFrame = {
+    require(n > 0, s"bucket count must be positive: $n")
+    df.select(group.as("grp"), id.as("doc_id"), value.as("v"),
+        tie.as("_t"))
+      .withColumn("bucket", ntile(n).over(
+          Window.partitionBy(col("grp")).orderBy(col("v"), col("_t")))
+        // long, matching SQL engines whose NTILE returns BIGINT
+        .cast("long"))
+      .drop("_t")
+  }
+
   /** Per-group equi-width histogram over a monetary measure, on exact
     * integer cents: bin b covers [b·width, (b+1)·width) cents. One
     * map-side-combined hash aggregation — each partition emits at most

@@ -75,6 +75,38 @@ object TextAnalysis {
         lit(0.3) * (lit(1.0) - punctRatio(text)) +
         lit(0.3) * least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)))
 
+  /** Strip HTML/XML markup: remove comments, then script/style blocks
+    * with their contents, then remaining tags, then decode the five
+    * predefined XML entities, then collapse whitespace runs. A regex
+    * pass, not a parser — the standard first-cut web-text cleanup (a
+    * full parser belongs in a [[Multimodal]]-style codec seam). Plain
+    * `regexp_replace` chain: codegen'd, narrow, and reproducible in any
+    * engine with the same patterns (ASCII classes only). */
+  def stripMarkup(text: Column): Column = {
+    val noComment = regexp_replace(text, "<!--.*?-->", " ")
+    val noBlock = regexp_replace(noComment,
+      "(?i)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTag = regexp_replace(noBlock, "<[^>]+>", " ")
+    val decoded = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&apos;" -> "'").foldLeft(noTag) {
+      case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Encoding-damage flags: U+FFFD replacement chars (decode failures)
+    * and C0/C1 control chars (mojibake debris) per document — the
+    * cheap pre-filter that catches broken charset conversions before
+    * they poison a training mix. Counts, not booleans, so thresholds
+    * stay a caller policy. */
+  def encodingFlags(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"),
+      size(regexp_extract_all(text, lit("�"), lit(0)))
+        .cast("long").as("n_replacement"),
+      size(regexp_extract_all(text,
+        lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"), lit(0)))
+        .cast("long").as("n_control"))
+
   /** Content fingerprint: md5 over case- and whitespace-normalized text.
     * The exact-dedup key for `documents`. */
   def fingerprint(text: Column): Column =

@@ -553,6 +553,28 @@ object PipelineQueries {
         col("doc_id"), col("doc_id"))
       .orderBy(col("interleave_key"))
 
+  /** Markup strip + encoding-damage flags per document. */
+  def cleanProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val flags = TextAnalysis.encodingFlags(d, col("doc_id"), col("text"))
+    d.select(col("doc_id"),
+        length(TextAnalysis.stripMarkup(col("text"))).cast("long")
+          .as("clean_len"))
+      .join(flags, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language quality-decile assignment (calibration buckets). */
+  def scoreDeciles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.quantileBuckets(t(s, dir, "documents"), col("lang"),
+        col("doc_id"), col("n_chars"), col("doc_id"), n = 10)
+      .orderBy(col("grp"), col("doc_id"))
+
+  /** Per-user spend outliers at k=3 via the exact z-score test. */
+  def spendOutliers(s: SparkSession, dir: String): DataFrame =
+    Events.spendOutliers(Tables.loadEvents(s, dir), k = 3.0)
+      .orderBy(col("event_id"))
+
   /** Incremental near-dup: odd-doc batch probed against the even-doc
     * MinHash band index, similarity estimated from stored lane
     * agreement (est >= 0.5). */

@@ -1320,6 +1320,90 @@ class OpsSpec extends AnyFunSuite {
     assert(keyed.select("interleave_key").distinct().count() == 6)
   }
 
+  test("stripMarkup removes tags/scripts/comments and decodes entities") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<html><body><p>Hello   <b>world</b></p></body></html>"),
+      (2L, "<script type=\"text/js\">var x = 1 < 2;</script>keep"),
+      (3L, "<!-- secret -->visible<style>p{color:red}</style>"),
+      (4L, "a &amp; b &lt;tag&gt; &quot;q&quot; &apos;s&apos;"),
+      (5L, "plain text untouched")
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.stripMarkup(col("text")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "Hello world")
+    assert(got(2L) == "keep")
+    assert(got(3L) == "visible")
+    assert(got(4L) == "a & b <tag> \"q\" 's'")
+    assert(got(5L) == "plain text untouched")
+  }
+
+  test("encodingFlags counts replacement and control characters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean text"),
+      (2L, "bad � decode � twice"),
+      (3L, "ctrl chars here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.encodingFlags(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (0L, 0L))
+    assert(got(2L) == (2L, 0L))
+    assert(got(3L) == (0L, 3L))
+  }
+
+  test("quantileBuckets follows standard NTILE remainder semantics") {
+    import spark.implicits._
+    // 7 rows into 3 buckets: sizes 3,2,2 (first buckets absorb remainder)
+    val df = (1L to 7L).map(i => ("g", i, i)).toDF("grp0", "id0", "v0")
+    val got = Stats.quantileBuckets(df, col("grp0"), col("id0"), col("v0"),
+        col("id0"), n = 3)
+      .orderBy("v").collect().map(_.getAs[Long]("bucket"))
+    assert(got.toSeq == Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L))
+  }
+
+  test("spendOutliers flags exactly the hand-computed outlier") {
+    import spark.implicits._
+    // user 1: cents 100,100,100,100,1000 -> mean 280, var large; check
+    // the exact test (n·x−s)² > 9·(n·q−s²) by hand:
+    // n=5 s=1400 q=1040000; for x=1000: (5000−1400)²=12,960,000;
+    // 9·(5,200,000−1,960,000)=29,160,000 -> NOT flagged at k=3.
+    // At k=1.5: 2.25·3,240,000=7,290,000 < 12,960,000 -> flagged.
+    val ns = 1000000000L
+    val events = Seq(
+      (1L, 1L, 1.00), (2L, 1L, 1.00), (3L, 1L, 1.00), (4L, 1L, 1.00),
+      (5L, 1L, 10.00),
+      (6L, 2L, 5.00) // single-event user never flags
+    ).map { case (e, u, v) => (e, u, e * ns, "t", v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    assert(Events.spendOutliers(events, k = 3.0).count() == 0)
+    val flagged = Events.spendOutliers(events, k = 1.5)
+      .collect().map(_.getAs[Long]("event_id"))
+    assert(flagged.toSeq == Seq(5L))
+  }
+
+  test("JSONL round-trips with pinned schema and isolates corrupt lines") {
+    val d = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    graft.sources.JsonLines.write(d, s"$dir/docs")
+    val back = graft.sources.JsonLines.read(spark, s"$dir/docs", d.schema)
+      .drop(graft.sources.JsonLines.corruptColumn)
+    assert(back.count() == d.count())
+    assert(back.schema.fieldNames.toSeq == d.schema.fieldNames.toSeq)
+    assert(back.exceptAll(d).isEmpty && d.exceptAll(back).isEmpty)
+    // a corrupt line lands in _corrupt_record, not an exception
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.jsonl"),
+      "{\"doc_id\": 1, \"text\": \"ok\"}\nnot json at all\n".getBytes)
+    // Spark disallows referencing ONLY _corrupt_record on a raw JSON
+    // scan (SPARK-21610) — materialize whole rows, then inspect.
+    val mixed = graft.sources.JsonLines.read(spark, s"$dir/bad.jsonl",
+      d.schema).collect()
+    assert(mixed.length == 2)
+    assert(mixed.count(r => !r.isNullAt(
+      r.fieldIndex(graft.sources.JsonLines.corruptColumn))) == 1)
+  }
+
   test("budgetSelect keeps best-first within budget, never over") {
     import spark.implicits._
     val docs = Seq(
