@@ -110,6 +110,9 @@ object SparkEntry {
     "qd36_clean_profile" -> (PipelineQueries.cleanProfile _),
     "qd37_score_deciles" -> (PipelineQueries.scoreDeciles _),
     "qv15_spend_outliers" -> (PipelineQueries.spendOutliers _),
+    "qd38_corpus_diff" -> (PipelineQueries.corpusDiff _),
+    "qe13_centroid_drift" -> (PipelineQueries.centroidDrift _),
+    "qd39_curated_splits" -> (PipelineQueries.curatedSplits _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1155,6 +1158,77 @@ object SparkEntry {
            AND CAST(n * cents - s AS DOUBLE) * CAST(n * cents - s AS DOUBLE)
              > 9.0 * CAST(n * q - s * s AS DOUBLE)
          ORDER BY 1""",
+    // Snapshot diff by content fingerprint: full-outer on id, status
+    // from null-side / fingerprint comparison.
+    "qd38_corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents WHERE doc_id % 3 <> 0),
+         n AS (SELECT doc_id, md5(trim(regexp_replace(lower(
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END),
+             '\s+', ' ', 'g'))) AS fp
+           FROM documents WHERE doc_id % 2 = 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'same'
+                ELSE 'changed' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY 1""",
+    // Centroid drift on exact cross-scaled integer sums:
+    // Σ_dim |sumA·nB − sumB·nA| per label, halves by vec_id parity.
+    "qe13_centroid_drift" ->
+      """WITH x AS (SELECT vec_id, label, unnest(embedding) AS x,
+           CAST(unnest(range(len(embedding))) AS BIGINT) AS dim
+           FROM embeddings),
+         a AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n_a,
+           CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))
+             AS BIGINT) AS sum_a
+           FROM x WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+         b AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n_b,
+           CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))
+             AS BIGINT) AS sum_b
+           FROM x WHERE vec_id % 2 = 1 GROUP BY 1, 2)
+         SELECT a.label, CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(sum(abs(sum_a * n_b - sum_b * n_a)) AS BIGINT)
+             AS drift_num
+         FROM a JOIN b ON a.label = b.label AND a.dim = b.dim
+         GROUP BY 1 ORDER BY 1""",
+    // Composed curation v2 in one SQL: the qd36 clean chain, encoding +
+    // length gate, exact dedup on the CLEANED text (min doc_id wins),
+    // the qd32 split regions, per-split totals.
+    "qd39_curated_splits" ->
+      """WITH c AS (SELECT doc_id, trim(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text, '<!--.*?-->', ' ', 'g'),
+             '(?i)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+             '<[^>]+>', ' ', 'g'),
+             '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+             '&quot;', '"', 'g'), '&apos;', '''', 'g'),
+           '\s+', ' ', 'g')) AS clean
+           FROM documents),
+         g AS (SELECT c.doc_id, c.clean FROM c JOIN documents d
+           ON c.doc_id = d.doc_id
+           WHERE len(regexp_extract_all(d.text, '�')) = 0
+             AND len(regexp_extract_all(d.text,
+               '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]')) = 0
+             AND length(c.clean) >= 50),
+         k AS (SELECT min(doc_id) AS doc_id FROM g
+           GROUP BY md5(trim(regexp_replace(lower(clean), '\s+', ' ', 'g')))),
+         s AS (SELECT g.doc_id,
+           CASE WHEN substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)
+                  < 'cccccccc' THEN 'train'
+                WHEN substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 8)
+                  < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(len(regexp_extract_all(lower(g.clean), '\S+')) AS BIGINT)
+             AS toks
+           FROM g JOIN k ON g.doc_id = k.doc_id)
+         SELECT split, count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens
+         FROM s GROUP BY 1 ORDER BY 1""",
     // Multi-query kNN join: brute-force cosine per (query, corpus) pair,
     // rank partitioned by query with the (cos DESC, vec_id) tiebreak.
     "qe12_knn_join" ->

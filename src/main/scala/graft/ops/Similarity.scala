@@ -163,6 +163,33 @@ object Similarity {
         sum(floor(col("x").cast("double") * lit(10000.0)).cast("long"))
           .as("sum_e4"))
 
+  /** Per-group centroid DRIFT between two corpus snapshots (old batch vs
+    * new batch, last week vs this week): for each group present in BOTH
+    * frames, the L1 distance between centroids, computed EXACTLY by
+    * cross-scaling the integer element sums —
+    *   drift_num = Σ_dim |sumA_e4 · nB − sumB_e4 · nA|
+    * (the per-dim mean difference times nA·nB·1e4, so no division and no
+    * float accumulation; callers wanting the mean-L1 divide by
+    * nA·nB·1e4 at the edge). Integer headroom: |sum_e4| · n must stay
+    * under 2^63 — n·max|x|·n ≲ 9·10^14, comfortable for per-label
+    * snapshots. Plan: two [[centroidSums]] aggregations (the only
+    * corpus-sized work), a (group, dim)-keyed join of two tiny
+    * centroid frames, one final reduce per group. */
+  def centroidDrift(a: DataFrame, b: DataFrame, group: Column,
+      vec: Column): DataFrame = {
+    val ca = centroidSums(a, group, vec)
+      .select(col("label"), col("dim"), col("n").as("n_a"),
+        col("sum_e4").as("sum_a"))
+    val cb = centroidSums(b, group, vec)
+      .select(col("label"), col("dim"), col("n").as("n_b"),
+        col("sum_e4").as("sum_b"))
+    ca.join(cb, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(abs(col("sum_a") * col("n_b") - col("sum_b") * col("n_a")))
+          .as("drift_num"))
+  }
+
   /** Scalar int8 quantization of an embedding column: each dimension
     * maps linearly from its corpus [min, max] onto 0..255 — the standard
     * index-compression pass before ANN (4× smaller than float32, and

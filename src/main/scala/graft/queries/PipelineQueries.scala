@@ -575,6 +575,51 @@ object PipelineQueries {
     Events.spendOutliers(Tables.loadEvents(s, dir), k = 3.0)
       .orderBy(col("event_id"))
 
+  /** Corpus snapshot diff: old = ids not divisible by 3, new = even ids
+    * with every 5th text amended — statuses added/removed/changed/same. */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val oldSnap = d.filter(col("doc_id") % 3 =!= 0)
+    val newSnap = d.filter(col("doc_id") % 2 === 0)
+      .withColumn("text", when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    graft.ops.Versioning.corpusDiff(oldSnap, newSnap, col("doc_id"),
+        col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-label centroid drift between even- and odd-id embedding halves. */
+  def centroidDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.centroidDrift(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        col("label"), col("embedding"))
+      .orderBy(col("label"))
+  }
+
+  /** Composed curation v2: markup-strip -> encoding + length gate ->
+    * exact dedup on the CLEANED text -> deterministic split -> per-split
+    * doc/token totals. One oracle covers the whole chain. */
+  def curatedSplits(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val cleaned = d.select(col("doc_id"),
+      TextAnalysis.stripMarkup(col("text")).as("clean"))
+    val gated = cleaned
+      .join(TextAnalysis.encodingFlags(d, col("doc_id"), col("text")),
+        "doc_id")
+      .filter(col("n_replacement") === 0 && col("n_control") === 0 &&
+        length(col("clean")) >= 50)
+    val keep = Dedup.exact(gated, col("doc_id"), col("clean"))
+      .select(col("keep_id").as("doc_id"))
+    gated.join(keep, "doc_id")
+      .select(Sampling.splitAssign(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"),
+        TextAnalysis.tokenCount(col("clean")).cast("long").as("toks"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"))
+      .orderBy(col("split"))
+  }
+
   /** Incremental near-dup: odd-doc batch probed against the even-doc
     * MinHash band index, similarity estimated from stored lane
     * agreement (est >= 0.5). */

@@ -139,6 +139,24 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming SPLIT ROUTER: assign each arriving document its
+    * deterministic train/val/test label ([[graft.ops.Sampling
+    * .splitAssign]] — a pure codegen'd expression, so it runs inside the
+    * stream with no state) and write one hive partition per split. A
+    * loader then reads `path/split=train` with partition pruning; the
+    * assignment is content-hashed, so replays and backfills route every
+    * document identically — the streaming twin of the batch split. */
+  def splitRouter(docs: DataFrame, key: org.apache.spark.sql.Column,
+      splits: Seq[(String, Double)], path: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.withColumn("split", graft.ops.Sampling.splitAssign(key, splits))
+      .writeStream
+      .format("parquet")
+      .partitionBy("split")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** One event on the stateful-sessionization input stream. */
   case class SessionEvent(userId: Long, eventId: Long, secs: Long,
       value: Double)

@@ -1404,6 +1404,63 @@ class OpsSpec extends AnyFunSuite {
       r.fieldIndex(graft.sources.JsonLines.corruptColumn))) == 1)
   }
 
+  test("corpusDiff classifies added/removed/changed/same exactly") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma CHANGED"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.Versioning.corpusDiff(oldSnap, newSnap,
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "same", 3L -> "changed",
+      4L -> "added"))
+    // whitespace/case normalization: fingerprints match across it
+    val aNorm = Seq((9L, "Hello   World")).toDF("doc_id", "text")
+    val bNorm = Seq((9L, "hello world")).toDF("doc_id", "text")
+    assert(graft.ops.Versioning.corpusDiff(aNorm, bNorm, col("doc_id"),
+      col("text")).head().getString(1) == "same")
+  }
+
+  test("centroidDrift is zero for identical halves, exact otherwise") {
+    import spark.implicits._
+    val a = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.centroidDrift(a, a, col("label"), col("embedding"))
+      .head().getAs[Long]("drift_num") == 0L)
+    // hand case: A = {(1,0)}, B = {(0,1),(0,1)} under one label:
+    // dim0: |10000·2 − 0·1| = 20000 ; dim1: |0·2 − 20000·1| = 20000
+    val b = Seq((3L, Seq(0.0f, 1.0f), 0), (4L, Seq(0.0f, 1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val one = Seq((1L, Seq(1.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidDrift(one, b, col("label"), col("embedding"))
+      .head()
+    assert(r.getAs[Long]("n_a") == 1L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("drift_num") == 40000L)
+  }
+
+  test("streaming split router writes prunable split partitions") {
+    val d = Tables.load(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("router").toString
+    d.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = StreamingIngest.watchParquetDir(spark, s"$dir/in", d.schema)
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    StreamingIngest.splitRouter(stream, col("doc_id"), splits,
+      s"$dir/out", s"$dir/chk").start().awaitTermination()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == d.count())
+    // routed identically to the batch assignment
+    val batch = d.select(col("doc_id"),
+      graft.ops.Sampling.splitAssign(col("doc_id"), splits).as("split"))
+    assert(out.select("doc_id", "split").except(batch).isEmpty)
+    // replaying the same input adds nothing (checkpointed exactly-once)
+    StreamingIngest.splitRouter(
+      StreamingIngest.watchParquetDir(spark, s"$dir/in", d.schema),
+      col("doc_id"), splits, s"$dir/out", s"$dir/chk")
+      .start().awaitTermination()
+    assert(spark.read.parquet(s"$dir/out").count() == d.count())
+  }
+
   test("budgetSelect keeps best-first within budget, never over") {
     import spark.implicits._
     val docs = Seq(
