@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHashAgg, ShingleWinnow, SimHashAgg, TopKAgg}
+import graft.functions.{DotProduct, HeavyHittersAgg, MinHashAgg, ShingleWinnow, SimHashAgg, TopKAgg}
 
 /** Session extension injecting the library's native expressions into the
   * SQL function registry, so `spark.sql("SELECT vec_dot(a, b) ...")`
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.winnowDescriptor)
     ext.injectFunction(GraftExtensions.topkDescriptor)
+    ext.injectFunction(GraftExtensions.heavyHittersDescriptor)
   }
 }
 
@@ -78,6 +79,16 @@ object GraftExtensions {
       require(args.length == 3,
         "topk_agg requires (score, id, k) arguments")
       TopKAgg(args.head, args(1), litInt(args(2), "k"))
+    })
+
+  /** `heavyhitters_agg(item, m)` — bounded Misra-Gries frequent items. */
+  val heavyHittersDescriptor: Descriptor = (
+    FunctionIdentifier("heavyhitters_agg"),
+    new ExpressionInfo(classOf[HeavyHittersAgg].getName, "heavyhitters_agg"),
+    { args: Seq[Expression] =>
+      require(args.length == 2,
+        "heavyhitters_agg requires (item, m) arguments")
+      HeavyHittersAgg(args.head, litInt(args(1), "m"))
     })
 
   /** `shingle_winnow(tokens, k, w)` — the winnowing fingerprint array. */

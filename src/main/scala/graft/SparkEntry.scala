@@ -113,6 +113,7 @@ object SparkEntry {
     "qd38_corpus_diff" -> (PipelineQueries.corpusDiff _),
     "qe13_centroid_drift" -> (PipelineQueries.centroidDrift _),
     "qd39_curated_splits" -> (PipelineQueries.curatedSplits _),
+    "qd40_heavy_hitters" -> (PipelineQueries.heavyHitters _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1229,6 +1230,20 @@ object SparkEntry {
          SELECT split, count(*) AS n_docs,
            CAST(sum(toks) AS BIGINT) AS total_tokens
          FROM s GROUP BY 1 ORDER BY 1""",
+    // Heavy hitters: the MG sketch only produces CANDIDATES; the final
+    // set {g : freq·(m+1) > n} is exact, so plain SQL reproduces it.
+    "qd40_heavy_hitters" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') AS ws
+           FROM documents),
+         g AS (SELECT ws[CAST(i AS BIGINT)] || ' '
+             || ws[CAST(i + 1 AS BIGINT)] || ' '
+             || ws[CAST(i + 2 AS BIGINT)] AS g
+           FROM t, unnest(range(1, len(ws) - 1)) AS r(i)),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM g),
+         c AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1)
+         SELECT c.g, c.n FROM c CROSS JOIN n
+         WHERE c.n * 4096 > n.total
+         ORDER BY c.n DESC, c.g""",
     // Multi-query kNN join: brute-force cosine per (query, corpus) pair,
     // rank partitioned by query with the (cos DESC, vec_id) tiebreak.
     "qe12_knn_join" ->

@@ -31,6 +31,16 @@ object Decontaminate {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** ALL whitespace-token n-grams per document (every position, not
+    * deduplicated) — the frequency-counting twin of [[ngrams]]. */
+  def ngramsAll(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Per-training-document contamination report: how many distinct
     * n-grams of the doc also appear anywhere in `eval`. Only contaminated
     * docs (n_shared > 0) are returned — at scale the complement (the

@@ -620,6 +620,29 @@ object PipelineQueries {
       .orderBy(col("split"))
   }
 
+  /** Heavy-hitter trigrams: Misra-Gries CANDIDATES (bounded state,
+    * m = 4095 counters regardless of vocabulary) -> exact recount of
+    * candidates only -> keep true frequency > n/(m+1). The final set is
+    * deterministic (the sketch only has to contain it — guaranteed),
+    * so one SQL oracle checks the whole sketch-then-verify pipeline. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val m = 4095
+    val grams = t(s, dir, "documents")
+      .select(explode(Decontaminate.ngramsAll(col("text"), 3)).as("g"))
+    val total = grams.agg(count(lit(1)).as("total"))
+    val cand = grams
+      .agg(graft.functions.HeavyHittersAggregate
+        .heavyHitters(col("g"), m).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("g"))
+    grams.join(broadcast(cand), "g")
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * lit(m + 1) > col("total"))
+      .select(col("g"), col("n"))
+      .orderBy(col("n").desc, col("g"))
+  }
+
   /** Incremental near-dup: odd-doc batch probed against the even-doc
     * MinHash band index, similarity estimated from stored lane
     * agreement (est >= 0.5). */

@@ -960,6 +960,31 @@ class OpsSpec extends AnyFunSuite {
     assert(Events.topPaths(Seq.empty[(Long, Long, Long, String)]
       .toDF("event_id", "user_id", "ts", "event_type"), 1800, 5)
       .count() == 0)
+    // round-2 additions
+    assert(noDocs.select(Sampling.splitAssign(col("doc_id"),
+      Seq("a" -> 1.0, "b" -> 1.0)).as("s")).count() == 0)
+    assert(Packing.budgetSelect(noDocs.withColumn("g", lit("x")),
+      col("g"), col("doc_id"), col("doc_id"), col("doc_id"), 10L,
+      col("doc_id")).count() == 0)
+    assert(Packing.interleaveKey(noDocs, col("text"), col("doc_id"),
+      col("doc_id")).count() == 0)
+    assert(Stats.groupQuantiles(noDocs, col("text"), col("doc_id"),
+      col("doc_id"), Seq("p50" -> 0.5)).count() == 0)
+    assert(Stats.quantileBuckets(noDocs, col("text"), col("doc_id"),
+      col("doc_id"), col("doc_id"), 10).count() == 0)
+    assert(Sharding.balance(noDocs, col("doc_id"), col("doc_id"),
+      8).count() == 0)
+    assert(Versioning.corpusDiff(noDocs, noDocs, col("doc_id"),
+      col("text")).count() == 0)
+    assert(Similarity.centroidDrift(noEmb, noEmb, col("label"),
+      col("embedding")).count() == 0)
+    assert(TextAnalysis.encodingFlags(noDocs, col("doc_id"),
+      col("text")).count() == 0)
+    assert(Events.spendOutliers(Seq.empty[(Long, Long, Long, Double)]
+      .toDF("event_id", "user_id", "ts", "value"), 3.0).count() == 0)
+    assert(Skew.saltedEquiJoin(noDocs, col("doc_id"), col("doc_id"),
+      Seq.empty[(Long, String)].toDF("k2", "label"), col("k2"), 4)
+      .count() == 0)
   }
 
   test("exact dedup index: probe finds only new content; append closes it") {
@@ -1459,6 +1484,38 @@ class OpsSpec extends AnyFunSuite {
       col("doc_id"), splits, s"$dir/out", s"$dir/chk")
       .start().awaitTermination()
     assert(spark.read.parquet(s"$dir/out").count() == d.count())
+  }
+
+  test("heavyhitters_agg: guarantee holds, state bounded, SQL-registered") {
+    import spark.implicits._
+    // 1000 items: "hot" x 400, "warm" x 200, 400 singletons; m = 9 ->
+    // threshold n/(m+1) = 100: hot and warm MUST be present.
+    val rows = (Seq.fill(400)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 400).map(i => s"rare$i"))
+    val df = rows.toDF("w").repartition(7) // merge path exercised
+    val hh = df.agg(graft.functions.HeavyHittersAggregate
+        .heavyHitters(col("w"), 9).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh.size <= 9, s"state must stay bounded: ${hh.size}")
+    assert(hh.contains("hot") && hh.contains("warm"), hh)
+    // estimates are lower bounds within n/(m+1)
+    assert(hh("hot") <= 400 && hh("hot") >= 400 - 100, hh("hot"))
+    assert(hh("warm") <= 200 && hh("warm") >= 200 - 100, hh("warm"))
+    // exact-recount composition: candidates always cover true HH set
+    val counts = df.groupBy("w").count()
+    val trueHH = counts.filter(col("count") * 10 > 1000)
+      .collect().map(_.getString(0)).toSet
+    assert(trueHH.subsetOf(hh.keySet))
+    // SQL registration (GraftExtensions descriptor path)
+    val d = graft.GraftExtensions.heavyHittersDescriptor
+    spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    df.createOrReplaceTempView("hh_in")
+    val viaSql = spark.sql(
+      "SELECT explode(heavyhitters_agg(w, 9)) AS e FROM hh_in")
+      .select("e.item").collect().map(_.getString(0)).toSet
+    assert(Set("hot", "warm").subsetOf(viaSql))
   }
 
   test("budgetSelect keeps best-first within budget, never over") {
