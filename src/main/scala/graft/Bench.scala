@@ -1,5 +1,9 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,23 +20,46 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Per-query shuffle accounting: at 100 TB the number that predicts a
+    // query's cost is the bytes it MOVES, not the seconds a small-SF run
+    // takes — so the bench reports both. Task-end metrics arrive async;
+    // the bus is drained before each snapshot.
+    val shuffleWrite = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
     // warm the session (codegen, parquet reader init) outside any timer
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
+      val s0 = shuffleWrite.get()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
+      val moved = shuffleWrite.get() - s0
       // Drop blocks a finished query left behind (localCheckpoints,
       // caches) so later queries aren't taxed by earlier ones' state —
       // each measurement stays a from-cold single-query cost.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
-      name -> dt
+      name -> (dt, moved)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sh = results.map { case (k, (_, b)) =>
+      s"\"" + k + "\":" + (b / 1048576.0)
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    val totalSh = if (results.nonEmpty) results.map(_._2._2).sum else 0L
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"shuffle_mb":$sh,""" +
+      s""""total_shuffle_mb":${totalSh / 1048576.0},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
