@@ -124,6 +124,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p.take(3000))
   }
 
+  test("heavy hitters aggregates map-side (ObjectHashAggregate partials)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(docs
+      .select(explode(graft.ops.Decontaminate.ngramsAll(col("text"), 3))
+        .as("g"))
+      .agg(graft.functions.HeavyHittersAggregate
+        .heavyHitters(col("g"), 63).as("hh")))
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(p.contains("partial_heavyhitters_agg"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("Sort"), p.take(3000))
+  }
+
   test("linear scoring broadcasts the model (fact side never re-shuffles for the join)") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")
