@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.winnowDescriptor)
     ext.injectFunction(GraftExtensions.topkDescriptor)
     ext.injectFunction(GraftExtensions.heavyHittersDescriptor)
+    // whole-operator tier: native as-of join (custom LogicalPlan ->
+    // merge-scan SparkPlan) + its left-filter pushdown rule
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfFilterPushdown)
   }
 }
 

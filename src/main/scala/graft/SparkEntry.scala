@@ -114,6 +114,7 @@ object SparkEntry {
     "qe13_centroid_drift" -> (PipelineQueries.centroidDrift _),
     "qd39_curated_splits" -> (PipelineQueries.curatedSplits _),
     "qd40_heavy_hitters" -> (PipelineQueries.heavyHitters _),
+    "qv16_asof_native" -> (PipelineQueries.asofNative _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1230,6 +1231,19 @@ object SparkEntry {
          SELECT split, count(*) AS n_docs,
            CAST(sum(toks) AS BIGINT) AS total_tokens
          FROM s GROUP BY 1 ORDER BY 1""",
+    // The native AsOfJoinExec answers the SAME question as qv06 — the
+    // oracle is the identical DuckDB ASOF JOIN.
+    "qv16_asof_native" ->
+      """WITH p AS (SELECT event_id, user_id, ts, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, epoch_us(ts) AS click_ts_us,
+           CAST(floor(value * 100.0) AS BIGINT) AS click_cents
+           FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, p.ts_us, c.click_ts_us,
+           c.click_cents
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY p.event_id""",
     // Heavy hitters: the MG sketch only produces CANDIDATES; the final
     // set {g : freq·(m+1) > n} is exact, so plain SQL reproduces it.
     "qd40_heavy_hitters" ->

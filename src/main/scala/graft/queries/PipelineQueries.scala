@@ -341,6 +341,28 @@ object PipelineQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The same purchase←click as-of join through the NATIVE
+    * AsOfJoinExec (custom LogicalPlan + Strategy + merge-scan SparkPlan)
+    * — answer-identical to qv06's composed form, same DuckDB ASOF JOIN
+    * oracle. */
+  def asofNative(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("ts div 1000").as("ts_us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        expr("ts div 1000").as("click_ts_us"),
+        floor(col("value") * lit(100.0)).cast("long").as("click_cents"))
+    graft.plans.AsOfNative.asofJoin(purchases, clicks, "user_id", "ts",
+        payload = Seq("click_ts_us", "click_cents"),
+        tieBreak = Seq("click_ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_click_ts_us").as("click_ts_us"),
+        col("asof_click_cents").as("click_cents"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact per-type lower-median event value (order statistic, no global
     * sort). */
   def medianByType(s: SparkSession, dir: String): DataFrame =
