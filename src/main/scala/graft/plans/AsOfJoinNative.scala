@@ -206,7 +206,11 @@ case class AsOfJoinExec(
                   val c = keyOrd.compare(rk, lk)
                   if (c < 0) { haveR = false } // behind: discard
                   else if (c == 0 && tsOrd.compare(rt, lt) <= 0) {
-                    lastKey = rk
+                    // copyValue: sort iterators REUSE row buffers, so a
+                    // raw UTF8String/array key would go stale once the
+                    // iterator advances (fine for primitives, corrupt
+                    // for strings) — same discipline as the payload copy
+                    lastKey = InternalRow.copyValue(rk)
                     lastPayload = payloadProj(rRow).copy()
                     haveR = false // consumed
                   } else scanning = false // ahead: keep buffered

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -68,6 +68,17 @@ class AsOfFuzzSpec extends AnyFunSuite {
       val native = collectMap(graft.plans.AsOfNative.asofJoin(l, r,
         "user_id", "ts", Seq("p"), tieBreak = Seq("p")))
       assert(native == composed, s"native != composed at seed $seed")
+      // STRING keys: buffered key values must survive the sort
+      // iterator's row-buffer reuse (copyValue discipline)
+      val ls = l.withColumn("user_id",
+        concat(lit("u"), col("user_id").cast("string")))
+      val rs = r.withColumn("user_id",
+        concat(lit("u"), col("user_id").cast("string")))
+      val composedS = collectMap(AsOf.asofJoin(ls, rs, "user_id", "ts",
+        Seq("p"), tieBreak = Seq("p")))
+      val nativeS = collectMap(graft.plans.AsOfNative.asofJoin(ls, rs,
+        "user_id", "ts", Seq("p"), tieBreak = Seq("p")))
+      assert(nativeS == composedS, s"string-key native != composed, seed $seed")
     }
   }
 
