@@ -54,8 +54,12 @@ object Sharding {
       path: String): DataFrame = {
     val laid = layout(df, key, order, numShards)
     laid.write.mode("overwrite").partitionBy("shard").parquet(path)
+    // hive partition-column inference decides the read-back type of
+    // `shard`; pin it to long so the manifest schema never depends on
+    // the inference setting (same trap Catalog sidesteps)
     laid.sparkSession.read.parquet(path)
-      .groupBy(col("shard")).agg(count(lit(1)).as("n_rows"))
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_rows"))
   }
 
   /** Shard-balance report straight from the assignment (no write):
