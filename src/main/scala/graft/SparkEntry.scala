@@ -115,6 +115,7 @@ object SparkEntry {
     "qd39_curated_splits" -> (PipelineQueries.curatedSplits _),
     "qd40_heavy_hitters" -> (PipelineQueries.heavyHitters _),
     "qv16_asof_native" -> (PipelineQueries.asofNative _),
+    "qd41_group_hh" -> (PipelineQueries.groupHeavyHitters _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1244,6 +1245,22 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+    // Grouped heavy hitters: per-language thresholds, same
+    // sketch-candidates + exact-recount contract as qd40.
+    "qd41_group_hh" ->
+      """WITH t AS (SELECT lang,
+           regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+         g AS (SELECT lang, ws[CAST(i AS BIGINT)] || ' '
+             || ws[CAST(i + 1 AS BIGINT)] || ' '
+             || ws[CAST(i + 2 AS BIGINT)] AS g
+           FROM t, unnest(range(1, len(ws) - 1)) AS r(i)),
+         n AS (SELECT lang, CAST(count(*) AS BIGINT) AS total
+           FROM g GROUP BY 1),
+         c AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS n
+           FROM g GROUP BY 1, 2)
+         SELECT c.lang, c.g, c.n FROM c JOIN n USING (lang)
+         WHERE c.n * 2048 > n.total
+         ORDER BY 1, 3 DESC, 2""",
     // Heavy hitters: the MG sketch only produces CANDIDATES; the final
     // set {g : freq·(m+1) > n} is exact, so plain SQL reproduces it.
     "qd40_heavy_hitters" ->

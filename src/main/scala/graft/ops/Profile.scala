@@ -49,6 +49,22 @@ object Profile {
       Dedup.minhashNearDupPortable(docs, col("doc_id"),
         col("source"), col("text"), 0.5).count()
     }
+    // composed (union + window) vs native (merge-scan exec) as-of join
+    val events = graft.Tables.loadEvents(spark, sfDir)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+    time("asof composed (union+window)") {
+      graft.ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+        Seq("cents")).count()
+    }
+    time("asof native (merge-scan exec)") {
+      graft.plans.AsOfNative.asofJoin(purchases, clicks, "user_id", "ts",
+        Seq("cents")).count()
+    }
+
     time("qd30 full") {
       val path = java.nio.file.Files.createTempDirectory("graft_mh").toString
       DedupIndex.writeMinhashIndex(

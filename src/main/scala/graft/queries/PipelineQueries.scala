@@ -665,6 +665,29 @@ object PipelineQueries {
       .orderBy(col("n").desc, col("g"))
   }
 
+  /** GROUPED heavy hitters: per-language frequent trigrams — the
+    * sketch runs per group (independent m=2047 counter sets), candidates
+    * recount exactly, threshold is each group's own n/(m+1). */
+  def groupHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val m = 2047
+    val grams = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(Decontaminate.ngramsAll(col("text"), 3)).as("g"))
+    val totals = grams.groupBy(col("lang"))
+      .agg(count(lit(1)).as("total"))
+    val cand = grams.groupBy(col("lang"))
+      .agg(graft.functions.HeavyHittersAggregate
+        .heavyHitters(col("g"), m).as("hh"))
+      .select(col("lang"), explode(col("hh")).as("e"))
+      .select(col("lang"), col("e.item").as("g"))
+    grams.join(broadcast(cand), Seq("lang", "g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "lang")
+      .filter(col("n") * lit(m + 1) > col("total"))
+      .select(col("lang"), col("g"), col("n"))
+      .orderBy(col("lang"), col("n").desc, col("g"))
+  }
+
   /** Incremental near-dup: odd-doc batch probed against the even-doc
     * MinHash band index, similarity estimated from stored lane
     * agreement (est >= 0.5). */
