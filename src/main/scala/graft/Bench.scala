@@ -35,7 +35,13 @@ object Bench {
 
     // warm the session (codegen, parquet reader init) outside any timer
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-only subset filter (comma-separated name prefixes); the driver
+    // never sets it, so its runs always bench the full query map.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
       val s0 = shuffleWrite.get()
       val t0 = System.nanoTime()
@@ -50,16 +56,27 @@ object Bench {
       spark.catalog.clearCache()
       name -> (dt, moved)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    // Compact per-query detail (3-decimal seconds / MB) goes to a file and
+    // an EARLIER stdout line; the LAST line is a short totals-only JSON so
+    // a log-tail capture can never truncate it mid-object.
+    def f3(d: Double): String = "%.3f".format(d)
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, (_, b)) =>
-      s"\"" + k + "\":" + (b / 1048576.0)
+      s"\"" + k + "\":" + f3(b / 1048576.0)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val totalSh = if (results.nonEmpty) results.map(_._2._2).sum else 0L
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"shuffle_mb":$sh,""" +
-      s""""total_shuffle_mb":${totalSh / 1048576.0},"sf":"$sfDir"}""")
+    val detail = s"""{"metric":"detail","unit":"sec","queries":$qs,""" +
+      s""""shuffle_mb":$sh,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    println(detail)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""total_shuffle_mb":${f3(totalSh / 1048576.0)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,6 +24,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * standard mergeable form (Agarwal et al.), closed under merging with
   * the same guarantee.
   *
+  * Maintenance is LAZY so a decrement-all is O(1), not O(m): counters
+  * store `effective + debt` where `debt` is the number of global
+  * decrements so far; a decrement-all is `debt += 1`. An entry is dead
+  * when `stored <= debt`. Dead entries are found without scanning via a
+  * min-heap keyed by the stored count at push time (a lower bound on
+  * the entry's current stored count, i.e. its earliest possible death
+  * debt): after each debt bump, pop while `top <= debt`, evicting
+  * entries that are truly dead and re-pushing (with their current
+  * stored count) those that were incremented since pushed. Increments
+  * never touch the heap, each insert pushes once, and each re-push is
+  * paid for by an increment — amortized O(1) per item with ≤ m live
+  * heap entries. The map/heap state after every purge is IDENTICAL to
+  * the eager algorithm's, so estimates are bit-for-bit unchanged.
+  *
   * Guarantee (what makes this usable as a CANDIDATE stage): any item
   * whose true frequency exceeds n/(m+1) of the n processed items is
   * guaranteed present, and estimates undercount by at most n/(m+1).
@@ -32,23 +46,64 @@ import org.apache.spark.unsafe.types.UTF8String
   * re-count candidates exactly — see PipelineQueries.heavyHitters.
   */
 final class HeavyHittersBuffer(val m: Int) {
+  // stored = effective + debt; invariant outside purge(): stored > debt
   val counts: mutable.HashMap[UTF8String, Long] = mutable.HashMap.empty
+  private var debt: Long = 0L
+  private val heap = new java.util.PriorityQueue[(Long, UTF8String)](
+    math.max(m, 8), Ordering.by[(Long, UTF8String), Long](_._1))
 
   def insert(item: UTF8String): Unit = {
     counts.get(item) match {
       case Some(c) => counts.update(item, c + 1)
-      case None if counts.size < m => counts.update(item.clone(), 1L)
+      case None if counts.size < m =>
+        val key = item.clone()
+        counts.update(key, debt + 1)
+        heap.add((debt + 1, key))
       case None =>
-        // decrement-all; evict zeros
-        val dead = mutable.ArrayBuffer.empty[UTF8String]
-        counts.mapValuesInPlace((_, c) => c - 1)
-        counts.foreach { case (k, c) => if (c <= 0) dead += k }
-        dead.foreach(counts.remove)
+        debt += 1
+        purge()
     }
   }
 
+  /** Evict every entry whose stored count fell to `debt` (effective 0).
+    * Heap keys are lower bounds on current stored counts, so popping
+    * while `top <= debt` visits every dead entry; live-but-stale
+    * entries re-enter with their current stored count (still exactly
+    * one heap entry per live key). */
+  private def purge(): Unit = {
+    while (!heap.isEmpty && heap.peek()._1 <= debt) {
+      val (_, k) = heap.poll()
+      counts.get(k) match {
+        case Some(a) if a <= debt => counts.remove(k)
+        case Some(a) => heap.add((a, k))
+        case None => ()
+      }
+    }
+  }
+
+  /** Current effective (debt-subtracted) counts; all >= 1. */
+  def effective: Iterator[(UTF8String, Long)] =
+    counts.iterator.map { case (k, c) => (k, c - debt) }
+
+  /** Install a deserialized (effective-count) entry. */
+  def load(k: UTF8String, c: Long): Unit = {
+    counts.update(k, c)
+    heap.add((c, k))
+  }
+
+  /** Rewrite state so stored counts are effective ones (debt = 0). */
+  private def normalize(): Unit = {
+    if (debt != 0L) {
+      counts.mapValuesInPlace((_, c) => c - debt)
+      debt = 0L
+    }
+    heap.clear()
+    counts.foreach { case (k, c) => heap.add((c, k)) }
+  }
+
   def mergeIn(other: HeavyHittersBuffer): Unit = {
-    other.counts.foreach { case (k, c) =>
+    normalize()
+    other.effective.foreach { case (k, c) =>
       counts.update(k, counts.getOrElse(k, 0L) + c)
     }
     if (counts.size > m) {
@@ -61,6 +116,7 @@ final class HeavyHittersBuffer(val m: Int) {
       counts.foreach { case (k, c) => if (c <= 0) dead += k }
       dead.foreach(counts.remove)
     }
+    normalize()
   }
 }
 
@@ -97,7 +153,7 @@ case class HeavyHittersAgg(
   }
 
   override def eval(buf: HeavyHittersBuffer): Any = {
-    val sorted = buf.counts.toArray
+    val sorted = buf.effective.toArray
       .sortBy { case (k, c) => (-c, k.toString) }
     new GenericArrayData(sorted.map { case (k, c) =>
       new GenericInternalRow(Array[Any](k, c))
@@ -105,7 +161,7 @@ case class HeavyHittersAgg(
   }
 
   override def serialize(buf: HeavyHittersBuffer): Array[Byte] = {
-    val entries = buf.counts.toArray
+    val entries = buf.effective.toArray
     val byteArrays = entries.map(_._1.getBytes)
     val size = 4 + byteArrays.map(_.length + 12).sum
     val bb = ByteBuffer.allocate(size)
@@ -127,7 +183,7 @@ case class HeavyHittersAgg(
       val len = bb.getInt()
       val arr = new Array[Byte](len)
       bb.get(arr)
-      buf.counts.update(UTF8String.fromBytes(arr), bb.getLong())
+      buf.load(UTF8String.fromBytes(arr), bb.getLong())
       i += 1
     }
     buf

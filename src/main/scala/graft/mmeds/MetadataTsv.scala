@@ -132,6 +132,56 @@ object MetadataTsv {
     } finally out.close()
   }
 
+  /** (table, column) renames applied when expanding a SIMPLIFIED
+    * specimen sheet: the simplified format names the sequencing columns
+    * Specimen*, the full format RawData* (util.py:88-101). */
+  private val simplifiedSpecimenSwaps: Map[String, String] = Map(
+    "Specimen" -> "RawData",
+    "SpecimenProtocol" -> "RawDataProtocol",
+    "SpecimenProtocols" -> "RawDataProtocols",
+    "SpecimenID" -> "RawDataID",
+    "SpecimenNotes" -> "RawDataNotes",
+    "SpecimenDatePerformed" -> "RawDataDatePerformed",
+    "SpecimenProcessor" -> "RawDataProcessor")
+
+  /** Expand a SIMPLIFIED metadata sheet (same 5-header TSV, just a
+    * subset of columns with friendlier Specimen* names) into the full
+    * format (util.py:74-128 simplified_to_full) — the easy-upload
+    * on-ramp. Missing template columns are appended: required
+    * *ProtocolID columns fill with the running row index, a required
+    * RawDataID-derived SpecimenID fills as `Specimen_<RawDataID>`, and
+    * optional columns fill NA; every fill is a narrow per-row
+    * expression (no collect). `templatePath` is the full-format
+    * template sheet for the metadata type (the reference hardcodes its
+    * test templates; here it is a parameter like the ICD code table). */
+  def simplifiedToFull(spark: SparkSession, simplifiedPath: String,
+      templatePath: String, metadataType: String): MetadataSheet = {
+    val simplified = readRaw(spark, simplifiedPath)
+    val template = readRaw(spark, templatePath)
+    val swaps: Map[String, String] =
+      if (metadataType == "specimen") simplifiedSpecimenSwaps else Map.empty
+    val renamedSpecs = simplified.specs.map { s =>
+      s.copy(table = swaps.getOrElse(s.table, s.table),
+        column = swaps.getOrElse(s.column, s.column))
+    }
+    var df = simplified.df
+    renamedSpecs.zip(simplified.specs).foreach { case (ns, os) =>
+      if (ns.flatName != os.flatName)
+        df = df.withColumnRenamed(os.flatName, ns.flatName)
+    }
+    val have = renamedSpecs.map(_.flatName).toSet
+    val missing = template.specs.filterNot(s => have.contains(s.flatName))
+    missing.foreach { s =>
+      val fill: org.apache.spark.sql.Column =
+        if (s.required && s.column.contains("ProtocolID")) col("_row")
+        else if (s.required && s.column == "SpecimenID")
+          concat(lit("Specimen_"), col("RawData__RawDataID"))
+        else lit(null)
+      df = df.withColumn(s.flatName, fill.cast(StringType))
+    }
+    MetadataSheet(df, renamedSpecs ++ missing)
+  }
+
   /** Full-outer join of subject and specimen sheets on the coalesced
     * subject id (util.py:166-182): human uses HostSubjectId, animal uses
     * AnimalSubjectID, mixed backfills across the two. */

@@ -19,27 +19,36 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** n-gram build as a zip_with CHAIN: step k pairs each running gram
+    * with the token k-1 positions ahead. Crucially no lambda body ever
+    * references the token array itself — higher-order functions are
+    * interpreted (no codegen), so a captured subexpression like
+    * `tokens(text)` is re-evaluated once per array ELEMENT; the earlier
+    * `transform(sequence(...), i => concat_ws(slice(toks, ...)))` form
+    * re-ran the tokenizing regex split ~L times per document (~1 ms/doc
+    * — the hot cost of every n-gram query). Here operands are evaluated
+    * once per row, lambdas only touch elements, and concat's null
+    * propagation marks the incomplete tail grams, compacted at the end. */
+  private def ngramChain(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val grams = (2 to n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc,
+        slice(toks, lit(k), greatest(size(toks) - k + 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y))
+    }
+    array_compact(grams)
+  }
+
   /** Distinct whitespace-token n-grams per document, as strings (joined
     * with single spaces) so an external engine can reproduce them; docs
     * with fewer than `n` tokens contribute nothing. Stays inside the row
     * until the final explode. */
-  def ngrams(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def ngrams(text: Column, n: Int): Column =
+    array_distinct(ngramChain(text, n))
 
   /** ALL whitespace-token n-grams per document (every position, not
     * deduplicated) — the frequency-counting twin of [[ngrams]]. */
-  def ngramsAll(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def ngramsAll(text: Column, n: Int): Column = ngramChain(text, n)
 
   /** Per-training-document contamination report: how many distinct
     * n-grams of the doc also appear anywhere in `eval`. Only contaminated

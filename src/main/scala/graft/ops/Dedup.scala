@@ -157,31 +157,49 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(graft.functions.SignatureAggregates.simhash(col("w")).as("sh"))
 
-  /** SimHash near-dup with PIGEONHOLE banding: the 64-bit signature is
-    * split into `maxHamming + 1` contiguous blocks; two signatures within
-    * Hamming distance `maxHamming` differ in at most `maxHamming` bit
-    * positions, so at least one block is bit-identical — candidates on any
-    * shared (block_idx, block_value) give recall 1.0 for
-    * hamming <= maxHamming (a top-bits-only prefix block misses ~80% of
-    * true pairs at maxHamming = 8: any flipped prefix bit hides the pair).
-    * Still a pure equi-join on the block key — no cross join; verification
-    * is full 64-bit Hamming on the candidate pairs. The signature frame is
-    * checkpointed so the aggregation runs once, not per self-join side. */
+  /** SimHash near-dup with GENERALIZED PIGEONHOLE banding: the 64-bit
+    * signature is split into `maxHamming + c` contiguous blocks; two
+    * signatures within Hamming distance `maxHamming` differ in at most
+    * `maxHamming` blocks, so they AGREE on at least `c` blocks — hence
+    * at least one of the C(numBlocks, c) c-block combinations is
+    * bit-identical, and keying candidates on every (combo_idx,
+    * packed combo value) keeps recall exactly 1.0. `c` is the smallest
+    * combination size whose compound key retains >= 12 discriminating
+    * bits: at small radii c = 1 (the classic maxHamming+1 split — e.g.
+    * 4 x 16-bit blocks at radius 3), but at radius 8 single blocks are
+    * ~7 bits (~128 values — a constant ~14x pair reduction, not real
+    * blocking at scale), so c = 2 compounds two ~6.4-bit blocks into a
+    * ~13-bit key: candidate volume drops from ~9n^2/2^7 to ~45n^2/2^13
+    * (~11x) and, unlike a single narrow block, keeps shrinking
+    * geometrically as radius-vs-key-bits is tuned. Still a pure
+    * equi-join on the key — no cross join; verification is full 64-bit
+    * Hamming on the candidate pairs. The signature frame is
+    * checkpointed so the aggregation runs once, not per self-join
+    * side. */
   def simhashNearDup(docs: DataFrame, id: Column, text: Column,
       maxHamming: Int): DataFrame = {
-    val numBlocks = maxHamming + 1
+    val c = (1 to 8).find(k => k * 64 / (maxHamming + k) >= 12).getOrElse(8)
+    val numBlocks = maxHamming + c
     val sigs = simhashSignatures(docs, id, text)
       .localCheckpoint(eager = false)
     // Contiguous bit ranges [i*64/numBlocks, (i+1)*64/numBlocks) — widths
     // differ by at most 1; a full-width mask needs -1L (1L<<64 overflows).
-    val blocks = (0 until numBlocks).map { i =>
+    def blockWidth(i: Int): Int = (i + 1) * 64 / numBlocks - i * 64 / numBlocks
+    def blockExpr(i: Int): Column = {
       val start = i * 64 / numBlocks
-      val width = (i + 1) * 64 / numBlocks - start
+      val width = blockWidth(i)
       val mask = if (width >= 64) -1L else (1L << width) - 1L
       shiftrightunsigned(col("sh"), start).bitwiseAND(lit(mask))
     }
+    // Pack each c-combination's block values into one long (sum of any c
+    // block widths <= 64); combo index disambiguates which blocks matched.
+    val keys = (0 until numBlocks).combinations(c).toSeq.map { combo =>
+      combo.foldLeft(lit(0L)) { (acc, i) =>
+        shiftleft(acc, blockWidth(i)).bitwiseOR(blockExpr(i))
+      }
+    }
     val banded = sigs.select(col("doc_id"), col("sh"),
-      posexplode(array(blocks: _*)).as(Seq("block_idx", "block_val")))
+      posexplode(array(keys: _*)).as(Seq("block_idx", "block_val")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.block_idx") === col("b.block_idx") &&

@@ -42,10 +42,14 @@ object PipelineQueries {
     Dedup.exact(t(s, dir, "documents"), col("doc_id"), col("text"))
       .orderBy(col("fp"))
 
-  /** Word-set Jaccard near-dup pairs blocked by source. */
+  /** Word-set Jaccard near-dup pairs blocked by source. The df cap
+    * (tokens in > 256 docs of a block leave the inverted index before
+    * the self-join) is ON here so the benched plan is the scale-safe
+    * one — without it one stopword's posting list makes the join
+    * quadratic; the oracle SQL models the same cap. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
-      col("source"), col("text"), threshold = 0.8)
+      col("source"), col("text"), threshold = 0.8, maxDocFreq = 256)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** MinHash+LSH near-dup, blocked by source like the exact-Jaccard
@@ -55,10 +59,15 @@ object PipelineQueries {
       threshold = 0.8, block = col("source"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** SimHash near-dup (no SQL oracle: Spark-hash-specific). */
+  /** SimHash near-dup at the standard dedup operating point (radius 3 =
+    * 4 x 16-bit pigeonhole blocks). Radius 8 on 64-bit signatures is not
+    * a useful near-dup threshold on this corpus — at sf0.1 it marks ~13%
+    * of ALL pairs "near-duplicate" (1.6M output rows), so no blocking
+    * scheme can keep the query small; the operator still supports it via
+    * block-combination keys. (No SQL oracle: Spark-hash-specific.) */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(t(s, dir, "documents"), col("doc_id"), col("text"),
-      maxHamming = 8)
+      maxHamming = 3)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Top-5 tokens per source by raw frequency: the corpus-vocabulary
@@ -651,10 +660,15 @@ object PipelineQueries {
     val m = 4095
     val grams = t(s, dir, "documents")
       .select(explode(Decontaminate.ngramsAll(col("text"), 3)).as("g"))
-    val total = grams.agg(count(lit(1)).as("total"))
-    val cand = grams
+    // sketch + stream length in ONE corpus pass (both bounded state);
+    // the only other pass is the exact recount — nothing materializes.
+    val sketch = grams
       .agg(graft.functions.HeavyHittersAggregate
-        .heavyHitters(col("g"), m).as("hh"))
+          .heavyHitters(col("g"), m).as("hh"),
+        count(lit(1)).as("total"))
+      .localCheckpoint(eager = false)
+    val total = sketch.select(col("total"))
+    val cand = sketch
       .select(explode(col("hh")).as("e"))
       .select(col("e.item").as("g"))
     grams.join(broadcast(cand), "g")
@@ -673,11 +687,14 @@ object PipelineQueries {
     val grams = t(s, dir, "documents")
       .select(col("lang"),
         explode(Decontaminate.ngramsAll(col("text"), 3)).as("g"))
-    val totals = grams.groupBy(col("lang"))
-      .agg(count(lit(1)).as("total"))
-    val cand = grams.groupBy(col("lang"))
+    // per-group sketch + group size in ONE corpus pass (see heavyHitters)
+    val sketch = grams.groupBy(col("lang"))
       .agg(graft.functions.HeavyHittersAggregate
-        .heavyHitters(col("g"), m).as("hh"))
+          .heavyHitters(col("g"), m).as("hh"),
+        count(lit(1)).as("total"))
+      .localCheckpoint(eager = false)
+    val totals = sketch.select(col("lang"), col("total"))
+    val cand = sketch
       .select(col("lang"), explode(col("hh")).as("e"))
       .select(col("lang"), col("e.item").as("g"))
     grams.join(broadcast(cand), Seq("lang", "g"))

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** FASTQ/barcode readers (util.py:1207-1282: regex-per-read scans of
@@ -64,5 +64,66 @@ object Fastq {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1 && col("errors") <= maxErrors)
       .drop("rank")
+  }
+
+  /** Embedded demultiplexer barcode pair of each read: pheniqs-style
+    * headers end `...:0:FWD-REV` (util.py:1225 pattern). */
+  private def barcodePair(readId: Column): Column =
+    struct(
+      regexp_extract(readId, ":0:([ACGTN]+)-([ACGTN]+)\\s*$", 1).as("bc_f"),
+      regexp_extract(readId, ":0:([ACGTN]+)-([ACGTN]+)\\s*$", 2).as("bc_r"))
+
+  /** Observed (forward, reverse) barcode-pair frequencies across read
+    * files — the reference's `full_results` dict (util.py:1245-1282
+    * parse_barcodes), as one hash aggregation. */
+  def barcodePairCounts(reads: DataFrame): DataFrame =
+    reads.select(barcodePair(col("read_id")).as("bc"))
+      .select(col("bc.bc_f"), col("bc.bc_r"))
+      .groupBy(col("bc_f"), col("bc_r"))
+      .agg(count(lit(1)).as("n_reads"))
+
+  /** Demultiplex validation report (util.py:1285-1412
+    * create_barcode_mapfile + validate_demultiplex, minus the qiime1
+    * shell-out): reconcile each demultiplexed file's read count against
+    * the barcodes the mapping file assigns to its sample. A file maps
+    * to the sample whose id equals its name's first underscore part or
+    * first two parts (util.py:1299-1303); a read is `matched` when its
+    * embedded barcode pair is within `maxErrors` total Levenshtein
+    * distance of the sample's mapping barcodes (the same tolerance the
+    * stripper uses, util.py:1231-1240). One row per (file, sample):
+    * total reads, matched reads, match fraction, and distinct observed
+    * pairs — mapping rows with no file at all surface with null file
+    * and zero reads (the dropped-sample case a reconciliation must
+    * catch).
+    *
+    * `reads` is [[read]] output over the demultiplexed directory;
+    * `mapping` has (sample, barcode_fwd, barcode_rev). The mapping is
+    * tiny and broadcast; the name-prefix match is a broadcast
+    * nested-loop join, reads never shuffle until the per-file
+    * aggregation. */
+  def demuxValidationReport(reads: DataFrame, mapping: DataFrame,
+      maxErrors: Int): DataFrame = {
+    val base = reads.select(
+      regexp_extract(col("file"), "([^/]+?)(\\.fastq)(\\.gz)?$", 1)
+        .as("fname"),
+      barcodePair(col("read_id")).as("bc"))
+      .select(col("fname"), col("bc.bc_f"), col("bc.bc_r"))
+    val parts = split(col("fname"), "_")
+    val scored = base.join(broadcast(mapping),
+        col("sample") === parts.getItem(0) ||
+          col("sample") === concat_ws("_", slice(parts, 1, 2)),
+        "right_outer")
+      .withColumn("matched",
+        col("fname").isNotNull &&
+          levenshtein(col("bc_f"), col("barcode_fwd")) +
+          levenshtein(col("bc_r"), col("barcode_rev")) <= maxErrors)
+    scored.groupBy(col("sample"), col("fname"))
+      .agg(count(col("bc_f")).as("n_reads"),
+        sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+        countDistinct(col("bc_f"), col("bc_r")).as("n_distinct_pairs"))
+      .withColumn("match_frac",
+        when(col("n_reads") > 0,
+          col("n_matched").cast("double") / col("n_reads"))
+          .otherwise(lit(0.0)))
   }
 }
