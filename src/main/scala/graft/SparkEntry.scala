@@ -1353,5 +1353,116 @@ object SparkEntry {
            JOIN sig sb ON cand.index_doc = sb.doc_id)
          SELECT batch_doc, index_doc, est_e4 FROM est
          WHERE est_e4 >= 5000 ORDER BY batch_doc, index_doc""",
+    "qe03_ann_lsh" -> annLshOracleSql,
+    "qe04_ann_ivf" -> ivfOracleSql,
+    // qe09 (in-memory ADC) and qe10 (persisted codes index) share one
+    // oracle: the index path's stage-1 score differs from the in-memory
+    // one only by a per-query CONSTANT (the Σ mn·qv offset folded out of
+    // the literal weights), so the candidate ranking — and therefore the
+    // final exact-reranked top-k — is identical in exact arithmetic.
+    "qe09_quantized_topk" -> adcOracleSql,
+    "qe10_quantized_index" -> adcOracleSql,
   )
+
+  /** Oracle for qe03: the splitmix64 hyperplanes are deterministic
+    * literals ([[graft.ops.Similarity.planeVectors]]), so the SQL embeds
+    * the same 6×64 doubles and re-derives every bucket, the 1-flip probe
+    * set, and the candidate top-10 exactly. Dim 64 is the testdata
+    * embedding width (TESTDATA.md). */
+  private lazy val annLshOracleSql: String = {
+    val planes = graft.ops.Similarity.planeVectors(6, 64)
+    val rows = planes.zipWithIndex.map { case (row, p) =>
+      s"($p, [${row.mkString(",")}])"
+    }.mkString(",")
+    val flips = (0 to 6).map(i => s"(${if (i == 0) 0L else 1L << (i - 1)})")
+      .mkString(",")
+    s"""WITH pl(p, pv) AS (VALUES $rows),
+       e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+         AS v FROM embeddings),
+       d AS (SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.pv) AS dp
+         FROM e, pl),
+       b AS (SELECT vec_id,
+           CAST(sum(CASE WHEN dp >= 0 THEN 1<<p ELSE 0 END) AS BIGINT)
+           AS bucket FROM d GROUP BY 1),
+       probes AS (SELECT xor(b.bucket, m.m) AS pb
+         FROM b, (VALUES $flips) m(m) WHERE b.vec_id = 0),
+       z AS (SELECT e.vec_id, CAST(unnest(e2.embedding) AS DOUBLE) AS a,
+           CAST(unnest((SELECT embedding FROM embeddings WHERE vec_id = 0))
+             AS DOUBLE) AS bq
+         FROM e JOIN b USING (vec_id) JOIN probes ON b.bucket = probes.pb
+           JOIN embeddings e2 ON e.vec_id = e2.vec_id),
+       s AS (SELECT vec_id, sum(a*bq) AS ab, sum(a*a) AS aa, sum(bq*bq) AS bb
+         FROM z GROUP BY 1)
+       SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos,
+         CAST(row_number() OVER (ORDER BY round(ab / (sqrt(aa) * sqrt(bb)), 4)
+           DESC, vec_id) AS BIGINT) AS rank
+       FROM s QUALIFY rank <= 10 ORDER BY rank"""
+  }
+
+  /** Oracle for qe04: the centroid sample orders by md5("ivf:" + id)
+    * (engine-portable), assignment is argmax (dot, cell) with the
+    * higher-cell tiebreak, probing keeps the 4 best (dot desc, cell asc)
+    * cells — each step mirrored here symbolically on the same data. */
+  private val ivfOracleSql: String =
+    """WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       cents AS (SELECT CAST(row_number() OVER (ORDER BY
+             md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1
+             AS cell, v AS cv
+         FROM e ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+         LIMIT 16),
+       assign AS (SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell DESC) AS rn
+         FROM e, cents c),
+       cellof AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+       qv AS (SELECT v FROM e WHERE vec_id = 0),
+       probe AS (SELECT c.cell FROM cents c, qv
+         ORDER BY list_dot_product(c.cv, qv.v) DESC, c.cell LIMIT 4),
+       s AS (SELECT e.vec_id, list_dot_product(e.v, qv.v) AS ab
+         FROM e JOIN cellof USING (vec_id) JOIN probe USING (cell), qv)
+       SELECT vec_id, round(ab, 4) AS cos,
+         CAST(row_number() OVER (ORDER BY round(ab, 4) DESC, vec_id)
+           AS BIGINT) AS rank
+       FROM s QUALIFY rank <= 10 ORDER BY rank"""
+
+  /** Shared oracle for qe09/qe10: int8 quantization is exact integer
+    * math (floor to 1e-4 longs, per-dim min/max, affine code), so the
+    * decode, the stage-1 approximate ranking (top-50 candidates) and
+    * the exact rerank are all reproducible symbolically. */
+  private val adcOracleSql: String =
+    """WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       ex AS (SELECT vec_id, unnest(range(64)) AS dim,
+           floor(unnest(v) * 10000.0) AS x_e4 FROM e),
+       stats AS (SELECT dim, min(x_e4) AS mn, max(x_e4) AS mx
+         FROM ex GROUP BY 1),
+       qv AS (SELECT unnest(range(64)) AS dim, unnest(v) AS qx
+         FROM e WHERE vec_id = 0),
+       dec AS (SELECT ex.vec_id, ex.dim,
+           (s.mn + (CASE WHEN s.mx = s.mn THEN 0.0
+             ELSE least(floor((ex.x_e4 - s.mn) * 255
+               / CAST(s.mx - s.mn AS DOUBLE)), 255.0) END)
+             * (s.mx - s.mn) / 255.0) / 10000.0 AS c
+         FROM ex JOIN stats s USING (dim)),
+       asc_ AS (SELECT d.vec_id, sum(d.c * q.qx) AS ascore
+         FROM dec d JOIN qv q USING (dim) GROUP BY 1),
+       cand AS (SELECT vec_id FROM asc_ ORDER BY ascore DESC, vec_id
+         LIMIT 50),
+       z AS (SELECT e.vec_id, unnest(e.v) AS a,
+           unnest((SELECT v FROM e WHERE vec_id = 0)) AS b
+         FROM e JOIN cand USING (vec_id)),
+       s2 AS (SELECT vec_id, sum(a*b) AS ab FROM z GROUP BY 1)
+       SELECT vec_id, round(ab, 4) AS cos,
+         CAST(row_number() OVER (ORDER BY round(ab, 4) DESC, vec_id)
+           AS BIGINT) AS rank
+       FROM s2 QUALIFY rank <= 10 ORDER BY rank"""
 }

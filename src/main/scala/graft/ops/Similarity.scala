@@ -264,12 +264,16 @@ object Similarity {
   }
 
   /** Deterministically sample `nList` corpus vectors as IVF centroids:
-    * the nList ids with the smallest hash — stable across runs and
-    * partitionings, no RNG. One small collect (nList × dim doubles). */
+    * the nList ids sorting first by md5("ivf:" + id) — stable across
+    * runs and partitionings, no RNG, and ENGINE-PORTABLE (md5 of the
+    * decimal id string is reproducible in any SQL engine, unlike a
+    * Spark-internal hash), so an external oracle can re-derive the same
+    * centroid set. One small collect (nList × dim doubles). */
   def ivfCentroids(corpus: DataFrame, id: Column, vec: Column,
       nList: Int): Array[(Int, Array[Double])] =
     corpus.select(id.as("cid"), l2Normalize(vec).as("cv"))
-      .orderBy(hash(col("cid")), col("cid"))
+      .orderBy(md5(concat(lit("ivf:"), col("cid").cast("string"))),
+        col("cid"))
       .limit(nList)
       .collect()
       .zipWithIndex

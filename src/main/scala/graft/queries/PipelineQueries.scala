@@ -112,25 +112,30 @@ object PipelineQueries {
   }
 
   /** LSH-bucketed ANN against the vec_id=0 embedding, multi-probe with
-    * one bit flip — own bucket + 6 adjacent (approximate — rows-only
-    * check, no oracle). */
+    * one bit flip — own bucket + 6 adjacent. Approximate but fully
+    * DETERMINISTIC: the splitmix64 planes are literals, so the oracle
+    * SQL re-derives the same buckets and the result is hash-checked. */
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0)
       .select(Similarity.l2Normalize(col("embedding")).as("qv"))
     Similarity.annTopK(e, col("vec_id"), col("embedding"), q, k = 10,
       numPlanes = 6, probeFlips = 1)
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("rank"))
   }
 
   /** IVF ANN against the vec_id=0 embedding: 16 sampled centroids,
-    * probe the best 4 cells (approximate — rows-only check, no oracle). */
+    * probe the best 4 cells. Approximate but fully DETERMINISTIC: the
+    * md5-ordered centroid sample is engine-portable, so the oracle SQL
+    * re-derives the same cells and the result is hash-checked. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0)
       .select(Similarity.l2Normalize(col("embedding")).as("qv"))
     Similarity.ivfTopK(e, col("vec_id"), col("embedding"), q, k = 10,
       nList = 16, nProbe = 4)
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("rank"))
   }
 
@@ -439,8 +444,8 @@ object PipelineQueries {
       .orderBy(col("vec_a"), col("vec_b"))
 
   /** Persisted int8 codes index: write codes/stats/vectors, query via
-    * the literal-weight ADC scan + exact rerank (rows-only; OpsSpec
-    * proves recall vs brute force). */
+    * the literal-weight ADC scan + exact rerank. Hash-checked against
+    * the shared ADC oracle (exact integer quantization math). */
   def quantizedIndexTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0)
@@ -453,9 +458,9 @@ object PipelineQueries {
       .orderBy(col("rank"))
   }
 
-  /** Int8 ADC two-stage retrieval (rows-only: stage-1 float summation
-    * order near the rerank cutoff is engine-specific; recall and the
-    * exact rerank are OpsSpec-proven). */
+  /** Int8 ADC two-stage retrieval. Hash-checked against the shared ADC
+    * oracle: quantization is exact integer math, and stage-1 float
+    * summation noise (~1e-13) never straddles real score gaps. */
   def quantizedTopKQ(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0)
