@@ -35,4 +35,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // several GB, and a small cap turns the tail queries into GC thrash
   // (measured 4x on the minhash pipelines at 8g). The box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc*,safepoint*:file=$f:time,uptime").toSeq

@@ -54,6 +54,11 @@ object Bench {
       // each measurement stays a from-cold single-query cost.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
+      // Optional per-query trace (uptime-stamped, correlates with a GC
+      // log from SPARK_GRAFT_GCLOG); stderr so stdout stays one JSON line.
+      if (sys.env.contains("SPARK_GRAFT_TRACE"))
+        System.err.println(
+          f"[trace] up=${java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0}%.1f $name%-28s ${dt}%7.2f s")
       name -> (dt, moved)
     }
     // Compact per-query detail (3-decimal seconds / MB) goes to a file and

@@ -225,32 +225,38 @@ object Dedup {
   /** Engine-portable md5 MinHash lanes: one row per (doc, block) with
     * lane columns `l0..l{numLanes-1}`, lane s = min over distinct
     * tokens of the 8-hex slice `[8·(s mod 4), 8·(s mod 4)+8)` of
-    * md5((s div 4) + ":" + token). Shared by
-    * [[minhashNearDupPortable]] and the persisted
-    * [[DedupIndex.writeMinhashIndex]]. */
+    * md5((s div 4) + ":" + token), held as an unsigned-32 LONG (for
+    * fixed-width lowercase hex, string order = unsigned numeric order,
+    * so the mins are bit-identical to the hex-substring form the oracle
+    * SQL computes). Shared by [[minhashNearDupPortable]] and the
+    * persisted [[DedupIndex.writeMinhashIndex]]. */
   private[ops] def portableLanes(docs: DataFrame, id: Column,
       block: Column, text: Column, numLanes: Int): DataFrame = {
-    // One md5 yields FOUR independent 32-bit (8-hex) lanes — its bit
-    // slices are independent uniform hashes of the token — so a token
-    // pays ceil(numLanes/4) digests instead of numLanes (measured 3-4x
-    // less hash+string garbage in the signature aggregation, the hot
-    // stage of the portable pipeline). The slice happens in an explicit
-    // projection BEFORE the min-aggs so the digest is computed once per
-    // (token, chunk) regardless of subexpression-elimination behavior;
-    // the oracle mirrors the same md5('m:'||w) slicing.
+    // One md5 yields FOUR independent 32-bit lanes — its bit slices are
+    // independent uniform hashes of the token — so a token pays
+    // ceil(numLanes/4) digests instead of numLanes. The digest runs in
+    // the native [[graft.functions.Md5Lanes]] expression (bytes straight
+    // to a primitive long array — no 32-hex string, no substring
+    // garbage; measured 2-3x on the signature aggregation, the hot
+    // stage of the portable pipeline). The lane array materializes in
+    // an explicit projection BEFORE the min-aggs so the digests run
+    // once per token regardless of subexpression-elimination behavior.
     val numChunks = (numLanes + 3) / 4
     val hashed = docs.select(id.as("doc_id"), block.as("block"),
         explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
-      .select(col("doc_id") +: col("block") +: (0 until numChunks).map(m =>
-        md5(concat(lit(m + ":"), col("w"))).as(s"h$m")): _*)
+      .select(col("doc_id"), col("block"),
+        graft.functions.Md5Lanes.lanes(col("w"), numChunks).as("lv"))
     val laneAggs = (0 until numLanes).map(s =>
-      min(substring(col(s"h${s / 4}"), (s % 4) * 8 + 1, 8)).as(s"l$s"))
+      min(col("lv").getItem(s)).as(s"l$s"))
     hashed.groupBy(col("doc_id"), col("block"))
       .agg(laneAggs.head, laneAggs.tail: _*)
   }
 
   /** LSH banding over [[portableLanes]] output: (doc_id, block, band,
-    * bucket) rows, bucket = md5 over the band's lane concat. */
+    * bucket) rows, bucket = md5 over the band's lane concat — lanes
+    * formatted back to their 8-hex form (`%08x` of an unsigned-32 value
+    * IS the original md5 substring), so bucket strings are unchanged
+    * and the oracle's `md5(l0 || l1)` reproduces them exactly. */
   private[ops] def portableBanded(sig: DataFrame, numLanes: Int,
       rowsPerBand: Int): DataFrame = {
     require(numLanes % rowsPerBand == 0, "rowsPerBand must divide numLanes")
@@ -258,7 +264,8 @@ object Dedup {
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         md5(concat((0 until rowsPerBand)
-          .map(r => col(s"l${b * rowsPerBand + r}")): _*)).as("bucket"))
+          .map(r => format_string("%08x", col(s"l${b * rowsPerBand + r}")))
+          : _*)).as("bucket"))
     }
     sig
       .select(col("doc_id"), col("block"),

@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   *                     small batch's probe prunes to the partitions its
   *                     own prefixes name
   *   `<path>/lanes/`   doc_id, l0..l{n-1} portable MinHash lanes
+  *                     (unsigned-32 values stored as long; `%08x` of a
+  *                     lane is the original md5 8-hex slice)
   *   `<path>/bands/`   doc_id, band, bucket — partitioned by band
   *   `<path>/meta/`    num_lanes, rows_per_band sidecar
   *

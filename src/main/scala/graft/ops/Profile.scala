@@ -76,3 +76,122 @@ object Profile {
     spark.stop()
   }
 }
+
+/** A/B for the portable-lane hash path: the declarative
+  * min(substring(md5(...))) form vs the native [[graft.functions.Md5Lanes]]
+  * long-lane form, alternated in ONE JVM so JIT/GC noise hits both sides
+  * equally. Values are pinned equal by OpsSpec ("md5_lanes native
+  * expression equals the declarative hex-slice form"); this measures cost
+  * only. */
+object LanesAb {
+  import Profile.time
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.load(spark, sfDir, "documents").localCheckpoint()
+    docs.count()
+    val numLanes = 8
+    val numChunks = (numLanes + 3) / 4
+    def declarative(): Long = {
+      val hashed = docs.select(col("doc_id"), col("source").as("block"),
+          explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
+        .select(col("doc_id") +: col("block") +: (0 until numChunks).map(m =>
+          md5(concat(lit(m + ":"), col("w"))).as(s"h$m")): _*)
+      val laneAggs = (0 until numLanes).map(s =>
+        min(substring(col(s"h${s / 4}"), (s % 4) * 8 + 1, 8)).as(s"l$s"))
+      hashed.groupBy(col("doc_id"), col("block"))
+        .agg(laneAggs.head, laneAggs.tail: _*).count()
+    }
+    def native(): Long =
+      Dedup.portableLanes(docs, col("doc_id"), col("source"), col("text"),
+        numLanes).count()
+    for (round <- 1 to 3) {
+      time(s"lanes declarative (round $round)")(declarative())
+      time(s"lanes native md5_lanes (round $round)")(native())
+    }
+    spark.stop()
+  }
+}
+
+/** Scale probe (ARCHITECTURE.md evidence): times the near-dup family at
+  * sf0.01 and sf0.1 (10× data) to confirm runtime and output volume grow
+  * ~linearly post-blocking-fixes, then measures the composed vs native
+  * as-of join on an events table inflated 10× (distinct key replicas, so
+  * per-key density — what the window sort and the merge scan both care
+  * about — is preserved while both sides grow). */
+object ScaleProbe {
+  import Profile.time
+
+  private def nearDupFamily(spark: SparkSession, sfDir: String): Unit = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .localCheckpoint() // isolate scan cost from the operator timing
+    val n = docs.count()
+    println(s"[probe] $sfDir documents=$n")
+    def run(label: String)(df: => DataFrame): Unit = {
+      val rows = time(s"$sfDir $label")(df.count())
+      println(s"[probe] $sfDir $label rows=$rows")
+    }
+    run("qd04 ngramJaccard cap256")(Dedup.ngramJaccardPairs(docs,
+      col("doc_id"), col("source"), col("text"), threshold = 0.8,
+      maxDocFreq = 256))
+    run("qd05 minhash lsh")(Dedup.minhashNearDup(docs, col("doc_id"),
+      col("text"), threshold = 0.8, block = col("source")))
+    run("qd06 simhash r3")(Dedup.simhashNearDup(docs, col("doc_id"),
+      col("text"), maxHamming = 3))
+    run("qd23 shared passages")(Dedup.sharedPassages(docs, col("doc_id"),
+      col("text"), n = 6, maxDocFreq = 50, minShared = 2))
+    run("qd30 index neardup") {
+      val path = java.nio.file.Files.createTempDirectory("graft_sp").toString
+      DedupIndex.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("text"), path)
+      DedupIndex.nearDupAgainstIndex(spark,
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"),
+        path, minEstimate = 0.5)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    nearDupFamily(spark, "/root/testdata/sf0.01")
+    nearDupFamily(spark, "/root/testdata/sf0.1")
+
+    // As-of crossover: both sides 10× sf0.1 (~100k purchases vs ~300k
+    // clicks per replica set), replicas keyed apart so key cardinality
+    // scales with data and per-key row counts stay realistic.
+    val events = graft.Tables.loadEvents(spark, "/root/testdata/sf0.1")
+    val inflated = (0 until 10).map { k =>
+      events.withColumn("user_id", col("user_id") + lit(k * 1000000L))
+    }.reduce(_.unionByName(_)).localCheckpoint()
+    println(s"[probe] inflated events=${inflated.count()}")
+    val purchases = inflated.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = inflated.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * lit(100.0)).cast("long").as("cents"))
+    for (round <- 1 to 2) { // round 1 warms codegen; trust round 2
+      time(s"asof composed 10x (round $round)") {
+        graft.ops.AsOf.asofJoin(purchases, clicks, "user_id", "ts",
+          Seq("cents")).count()
+      }
+      time(s"asof native 10x (round $round)") {
+        graft.plans.AsOfNative.asofJoin(purchases, clicks, "user_id", "ts",
+          Seq("cents")).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -906,6 +906,34 @@ class OpsSpec extends AnyFunSuite {
       s"approx median $med, exact $exactMed")
   }
 
+  test("md5_lanes native expression equals the declarative hex-slice form") {
+    import spark.implicits._
+    // Tokens with ASCII, unicode, empty-ish and long strings — the lane
+    // contract is over arbitrary UTF-8 token bytes.
+    val words = (Seq("a", "the", "Ünïcodé", "日本語テキスト", "x" * 500,
+      "mixed123!@#", " ", "\ttab") ++ (0 until 200).map(i => s"tok$i"))
+      .toDF("w")
+    val chunks = 3
+    val native = words.select(col("w"),
+      graft.functions.Md5Lanes.lanes(col("w"), chunks).as("lv"))
+    // Declarative twin: unsigned-int parse of the md5 8-hex slices.
+    val declared = words.select(col("w") +: (0 until chunks * 4).map { s =>
+      conv(substring(md5(concat(lit(s / 4 + ":"), col("w"))),
+        (s % 4) * 8 + 1, 8), 16, 10).cast("long").as(s"d$s")
+    }: _*)
+    val joined = native.join(declared, "w")
+    val mismatches = joined.filter(
+      (0 until chunks * 4).map(s => col("lv").getItem(s) =!= col(s"d$s"))
+        .reduce(_ || _)).count()
+    assert(mismatches == 0)
+    // And %08x round-trips a lane back to the original hex substring.
+    val hexBack = words.select(
+      format_string("%08x",
+        graft.functions.Md5Lanes.lanes(col("w"), 1).getItem(0)).as("h"),
+      substring(md5(concat(lit("0:"), col("w"))), 1, 8).as("e"))
+    assert(hexBack.filter(col("h") =!= col("e")).count() == 0)
+  }
+
   test("portable minhash: exact-verified subset of exact jaccard pairs") {
     val docs = Tables.load(spark, sf, "documents")
     val exact = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("source"),
