@@ -116,6 +116,8 @@ object SparkEntry {
     "qd40_heavy_hitters" -> (PipelineQueries.heavyHitters _),
     "qv16_asof_native" -> (PipelineQueries.asofNative _),
     "qd41_group_hh" -> (PipelineQueries.groupHeavyHitters _),
+    "qe14_kmeans_clusters" -> (PipelineQueries.kmeansClusters _),
+    "qe15_semantic_dedup" -> (PipelineQueries.semanticDedupQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1362,6 +1364,8 @@ object SparkEntry {
     // final exact-reranked top-k — is identical in exact arithmetic.
     "qe09_quantized_topk" -> adcOracleSql,
     "qe10_quantized_index" -> adcOracleSql,
+    "qe14_kmeans_clusters" -> kmeansOracleSql,
+    "qe15_semantic_dedup" -> semanticDedupOracleSql,
   )
 
   /** Oracle for qe03: the splitmix64 hyperplanes are deterministic
@@ -1429,6 +1433,70 @@ object SparkEntry {
          CAST(row_number() OVER (ORDER BY round(ab, 4) DESC, vec_id)
            AS BIGINT) AS rank
        FROM s QUALIFY rank <= 10 ORDER BY rank"""
+
+  /** Shared CTE prefix for qe14/qe15: deterministic spherical k-means
+    * unrolled to 2 Lloyd rounds. Mirrors graft.ops.Clustering exactly —
+    * md5("km:"||id) seeds, argmax-dot assignment with the higher-cell
+    * tiebreak, per-cell means rounded to 1e-6 then re-normalized
+    * (empty/zero-norm cells keep the previous centroid). */
+  private def kmeansCtes(k: Int): String = {
+    def lloyd(i: Int): String = {
+      val (prev, a, x, m, mc, next) =
+        (s"c$i", s"a$i", s"x$i", s"m${i + 1}", s"mc${i + 1}", s"c${i + 1}")
+      s"""$a AS (SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell DESC) AS rn
+         FROM e, $prev c),
+       $x AS (SELECT vec_id, cell FROM $a WHERE rn = 1),
+       $m AS (SELECT $x.cell, u.dim, round(sum(u.x) / count(*), 6) AS m
+         FROM $x JOIN (SELECT vec_id, unnest(range(64)) AS dim,
+             unnest(v) AS x FROM e) u USING (vec_id)
+         GROUP BY 1, 2),
+       $mc AS (SELECT cell, list(m ORDER BY dim) AS mv FROM $m GROUP BY 1),
+       $next AS (SELECT p.cell,
+           CASE WHEN q.cell IS NULL
+                  OR sqrt(list_dot_product(q.mv, q.mv)) = 0 THEN p.cv
+                ELSE list_transform(q.mv,
+                  x -> x / sqrt(list_dot_product(q.mv, q.mv))) END AS cv
+         FROM $prev p LEFT JOIN $mc q USING (cell))"""
+    }
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       c0 AS (SELECT CAST(row_number() OVER (ORDER BY
+             md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1
+             AS cell, v AS cv
+         FROM e ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id
+         LIMIT $k),
+       ${lloyd(0)},
+       ${lloyd(1)},
+       afin AS (SELECT e.vec_id, c.cell,
+           list_dot_product(e.v, c.cv) AS score,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell DESC) AS rn
+         FROM e, c2 c)"""
+  }
+
+  private lazy val kmeansOracleSql: String =
+    s"""${kmeansCtes(8)}
+       SELECT vec_id, cell, round(score, 4) AS cos
+       FROM afin WHERE rn = 1 ORDER BY vec_id"""
+
+  private lazy val semanticDedupOracleSql: String =
+    s"""${kmeansCtes(8)},
+       xfin AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+       dropped AS (SELECT DISTINCT b.vec_id
+         FROM (SELECT x.vec_id, x.cell, e.v FROM xfin x
+             JOIN e USING (vec_id)) a
+           JOIN (SELECT x.vec_id, x.cell, e.v FROM xfin x
+             JOIN e USING (vec_id)) b
+           ON a.cell = b.cell AND a.vec_id < b.vec_id
+             AND round(list_dot_product(a.v, b.v), 4) >= 0.3)
+       SELECT x.vec_id, x.cell, (d.vec_id IS NULL) AS kept
+       FROM xfin x LEFT JOIN dropped d USING (vec_id) ORDER BY x.vec_id"""
 
   /** Shared oracle for qe09/qe10: int8 quantization is exact integer
     * math (floor to 1e-4 longs, per-dim min/max, affine code), so the

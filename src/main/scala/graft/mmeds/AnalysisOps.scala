@@ -76,6 +76,25 @@ object AnalysisOps {
   def mappingForRun(meta: DataFrame, run: String): DataFrame =
     meta.filter(col("RawDataProtocolID") === run)
 
+  /** Grouped mapping file (util.py:1114-1123): the distinct categories
+    * of one mapping column as a single `#SampleID` column, `#q2:types`
+    * first, then categories in FIRST-APPEARANCE order (the reference
+    * iterates rows and appends unseen cells). Order is reconstructed
+    * distributedly: min row id per category, sort by it — no driver
+    * pass over the data. */
+  def groupedMappingFile(mapping: DataFrame, column: String): DataFrame = {
+    val byFirstSeen = mapping
+      .select(col(column).cast("string").as("cat"))
+      .withColumn("_row", monotonically_increasing_id())
+      .groupBy(col("cat")).agg(min(col("_row")).as("_first"))
+      .orderBy(col("_first"))
+      .select(col("cat").as("#SampleID"))
+    byFirstSeen.sparkSession.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row("#q2:types")),
+      byFirstSeen.schema
+    ).unionAll(byFirstSeen)
+  }
+
   /** Sample subset by id list (util.py:1777-1784). */
   def sampleSubset(meta: DataFrame, samples: Seq[String]): DataFrame =
     meta.filter(col("RawDataID").isin(samples: _*))

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontaminate, Dedup, Events, Packing, Sampling,
-  Similarity, Skew, TextAnalysis}
+import graft.ops.{Clustering, Decontaminate, Dedup, Events, Packing,
+  Sampling, Similarity, Skew, TextAnalysis}
 
 /** LLM-training-data pipeline operators (beyond-reference surface) bound
   * to the driver's `documents` / `embeddings` / `events` tables. */
@@ -220,6 +220,22 @@ object PipelineQueries {
     Dedup.embeddingNearDup(t(s, dir, "embeddings"), col("vec_id"),
       col("label"), col("embedding"), threshold = 0.3)
       .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Deterministic spherical k-means (md5 seeds, 2 Lloyd rounds with
+    * 1e-6-rounded means): every step engine-portable, so the full
+    * iterative clustering is hash-checked against the DuckDB oracle. */
+  def kmeansClusters(s: SparkSession, dir: String): DataFrame =
+    Clustering.kmeansAssign(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), k = 8, iters = 2)
+      .orderBy(col("vec_id"))
+
+  /** SemDeDup-style semantic dedup: k-means cells as the blocking key,
+    * drop every vector with a >= 0.3-cosine twin of smaller id in its
+    * cell (keep-lowest-id policy). Oracle-exact end to end. */
+  def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
+    Clustering.semanticDedup(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), k = 8, iters = 2, threshold = 0.3)
+      .orderBy(col("vec_id"))
 
   /** Tumbling-hour rollup of events per type (hour as epoch seconds for
     * cross-engine timestamp stability). */

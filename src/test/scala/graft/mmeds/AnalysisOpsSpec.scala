@@ -96,6 +96,15 @@ class AnalysisOpsSpec extends AnyFunSuite {
     assert(AnalysisOps.mappingForRun(meta, "run1").count() == 1)
   }
 
+  test("grouped mapping file: #q2:types first, categories in appearance order") {
+    val mapping = Seq("b", "a", "b", "c", "a").map(Tuple1(_))
+      .toDF("BodySite")
+    val got = AnalysisOps.groupedMappingFile(mapping, "BodySite")
+    assert(got.columns.toSeq == Seq("#SampleID"))
+    assert(got.collect().map(_.getString(0)).toSeq ==
+      Seq("#q2:types", "b", "a", "c"))
+  }
+
   test("child-ID generation continues from the existing count per parent") {
     val existing = Seq((10L, "S10-Aliquot0"), (10L, "S10-Aliquot1"))
       .toDF("idSpecimen", "AliquotID")

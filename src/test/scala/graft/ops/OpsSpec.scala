@@ -592,6 +592,41 @@ class OpsSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("k-means: total assignment, partitioning-invariant, dedup greedy-by-id") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val assign = Clustering.kmeansAssign(embs, col("vec_id"),
+      col("embedding"), k = 4, iters = 2).collect()
+    assert(assign.length == embs.count())
+    assert(assign.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 4))
+    // partitioning must not change the model or the assignment
+    val reparted = Clustering.kmeansAssign(embs.repartition(7), col("vec_id"),
+      col("embedding"), k = 4, iters = 2).collect()
+    assert(assign.map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      reparted.map(r => (r.getLong(0), r.getInt(1))).toSet)
+
+    // semantic dedup: kept set equals the brute-force greedy-by-id rule
+    // computed per cell from the raw similarities
+    val res = Clustering.semanticDedup(embs, col("vec_id"),
+      col("embedding"), k = 4, iters = 2, threshold = 0.3)
+    val byCell = res.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getBoolean(2)))
+    val cells = byCell.groupBy(_._2)
+    val vecs = embs.select(col("vec_id"),
+        graft.ops.Similarity.l2Normalize(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      math.rint(a.zip(b).map { case (x, y) => x * y }.sum * 1e4) / 1e4
+    cells.values.foreach { members =>
+      val ids = members.map(_._1).sorted
+      val expectDropped = ids.filter(b =>
+        ids.exists(a => a < b && cos(vecs(a), vecs(b)) >= 0.3)).toSet
+      members.foreach { case (id, _, kept) =>
+        assert(kept == !expectDropped.contains(id),
+          s"vec $id kept=$kept, brute force disagrees")
+      }
+    }
+  }
+
   test("tf-idf top terms: rare term outranks common term") {
     import spark.implicits._
     val docs = Seq(
