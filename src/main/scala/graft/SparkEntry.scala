@@ -118,6 +118,7 @@ object SparkEntry {
     "qd41_group_hh" -> (PipelineQueries.groupHeavyHitters _),
     "qe14_kmeans_clusters" -> (PipelineQueries.kmeansClusters _),
     "qe15_semantic_dedup" -> (PipelineQueries.semanticDedupQ _),
+    "qe16_cluster_sample" -> (PipelineQueries.clusterBalancedSample _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1366,6 +1367,7 @@ object SparkEntry {
     "qe10_quantized_index" -> adcOracleSql,
     "qe14_kmeans_clusters" -> kmeansOracleSql,
     "qe15_semantic_dedup" -> semanticDedupOracleSql,
+    "qe16_cluster_sample" -> clusterSampleOracleSql,
   )
 
   /** Oracle for qe03: the splitmix64 hyperplanes are deterministic
@@ -1497,6 +1499,23 @@ object SparkEntry {
              AND round(list_dot_product(a.v, b.v), 4) >= 0.3)
        SELECT x.vec_id, x.cell, (d.vec_id IS NULL) AS kept
        FROM xfin x LEFT JOIN dropped d USING (vec_id) ORDER BY x.vec_id"""
+
+  private lazy val clusterSampleOracleSql: String =
+    s"""${kmeansCtes(8)},
+       xfin AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+       n AS (SELECT cell, count(*) AS n_v FROM xfin GROUP BY 1),
+       tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n_total,
+         count(*) AS n_groups FROM n),
+       r AS (SELECT cell, least(1.0, (CAST(n_total AS DOUBLE)
+           / CAST(n_groups AS DOUBLE)) / CAST(n_v AS DOUBLE)) AS rate0
+         FROM n CROSS JOIN tot)
+       SELECT x.vec_id, x.cell,
+         floor(r.rate0 * 10000.0) / 10000.0 AS rate
+       FROM xfin x JOIN r USING (cell)
+       WHERE substring(md5(CAST(x.vec_id AS VARCHAR)), 1, 8) <
+         printf('%08x', CAST(least(floor(r.rate0 * 4294967296.0),
+           4294967295.0) AS BIGINT))
+       ORDER BY x.vec_id"""
 
   /** Shared oracle for qe09/qe10: int8 quantization is exact integer
     * math (floor to 1e-4 longs, per-dim min/max, affine code), so the

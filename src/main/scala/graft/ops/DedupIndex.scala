@@ -94,6 +94,27 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Append an accepted batch's lanes + banded buckets to the minhash
+    * index (the near-dup twin of [[appendExact]]): one batch scan feeds
+    * both tables, band partitioning preserved so later probes stay
+    * pruned. Lane/band parameters come from the index's own meta
+    * sidecar — callers can't accidentally append with a different
+    * sketch shape. */
+  def appendMinhash(batch: DataFrame, id: Column, text: Column,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (numLanes, rowsPerBand) = (meta.getInt(0), meta.getInt(1))
+    val sig = Dedup.portableLanes(batch, id, lit(true), text, numLanes)
+      .localCheckpoint(eager = false)
+    sig.drop("block")
+      .write.mode("append").parquet(s"$path/lanes")
+    Dedup.portableBanded(sig, numLanes, rowsPerBand)
+      .drop("block")
+      .repartition(col("band"))
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+  }
+
   /** Near-dup pairs of a new batch AGAINST the indexed corpus:
     * candidates from the banded equi-join (batch bands × index bands),
     * similarity ESTIMATED from stored lane agreement — est_e4 =

@@ -237,6 +237,21 @@ object PipelineQueries {
       col("embedding"), k = 8, iters = 2, threshold = 0.3)
       .orderBy(col("vec_id"))
 
+  /** Cluster-balanced (semantic-diversity) sampling: k-means cells as
+    * the mix group, each cell downsampled toward the uniform share via
+    * the md5-threshold keep — the embedding-space twin of qd19's
+    * language rebalance. Pure composition of [[Clustering.kmeansAssign]]
+    * and [[Sampling.mixBalancedSample]]; oracle-exact end to end. */
+  def clusterBalancedSample(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cells = Clustering.kmeansAssign(e, col("vec_id"),
+      col("embedding"), k = 8, iters = 2)
+      .select(col("vec_id"), col("cell"))
+    Sampling.mixBalancedSample(cells, col("cell"), col("vec_id"))
+      .select(col("vec_id"), col("cell"), col("rate"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Tumbling-hour rollup of events per type (hour as epoch seconds for
     * cross-engine timestamp stability). */
   def eventHourly(s: SparkSession, dir: String): DataFrame =

@@ -82,6 +82,47 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** NEAR-dup-rejecting incremental ingest: the minhash-index twin of
+    * [[dedupIngestTo]]. Each micro-batch is probed against the persisted
+    * band index ([[graft.ops.DedupIndex.nearDupAgainstIndex]]) and a doc
+    * is rejected when any indexed doc's estimated similarity reaches
+    * `minEstimate`; in-batch twins are resolved by the keep-lowest-id
+    * rule BEFORE the index probe (the batch's own near-dups never reach
+    * the corpus either). Survivors land in the corpus sink and their
+    * lanes/bands are appended, so later batches — and later RUNS — see
+    * them.
+    *
+    * Replay idempotency is CONTENT-level, same argument as the exact
+    * path, with one twist: a replayed doc matches ITSELF in the index
+    * (all lanes agree → estimate 1.0 ≥ any sane threshold), so the
+    * re-probed batch yields zero survivors and the sink stays clean.
+    * State lives entirely in index parquet — nothing in the state
+    * store, nothing expiring, probes bounded by the batch's own bands. */
+  def nearDupIngestTo(docs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, minEstimate: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint() // one source read per batch
+        // keep-lowest-id within the batch (tiny pair set: batch-sized)
+        val inBatchDups = graft.ops.Dedup.minhashNearDupPortable(b,
+          col("doc_id"), lit(true), col("text"), threshold = minEstimate)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val solo = b.join(inBatchDups, Seq("doc_id"), "left_anti")
+        val hit = graft.ops.DedupIndex.nearDupAgainstIndex(spark, solo,
+          col("doc_id"), col("text"), indexPath, minEstimate)
+          .select(col("batch_doc").as("doc_id")).distinct()
+        val fresh = solo.join(hit, Seq("doc_id"), "left_anti")
+          .localCheckpoint() // probe once: the append below mutates the index
+        fresh.write.mode("append").parquet(outPath)
+        graft.ops.DedupIndex.appendMinhash(fresh, col("doc_id"),
+          col("text"), indexPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Enrich a stream with a static dimension table (stream-static join).
     * The dim side is broadcast, so each micro-batch joins partition-
     * locally — no stream-side shuffle, no state store; the standard

@@ -1115,6 +1115,39 @@ class OpsSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(11L, 21L))
   }
 
+  test("streaming NEAR-dup ingest: index rejects, in-batch twins resolve, replay idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("neardupingest").toString
+    val idx = s"$root/idx"; val in = s"$root/in"; val out = s"$root/out"
+    // bootstrap corpus: one indexed doc
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    graft.ops.DedupIndex.writeMinhashIndex(corpus, col("doc_id"),
+      col("text"), idx)
+    // batch: a near-dup of indexed doc 1 (same word set), an in-batch
+    // twin pair (20/21, same word set), and one genuinely new doc
+    Seq(
+      (10L, "zeta epsilon delta gamma beta alpha"),
+      (20L, "totally different words over here"),
+      (21L, "different totally words here over"),
+      (30L, "nothing like anything else at all")
+    ).toDF("doc_id", "text").write.parquet(s"$in/f1")
+    val schema = corpus.schema
+    StreamingIngest.nearDupIngestTo(
+      StreamingIngest.watchParquetDir(spark, s"$in/*", schema),
+      idx, out, s"$root/ckpt", minEstimate = 0.8).awaitTermination()
+    // 10 rejected (index), 21 rejected (in-batch twin of 20), 20+30 in
+    assert(spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(20L, 30L))
+    // replay the same file with a FRESH checkpoint: every doc now
+    // matches itself (or its twin) in the index -> zero new rows
+    StreamingIngest.nearDupIngestTo(
+      StreamingIngest.watchParquetDir(spark, s"$in/*", schema),
+      idx, out, s"$root/ckpt2", minEstimate = 0.8).awaitTermination()
+    assert(spark.read.parquet(out).select("doc_id").as[Long]
+      .collect().sorted.toSeq == Seq(20L, 30L))
+  }
+
   test("topk_agg equals the window-rank form and is partition-invariant") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
