@@ -58,8 +58,10 @@ object SparkEntry {
     "qd11_tfidf_topk" -> (PipelineQueries.tfidfTopTerms _),
     "qd12_pii_flags" -> (PipelineQueries.piiFlags _),
     "qd13_dup_clusters" -> (PipelineQueries.dupClusters _),
+    "qd42_dup_clusters_star" -> (PipelineQueries.dupClustersStar _),
     "qd14_curated_corpus" -> (PipelineQueries.curatedCorpus _),
     "qd15_decontaminate" -> (PipelineQueries.decontaminate _),
+    "qd43_bloom_decontaminate" -> (PipelineQueries.decontaminateBloom _),
     "qd16_det_sample" -> (PipelineQueries.stratifiedSample _),
     "qd17_seq_pack" -> (PipelineQueries.seqPacking _),
     "qd18_unigram_nll" -> (PipelineQueries.unigramNll _),
@@ -462,26 +464,10 @@ object SparkEntry {
          FROM s QUALIFY rank <= 3 ORDER BY doc_id, rank""",
     // Transitive closure via recursive CTE reproduces the iterative
     // min-label propagation exactly (both assign each component its
-    // minimum doc id).
-    "qd13_dup_clusters" ->
-      """WITH RECURSIVE words AS (SELECT DISTINCT doc_id, source,
-           unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
-         sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
-         c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nab
-           FROM words a JOIN words b
-             ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS (SELECT doc_a, doc_b
-           FROM c JOIN sizes sa ON c.doc_a = sa.doc_id
-                  JOIN sizes sb ON c.doc_b = sb.doc_id
-           WHERE floor(CAST(nab AS DOUBLE)
-               / CAST(sa.n + sb.n - nab AS DOUBLE) * 10000.0) / 10000.0 >= 0.8),
-         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-           UNION SELECT doc_b, doc_a FROM pairs),
-         cc(a, b) AS (SELECT a, b FROM e
-           UNION SELECT cc.a, e.b FROM cc JOIN e ON cc.b = e.a)
-         SELECT a AS doc_id, least(a, min(b)) AS cluster
-         FROM cc GROUP BY a ORDER BY doc_id""",
+    // minimum doc id). Shared by qd42: large-star/small-star reaches
+    // the identical fixpoint labels.
+    "qd13_dup_clusters" -> dupClustersOracleSql,
+    "qd42_dup_clusters_star" -> dupClustersOracleSql,
     // The composed curation pipeline: quality/PII gate -> exact dedup
     // (min doc per fingerprint) -> near-dup cluster representative.
     "qd14_curated_corpus" ->
@@ -533,18 +519,10 @@ object SparkEntry {
          ORDER BY k.doc_id""",
     // Training docs sharing any 4-token n-gram with the eval subset
     // (doc_id % 97 == 0). Gram strings reproduce Spark's concat_ws(" ").
-    "qd15_decontaminate" ->
-      """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+')
-           AS toks FROM documents),
-         g AS (SELECT doc_id,
-             unnest(list_distinct([array_to_string(toks[i:i+3], ' ')
-               FOR i IN range(1, len(toks) - 2)])) AS gram
-           FROM tk WHERE len(toks) >= 4)
-         SELECT t.doc_id, count(*) AS n_shared
-         FROM (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) t
-         JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) e
-           USING (gram)
-         GROUP BY 1 ORDER BY 1""",
+    // Shared by qd43: the Bloom prefilter is exact end-to-end (no false
+    // negatives; the verify join drops false positives).
+    "qd15_decontaminate" -> decontaminateOracleSql,
+    "qd43_bloom_decontaminate" -> decontaminateOracleSql,
     // Deterministic stratified sample: md5(doc_id) hex-prefix threshold,
     // 0.75 for quality >= 0.5 ('c0000000'), 0.25 below ('40000000').
     "qd16_det_sample" ->
@@ -1369,6 +1347,44 @@ object SparkEntry {
     "qe15_semantic_dedup" -> semanticDedupOracleSql,
     "qe16_cluster_sample" -> clusterSampleOracleSql,
   )
+
+  /** Shared oracle for qd15/qd43: the Bloom-prefiltered path returns the
+    * exact overlap report, so one SQL covers both. */
+  private lazy val decontaminateOracleSql: String =
+    """WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+')
+         AS toks FROM documents),
+       g AS (SELECT doc_id,
+           unnest(list_distinct([array_to_string(toks[i:i+3], ' ')
+             FOR i IN range(1, len(toks) - 2)])) AS gram
+         FROM tk WHERE len(toks) >= 4)
+       SELECT t.doc_id, count(*) AS n_shared
+       FROM (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) t
+       JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0) e
+         USING (gram)
+       GROUP BY 1 ORDER BY 1"""
+
+  /** Shared oracle for qd13/qd42: DuckDB's recursive transitive closure
+    * assigns each component its minimum doc id — the fixpoint both the
+    * min-label loop and the star contraction converge to. */
+  private lazy val dupClustersOracleSql: String =
+    """WITH RECURSIVE words AS (SELECT DISTINCT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
+       sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
+       c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nab
+         FROM words a JOIN words b
+           ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (SELECT doc_a, doc_b
+         FROM c JOIN sizes sa ON c.doc_a = sa.doc_id
+                JOIN sizes sb ON c.doc_b = sb.doc_id
+         WHERE floor(CAST(nab AS DOUBLE)
+             / CAST(sa.n + sb.n - nab AS DOUBLE) * 10000.0) / 10000.0 >= 0.8),
+       e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         UNION SELECT doc_b, doc_a FROM pairs),
+       cc(a, b) AS (SELECT a, b FROM e
+         UNION SELECT cc.a, e.b FROM cc JOIN e ON cc.b = e.a)
+       SELECT a AS doc_id, least(a, min(b)) AS cluster
+       FROM cc GROUP BY a ORDER BY doc_id"""
 
   /** Oracle for qe03: the splitmix64 hyperplanes are deterministic
     * literals ([[graft.ops.Similarity.planeVectors]]), so the SQL embeds

@@ -63,4 +63,29 @@ object Decontaminate {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** [[ngramOverlap]] for when the eval gram set outgrows an EXACT
+    * broadcast: a Bloom filter over the eval grams (built with a
+    * distributed tree-aggregate, a few MB at fpp=1%) pre-filters the
+    * corpus gram stream in a NARROW codegen'd map, so only the matching
+    * ~fpp fraction ever reaches the exact verify join — the corpus is
+    * never shuffled at volume, and the verify join (non-broadcast: the
+    * premise is that eval grams don't fit a broadcast) moves only
+    * survivors. Bloom filters have no false negatives and the verify
+    * join drops false positives, so the result is IDENTICAL to
+    * [[ngramOverlap]] — same oracle, different scale envelope. */
+  def ngramOverlapBloom(train: DataFrame, eval_ : DataFrame, id: Column,
+      text: Column, n: Int, fpp: Double = 0.01): DataFrame = {
+    val evalGrams = eval_.select(explode(ngrams(text, n)).as("gram"))
+      .distinct()
+      .localCheckpoint() // gram build runs once: sizing count + filter + join
+    val bloom = graft.functions.BloomFilters.buildString(
+      evalGrams, "gram", evalGrams.count(), fpp)
+    train.select(id.as("doc_id"), explode(ngrams(text, n)).as("gram"))
+      .filter(graft.functions.BloomFilters.bloomMightContain(
+        col("gram"), bloom))
+      .join(evalGrams.hint("shuffle_hash"), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -363,6 +363,84 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lab").as("cluster"))
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the scale path promised in [[dupClusters]]'s
+    * doc, now real: rounds grow with log(diameter) instead of diameter,
+    * so adversarially deep dup graphs (chained near-dups, boilerplate
+    * families spanning shards at 100 TB) converge in a handful of
+    * shuffle rounds where min-label propagation needs hundreds. Each
+    * round is two groupBy+join passes over the (pair-sized) edge set;
+    * the edge set is checkpointed per round so lineage never compounds.
+    *
+    * Large-star hangs every node's strictly-LARGER neighbors off
+    * m = min(neighborhood ∪ self) — long upward chains shortcut toward
+    * minima; small-star then re-hangs each node's smaller-or-equal
+    * neighbors (and itself) off their local min. At the fixpoint every
+    * component is a star centered on its minimum id, so the label read
+    * is one projection. Output contract identical to [[dupClusters]]:
+    * every node in `pairs` labeled with its component's minimum id. */
+  def dupClustersStar(pairs: DataFrame, a: Column, b: Column): DataFrame = {
+    var edges = pairs
+      .select(least(a, b).as("lo"), greatest(a, b).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    // Edge-set signature for the fixpoint test: (count, XOR of per-edge
+    // hashes) — one map-side-combined aggregate per round where an
+    // except() would cost a full extra shuffle. XOR is order-insensitive
+    // and overflow-free; edges are distinct so nothing self-cancels.
+    // Sets of distinct canonical edges with equal count and equal 64-bit
+    // hash-XOR are equal for any practical purpose; the spec's
+    // equality-vs-min-label tests and the shared oracle pin the
+    // end-to-end labels regardless.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("lo"), col("hi")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var sig = signature(edges)
+    var done = false
+    while (!done) {
+      // LARGE-STAR on the bidirectional view: for each node u attach its
+      // neighbors v > u to m = min(N(u) ∪ {u}); m <= u < v keeps the
+      // (lo, hi) canonical orientation for free.
+      val bidir = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .union(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = bidir.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // No distinct here: small-star's groupBy/min tolerates duplicate
+      // edges and its own distinct dedups the round's output — saves a
+      // full shuffle per round.
+      val large = bidir.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .filter(col("lo") =!= col("hi"))
+      // SMALL-STAR: orient each edge toward its smaller endpoint (v < u
+      // after the swap), then attach every smaller neighbor AND u itself
+      // to m = min(N(u)); m is the group min so (m, *) stays canonical.
+      val oriented = large.select(col("hi").as("u"), col("lo").as("v"))
+      val mins2 = oriented.groupBy("u").agg(min("v").as("m"))
+      val small = oriented.join(mins2, "u")
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .union(mins2.select(col("m").as("lo"), col("u").as("hi")))
+        .filter(col("lo") =!= col("hi"))
+        .distinct()
+        .localCheckpoint()
+      val nextSig = signature(small)
+      done = nextSig == sig
+      sig = nextSig
+      edges = small
+    }
+    val members = edges
+      .select(col("hi").as("doc_id"), col("lo").as("cluster"))
+    val nodes = pairs.select(a.as("doc_id"))
+      .union(pairs.select(b.as("doc_id"))).distinct()
+    nodes.join(members, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
   /** Embedding-cosine near-dup WITHOUT a caller blocking key: the
     * hyperplane-LSH bucket is the block, so the pair join is subquadratic
     * on an unblocked corpus (expected bucket size |corpus| / 2^numPlanes).

@@ -186,6 +186,17 @@ object PipelineQueries {
       col("doc_a"), col("doc_b"))
       .orderBy(col("doc_id"))
 
+  /** Duplicate clusters via large-star/small-star contraction — same
+    * pairs, same labels as [[dupClusters]] (one shared oracle), but
+    * log(diameter) shuffle rounds: the variant to reach for when dup
+    * chains run deep. */
+  def dupClustersStar(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupClustersStar(
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
+        col("source"), col("text"), threshold = 0.8),
+      col("doc_a"), col("doc_b"))
+      .orderBy(col("doc_id"))
+
   /** PII content flags per document (emails / phones / SSNs). */
   def piiFlags(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.piiFlags(t(s, dir, "documents"), col("doc_id"), col("text"))
@@ -286,6 +297,19 @@ object PipelineQueries {
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     Decontaminate.ngramOverlap(
+      d.filter(col("doc_id") % 97 =!= 0),
+      d.filter(col("doc_id") % 97 === 0),
+      col("doc_id"), col("text"), n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Decontamination through the Bloom-prefilter scale path: identical
+    * report to qd15 (one shared oracle) with the corpus gram stream
+    * pre-pruned by a codegen'd Bloom probe before the exact verify
+    * join — the shape for eval sets too large to broadcast exactly. */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Decontaminate.ngramOverlapBloom(
       d.filter(col("doc_id") % 97 =!= 0),
       d.filter(col("doc_id") % 97 === 0),
       col("doc_id"), col("text"), n = 4)

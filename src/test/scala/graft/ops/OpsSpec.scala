@@ -654,6 +654,62 @@ class OpsSpec extends AnyFunSuite {
       (6L, 5L), (9L, 1L)))
   }
 
+  test("bloom might_contain: no false negatives, few false positives, codegen path") {
+    import spark.implicits._
+    val members = (0 until 2000).map(i => s"member_$i")
+    val bloom = graft.functions.BloomFilters.buildString(
+      members.toDF("gram"), "gram", members.size, fpp = 0.01)
+    val probe = (members ++ (0 until 2000).map(i => s"absent_$i")).toDF("gram")
+      .withColumn("hit",
+        graft.functions.BloomFilters.bloomMightContain(col("gram"), bloom))
+    val hits = probe.filter(col("hit")).select("gram").as[String].collect().toSet
+    assert(members.forall(hits.contains)) // no false negatives, ever
+    val fps = hits.count(_.startsWith("absent_"))
+    assert(fps < 100, s"false positives $fps out of 2000 at fpp=0.01")
+  }
+
+  test("ngramOverlapBloom equals the exact broadcast overlap") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val ev = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Decontaminate.ngramOverlap(train, ev,
+      col("doc_id"), col("text"), n = 4)
+    val bloomed = Decontaminate.ngramOverlapBloom(train, ev,
+      col("doc_id"), col("text"), n = 4)
+    assert(exact.count() > 0)
+    assert(bloomed.exceptAll(exact).isEmpty && exact.exceptAll(bloomed).isEmpty)
+  }
+
+  test("dupClustersStar equals min-label propagation on fixture and random graphs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("source"),
+      col("text"), threshold = 0.8).localCheckpoint()
+    val base = Dedup.dupClusters(pairs, col("doc_a"), col("doc_b"))
+    val star = Dedup.dupClustersStar(pairs, col("doc_a"), col("doc_b"))
+    assert(base.count() > 0)
+    assert(star.exceptAll(base).isEmpty && base.exceptAll(star).isEmpty)
+    // seeded random multigraph: mixed component shapes and sizes
+    val rnd = new scala.util.Random(7)
+    val redges = Seq.fill(400)((rnd.nextInt(120).toLong,
+        rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val rdf = redges.toDF("a", "b")
+    val b2 = Dedup.dupClusters(rdf, col("a"), col("b"))
+    val s2 = Dedup.dupClustersStar(rdf, col("a"), col("b"))
+    assert(s2.exceptAll(b2).isEmpty && b2.exceptAll(s2).isEmpty)
+  }
+
+  test("dupClustersStar collapses a deep chain to the component min") {
+    import spark.implicits._
+    // path 0-1-...-150: diameter-many rounds for label propagation,
+    // O(log n) star rounds; every node labels 0
+    val chain = (0L until 150L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.dupClustersStar(chain, col("a"), col("b"))
+    assert(out.count() == 151L)
+    assert(out.filter(col("cluster") =!= 0L).count() == 0L)
+  }
+
   test("pii flags: emails, phones, ssns detected; clean text passes") {
     import spark.implicits._
     val docs = Seq(
