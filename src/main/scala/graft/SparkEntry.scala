@@ -98,6 +98,8 @@ object SparkEntry {
     "qd28_vocab_profile" -> (PipelineQueries.vocabProfileQ _),
     "qe11_random_projection" -> (PipelineQueries.randomProjectionQ _),
     "qv12_top_paths" -> (PipelineQueries.topPathsQ _),
+    "qv17_interval_join" -> (PipelineQueries.intervalJoinQ _),
+    "qd44_pii_redact" -> (PipelineQueries.piiRedactQ _),
     "qd29_incremental_new" -> (PipelineQueries.incrementalNew _),
     "qe12_knn_join" -> (PipelineQueries.knnJoinQ _),
     "qd31_temperature_mix" -> (PipelineQueries.temperatureMix _),
@@ -889,6 +891,32 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts >= c.ts
          ORDER BY p.event_id""",
+    // Binned range join is exact: a plain range-predicate join
+    // reproduces it (5-minute window, inclusive ends, epoch nanos).
+    "qv17_interval_join" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) AS t FROM events
+           WHERE event_type = 'error'),
+         v AS (SELECT epoch_ns(ts) AS t FROM events
+           WHERE event_type = 'view')
+         SELECT e.event_id AS err_event_id, count(*) AS n_views
+         FROM e JOIN v ON v.t >= e.t AND v.t <= e.t + 300000000000
+         GROUP BY 1 ORDER BY 1""",
+    // Same regexes as qd12, applied as global replacements; counts are
+    // occurrences on the original text.
+    "qd44_pii_redact" ->
+      """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'),
+             '\d{3}-\d{2}-\d{4}', '<SSN>', 'g') AS text_redacted,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(text, '\d{3}[-.]\d{3}[-.]\d{4}'))
+             AS n_phones,
+           len(regexp_extract_all(text, '\d{3}-\d{2}-\d{4}')) AS n_ssns
+         FROM documents ORDER BY doc_id""",
     // C4-style boilerplate pruning: tokens covered by any 3-shingle with
     // document frequency > 5 are removed; surviving order preserved via
     // the 1-based token index (Spark uses 0-based — internal only).

@@ -208,6 +208,29 @@ object TextAnalysis {
       .withColumn("has_pii",
         col("n_emails") + col("n_phones") + col("n_ssns") > 0)
 
+  /** PII span REDACTION — the scrub that follows [[piiFlags]]'s detect:
+    * email / phone / SSN spans are replaced in sequence with typed
+    * placeholders (`<EMAIL>`, `<PHONE>`, `<SSN>`), per-type match counts
+    * reported alongside (counted on the ORIGINAL text — occurrences, not
+    * replacement events, so the numbers are order-independent and an
+    * external engine reproduces them without replaying the replacement
+    * chain). Same RE2-compatible patterns as [[piiFlags]]; pure narrow
+    * codegen'd projection, no shuffle — at 100 TB this is a map-only
+    * pass fused into whatever scan precedes it. */
+  def piiRedact(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(
+      id.as("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(text,
+        lit(emailPattern), lit("<EMAIL>")),
+        lit(phonePattern), lit("<PHONE>")),
+        lit(ssnPattern), lit("<SSN>")).as("text_redacted"),
+      size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(text, lit(phonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      size(regexp_extract_all(text, lit(ssnPattern), lit(0)))
+        .cast("long").as("n_ssns"))
+
   /** Top-k characteristic terms per document by TF-IDF. One (doc, token)
     * count pass (map-side combined), document frequency derived from the
     * SAME frame (one row per (doc, token) already), a broadcast join of

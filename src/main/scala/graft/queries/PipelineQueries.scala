@@ -577,6 +577,34 @@ object PipelineQueries {
       col("embedding"), outDims = 16, inDims = 64)
       .orderBy(col("vec_id"), col("dim"))
 
+  /** Global point-in-interval join with NO equi-key: every error event
+    * opens a 5-minute incident window; count the view events landing in
+    * each window. Binned range join (bucket = window length) — a naive
+    * range predicate here is a BroadcastNestedLoopJoin. */
+  def intervalJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(s, dir)
+    val win = 300L * 1000L * 1000L * 1000L // 5 min in nanos
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("w_start"),
+        (col("ts") + lit(win)).as("w_end"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("ts"))
+    graft.ops.RangeJoin.pointInInterval(
+      views, col("view_id"), col("ts"),
+      errors, col("err_id"), col("w_start"), col("w_end"),
+      bucketWidth = win)
+      .groupBy(col("interval_id").as("err_event_id"))
+      .agg(count(lit(1)).as("n_views"))
+      .orderBy(col("err_event_id"))
+  }
+
+  /** PII redaction pass over the corpus: typed placeholders substituted
+    * in-text, per-type occurrence counts alongside. */
+  def piiRedactQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.piiRedact(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+      .orderBy(col("doc_id"))
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

@@ -654,6 +654,47 @@ class OpsSpec extends AnyFunSuite {
       (6L, 5L), (9L, 1L)))
   }
 
+  test("binned range join equals brute force, pairs emitted once, boundaries inclusive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // points and intervals across ~40 buckets (width 100), intervals up
+    // to 3.5 buckets long, plus exact-boundary and zero-length cases
+    val pts = (0L until 300L).map(i => (i, rnd.nextInt(4000).toLong)) ++
+      Seq((1000L, 500L), (1001L, 700L)) // == start / == end of iv 9000
+    val ivs = (0L until 60L).map { i =>
+      val s = rnd.nextInt(3800).toLong; (i, s, s + rnd.nextInt(350).toLong)
+    } ++ Seq((9000L, 500L, 700L), (9001L, 42L, 42L)) // boundary + zero-len
+    val p = pts.toDF("pid", "t")
+    val iv = ivs.toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(p, col("pid"), col("t"),
+      iv, col("iid"), col("s"), col("e"), bucketWidth = 100L)
+      .select(col("interval_id"), col("point_id"))
+    val brute = p.join(iv, col("t") >= col("s") && col("t") <= col("e"))
+      .select(col("iid").as("interval_id"), col("pid").as("point_id"))
+    assert(got.count() === brute.count()) // once each: counts match sets
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+    // the boundary points hit interval 9000 (inclusive both ends)
+    val hit9000 = got.filter(col("interval_id") === 9000L)
+      .select("point_id").as[Long].collect().toSet
+    assert(Set(1000L, 1001L).subsetOf(hit9000))
+  }
+
+  test("pii redact: typed placeholders substituted, counts per type, clean text unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail jane.doe+x@example.org and bob@x.io now"),
+      (2L, "call 555-867-5309 or 555.123.4567; ssn 123-45-6789"),
+      (3L, "a perfectly clean document 12345")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiRedact(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(1) == "mail <EMAIL> and <EMAIL> now")
+    assert(got(0).getLong(2) == 2L)
+    assert(got(1).getString(1) == "call <PHONE> or <PHONE>; ssn <SSN>")
+    assert(got(1).getLong(3) == 2L && got(1).getLong(4) == 1L)
+    assert(got(2).getString(1) == "a perfectly clean document 12345")
+    assert(got(2).getLong(2) + got(2).getLong(3) + got(2).getLong(4) == 0L)
+  }
+
   test("bloom might_contain: no false negatives, few false positives, codegen path") {
     import spark.implicits._
     val members = (0 until 2000).map(i => s"member_$i")
