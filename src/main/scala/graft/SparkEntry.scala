@@ -123,6 +123,7 @@ object SparkEntry {
     "qe14_kmeans_clusters" -> (PipelineQueries.kmeansClusters _),
     "qe15_semantic_dedup" -> (PipelineQueries.semanticDedupQ _),
     "qe16_cluster_sample" -> (PipelineQueries.clusterBalancedSample _),
+    "qd45_leakfree_split" -> (PipelineQueries.leakFreeSplit _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -470,6 +471,7 @@ object SparkEntry {
     // the identical fixpoint labels.
     "qd13_dup_clusters" -> dupClustersOracleSql,
     "qd42_dup_clusters_star" -> dupClustersOracleSql,
+    "qd45_leakfree_split" -> leakFreeSplitOracleSql,
     // The composed curation pipeline: quality/PII gate -> exact dedup
     // (min doc per fingerprint) -> near-dup cluster representative.
     "qd14_curated_corpus" ->
@@ -1394,7 +1396,7 @@ object SparkEntry {
   /** Shared oracle for qd13/qd42: DuckDB's recursive transitive closure
     * assigns each component its minimum doc id — the fixpoint both the
     * min-label loop and the star contraction converge to. */
-  private lazy val dupClustersOracleSql: String =
+  private lazy val dupClustersCte: String =
     """WITH RECURSIVE words AS (SELECT DISTINCT doc_id, source,
          unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
        sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
@@ -1410,9 +1412,25 @@ object SparkEntry {
        e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
          UNION SELECT doc_b, doc_a FROM pairs),
        cc(a, b) AS (SELECT a, b FROM e
-         UNION SELECT cc.a, e.b FROM cc JOIN e ON cc.b = e.a)
-       SELECT a AS doc_id, least(a, min(b)) AS cluster
-       FROM cc GROUP BY a ORDER BY doc_id"""
+         UNION SELECT cc.a, e.b FROM cc JOIN e ON cc.b = e.a),
+       cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+         FROM cc GROUP BY a)"""
+
+  private lazy val dupClustersOracleSql: String =
+    dupClustersCte + "\n       SELECT doc_id, cluster FROM cl ORDER BY doc_id"
+
+  /** Oracle for qd45: the same cluster fixpoint, then the qd32 split
+    * thresholds applied to the cluster rep (own id for singletons). */
+  private lazy val leakFreeSplitOracleSql: String =
+    dupClustersCte + """
+       SELECT d.doc_id,
+         CASE WHEN substring(md5(CAST(coalesce(cl.cluster, d.doc_id)
+                AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+              WHEN substring(md5(CAST(coalesce(cl.cluster, d.doc_id)
+                AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+       FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+       ORDER BY d.doc_id"""
 
   /** Oracle for qe03: the splitmix64 hyperplanes are deterministic
     * literals ([[graft.ops.Similarity.planeVectors]]), so the SQL embeds

@@ -115,6 +115,26 @@ object Sampling {
     }.otherwise(lit(splits.last._1))
   }
 
+  /** Leakage-free split assignment: every member of a near-duplicate
+    * cluster gets the SAME split label, keyed on the cluster
+    * representative (documents absent from `clusters` are singletons and
+    * key on their own id). Splitting on the raw doc id leaks — a test
+    * document's near-duplicate lands in train and the eval is
+    * contaminated — so the split unit must be the whole cluster.
+    * `clusters` is the [[Dedup.dupClusters]] shape (member id → cluster
+    * rep). One equi-join on the id (the cluster map only holds docs that
+    * HAVE a near-dup, so AQE broadcasts it when it's small); the verdict
+    * itself stays the same engine-portable md5 compare as
+    * [[splitAssign]]. */
+  def leakFreeSplitAssign(df: DataFrame, id: Column,
+      clusters: DataFrame, member: Column, rep: Column,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val c = clusters.select(member.as("_m"), rep.as("_rep"))
+    df.join(c, id === col("_m"), "left")
+      .withColumn("split", splitAssign(coalesce(col("_rep"), id), splits))
+      .drop("_m", "_rep")
+  }
+
   /** Keep-predicate for a STRATIFIED deterministic sample: each stratum
     * samples at its own rate (e.g. downsample low-quality documents,
     * keep all high-quality ones — the standard quality-pruning move).

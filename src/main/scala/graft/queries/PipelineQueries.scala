@@ -605,6 +605,22 @@ object PipelineQueries {
       col("text"))
       .orderBy(col("doc_id"))
 
+  /** Leakage-free train/val/test split: near-duplicate documents travel
+    * together, keyed on their cluster representative — the contamination
+    * fix [[curatedSplits]]'s per-doc split doesn't have. */
+  def leakFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val clusters = Dedup.dupClusters(
+      Dedup.ngramJaccardPairs(d, col("doc_id"), col("source"),
+        col("text"), threshold = 0.8),
+      col("doc_a"), col("doc_b"))
+    Sampling.leakFreeSplitAssign(d, col("doc_id"),
+      clusters, col("doc_id"), col("cluster"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

@@ -695,6 +695,30 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2).getLong(2) + got(2).getLong(3) + got(2).getLong(4) == 0L)
   }
 
+  test("leak-free split: cluster members share the rep's split, singletons match plain assign") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val docs = (1L to 200L).toDF("doc_id")
+    // two clusters (reps 5 and 40), members scattered across the id space
+    val clusters = Seq((5L, 5L), (17L, 5L), (93L, 5L), (40L, 40L),
+      (141L, 40L)).toDF("doc_id", "cluster")
+    val got = Sampling.leakFreeSplitAssign(docs, col("doc_id"),
+      clusters, col("doc_id"), col("cluster"), splits)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 200 &&
+      got.values.toSet.subsetOf(Set("train", "val", "test")))
+    // members inherit their representative's split — no straddling
+    assert(got(17L) == got(5L) && got(93L) == got(5L))
+    assert(got(141L) == got(40L))
+    // singletons agree with the plain per-doc assignment
+    val plain = docs.select(col("doc_id"),
+      Sampling.splitAssign(col("doc_id"), splits).as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(5L, 17L, 93L, 40L, 141L)
+    (1L to 200L).filterNot(clustered).foreach(i => assert(got(i) == plain(i)))
+  }
+
   test("bloom might_contain: no false negatives, few false positives, codegen path") {
     import spark.implicits._
     val members = (0 until 2000).map(i => s"member_$i")
