@@ -124,6 +124,9 @@ object SparkEntry {
     "qe15_semantic_dedup" -> (PipelineQueries.semanticDedupQ _),
     "qe16_cluster_sample" -> (PipelineQueries.clusterBalancedSample _),
     "qd45_leakfree_split" -> (PipelineQueries.leakFreeSplit _),
+    "qd46_epoch_shuffle" -> (PipelineQueries.epochShuffleQ _),
+    "qd47_line_dedup" -> (PipelineQueries.lineDedupQ _),
+    "qe17_filtered_ann" -> (PipelineQueries.filteredAnnQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -472,6 +475,42 @@ object SparkEntry {
     "qd13_dup_clusters" -> dupClustersOracleSql,
     "qd42_dup_clusters_star" -> dupClustersOracleSql,
     "qd45_leakfree_split" -> leakFreeSplitOracleSql,
+    // qd46: the permutation is the lex order of md5('ep7:'||id) — the
+    // sharded two-phase ranking must agree with the naive global window.
+    "qd46_epoch_shuffle" ->
+      """SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY md5('ep7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS BIGINT) AS pos
+         FROM documents ORDER BY doc_id""",
+    // qd47: first-occurrence line dedup — min-position grouping
+    // reproduces Spark's order-stable array_distinct.
+    "qd47_line_dedup" ->
+      """WITH s AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+           FROM documents),
+         l AS (SELECT doc_id, unnest(ls) AS line,
+           unnest(generate_series(1, len(ls))) AS pos, len(ls) AS nl
+           FROM s),
+         f AS (SELECT doc_id, line, min(pos) AS fp, max(nl) AS nl
+           FROM l GROUP BY 1, 2)
+         SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY fp) AS clean,
+           CAST(max(nl) AS BIGINT) AS n_lines,
+           CAST(max(nl) - count(*) AS BIGINT) AS n_dup_lines
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // qe17: all-bucket-probed filtered index search is exact, so the
+    // brute-force oracle with the same label predicate applies.
+    "qe17_filtered_ann" ->
+      """WITH z AS (SELECT e.vec_id,
+           CAST(unnest(e.embedding) AS DOUBLE) AS a,
+           CAST(unnest((SELECT embedding FROM embeddings WHERE vec_id = 0))
+             AS DOUBLE) AS b
+           FROM embeddings e WHERE e.label = 3),
+         s AS (SELECT vec_id, sum(a*b) AS ab, sum(a*a) AS aa, sum(b*b) AS bb
+           FROM z GROUP BY 1)
+         SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos,
+           row_number() OVER (ORDER BY round(ab / (sqrt(aa) * sqrt(bb)), 4)
+             DESC, vec_id) AS rank
+         FROM s QUALIFY rank <= 10 ORDER BY rank""",
     // The composed curation pipeline: quality/PII gate -> exact dedup
     // (min doc per fingerprint) -> near-dup cluster representative.
     "qd14_curated_corpus" ->

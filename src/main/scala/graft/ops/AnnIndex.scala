@@ -29,17 +29,21 @@ object AnnIndex {
 
   /** Build + persist the LSH index: one corpus scan, no shuffle except the
     * partitioned write's file clustering. `numPlanes` is embedded in the
-    * path's metadata row so the query side derives the same planes. */
+    * path's metadata row so the query side derives the same planes.
+    * `attrs` are extra (pre-aliased) attribute columns stored alongside
+    * each vector — the filtered-vector-search layout, where a metadata
+    * predicate prunes candidates IN the index scan instead of joining
+    * back to the corpus afterwards. */
   def writeLshIndex(corpus: DataFrame, id: Column, vec: Column,
-      path: String, numPlanes: Int): Unit = {
+      path: String, numPlanes: Int, attrs: Seq[Column] = Nil): Unit = {
     val dim = corpus.select(size(vec)).head().getInt(0)
     val planes = Similarity.planeVectors(numPlanes, dim)
     // cluster by bucket before the partitioned write: one file per
     // bucket per shuffle partition instead of one per (task x bucket) —
     // without it a 1000-task corpus scan writes 1000 x 2^planes tiny
     // files and the write dominates
-    corpus.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"),
-        Similarity.lshBucket(vec, planes).as("bucket"))
+    corpus.select(id.as("vec_id") +: Similarity.l2Normalize(vec).as("v") +:
+        Similarity.lshBucket(vec, planes).as("bucket") +: attrs: _*)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/index")
     // tiny sidecar so the reader needs no out-of-band parameters
@@ -52,10 +56,15 @@ object AnnIndex {
     * (one row), its bucket and the `probeFlips`-adjacent buckets are
     * computed driver-side, and the scan filters `bucket IN (...)` — a
     * partition-pruning predicate, so only the probed directories are read.
-    * An empty query frame yields an empty result. */
+    * An optional `attrFilter` (over [[writeLshIndex]] `attrs` columns) is
+    * applied in the SAME scan — filtered vector search, with the
+    * predicate pushed to parquet next to the bucket pruning rather than
+    * post-filtering the top-k (which would return <k rows). An empty
+    * query frame yields an empty result. */
   def queryLshIndex(spark: SparkSession, path: String, query: DataFrame,
-      k: Int, probeFlips: Int = 1): DataFrame =
-    lshCandidates(spark, path, query, probeFlips) match {
+      k: Int, probeFlips: Int = 1,
+      attrFilter: Option[Column] = None): DataFrame =
+    lshCandidates(spark, path, query, probeFlips, attrFilter) match {
       case None =>
         spark.read.parquet(s"$path/index")
           .select(col("vec_id"), lit(0.0d).as("cos"),
@@ -68,10 +77,12 @@ object AnnIndex {
     * query. Exposed so the pruning is testable (the top-k stage
     * checkpoints, which hides the scan from its final plan). */
   private[graft] def lshCandidates(spark: SparkSession, path: String,
-      query: DataFrame, probeFlips: Int): Option[DataFrame] = {
+      query: DataFrame, probeFlips: Int,
+      attrFilter: Option[Column] = None): Option[DataFrame] = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (numPlanes, dim) = (meta.getInt(0), meta.getInt(1))
-    val index = spark.read.parquet(s"$path/index")
+    val index = attrFilter.foldLeft(
+      spark.read.parquet(s"$path/index"))(_.filter(_))
     val qRows = query.select(col(query.columns.head).as("qv")).head(1)
     if (qRows.isEmpty) return None
     val qv = qRows(0).getSeq[Double](0).toArray

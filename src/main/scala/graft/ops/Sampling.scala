@@ -135,6 +135,41 @@ object Sampling {
       .drop("_m", "_rep")
   }
 
+  /** Deterministic global epoch shuffle: assign every row its position in
+    * a pseudo-random permutation — the "shuffle the corpus each epoch"
+    * pass of a training run — WITHOUT a single global sort partition.
+    * The permutation is the lexicographic order of `md5(seed:id)` (ties
+    * by id), so it is reproducible on any cluster/partitioning/engine and
+    * a new `seed` is a fresh permutation. Two-phase plan: rows shuffle
+    * once into 16^`shardHexChars` shards keyed on the hash PREFIX (hex
+    * order == numeric order, so shards are contiguous runs of the global
+    * order), per-shard counts (bounded: ≤65536 longs) come back to the
+    * driver for a prefix-sum, and each shard sorts locally —
+    * `global pos = shard offset + rank within shard`. At 100 TB with the
+    * default 4096 shards a shard is ~25 GB: a spillable per-partition
+    * sort, vs the single-reducer final range of a naive
+    * `row_number() OVER (ORDER BY hash)`. */
+  def epochShuffle(df: DataFrame, id: Column, seed: String,
+      shardHexChars: Int = 3): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 4,
+      s"shardHexChars out of [1,4]: $shardHexChars")
+    val keyed = df
+      .withColumn("_k", md5(concat_ws(":", lit(seed), id.cast("string"))))
+      .withColumn("_shard", substring(col("_k"), 1, shardHexChars))
+    val counts = keyed.groupBy("_shard").agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (s, n) => val o = (s, acc); acc += n; o }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offs = offsets.toSeq.toDF("_shard", "_off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_shard")).orderBy(col("_k"), id)
+    keyed.join(broadcast(offs), "_shard")
+      .withColumn("pos", col("_off") + row_number().over(w) - 1)
+      .drop("_k", "_shard", "_off")
+  }
+
   /** Keep-predicate for a STRATIFIED deterministic sample: each stratum
     * samples at its own rate (e.g. downsample low-quality documents,
     * keep all high-quality ones — the standard quality-pruning move).

@@ -231,6 +231,25 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit(ssnPattern), lit(0)))
         .cast("long").as("n_ssns"))
 
+  /** Within-document repeated-line removal — the boilerplate scrub
+    * (nav bars, cookie banners, repeated headers) that web-pipeline
+    * curation applies BEFORE cross-document dedup, so a page's own
+    * chrome doesn't dominate its fingerprint. Keeps the FIRST occurrence
+    * of each exact line, preserving order (`array_distinct` is
+    * first-occurrence-stable, and the oracle reproduces that via
+    * min-position grouping). Reports the original line count and how
+    * many lines were dropped. Pure narrow codegen'd projection —
+    * split / distinct / rejoin per row, no shuffle, fuses into the
+    * preceding scan at 100 TB. */
+  def dedupLines(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val lines = split(text, "\n")
+    val kept = array_distinct(lines)
+    docs.select(id.as("doc_id"),
+      array_join(kept, "\n").as("clean"),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(kept)).cast("long").as("n_dup_lines"))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF. One (doc, token)
     * count pass (map-side combined), document frequency derived from the
     * SAME frame (one row per (doc, token) already), a broadcast join of

@@ -621,6 +621,44 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic epoch shuffle: every document's position in the
+    * seed-"ep7" global permutation, via sharded two-phase ranking (no
+    * single global sort partition). */
+  def epochShuffleQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochShuffle(t(s, dir, "documents"), col("doc_id"),
+      seed = "ep7")
+      .select(col("doc_id"), col("pos"))
+      .orderBy(col("doc_id"))
+
+  /** Within-document repeated-line removal (boilerplate scrub). The
+    * fixture corpus is single-line, so this run exercises the identity
+    * path end-to-end (split/distinct/rejoin must reproduce the text
+    * byte-exactly); the removal semantics are spec-pinned on multi-line
+    * docs in OpsSpec. */
+  def lineDedupQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.dedupLines(t(s, dir, "documents"), col("doc_id"),
+      col("text"))
+      .orderBy(col("doc_id"))
+
+  /** FILTERED vector search: top-10 among label=3 vectors only, served
+    * from the persisted LSH index with the label stored as an index
+    * attribute — the predicate prunes candidates inside the index scan
+    * (next to the bucket partition pruning), not by post-filtering the
+    * top-k. Every bucket probed ⇒ exact, so the brute-force oracle
+    * applies. */
+  def filteredAnnQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val path = java.nio.file.Files.createTempDirectory("graft_fann").toString
+    graft.ops.AnnIndex.writeLshIndex(e, col("vec_id"), col("embedding"),
+      path, numPlanes = 4, attrs = Seq(col("label")))
+    graft.ops.AnnIndex.queryLshIndex(s, path, q, k = 10, probeFlips = 4,
+      attrFilter = Some(col("label") === 3))
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+  }
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

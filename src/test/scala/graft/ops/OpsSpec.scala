@@ -719,6 +719,75 @@ class OpsSpec extends AnyFunSuite {
     (1L to 200L).filterNot(clustered).foreach(i => assert(got(i) == plain(i)))
   }
 
+  test("epoch shuffle: exact permutation, matches global order, partitioning-invariant") {
+    import spark.implicits._
+    val df = (1L to 300L).toDF("id")
+    val got = Sampling.epochShuffle(df, col("id"), seed = "ep7")
+      .select(col("id"), col("pos")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // positions are exactly 0..n-1 (a permutation, no gaps or dups)
+    assert(got.values.toSeq.sorted == (0L until 300L).toSeq)
+    // agrees with the naive single-window global ranking
+    val expected = df.select(col("id"),
+      org.apache.spark.sql.functions.md5(
+        concat_ws(":", lit("ep7"), col("id").cast("string"))).as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (id, k) => (k, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(got == expected)
+    // same permutation from any input partitioning
+    val re = Sampling.epochShuffle(df.repartition(7), col("id"), "ep7")
+      .select(col("id"), col("pos")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == got)
+    // a different seed is a different permutation
+    val other = Sampling.epochShuffle(df, col("id"), "ep8")
+      .select(col("id"), col("pos")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other != got && other.values.toSeq.sorted == (0L until 300L))
+  }
+
+  test("line dedup: first occurrence kept in order, counts, identity on clean docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav bar\nreal content\nnav bar\nmore text\nreal content"),
+      (2L, "single line no newlines"),
+      (3L, ""),
+      (4L, "a\na\na\na")).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupLines(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getString(1) == "nav bar\nreal content\nmore text")
+    assert(got(0).getLong(2) == 5 && got(0).getLong(3) == 2)
+    // no-newline and empty docs pass through byte-identical
+    assert(got(1).getString(1) == "single line no newlines" &&
+      got(1).getLong(3) == 0)
+    assert(got(2).getString(1) == "" && got(2).getLong(2) == 1 &&
+      got(2).getLong(3) == 0)
+    assert(got(3).getString(1) == "a" && got(3).getLong(3) == 3)
+  }
+
+  test("filtered LSH index search: equals brute force over the filtered corpus") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val dir = java.nio.file.Files.createTempDirectory("fannidx").toString
+    AnnIndex.writeLshIndex(e, col("vec_id"), col("embedding"), dir,
+      numPlanes = 4, attrs = Seq(col("label")))
+    val lab = e.filter(col("vec_id") =!= 0).select(col("label")).head().getInt(0)
+    // all buckets probed + attr filter == brute force over the subset
+    val got = AnnIndex.queryLshIndex(spark, dir, q, k = 5, probeFlips = 4,
+      attrFilter = Some(col("label") === lab)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val brute = Similarity.bruteForceTopK(e.filter(col("label") === lab),
+      col("vec_id"), col("embedding"), q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(got.toSeq == brute.toSeq && got.nonEmpty)
+    // every returned candidate satisfies the predicate
+    val labels = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall { case (id, _, _) => labels(id) == lab })
+  }
+
   test("bloom might_contain: no false negatives, few false positives, codegen path") {
     import spark.implicits._
     val members = (0 until 2000).map(i => s"member_$i")
