@@ -127,6 +127,10 @@ object SparkEntry {
     "qd46_epoch_shuffle" -> (PipelineQueries.epochShuffleQ _),
     "qd47_line_dedup" -> (PipelineQueries.lineDedupQ _),
     "qe17_filtered_ann" -> (PipelineQueries.filteredAnnQ _),
+    "qd48_weighted_sample" -> (PipelineQueries.weightedSampleQ _),
+    "qd49_source_overlap" -> (PipelineQueries.sourceOverlapQ _),
+    "qd50_quality_gate" -> (PipelineQueries.qualityGateQ _),
+    "qe18_centroid_outliers" -> (PipelineQueries.centroidOutliersQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -497,6 +501,78 @@ object SparkEntry {
            CAST(max(nl) AS BIGINT) AS n_lines,
            CAST(max(nl) - count(*) AS BIGINT) AS n_dup_lines
          FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // qd48: Efraimidis–Spirakis priorities re-derived verbatim —
+    // u from the md5 prefix (+1 so u∈(0,1]), priority −ln(u)/w floored
+    // at 1e-12 resolution; the k smallest (ties by id) are the sample.
+    "qd48_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+             CAST(floor(1e12 * -ln((CAST('0x' || substring(
+               md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               + 1.0) / 4294967296.0) / CAST(n_chars AS DOUBLE))
+               AS BIGINT) AS pri
+           FROM documents ORDER BY pri, doc_id LIMIT 100)
+         ORDER BY doc_id""",
+    // qd49: distinct (source, 5-gram) pairs, then the bounded
+    // source-pair self-join — same gram builder as qd23.
+    "qd49_source_overlap" ->
+      """WITH tk AS (SELECT source, regexp_extract_all(lower(text),
+           '\S+') AS toks FROM documents),
+         g AS (SELECT DISTINCT source AS src,
+             unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+               FOR i IN range(1, len(toks) - 3)])) AS gram
+           FROM tk WHERE len(toks) >= 5)
+         SELECT a.src AS source_a, b.src AS source_b,
+           count(*) AS n_shared
+         FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // qd50: qd02's quality expression, then keep rank ≤ ceil(0.6·n)
+    // per source (score desc, doc_id tiebreak).
+    "qd50_quality_gate" ->
+      """WITH tk AS (SELECT doc_id, source, text,
+           regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+         sc AS (SELECT doc_id, source,
+           len(list_filter(toks, t -> list_contains(
+             ['the','of','and','to','in','is','that','it','was','for'],
+             t))) AS en_hits, toks, text FROM tk),
+         q AS (SELECT doc_id, source,
+           floor((0.4 * (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               CAST(en_hits AS DOUBLE) / CAST(len(toks) AS DOUBLE) END)
+             + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                 AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+             + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0))
+             * 10000.0) / 10000.0 AS quality
+           FROM sc),
+         r AS (SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source
+             ORDER BY quality DESC, doc_id) AS rn,
+           count(*) OVER (PARTITION BY source) AS n FROM q)
+         SELECT doc_id, source FROM r
+         WHERE CAST(rn AS DOUBLE) <= ceil(0.6 * CAST(n AS DOUBLE))
+         ORDER BY doc_id""",
+    // qe18: centroids from exact integer sums (qe06's discipline), then
+    // cosine(v, own-label centroid) rounded to 4 — float-sum reorder is
+    // absorbed by the rounding exactly as in qe01.
+    "qe18_centroid_outliers" ->
+      """WITH s AS (SELECT label, dim, count(*) AS n,
+           sum(CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS se4
+           FROM (SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS dim FROM embeddings)
+           GROUP BY 1, 2),
+         c AS (SELECT label, dim,
+           CAST(se4 AS DOUBLE) / (10000.0 * n) AS c FROM s),
+         z AS (SELECT e.vec_id, e.label,
+           CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           generate_subscripts(e.embedding, 1) AS dim FROM embeddings e),
+         t AS (SELECT z.vec_id, z.label, sum(z.x * c.c) AS xc,
+           sum(z.x * z.x) AS xx, sum(c.c * c.c) AS cc
+           FROM z JOIN c ON z.label = c.label AND z.dim = c.dim
+           GROUP BY 1, 2)
+         SELECT vec_id, label,
+           round(xc / (sqrt(xx) * sqrt(cc)), 4) AS cos_centroid,
+           round(xc / (sqrt(xx) * sqrt(cc)), 4) < 0.0 AS is_outlier
+         FROM t ORDER BY vec_id""",
     // qe17: all-bucket-probed filtered index search is exact, so the
     // brute-force oracle with the same label predicate applies.
     "qe17_filtered_ann" ->

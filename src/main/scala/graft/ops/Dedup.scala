@@ -327,6 +327,26 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Cross-source duplication matrix: for every pair of sources, how
+    * many DISTINCT token n-grams they share — the curation diagnostic
+    * that answers "how much of source A is already in source B" before
+    * committing a mix (mirrors/scrapes show up as hot cells). The
+    * (source, gram) frame is deduplicated first, so each gram's posting
+    * list is bounded by |sources| and the self-join fan-out is at most
+    * |sources|² per gram — subquadratic in the corpus no matter how hot
+    * a gram is (unlike doc-level inverted indexes, which need a df cap).
+    * One shuffle on the gram, one tiny aggregation on the pair. */
+  def sourceOverlap(docs: DataFrame, source: Column, text: Column,
+      n: Int): DataFrame = {
+    val grams = docs.select(source.as("src"),
+      explode(Decontaminate.ngrams(text, n)).as("gram")).distinct()
+    grams.as("a")
+      .join(grams.as("b"), col("a.gram") === col("b.gram") &&
+        col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("source_a"), col("b.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Resolve near-dup PAIRS into duplicate CLUSTERS (connected
     * components): every document in a component gets the component's
     * minimum doc id as its cluster label, so "keep one per cluster"

@@ -170,6 +170,55 @@ object Sampling {
       .drop("_k", "_shard", "_off")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    * Spirakis exponential race): row i gets priority −ln(u_i)/w_i with
+    * u_i an md5-uniform in (0,1], and the k smallest priorities are the
+    * sample — each row wins with probability proportional to its weight,
+    * with no replacement and no reshuffle-dependence. The priority is
+    * floored at 1e-12 resolution to a long so the comparison is integer
+    * (the float only feeds the floor; a last-ulp ln() difference between
+    * engines could flip a boundary only when two rows land within one
+    * unit AND straddle rank k — vanishing, and membership-only since the
+    * priority is dropped from the output). `orderBy(...).limit(k)`
+    * compiles to TakeOrderedAndProject: per-partition top-k, k-row
+    * driver merge — no global sort at 100 TB. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column, k: Int,
+      seed: String = "ws"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (conv(substring(md5(concat_ws(":", lit(seed),
+      id.cast("string"))), 1, 8), 16, 10).cast("double") + 1.0) /
+      lit(4294967296.0)
+    val pri = floor(lit(1e12) * -log(u) / weight.cast("double"))
+      .cast("long")
+    df.withColumn("_pri", pri)
+      .orderBy(col("_pri"), id)
+      .limit(k)
+      .drop("_pri")
+  }
+
+  /** Per-group quality-percentile gate: keep the top `fraction` of each
+    * group by `score` (ties broken by `id` so the cut is deterministic)
+    * — "keep the best 60% of every domain", the per-source FineWeb-style
+    * quality prune that a single global threshold gets wrong when
+    * domains have different score distributions. Keeps
+    * `ceil(fraction · n_g)` rows of each group, so no group is emptied.
+    * One shuffle on the group key; the per-group sort is a spillable
+    * window, acceptable when groups are domains/sources. For a
+    * GLOBAL gate (one giant group) use a quantile threshold from
+    * [[Stats.groupQuantiles]] + a narrow filter instead. */
+  def percentileGate(df: DataFrame, group: Column, score: Column,
+      id: Column, fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction out of (0,1]: $fraction")
+    val w = org.apache.spark.sql.expressions.Window
+    df.withColumn("_rn", row_number().over(
+        w.partitionBy(group).orderBy(score.desc, id)))
+      .withColumn("_n", count(lit(1)).over(w.partitionBy(group)))
+      .filter(col("_rn").cast("double") <=
+        ceil(lit(fraction) * col("_n").cast("double")))
+      .drop("_rn", "_n")
+  }
+
   /** Keep-predicate for a STRATIFIED deterministic sample: each stratum
     * samples at its own rate (e.g. downsample low-quality documents,
     * keep all high-quality ones — the standard quality-pruning move).

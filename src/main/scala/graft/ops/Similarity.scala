@@ -163,6 +163,34 @@ object Similarity {
         sum(floor(col("x").cast("double") * lit(10000.0)).cast("long"))
           .as("sum_e4"))
 
+  /** Per-vector outlier score against the vector's OWN group centroid:
+    * cosine(v, centroid(label)), flagged when below `threshold` — the
+    * embedding-space mislabel/noise detector (a vector far from its
+    * cluster is a labeling error or junk worth pruning before training).
+    * The centroid comes from [[centroidSums]]' EXACT integer sums
+    * (sum_e4 / (n·1e4) — identical doubles on any engine/partitioning),
+    * assembled into a per-label array and broadcast back, so the scoring
+    * pass is one narrow map over the corpus: no corpus shuffle, the only
+    * wide op is the tiny (label, dim) aggregation. Cosine floors through
+    * `round(·, 4)` like every similarity in this module. */
+  def centroidOutliers(embs: DataFrame, id: Column, label: Column,
+      vec: Column, threshold: Double): DataFrame = {
+    val cents = centroidSums(embs, label, vec)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        (col("sum_e4").cast("double") /
+          (col("n").cast("double") * lit(10000.0))).as("c")))),
+        s => s.getField("c")).as("cv"))
+    embs.select(id.as("vec_id"), label.as("label"),
+        transform(vec, x => x.cast("double")).as("v"))
+      .join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        round(dot(col("v"), col("cv")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))),
+          4).as("cos_centroid"))
+      .withColumn("is_outlier", col("cos_centroid") < threshold)
+  }
+
   /** Per-group centroid DRIFT between two corpus snapshots (old batch vs
     * new batch, last week vs this week): for each group present in BOTH
     * frames, the L1 distance between centroids, computed EXACTLY by

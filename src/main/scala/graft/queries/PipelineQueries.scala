@@ -659,6 +659,36 @@ object PipelineQueries {
       .orderBy(col("rank"))
   }
 
+  /** Deterministic weighted sample of 100 docs, weight = n_chars
+    * (longer documents proportionally likelier — the length-weighted
+    * draw of a token-budgeted mix). */
+  def weightedSampleQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(t(s, dir, "documents"), col("doc_id"),
+      col("n_chars"), k = 100)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Cross-source duplication matrix on shared 5-grams. */
+  def sourceOverlapQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(t(s, dir, "documents"), col("source"),
+      col("text"), n = 5)
+      .orderBy(col("source_a"), col("source_b"))
+
+  /** Per-source quality gate: keep the best 60% of every source by the
+    * composite quality score (deterministic tie-break on doc_id). */
+  def qualityGateQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.percentileGate(t(s, dir, "documents"), col("source"),
+      TextAnalysis.qualityScore(col("text")), col("doc_id"),
+      fraction = 0.6)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Embedding outliers vs their own label centroid (cos < 0). */
+  def centroidOutliersQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidOutliers(t(s, dir, "embeddings"), col("vec_id"),
+      col("label"), col("embedding"), threshold = 0.0)
+      .orderBy(col("vec_id"))
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

@@ -788,6 +788,79 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall { case (id, _, _) => labels(id) == lab })
   }
 
+  test("weighted sample: exact E-S priorities, partitioning-invariant, weight-proportional") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, if (i <= 100) 10000L else 1L))
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, col("id"), col("w"), k = 50)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got.size == 50)
+    // matches the local E-S computation exactly
+    val expected = (1L to 200L).map { i =>
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(md5hex, 16) + 1.0) / 4294967296.0
+      val w = if (i <= 100) 10000.0 else 1.0
+      (math.floor(1e12 * -math.log(u) / w).toLong, i)
+    }.sorted.take(50).map(_._2).toSet
+    assert(got == expected)
+    // same sample on any partitioning
+    val re = Sampling.weightedSample(df.repartition(7), col("id"),
+      col("w"), k = 50).select(col("id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(re == got)
+    // 10000x weights dominate the draw
+    assert(got.count(_ <= 100) >= 45)
+  }
+
+  test("source overlap: shared distinct n-grams per source pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b c d e f"),     // grams: "a b c", "b c d", ...
+      (2L, "s2", "a b c d x y"),     // shares "a b c", "b c d" with s1
+      (3L, "s3", "z z z z z"),       // shares nothing
+      (4L, "s2", "a b c q r s"))     // dup gram "a b c" in s2: counted once
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs, col("source"), col("text"), n = 3)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("s1", "s2", 2L)))
+  }
+
+  test("percentile gate: ceil(f*n) kept per group, best scores, deterministic ties") {
+    import spark.implicits._
+    // g1: 5 rows scores 5,4,3,2,1 -> keep ceil(0.6*5)=3 (ids 1,2,3)
+    // g2: 3 rows all score 7 (tie) -> keep ceil(0.6*3)=2 lowest ids
+    val df = Seq((1L, "g1", 5.0), (2L, "g1", 4.0), (3L, "g1", 3.0),
+      (4L, "g1", 2.0), (5L, "g1", 1.0),
+      (6L, "g2", 7.0), (7L, "g2", 7.0), (8L, "g2", 7.0))
+      .toDF("id", "g", "score")
+    val got = Sampling.percentileGate(df, col("g"), col("score"),
+      col("id"), fraction = 0.6)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 6L, 7L))
+  }
+
+  test("centroid outliers: opposite vector flagged, aligned vectors pass") {
+    import spark.implicits._
+    val embs = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.1f)),
+      (3L, 0, Array(-1.0f, 0.0f)),   // opposite its label-0 centroid
+      (4L, 1, Array(0.0f, 1.0f)), (5L, 1, Array(0.1f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidOutliers(embs, col("vec_id"),
+      col("label"), col("embedding"), threshold = 0.0)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got(3L) && !got(1L) && !got(2L) && !got(4L) && !got(5L))
+    // schema carries the rounded cosine
+    val cos = Similarity.centroidOutliers(embs, col("vec_id"),
+      col("label"), col("embedding"), threshold = 0.0)
+      .filter(col("vec_id") === 1L).head().getDouble(2)
+    assert(cos > 0.9 && cos <= 1.0)
+  }
+
   test("bloom might_contain: no false negatives, few false positives, codegen path") {
     import spark.implicits._
     val members = (0 until 2000).map(i => s"member_$i")
