@@ -131,6 +131,7 @@ object SparkEntry {
     "qd49_source_overlap" -> (PipelineQueries.sourceOverlapQ _),
     "qd50_quality_gate" -> (PipelineQueries.qualityGateQ _),
     "qe18_centroid_outliers" -> (PipelineQueries.centroidOutliersQ _),
+    "qd51_simhash_portable" -> (PipelineQueries.simhashPortableQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -501,6 +502,10 @@ object SparkEntry {
            CAST(max(nl) AS BIGINT) AS n_lines,
            CAST(max(nl) - count(*) AS BIGINT) AS n_dup_lines
          FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // qd51: the whole portable-SimHash sketch re-derived — md5-slice
+    // token hashes, per-bit ±1 sums, ≥0 packing, 16-bit pigeonhole
+    // blocks, exact hamming verify (SQL generated; see lazy val).
+    "qd51_simhash_portable" -> simhashPortableOracleSql,
     // qd48: Efraimidis–Spirakis priorities re-derived verbatim —
     // u from the md5 prefix (+1 so u∈(0,1]), priority −ln(u)/w floored
     // at 1e-12 resolution; the k smallest (ties by id) are the sample.
@@ -1533,6 +1538,47 @@ object SparkEntry {
 
   private lazy val dupClustersOracleSql: String =
     dupClustersCte + "\n       SELECT doc_id, cluster FROM cl ORDER BY doc_id"
+
+  /** Oracle for qd51, generated because it carries 64 per-bit sum terms:
+    * token hash = two unsigned-32 slices of md5('0:'||token) (the
+    * [[graft.functions.Md5Lanes]] contract), exact ±1 integer sums per
+    * bit, signature bit set when sum ≥ 0, 4 × 16-bit pigeonhole blocks,
+    * exact hamming ≤ 3 verify — every stage is engine-portable, so the
+    * whole sketch is hash-checked, candidates included. */
+  private lazy val simhashPortableOracleSql: String = {
+    def sums(src: String, p: String) = (0 until 32).map(j =>
+      s"sum(CASE WHEN ($src >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS $p$j")
+      .mkString(",\n           ")
+    def pack(p: String) = (0 until 32).map(j =>
+      s"CASE WHEN $p$j >= 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH w AS (SELECT DISTINCT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '\\S+')))
+           AS w FROM documents),
+       h AS (SELECT doc_id,
+         CAST('0x' || substring(md5('0:' || w), 1, 8) AS BIGINT) AS c0,
+         CAST('0x' || substring(md5('0:' || w), 9, 8) AS BIGINT) AS c1
+         FROM w),
+       s AS (SELECT doc_id,
+           ${sums("c0", "h")},
+           ${sums("c1", "l")}
+         FROM h GROUP BY 1),
+       sig AS (SELECT doc_id, ${pack("h")} AS hi, ${pack("l")} AS lo
+         FROM s),
+       blk AS (SELECT doc_id, hi, lo, 0 AS bidx, hi // 65536 AS bval
+           FROM sig
+         UNION ALL SELECT doc_id, hi, lo, 1, hi % 65536 FROM sig
+         UNION ALL SELECT doc_id, hi, lo, 2, lo // 65536 FROM sig
+         UNION ALL SELECT doc_id, hi, lo, 3, lo % 65536 FROM sig),
+       p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+         FROM blk a JOIN blk b ON a.bidx = b.bidx AND a.bval = b.bval
+           AND a.doc_id < b.doc_id)
+       SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb))
+           + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+       FROM p
+       WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+       ORDER BY doc_a, doc_b"""
+  }
 
   /** Oracle for qd45: the same cluster fixpoint, then the qd32 split
     * thresholds applied to the cluster rep (own id for singletons). */

@@ -327,6 +327,62 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** ENGINE-PORTABLE SimHash near-dup: the md5-lane twin of
+    * [[simhashNearDup]] (whose xxhash64 token hashes no external engine
+    * reproduces). Each distinct token contributes a 64-bit hash built
+    * from the first two unsigned-32 slices of md5("0:" + token) (the
+    * [[graft.functions.Md5Lanes]] contract), per-bit ±1 sums are exact
+    * integers, and a bit of the signature is set when its sum ≥ 0 — so
+    * signatures, candidate blocks AND verified pairs are all
+    * reproducible in external SQL, making the WHOLE sketch
+    * oracle-checkable (the qd24 move, applied to SimHash). The
+    * signature is held as two unsigned-32 longs (`hi`, `lo`) so no
+    * value ever needs the sign bit on either engine. Blocking is the
+    * standard radius-3 pigeonhole: 4 × 16-bit blocks, equi-join on
+    * (block idx, value) — recall 1.0 for hamming ≤ 3 since some block
+    * must match exactly. Plan shape: one explode + 64 integer sum-aggs
+    * (map-side combined), banded equi-join, exact hamming verify on
+    * candidates only. */
+  def simhashNearDupPortable(docs: DataFrame, id: Column,
+      text: Column, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-block pigeonhole guarantees recall only to radius 3: $maxHamming")
+    val toks = docs.select(id.as("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
+    val lanes = toks.select(col("doc_id"),
+      graft.functions.Md5Lanes.lanes(col("w"), 1).as("ln"))
+      .select(col("doc_id"), col("ln").getItem(0).as("c0"),
+        col("ln").getItem(1).as("c1"))
+    def bitSums(src: String, prefix: String) = (0 until 32).map(j =>
+      sum(shiftright(col(src), j).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .as(s"$prefix$j"))
+    val allSums = bitSums("c0", "h") ++ bitSums("c1", "l")
+    val sums = lanes.groupBy(col("doc_id"))
+      .agg(allSums.head, allSums.tail: _*)
+    def pack(prefix: String): Column = (0 until 32).map(j =>
+      when(col(s"$prefix$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val sigs = sums.select(col("doc_id"), pack("h").as("hi"),
+      pack("l").as("lo")).localCheckpoint(eager = false)
+    val blocks = sigs.select(col("doc_id"), col("hi"), col("lo"),
+      posexplode(array(
+        shiftrightunsigned(col("hi"), 16),
+        col("hi").bitwiseAND(lit(0xffffL)),
+        shiftrightunsigned(col("lo"), 16),
+        col("lo").bitwiseAND(lit(0xffffL)))).as(Seq("bidx", "bval")))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.bidx") === col("b.bidx") &&
+          col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+          bit_count(col("a.lo").bitwiseXOR(col("b.lo"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Cross-source duplication matrix: for every pair of sources, how
     * many DISTINCT token n-grams they share — the curation diagnostic
     * that answers "how much of source A is already in source B" before

@@ -689,6 +689,14 @@ object PipelineQueries {
       col("label"), col("embedding"), threshold = 0.0)
       .orderBy(col("vec_id"))
 
+  /** Engine-portable SimHash near-dup pairs (md5-lane token hashes,
+    * radius 3, 4×16-bit pigeonhole blocks) — fully oracle-checkable,
+    * unlike qd06's xxhash64 signatures. */
+  def simhashPortableQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPortable(t(s, dir, "documents"), col("doc_id"),
+      col("text"), maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

@@ -861,6 +861,51 @@ class OpsSpec extends AnyFunSuite {
     assert(cos > 0.9 && cos <= 1.0)
   }
 
+  test("portable simhash: pairs match a local reference, dups at hamming 0, recall 1.0") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta", // exact dup
+      3L -> "alpha beta gamma delta epsilon zeta eta iota",  // near dup
+      4L -> "completely different words entirely unrelated content here now",
+      5L -> "alpha beta gamma delta epsilon zeta eta theta extra",
+      6L -> "one two three four five six seven eight nine ten")
+    val docs = texts.toDF("doc_id", "text")
+    // local reference: same md5-slice hashes, ±1 sums, ≥0 packing
+    def sig(text: String): (Long, Long) = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+      val sums = Array.fill(64)(0)
+      toks.foreach { w =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"0:$w".getBytes("UTF-8"))
+        def u32(o: Int): Long = ((d(o) & 0xffL) << 24) |
+          ((d(o + 1) & 0xffL) << 16) | ((d(o + 2) & 0xffL) << 8) |
+          (d(o + 3) & 0xffL)
+        val (c0, c1) = (u32(0), u32(4))
+        (0 until 32).foreach { j =>
+          sums(j) += (if (((c0 >> j) & 1L) == 1L) 1 else -1)
+          sums(32 + j) += (if (((c1 >> j) & 1L) == 1L) 1 else -1)
+        }
+      }
+      def pack(off: Int): Long = (0 until 32)
+        .map(j => if (sums(off + j) >= 0) 1L << j else 0L)
+        .reduce(_ | _)
+      (pack(0), pack(32))
+    }
+    val sigs = texts.map { case (id, t) => id -> sig(t) }.toMap
+    val expected = (for {
+      (a, (ha, la)) <- sigs; (b, (hb, lb)) <- sigs if a < b
+      ham = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if ham <= 3
+    } yield (a, b, ham.toLong)).toSet
+    val got = Dedup.simhashNearDupPortable(docs, col("doc_id"),
+      col("text"), maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    // the exact duplicate pair is present at hamming 0
+    assert(got.contains((1L, 2L, 0L)))
+  }
+
   test("bloom might_contain: no false negatives, few false positives, codegen path") {
     import spark.implicits._
     val members = (0 until 2000).map(i => s"member_$i")
