@@ -132,6 +132,8 @@ object SparkEntry {
     "qd50_quality_gate" -> (PipelineQueries.qualityGateQ _),
     "qe18_centroid_outliers" -> (PipelineQueries.centroidOutliersQ _),
     "qd51_simhash_portable" -> (PipelineQueries.simhashPortableQ _),
+    "qd52_epoch_upsample" -> (PipelineQueries.epochUpsampleQ _),
+    "qd53_priority_dedup" -> (PipelineQueries.priorityDedupQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -506,6 +508,30 @@ object SparkEntry {
     // token hashes, per-bit ±1 sums, ≥0 packing, 16-bit pigeonhole
     // blocks, exact hamming verify (SQL generated; see lazy val).
     "qd51_simhash_portable" -> simhashPortableOracleSql,
+    // qd52: repeat factors as a CASE chain; fractional copy decided by
+    // the same md5-threshold compare as the sampling family.
+    "qd52_epoch_upsample" ->
+      """WITH r AS (SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0
+             WHEN 'src2' THEN 0.5 ELSE 1.0 END AS f FROM documents),
+         c AS (SELECT doc_id, source, CAST(floor(f) AS BIGINT) +
+           CASE WHEN substring(md5('eu:' || CAST(doc_id AS VARCHAR)), 1, 8)
+             < printf('%08x', CAST(least(floor((f - floor(f))
+               * 4294967296.0), 4294967295.0) AS BIGINT))
+             THEN 1 ELSE 0 END AS n
+           FROM r)
+         SELECT doc_id, source,
+           unnest(generate_series(0, n - 1)) AS copy
+         FROM c WHERE n > 0 ORDER BY doc_id, copy""",
+    // qd53: per-fingerprint winner by (source priority, doc_id).
+    "qd53_priority_dedup" ->
+      """WITH f AS (SELECT doc_id, source,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1 ELSE 2 END
+             AS rnk FROM documents),
+         r AS (SELECT doc_id, source, fp, row_number() OVER (
+           PARTITION BY fp ORDER BY rnk, doc_id) AS rn FROM f)
+         SELECT fp, doc_id, source FROM r WHERE rn = 1 ORDER BY fp""",
     // qd48: Efraimidis–Spirakis priorities re-derived verbatim —
     // u from the md5 prefix (+1 so u∈(0,1]), priority −ln(u)/w floored
     // at 1e-12 resolution; the k smallest (ties by id) are the sample.

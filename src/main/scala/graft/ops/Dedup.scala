@@ -383,6 +383,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Source-priority exact dedup: one survivor per content fingerprint,
+    * chosen by SOURCE PRIORITY first (curated beats crawl — the merge
+    * rule when unioning corpora that overlap), doc id as the final
+    * deterministic tiebreak. Unlisted sources rank after all listed
+    * ones. One shuffle on the fingerprint (the same key exact dedup
+    * already shuffles on); the per-fingerprint window touches only each
+    * duplicate family. Returns the surviving rows with their `fp`. */
+  def priorityDedup(docs: DataFrame, id: Column, source: Column,
+      text: Column, priority: Seq[String]): DataFrame = {
+    val rank = priority.zipWithIndex.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (s, i)) => acc.when(source === s, lit(i))
+    }.otherwise(lit(priority.size))
+    val w = Window.partitionBy(col("_fp")).orderBy(col("_rank"), id)
+    docs.withColumn("_fp", TextAnalysis.fingerprint(text))
+      .withColumn("_rank", rank)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rank", "_rn")
+      .withColumnRenamed("_fp", "fp")
+  }
+
   /** Cross-source duplication matrix: for every pair of sources, how
     * many DISTINCT token n-grams they share — the curation diagnostic
     * that answers "how much of source A is already in source B" before

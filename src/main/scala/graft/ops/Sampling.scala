@@ -219,6 +219,36 @@ object Sampling {
       .drop("_rn", "_n")
   }
 
+  /** Deterministic epoch UPSAMPLING: replicate each row its group's
+    * repeat factor — "2.3 epochs of wiki, 0.5 of crawl", the standard
+    * way a training mix over-represents curated sources. A factor f
+    * yields floor(f) copies plus one more with probability f−floor(f),
+    * decided by the same engine-portable md5 compare as [[keep]] (the
+    * fractional threshold is computed IN-PLAN with `format_string`
+    * since it's data-dependent per group) — so the materialized mix is
+    * reproducible on any cluster/partitioning/engine. Each copy carries
+    * a 0-based `copy` index (callers shuffle copies apart with
+    * [[epochShuffle]] keyed on (id, copy)). Pure narrow map + explode:
+    * no shuffle, no state, output size = Σ n_copies. */
+  def epochUpsample(df: DataFrame, id: Column, group: Column,
+      factors: Seq[(String, Double)], defaultFactor: Double,
+      seed: String = "eu"): DataFrame = {
+    require((factors.map(_._2) :+ defaultFactor).forall(_ >= 0.0),
+      s"repeat factors must be non-negative: $factors, $defaultFactor")
+    val r = factors.foldLeft(when(lit(false), lit(0.0))) {
+      case (acc, (g, f)) => acc.when(group === g, lit(f))
+    }.otherwise(lit(defaultFactor))
+    val thr = format_string("%08x",
+      least(floor((r - floor(r)) * lit(4294967296.0)), lit(4294967295.0))
+        .cast("long"))
+    val extra = when(hashHex(concat_ws(":", lit(seed),
+      id.cast("string"))) < thr, lit(1L)).otherwise(lit(0L))
+    df.withColumn("n_copies", floor(r).cast("long") + extra)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
+
   /** Keep-predicate for a STRATIFIED deterministic sample: each stratum
     * samples at its own rate (e.g. downsample low-quality documents,
     * keep all high-quality ones — the standard quality-pruning move).

@@ -697,6 +697,23 @@ object PipelineQueries {
       col("text"), maxHamming = 3)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Epoch upsampling: 2.5 epochs of src0, 2.0 of src1, 0.5 of src2,
+    * 1.0 of everything else — deterministic fractional copies. */
+  def epochUpsampleQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.epochUpsample(t(s, dir, "documents"), col("doc_id"),
+      col("source"),
+      Seq("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.5),
+      defaultFactor = 1.0)
+      .select(col("doc_id"), col("source"), col("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+
+  /** Source-priority exact dedup: src0 beats src1 beats everything. */
+  def priorityDedupQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.priorityDedup(t(s, dir, "documents"), col("doc_id"),
+      col("source"), col("text"), priority = Seq("src0", "src1"))
+      .select(col("fp"), col("doc_id"), col("source"))
+      .orderBy(col("fp"))
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

@@ -145,4 +145,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("epoch shuffle: sharded ranking, no single-partition global sort") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = plan(Sampling.epochShuffle(docs, col("doc_id"), "ep7"))
+    // rows shuffle by the shard prefix (a hash exchange), never into ONE
+    // range/single partition the way a global row_number would
+    assert(p.contains("hashpartitioning(_shard"), p.take(3000))
+    assert(!p.contains("rangepartitioning"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    // the 4096-row offset side broadcasts
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("weighted sample compiles to TakeOrderedAndProject, upsample stays narrow") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pw = plan(Sampling.weightedSample(docs, col("doc_id"),
+      col("n_chars"), k = 10))
+    assert(pw.contains("TakeOrderedAndProject"), pw.take(2000))
+    assert(!pw.contains("Window"), pw.take(2000))
+    val pu = plan(Sampling.epochUpsample(docs, col("doc_id"),
+      col("source"), Seq("src0" -> 2.5), 1.0))
+    assert(!pu.contains("Exchange"), pu.take(2000))
+  }
+
+  test("centroid outliers: tiny centroid side broadcasts, corpus scored in one narrow pass") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val p = plan(Similarity.centroidOutliers(embs, col("vec_id"),
+      col("label"), col("embedding"), 0.0))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }

@@ -906,6 +906,51 @@ class OpsSpec extends AnyFunSuite {
     assert(got.contains((1L, 2L, 0L)))
   }
 
+  test("epoch upsample: copy counts per factor, deterministic fractional draw") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i =>
+      (i, if (i <= 200) "a" else "b")).toDF("id", "g")
+    val got = Sampling.epochUpsample(df, col("id"), col("g"),
+      Seq("a" -> 2.5, "b" -> 0.25), defaultFactor = 1.0)
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        countDistinct(col("id")).as("ids"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // group a: every id twice plus ~50% a third time -> n in [400, 600]
+    val (na, idsA) = got("a")
+    assert(idsA == 200 && na >= 2 * 200 && na <= 3 * 200)
+    assert(math.abs(na - 500) < 60)  // ~2.5x on average
+    // group b: ~25% keep one copy, rest dropped entirely
+    val (nb, idsB) = got("b")
+    assert(nb == idsB && math.abs(nb - 50) < 30)
+    // copies are indexed 0..n_copies-1 and reproducible across partitioning
+    val a = Sampling.epochUpsample(df, col("id"), col("g"),
+      Seq("a" -> 2.5, "b" -> 0.25), 1.0)
+      .select("id", "copy").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Sampling.epochUpsample(df.repartition(7), col("id"), col("g"),
+      Seq("a" -> 2.5, "b" -> 0.25), 1.0)
+      .select("id", "copy").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSet == b.toSet && a.length == b.length)
+    assert(a.filter(_._1 == 1L).map(_._2).sorted.toSeq ==
+      (0L until a.count(_._1 == 1L)).toSeq)
+  }
+
+  test("priority dedup: curated source wins the fingerprint, id breaks ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "crawl", "same text here"),
+      (2L, "curated", "same  TEXT here"),   // same fingerprint, wins
+      (3L, "crawl", "same text HERE "),     // same fingerprint, loses
+      (4L, "other", "unique content a"),
+      (5L, "crawl", "dup in one source"),
+      (6L, "crawl", "dup in ONE source"))   // tie on rank -> lower id wins
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.priorityDedup(docs, col("doc_id"), col("source"),
+      col("text"), priority = Seq("curated", "crawl"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 4L, 5L))
+  }
+
   test("bloom might_contain: no false negatives, few false positives, codegen path") {
     import spark.implicits._
     val members = (0 until 2000).map(i => s"member_$i")
