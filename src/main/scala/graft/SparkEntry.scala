@@ -134,6 +134,8 @@ object SparkEntry {
     "qd51_simhash_portable" -> (PipelineQueries.simhashPortableQ _),
     "qd52_epoch_upsample" -> (PipelineQueries.epochUpsampleQ _),
     "qd53_priority_dedup" -> (PipelineQueries.priorityDedupQ _),
+    "qd54_group_weighted" -> (PipelineQueries.groupWeightedSampleQ _),
+    "qd55_budget_mix" -> (PipelineQueries.budgetMixQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -532,6 +534,33 @@ object SparkEntry {
          r AS (SELECT doc_id, source, fp, row_number() OVER (
            PARTITION BY fp ORDER BY rnk, doc_id) AS rn FROM f)
          SELECT fp, doc_id, source FROM r WHERE rn = 1 ORDER BY fp""",
+    // qd54: the E-S priority formula inside a per-group rank.
+    "qd54_group_weighted" ->
+      """WITH p AS (SELECT doc_id, source,
+           floor(1e12 * -ln((CAST('0x' || substring(
+             md5('gws:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             + 1.0) / 4294967296.0) / CAST(n_chars AS DOUBLE)) AS pri
+           FROM documents),
+         r AS (SELECT doc_id, source, row_number() OVER (
+           PARTITION BY source ORDER BY pri, doc_id) AS rn FROM p)
+         SELECT doc_id, source FROM r WHERE rn <= 10
+         ORDER BY doc_id""",
+    // qd55: rate_g = min(1, budget·share/tokens_g); md5-threshold keep.
+    "qd55_budget_mix" ->
+      """WITH n AS (SELECT source, sum(CAST(n_chars AS DOUBLE)) AS n
+           FROM documents GROUP BY 1),
+         s AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+           ('src2', 0.2)) AS t(source, share)),
+         r AS (SELECT n.source,
+           least(1.0, 30000.0 * s.share / n.n) AS rate0
+           FROM n JOIN s USING (source))
+         SELECT d.doc_id, d.source,
+           floor(r.rate0 * 10000.0) / 10000.0 AS rate
+         FROM documents d JOIN r USING (source)
+         WHERE substring(md5('bm:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+           < printf('%08x', CAST(least(floor(r.rate0 * 4294967296.0),
+             4294967295.0) AS BIGINT))
+         ORDER BY d.doc_id""",
     // qd48: Efraimidis–Spirakis priorities re-derived verbatim —
     // u from the md5 prefix (+1 so u∈(0,1]), priority −ln(u)/w floored
     // at 1e-12 resolution; the k smallest (ties by id) are the sample.

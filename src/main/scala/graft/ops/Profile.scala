@@ -157,6 +157,34 @@ object ScaleProbe {
     }
   }
 
+  /** Round-3b additions: the curation/shuffle family added after the
+    * near-dup probe — confirms runtime tracks input (narrow ops) or
+    * true-pair volume (blocked joins) between sf0.01 and sf0.1. */
+  private def curationFamily(spark: SparkSession, sfDir: String): Unit = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .localCheckpoint()
+    def run(label: String)(df: => DataFrame): Unit = {
+      val rows = time(s"$sfDir $label")(df.count())
+      println(s"[probe] $sfDir $label rows=$rows")
+    }
+    run("qd46 epochShuffle")(Sampling.epochShuffle(docs, col("doc_id"),
+      "ep7"))
+    run("qd48 weightedSample k=100")(Sampling.weightedSample(docs,
+      col("doc_id"), col("n_chars"), k = 100))
+    run("qd49 sourceOverlap n=5")(Dedup.sourceOverlap(docs, col("source"),
+      col("text"), n = 5))
+    run("qd50 percentileGate 0.6")(Sampling.percentileGate(docs,
+      col("source"), TextAnalysis.qualityScore(col("text")),
+      col("doc_id"), fraction = 0.6))
+    run("qd51 simhash portable r3")(Dedup.simhashNearDupPortable(docs,
+      col("doc_id"), col("text"), maxHamming = 3))
+    run("qd52 epochUpsample")(Sampling.epochUpsample(docs, col("doc_id"),
+      col("source"), Seq("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.5),
+      1.0))
+    run("qd53 priorityDedup")(Dedup.priorityDedup(docs, col("doc_id"),
+      col("source"), col("text"), Seq("src0", "src1")))
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -165,6 +193,13 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (sys.env.contains("SPARK_GRAFT_PROBE_CURATION")) {
+      curationFamily(spark, "/root/testdata/sf0.01")
+      curationFamily(spark, "/root/testdata/sf0.1")
+      spark.stop()
+      return
+    }
 
     nearDupFamily(spark, "/root/testdata/sf0.01")
     nearDupFamily(spark, "/root/testdata/sf0.1")

@@ -249,6 +249,58 @@ object Sampling {
       .drop("n_copies")
   }
 
+  /** Per-GROUP deterministic weighted sample: the top `k` of each group
+    * by the same Efraimidis–Spirakis priority as [[weightedSample]] —
+    * "50 quality-weighted docs from every source". One shuffle on the
+    * group key; the per-group window sorts only within groups. */
+  def groupWeightedSample(df: DataFrame, id: Column, group: Column,
+      weight: Column, k: Int, seed: String = "gws"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val u = (conv(substring(md5(concat_ws(":", lit(seed),
+      id.cast("string"))), 1, 8), 16, 10).cast("double") + 1.0) /
+      lit(4294967296.0)
+    val pri = floor(lit(1e12) * -log(u) / weight.cast("double"))
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(col("_pri"), id)
+    df.withColumn("_pri", pri)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_pri", "_rn")
+  }
+
+  /** Token-budget mix planner + sampler: given target mix shares and a
+    * global token `budget`, each group samples at
+    * `rate_g = min(1, budget·share_g / tokens_g)` — the deterministic
+    * materialization of "hit this mix under this budget" (groups whose
+    * corpus can't fill their share keep everything; the underrun is the
+    * caller's signal to re-weight). Group token totals are ONE tiny
+    * aggregation; rates are data-dependent, so thresholds compile
+    * in-plan via `format_string` (no collect) and the keep test is the
+    * same engine-portable md5 compare as [[keep]]. Returns survivors
+    * with their group `rate` floored to 4 decimals. */
+  def budgetMixSample(df: DataFrame, id: Column, group: Column,
+      tokens: Column, targetShares: Seq[(String, Double)], budget: Long,
+      seed: String = "bm"): DataFrame = {
+    require(budget > 0 && targetShares.forall(_._2 >= 0),
+      s"budget and shares must be non-negative: $budget, $targetShares")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val totals = df.groupBy(group.as("_g"))
+      .agg(sum(tokens.cast("double")).as("_n"))
+    val shares = targetShares.toDF("_g2", "_share")
+    val rates = totals.join(shares, col("_g") === col("_g2"))
+      .select(col("_g"), least(lit(1.0),
+        lit(budget.toDouble) * col("_share") / col("_n")).as("_rate0"))
+    val thr = format_string("%08x",
+      least(floor(col("_rate0") * lit(4294967296.0)), lit(4294967295.0))
+        .cast("long"))
+    df.join(broadcast(rates), group === col("_g"))
+      .filter(hashHex(concat_ws(":", lit(seed), id.cast("string"))) < thr)
+      .withColumn("rate", floor(col("_rate0") * lit(10000.0)) / lit(10000.0))
+      .drop("_g", "_rate0")
+  }
+
   /** Keep-predicate for a STRATIFIED deterministic sample: each stratum
     * samples at its own rate (e.g. downsample low-quality documents,
     * keep all high-quality ones — the standard quality-pruning move).

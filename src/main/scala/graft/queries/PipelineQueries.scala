@@ -714,6 +714,23 @@ object PipelineQueries {
       .select(col("fp"), col("doc_id"), col("source"))
       .orderBy(col("fp"))
 
+  /** Per-source weighted sample: 10 length-weighted docs per source. */
+  def groupWeightedSampleQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.groupWeightedSample(t(s, dir, "documents"), col("doc_id"),
+      col("source"), col("n_chars"), k = 10)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Budget-mix sampler: 30k chars of budget at 50/30/20 across
+    * src0/src1/src2 (other sources get no share → dropped). */
+  def budgetMixQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.budgetMixSample(t(s, dir, "documents"), col("doc_id"),
+      col("source"), col("n_chars"),
+      Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+      budget = 30000L)
+      .select(col("doc_id"), col("source"), col("rate"))
+      .orderBy(col("doc_id"))
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

@@ -198,6 +198,32 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
 
+  /** Streaming DECONTAMINATION router: screen every arriving document
+    * against a pre-built Bloom filter of eval-benchmark n-grams
+    * ([[graft.functions.BloomFilters.buildString]] — built ONCE, batch,
+    * from the eval corpus) and route it by `suspect`: `false` means
+    * PROVABLY clean (Bloom has no false negatives), `true` means at
+    * least one gram might overlap and the doc goes to the quarantine
+    * partition for the exact batch verify
+    * ([[graft.ops.Decontaminate.ngramOverlapBloom]]). The screen is one
+    * codegen'd `exists` over the per-row gram array — STATELESS, so the
+    * stream needs no watermark, no shuffle, and replays route
+    * identically. This is the scale shape for continuous ingest: the
+    * cheap sound filter runs in-stream; the expensive exact join runs
+    * only on the (tiny) suspect partition. */
+  def decontaminationRouter(docs: DataFrame, text: org.apache.spark.sql.Column,
+      bloomBytes: Array[Byte], n: Int, path: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.withColumn("suspect",
+        exists(graft.ops.Decontaminate.ngrams(text, n),
+          g => graft.functions.BloomFilters.bloomMightContain(g, bloomBytes)))
+      .writeStream
+      .format("parquet")
+      .partitionBy("suspect")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+
   /** One event on the stateful-sessionization input stream. */
   case class SessionEvent(userId: Long, eventId: Long, secs: Long,
       value: Double)

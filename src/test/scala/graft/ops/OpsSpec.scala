@@ -1935,6 +1935,88 @@ class OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == d.count())
   }
 
+  test("group weighted sample: k per group, matches per-group local E-S reference") {
+    import spark.implicits._
+    val df = (1L to 120L).map(i => (i, s"g${i % 3}", (i % 7 + 1) * 100L))
+      .toDF("id", "g", "w")
+    val got = Sampling.groupWeightedSample(df, col("id"), col("g"),
+      col("w"), k = 10, seed = "gws")
+      .select("id", "g").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == 30 && got.groupBy(_._2).forall(_._2.length == 10))
+    // matches the local per-group E-S ranking
+    def pri(i: Long, w: Double): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"gws:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967296.0
+      math.floor(1e12 * -math.log(u) / w).toLong
+    }
+    val expected = (1L to 120L).map(i => (i, s"g${i % 3}",
+      pri(i, (i % 7 + 1) * 100.0))).groupBy(_._2).flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(10).map(r => (r._1, r._2))
+    }.toSet
+    assert(got.toSet == expected)
+  }
+
+  test("budget mix sample: rates from budget shares, unlisted groups dropped") {
+    import spark.implicits._
+    // g1: 100 docs x 100 tokens = 10000; g2: 50 x 100 = 5000; g3 unlisted
+    val df = ((1L to 100L).map(i => (i, "g1", 100L)) ++
+      (101L to 150L).map(i => (i, "g2", 100L)) ++
+      (151L to 170L).map(i => (i, "g3", 100L))).toDF("id", "g", "tok")
+    // budget 6000 at 50/50: g1 rate = 6000*0.5/10000 = 0.3,
+    // g2 rate = 3000/5000 = 0.6
+    val got = Sampling.budgetMixSample(df, col("id"), col("g"), col("tok"),
+      Seq("g1" -> 0.5, "g2" -> 0.5), budget = 6000L)
+      .select("id", "g", "rate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.forall(_._2 != "g3"))
+    assert(got.filter(_._2 == "g1").forall(_._3 == 0.3))
+    assert(got.filter(_._2 == "g2").forall(_._3 == 0.6))
+    // md5 keeps land near the rates
+    val n1 = got.count(_._2 == "g1"); val n2 = got.count(_._2 == "g2")
+    assert(math.abs(n1 - 30) <= 15 && math.abs(n2 - 30) <= 15, (n1, n2))
+    // a share the corpus can't fill caps at rate 1.0 and keeps all
+    val capped = Sampling.budgetMixSample(df, col("id"), col("g"),
+      col("tok"), Seq("g2" -> 1.0), budget = 100000L)
+      .select("id").collect()
+    assert(capped.length == 50)
+  }
+
+  test("streaming decontamination router: sound bloom screen, clean docs provably clean") {
+    import spark.implicits._
+    val evalDocs = Seq((900L, "secret eval question alpha beta gamma"),
+      (901L, "held out benchmark prompt delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val contaminated = "prefix words secret eval question alpha beta gamma suffix"
+    val docs = (Seq((1L, contaminated)) ++
+      (2L to 40L).map(i => (i, s"clean document number $i with ordinary tokens")))
+      .toDF("doc_id", "text")
+    val evalGrams = evalDocs
+      .select(explode(graft.ops.Decontaminate.ngrams(col("text"), 3))
+        .as("gram")).distinct()
+    val bloom = graft.functions.BloomFilters.buildString(evalGrams, "gram",
+      evalGrams.count(), fpp = 0.01)
+    val dir = java.nio.file.Files.createTempDirectory("deconrt").toString
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = StreamingIngest.watchParquetDir(spark, s"$dir/in", docs.schema)
+    StreamingIngest.decontaminationRouter(stream, col("text"), bloom, 3,
+      s"$dir/out", s"$dir/chk").start().awaitTermination()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 40)
+    // hive partition values read back as strings — cast at the edge
+    val suspects = out.filter(col("suspect").cast("boolean"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // soundness: the contaminated doc is NEVER missed
+    assert(suspects.contains(1L))
+    // the screen routes identically to the batch expression (fp ~1%)
+    val batchSuspects = docs.filter(exists(
+      graft.ops.Decontaminate.ngrams(col("text"), 3),
+      g => graft.functions.BloomFilters.bloomMightContain(g, bloom)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(suspects == batchSuspects)
+  }
+
   test("heavyhitters_agg: guarantee holds, state bounded, SQL-registered") {
     import spark.implicits._
     // 1000 items: "hot" x 400, "warm" x 200, 400 singletons; m = 9 ->
