@@ -136,6 +136,9 @@ object SparkEntry {
     "qd53_priority_dedup" -> (PipelineQueries.priorityDedupQ _),
     "qd54_group_weighted" -> (PipelineQueries.groupWeightedSampleQ _),
     "qd55_budget_mix" -> (PipelineQueries.budgetMixQ _),
+    "qe19_mmr_topk" -> (PipelineQueries.mmrTopKQ _),
+    "qd56_bpe_merges" -> (PipelineQueries.bpeMergesQ _),
+    "qd57_bpe_vocab" -> (PipelineQueries.bpeVocabQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -506,6 +509,12 @@ object SparkEntry {
            CAST(max(nl) AS BIGINT) AS n_lines,
            CAST(max(nl) - count(*) AS BIGINT) AS n_dup_lines
          FROM f GROUP BY doc_id ORDER BY doc_id""",
+    // qe19: the 5-step greedy MMR trajectory unrolled (generated SQL).
+    "qe19_mmr_topk" -> mmrOracleSql,
+    // qd56/qd57: 2 unrolled BPE merge rounds (generated SQL) — the
+    // learned merges and the rewritten symbol state both hash-checked.
+    "qd56_bpe_merges" -> bpeMergesOracleSql,
+    "qd57_bpe_vocab" -> bpeVocabOracleSql,
     // qd51: the whole portable-SimHash sketch re-derived — md5-slice
     // token hashes, per-bit ±1 sums, ≥0 packing, 16-bit pigeonhole
     // blocks, exact hamming verify (SQL generated; see lazy val).
@@ -1593,6 +1602,114 @@ object SparkEntry {
 
   private lazy val dupClustersOracleSql: String =
     dupClustersCte + "\n       SELECT doc_id, cluster FROM cl ORDER BY doc_id"
+
+  /** Oracle for qe19, generated because the 5 greedy MMR steps unroll
+    * into one CTE each (the qe14 unrolled-Lloyd move): top-30 relevance
+    * pool, pairwise pool sims, then each step picks
+    * argmax round(0.7·rel − 0.3·max sim-to-selected, 4) among the
+    * not-yet-selected (vec_id tiebreak) — exactly the rounded greedy
+    * trajectory [[graft.ops.Similarity.mmrTopK]] walks. */
+  private lazy val mmrOracleSql: String = {
+    val base =
+      """WITH z AS (SELECT e.vec_id,
+           CAST(unnest(e.embedding) AS DOUBLE) AS a,
+           CAST(unnest((SELECT embedding FROM embeddings WHERE vec_id = 0))
+             AS DOUBLE) AS b
+           FROM embeddings e),
+         sc AS (SELECT vec_id, sum(a*b) AS ab, sum(a*a) AS aa,
+           sum(b*b) AS bb FROM z GROUP BY 1),
+         pool AS (SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 4)
+             AS rel
+           FROM sc ORDER BY rel DESC, vec_id LIMIT 30),
+         pv AS (SELECT p.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS x,
+           generate_subscripts(e.embedding, 1) AS d
+           FROM pool p JOIN embeddings e USING (vec_id)),
+         ps AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+           round(sum(a.x * b.x) / (sqrt(sum(a.x * a.x))
+             * sqrt(sum(b.x * b.x))), 4) AS sim
+           FROM pv a JOIN pv b ON a.d = b.d GROUP BY 1, 2)"""
+    val steps = (1 to 5).map { t =>
+      if (t == 1)
+        """s1 AS (SELECT vec_id, round(0.7 * rel, 4) AS m FROM pool
+           ORDER BY m DESC, vec_id LIMIT 1)"""
+      else {
+        val joins = (1 until t).map(i =>
+          s"JOIN ps x$i ON x$i.va = p.vec_id AND x$i.vb = " +
+            s"(SELECT vec_id FROM s$i)").mkString("\n           ")
+        val notIn = (1 until t).map(i => s"SELECT vec_id FROM s$i")
+          .mkString(" UNION ALL ")
+        val maxSim =
+          if (t == 2) "x1.sim"
+          else s"greatest(${(1 until t).map(i => s"x$i.sim").mkString(", ")})"
+        s"""s$t AS (SELECT p.vec_id,
+           round(0.7 * p.rel - 0.3 * $maxSim, 4) AS m
+           FROM pool p
+           $joins
+           WHERE p.vec_id NOT IN ($notIn)
+           ORDER BY m DESC, p.vec_id LIMIT 1)"""
+      }
+    }.mkString(",\n         ")
+    val sel = (1 to 5).map(t =>
+      s"SELECT vec_id, CAST($t AS BIGINT) AS mmr_rank, m AS mmr_score " +
+        s"FROM s$t").mkString("\n         UNION ALL ")
+    s"$base,\n         $steps\n         $sel\n         ORDER BY mmr_rank"
+  }
+
+  /** Shared CTE chain for qd56/qd57: 2 unrolled BPE merge rounds. Each
+    * round r re-derives [[graft.ops.Bpe]]'s exact algebra — weighted
+    * adjacent-pair counts, top pair by (n desc, x, y), then the greedy
+    * non-overlap merge via the run-parity windows (run start, even
+    * offsets merge, right neighbor eaten, dense re-rank). */
+  private def bpeRoundCtes(r: Int): String = {
+    val prev = s"s${r - 1}"
+    s"""p$r AS (SELECT a.sym AS x, b.sym AS y, sum(a.freq) AS n
+           FROM $prev a JOIN $prev b
+             ON a.word = b.word AND b.pos = a.pos + 1
+           GROUP BY 1, 2),
+         t$r AS (SELECT x, y, n FROM p$r ORDER BY n DESC, x, y LIMIT 1),
+         m$r AS (SELECT word, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+           FROM $prev),
+         mm$r AS (SELECT *, coalesce(sym = (SELECT x FROM t$r)
+             AND nxt = (SELECT y FROM t$r), FALSE) AS m FROM m$r),
+         rr$r AS (SELECT *, CASE WHEN m AND NOT coalesce(
+             lag(m) OVER (PARTITION BY word ORDER BY pos), FALSE)
+             THEN pos END AS rs FROM mm$r),
+         rn$r AS (SELECT *, last_value(rs IGNORE NULLS) OVER (
+             PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING)
+             AS run FROM rr$r),
+         mg$r AS (SELECT *, m AND (pos - run) % 2 = 0 AS mg FROM rn$r),
+         ke$r AS (SELECT * FROM (SELECT *, coalesce(lag(mg) OVER (
+             PARTITION BY word ORDER BY pos), FALSE) AS eaten FROM mg$r)
+           WHERE NOT eaten),
+         s$r AS (SELECT word, freq, row_number() OVER (
+             PARTITION BY word ORDER BY pos) - 1 AS pos,
+             CASE WHEN mg THEN sym || nxt ELSE sym END AS sym
+           FROM ke$r)"""
+  }
+
+  private lazy val bpeBaseCtes: String =
+    """WITH w0 AS (SELECT w AS word, count(*) AS freq FROM
+           (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+            FROM documents) GROUP BY 1),
+         s0 AS (SELECT word, freq, i - 1 AS pos,
+             substring(word, i, 1) AS sym
+           FROM w0, unnest(generate_series(1, length(word))) AS u(i)),
+         """ + bpeRoundCtes(1) + ",\n         " + bpeRoundCtes(2)
+
+  private lazy val bpeMergesOracleSql: String =
+    bpeBaseCtes + """
+         SELECT CAST(1 AS BIGINT) AS round, x AS left_sym,
+           y AS right_sym, CAST(n AS BIGINT) AS pair_freq FROM t1
+         UNION ALL SELECT CAST(2 AS BIGINT), x, y, CAST(n AS BIGINT)
+           FROM t2
+         ORDER BY round"""
+
+  private lazy val bpeVocabOracleSql: String =
+    bpeBaseCtes + """
+         SELECT sym, CAST(sum(freq) AS BIGINT) AS total_freq
+         FROM s2 GROUP BY 1
+         ORDER BY total_freq DESC, sym LIMIT 30"""
 
   /** Oracle for qd51, generated because it carries 64 per-bit sum terms:
     * token hash = two unsigned-32 slices of md5('0:'||token) (the

@@ -191,6 +191,52 @@ object Similarity {
       .withColumn("is_outlier", col("cos_centroid") < threshold)
   }
 
+  /** MMR (maximal marginal relevance) DIVERSIFIED top-k: greedily pick
+    * `k` results from the `poolSize` most-relevant candidates, each step
+    * maximizing `λ·rel(v) − (1−λ)·max_{s∈selected} sim(v, s)` — the
+    * standard rerank that stops a result page being five near-copies of
+    * the same document. Scale shape: relevance is one corpus-wide
+    * [[cosineScores]] pass + TakeOrdered into a `poolSize`-row pool
+    * (checkpointed); the k greedy steps then run on the pool only, each
+    * a narrow rescoring against the selected vectors AS LITERALS plus a
+    * 1-row TakeOrdered — k bounded driver round-trips of one row each,
+    * the corpus is never revisited (rerankers always run on the
+    * retrieved page, not the corpus). Every cosine and every combined
+    * score rounds to 4 decimals with vec_id tiebreaks, so the greedy
+    * trajectory is engine-exact and fully oracle-checkable. */
+  def mmrTopK(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, k: Int, poolSize: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1 && poolSize >= k && lambda > 0 && lambda <= 1)
+    val vecs = corpus.select(id.as("_vid"), l2Normalize(vec).as("v2"))
+    val pool = cosineScores(corpus, id, vec, query)
+      .orderBy(col("cos").desc, col("vec_id")).limit(poolSize)
+      .join(vecs, col("vec_id") === col("_vid")).drop("_vid")
+      .localCheckpoint() // poolSize rows; greedy steps re-scan this only
+    var selected = Vector.empty[(Long, Double, Array[Double])]
+    var remaining = pool
+    for (_ <- 1 to k) {
+      val maxSim =
+        if (selected.isEmpty) lit(0.0)
+        else selected.map { case (_, _, sv) =>
+          round(dot(col("v2"), lit(sv)), 4)
+        }.reduce(greatest(_, _))
+      val top = remaining
+        .withColumn("mmr", round(lit(lambda) * col("cos") -
+          lit(1.0 - lambda) * maxSim, 4))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("mmr"), col("v2")).head()
+      selected :+= ((top.getLong(0), top.getDouble(1),
+        top.getSeq[Double](2).toArray))
+      remaining = remaining.filter(col("vec_id") =!= top.getLong(0))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((vid, score, _), i) => (vid, i + 1L, score) }
+      .toDF("vec_id", "mmr_rank", "mmr_score")
+  }
+
   /** Per-group centroid DRIFT between two corpus snapshots (old batch vs
     * new batch, last week vs this week): for each group present in BOTH
     * frames, the L1 distance between centroids, computed EXACTLY by

@@ -731,6 +731,37 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("rate"))
       .orderBy(col("doc_id"))
 
+  /** MMR-diversified top-5 from the 30-candidate pool (λ = 0.7),
+    * against the vec_id=0 query. */
+  def mmrTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    Similarity.mmrTopK(e, col("vec_id"), col("embedding"), q,
+      k = 5, poolSize = 30, lambda = 0.7)
+      .orderBy(col("mmr_rank"))
+  }
+
+  /** First 2 learned BPE merges over the corpus vocabulary. */
+  def bpeMergesQ(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = graft.ops.Bpe.learn(t(s, dir, "documents"),
+      col("text"), rounds = 2)
+    import s.implicits._
+    merges.map { case (r, x, y, n) => (r.toLong, x, y, n) }
+      .toDF("round", "left_sym", "right_sym", "pair_freq")
+      .orderBy(col("round"))
+  }
+
+  /** Top-30 symbols (by weighted frequency) after 2 BPE merge rounds —
+    * the end-to-end check that the rewritten symbol state matches. */
+  def bpeVocabQ(s: SparkSession, dir: String): DataFrame = {
+    val (_, syms) = graft.ops.Bpe.learn(t(s, dir, "documents"),
+      col("text"), rounds = 2)
+    syms.groupBy(col("sym"))
+      .agg(sum(col("freq")).as("total_freq"))
+      .orderBy(col("total_freq").desc, col("sym")).limit(30)
+  }
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

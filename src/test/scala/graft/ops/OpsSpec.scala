@@ -2017,6 +2017,79 @@ class OpsSpec extends AnyFunSuite {
     assert(suspects == batchSuspects)
   }
 
+  test("mmr top-k: diversity demotes the near-duplicate, trajectory matches local greedy") {
+    import spark.implicits._
+    // q = (1,0); a b are near-copies along q, c is diverse
+    val embs = Seq(
+      (0L, Array(1.0f, 0.0f)),             // query vector
+      (1L, Array(1.0f, 0.0f)),             // rel 1.0
+      (2L, Array(1.0f, 0.02f)),            // near-copy of 1
+      (3L, Array(0.7f, 0.7f)),             // diverse
+      (4L, Array(0.6f, 0.75f)))            // diverse-ish
+      .toDF("vec_id", "embedding")
+    val q = embs.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val got = Similarity.mmrTopK(embs, col("vec_id"), col("embedding"), q,
+      k = 3, poolSize = 5, lambda = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // rank 1 is the most relevant (the query's twin, lowest id on the tie)
+    assert(got(0)._1 == 0L || got(0)._1 == 1L)
+    // at λ=0.3 diversity dominates: with the query's twin selected,
+    // scores reduce to −0.4·rel, so the FARTHEST vector takes rank 2
+    // and the near-copy of rank 1 (vec 2) sinks to last
+    assert(got(1)._1 == 4L, got.mkString(","))
+    assert(got.last._1 == 2L, got.mkString(","))
+    // local greedy reference with the same 4-decimal rounding
+    // Spark's round(x, 4): HALF_UP on the double's decimal expansion
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def norm(v: Array[Float]): Array[Double] = {
+        val d = v.map(_.toDouble)
+        val n = math.sqrt(d.map(x => x * x).sum)
+        d.map(_ / n)
+      }
+      val (na, nb) = (norm(a), norm(b))
+      r4(na.zip(nb).map(p => p._1 * p._2).sum)
+    }
+    val vecs = Seq(0L -> Array(1.0f, 0.0f), 1L -> Array(1.0f, 0.0f),
+      2L -> Array(1.0f, 0.02f), 3L -> Array(0.7f, 0.7f),
+      4L -> Array(0.6f, 0.75f)).toMap
+    val qv = vecs(0L)
+    var sel = Vector.empty[Long]
+    (1 to 3).foreach { _ =>
+      val cands = vecs.keys.toSeq.filterNot(sel.contains).sorted
+      val best = cands.map { v =>
+        val maxSim = if (sel.isEmpty) 0.0 else sel.map(s => cos(vecs(v), vecs(s))).max
+        val m = r4(0.3 * cos(vecs(v), qv) - 0.7 * maxSim)
+        (-m, v)
+      }.min._2
+      sel :+= best
+    }
+    assert(got.map(_._1).toSeq == sel)
+  }
+
+  test("bpe learn: hand-computed merges, greedy non-overlap on runs, weighted vocab") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa ab ab abc"), (2L, "aaa"))
+      .toDF("doc_id", "text")
+    val (merges, syms) = graft.ops.Bpe.learn(docs, col("text"), rounds = 2)
+    // round 1: (a,a) count 3 (aaaa) + 2 (aaa) = 5 beats (a,b)=3
+    // round 2: after merge, (a,b)=3 beats (aa,aa)=1 and (aa,a)=1
+    assert(merges == Seq((1, "a", "a", 5L), (2, "a", "b", 3L)), merges)
+    // greedy non-overlap: aaaa -> [aa, aa]; aaa -> [aa, a]
+    val byWord = syms.orderBy("word", "pos").collect()
+      .map(r => (r.getString(0), r.getString(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byWord("aaaa") == Seq("aa", "aa"), byWord)
+    assert(byWord("aaa") == Seq("aa", "a"), byWord)
+    assert(byWord("ab") == Seq("ab") && byWord("abc") == Seq("ab", "c"))
+    // weighted vocabulary: ab appears in 'ab' (freq 2) and 'abc' (freq 1)
+    val vocab = syms.groupBy("sym").agg(sum("freq").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("aa" -> 3L, "a" -> 1L, "ab" -> 3L, "c" -> 1L), vocab)
+  }
+
   test("heavyhitters_agg: guarantee holds, state bounded, SQL-registered") {
     import spark.implicits._
     // 1000 items: "hot" x 400, "warm" x 200, 400 singletons; m = 9 ->
