@@ -139,6 +139,7 @@ object SparkEntry {
     "qe19_mmr_topk" -> (PipelineQueries.mmrTopKQ _),
     "qd56_bpe_merges" -> (PipelineQueries.bpeMergesQ _),
     "qd57_bpe_vocab" -> (PipelineQueries.bpeVocabQ _),
+    "qe20_pq_adc" -> (PipelineQueries.pqTopKQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -515,6 +516,41 @@ object SparkEntry {
     // learned merges and the rewritten symbol state both hash-checked.
     "qd56_bpe_merges" -> bpeMergesOracleSql,
     "qd57_bpe_vocab" -> bpeVocabOracleSql,
+    // qe20: the whole PQ pipeline in exact integer math — md5-ordered
+    // codebook sample, per-subspace argmin codes (ties to the lower
+    // code), ADC score = Σ_m qdist[m, code] — no float rounding at all.
+    "qe20_pq_adc" ->
+      """WITH v4 AS (SELECT vec_id,
+           generate_subscripts(embedding, 1) AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+             AS BIGINT) AS x
+           FROM embeddings),
+         cbsel AS (SELECT vec_id, row_number() OVER (
+             ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS cidx
+           FROM embeddings QUALIFY cidx < 16),
+         cb AS (SELECT c.cidx, v.dim, v.x AS cx, (v.dim - 1) // 8 AS m
+           FROM cbsel c JOIN v4 v USING (vec_id)),
+         sub AS (SELECT vec_id, (dim - 1) // 8 AS m, dim, x FROM v4),
+         d AS (SELECT s.vec_id, s.m, cb.cidx,
+             sum((s.x - cb.cx) * (s.x - cb.cx)) AS dist
+           FROM sub s JOIN cb ON s.m = cb.m AND s.dim = cb.dim
+           GROUP BY 1, 2, 3),
+         code AS (SELECT vec_id, m, cidx FROM (SELECT *, row_number()
+             OVER (PARTITION BY vec_id, m ORDER BY dist, cidx) AS rn
+             FROM d) WHERE rn = 1),
+         qd_ AS (SELECT cb.m, cb.cidx,
+             sum((q.x - cb.cx) * (q.x - cb.cx)) AS qdist
+           FROM (SELECT (dim - 1) // 8 AS m, dim, x FROM v4
+             WHERE vec_id = 0) q
+           JOIN cb ON q.m = cb.m AND q.dim = cb.dim GROUP BY 1, 2),
+         sc AS (SELECT c.vec_id, CAST(sum(qd_.qdist) AS BIGINT)
+             AS adc_score
+           FROM code c JOIN qd_ ON c.m = qd_.m AND c.cidx = qd_.cidx
+           GROUP BY 1)
+         SELECT vec_id, adc_score, row_number() OVER (
+           ORDER BY adc_score, vec_id) AS rank
+         FROM sc QUALIFY rank <= 10 ORDER BY rank""",
     // qd51: the whole portable-SimHash sketch re-derived — md5-slice
     // token hashes, per-bit ±1 sums, ≥0 packing, 16-bit pigeonhole
     // blocks, exact hamming verify (SQL generated; see lazy val).

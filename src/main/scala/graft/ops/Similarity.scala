@@ -237,6 +237,73 @@ object Similarity {
       .toDF("vec_id", "mmr_rank", "mmr_score")
   }
 
+  /** PRODUCT-QUANTIZATION ANN (ADC scoring) — the storage format that
+    * makes 100 TB vector search affordable: each vector compresses to
+    * `numSub` small codes (here 8 codes of 4 bits = 4 bytes per 64-dim
+    * vector, a 64× reduction), and a query scans CODES ONLY, summing
+    * per-subspace distances from a precomputed table (asymmetric
+    * distance computation, Jégou et al.). Determinism discipline: all
+    * element values floor to 1e-4 integers first, so every distance is
+    * an EXACT integer (carried in doubles, values ≪ 2^53 — no float
+    * rounding anywhere, any engine reproduces bit-for-bit); codebooks
+    * are the md5-ordered corpus sample's subspace slices (the
+    * `ivfCentroidsLiteral` seam — real PQ trains per-subspace k-means,
+    * same plumbing); argmin ties break on the code index. Plan shape:
+    * codebooks are `codebookSize` collected rows (bounded, like IVF
+    * centroids), encode + score is ONE narrow codegen'd map over the
+    * corpus (native `vecDot` against literals), then TakeOrdered —
+    * no corpus shuffle. */
+  def pqTopK(corpus: DataFrame, id: Column, vec: Column,
+      queryId: Long, k: Int, numSub: Int = 8,
+      codebookSize: Int = 16): DataFrame = {
+    val dim = corpus.select(size(vec)).head().getInt(0)
+    require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
+    val subDim = dim / numSub
+    // 1e-4 integer elements, exact in doubles (floor yields longs;
+    // carry them as integer-valued doubles so native vecDot applies)
+    def q4(v: Column): Column = transform(v, x =>
+      floor(x.cast("double") * lit(10000.0)).cast("double"))
+    // md5-ordered sample -> codebook[m][c][d] (bounded collect)
+    val sample = corpus
+      .orderBy(md5(concat(lit("pq:"), id.cast("string"))), id)
+      .limit(codebookSize)
+      .select(q4(vec).as("v4")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val codebook = Array.tabulate(numSub, codebookSize) { (m, c) =>
+      sample(c).slice(m * subDim, (m + 1) * subDim)
+    }
+    val qRow = corpus.filter(id === queryId)
+      .select(q4(vec).as("v4")).head().getSeq[Double](0).toArray
+    // exact integer ADC table, computed driver-side
+    val qTable = Array.tabulate(numSub, codebookSize) { (m, c) =>
+      val qs = qRow.slice(m * subDim, (m + 1) * subDim)
+      qs.zip(codebook(m)(c)).map { case (a, b) =>
+        val d = a - b; d * d
+      }.sum
+    }
+    val v4 = q4(vec)
+    // per-subspace argmin code, then the table lookup, all in one map
+    val score = (0 until numSub).map { m =>
+      val sub = slice(v4, m * subDim + 1, subDim)
+      val sumSq = dot(sub, sub)
+      val cands = array((0 until codebookSize).map { c =>
+        val cb = codebook(m)(c)
+        val dist = sumSq - lit(2.0) * dot(sub, lit(cb)) +
+          lit(cb.map(x => x * x).sum)
+        struct(dist.as("d"), lit(c).as("i"))
+      }: _*)
+      val code = array_min(cands).getField("i")
+      element_at(lit(qTable(m)), code + 1)
+    }.reduce(_ + _)
+    val top = corpus
+      .select(id.as("vec_id"), score.cast("long").as("adc_score"))
+      .orderBy(col("adc_score"), col("vec_id")).limit(k)
+    // rank over the k-row result only (bounded window)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("adc_score"), col("vec_id"))))
+  }
+
   /** Per-group centroid DRIFT between two corpus snapshots (old batch vs
     * new batch, last week vs this week): for each group present in BOTH
     * frames, the L1 distance between centroids, computed EXACTLY by

@@ -762,6 +762,14 @@ object PipelineQueries {
       .orderBy(col("total_freq").desc, col("sym")).limit(30)
   }
 
+  /** PQ-compressed ADC top-10 against the vec_id=0 query (8 subspaces ×
+    * 16 codes, exact integer distances). */
+  def pqTopKQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), queryId = 0L, k = 10)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

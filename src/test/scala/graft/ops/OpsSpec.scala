@@ -2090,6 +2090,47 @@ class OpsSpec extends AnyFunSuite {
     assert(vocab == Map("aa" -> 3L, "a" -> 1L, "ab" -> 3L, "c" -> 1L), vocab)
   }
 
+  test("pq adc: top-k matches a full local reference in exact integer math") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val got = Similarity.pqTopK(e, col("vec_id"), col("embedding"),
+      queryId = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // local reference: same md5-ordered codebook, argmin codes, ADC sums
+    val all = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def q4(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 10000.0).toLong)
+    val numSub = 8; val cbSize = 16
+    val subDim = all.head._2.length / numSub
+    val sample = all.sortBy { case (id, _) => (md5hex(s"pq:$id"), id) }
+      .take(cbSize).map(p => q4(p._2))
+    def codes(v: Array[Long]): Array[Int] = Array.tabulate(numSub) { m =>
+      val sub = v.slice(m * subDim, (m + 1) * subDim)
+      (0 until cbSize).map { c =>
+        val cb = sample(c).slice(m * subDim, (m + 1) * subDim)
+        (sub.zip(cb).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min._2
+    }
+    val qv = q4(all.toMap.apply(0L))
+    val qTable = Array.tabulate(numSub, cbSize) { (m, c) =>
+      val qs = qv.slice(m * subDim, (m + 1) * subDim)
+      val cb = sample(c).slice(m * subDim, (m + 1) * subDim)
+      qs.zip(cb).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    val expected = all.map { case (id, v) =>
+      val cs = codes(q4(v))
+      (id, (0 until numSub).map(m => qTable(m)(cs(m))).sum)
+    }.sortBy { case (id, s) => (s, id) }.take(5)
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i + 1) }
+    assert(got.toSeq == expected.toSeq, s"got=${got.toSeq}")
+    // compression really happened: scores repeat across near-identical
+    // vectors only through shared codes, and all scores are non-negative
+    assert(got.forall(_._2 >= 0L))
+  }
+
   test("heavyhitters_agg: guarantee holds, state bounded, SQL-registered") {
     import spark.implicits._
     // 1000 items: "hot" x 400, "warm" x 200, 400 singletons; m = 9 ->
