@@ -140,6 +140,8 @@ object SparkEntry {
     "qd56_bpe_merges" -> (PipelineQueries.bpeMergesQ _),
     "qd57_bpe_vocab" -> (PipelineQueries.bpeVocabQ _),
     "qe20_pq_adc" -> (PipelineQueries.pqTopKQ _),
+    "qe21_pq_index" -> (PipelineQueries.pqIndexTopKQ _),
+    "qv18_interval_overlap" -> (PipelineQueries.intervalOverlapQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -516,41 +518,23 @@ object SparkEntry {
     // learned merges and the rewritten symbol state both hash-checked.
     "qd56_bpe_merges" -> bpeMergesOracleSql,
     "qd57_bpe_vocab" -> bpeVocabOracleSql,
-    // qe20: the whole PQ pipeline in exact integer math — md5-ordered
-    // codebook sample, per-subspace argmin codes (ties to the lower
-    // code), ADC score = Σ_m qdist[m, code] — no float rounding at all.
-    "qe20_pq_adc" ->
-      """WITH v4 AS (SELECT vec_id,
-           generate_subscripts(embedding, 1) AS dim,
-           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
-             AS BIGINT) AS x
-           FROM embeddings),
-         cbsel AS (SELECT vec_id, row_number() OVER (
-             ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
-             AS cidx
-           FROM embeddings QUALIFY cidx < 16),
-         cb AS (SELECT c.cidx, v.dim, v.x AS cx, (v.dim - 1) // 8 AS m
-           FROM cbsel c JOIN v4 v USING (vec_id)),
-         sub AS (SELECT vec_id, (dim - 1) // 8 AS m, dim, x FROM v4),
-         d AS (SELECT s.vec_id, s.m, cb.cidx,
-             sum((s.x - cb.cx) * (s.x - cb.cx)) AS dist
-           FROM sub s JOIN cb ON s.m = cb.m AND s.dim = cb.dim
-           GROUP BY 1, 2, 3),
-         code AS (SELECT vec_id, m, cidx FROM (SELECT *, row_number()
-             OVER (PARTITION BY vec_id, m ORDER BY dist, cidx) AS rn
-             FROM d) WHERE rn = 1),
-         qd_ AS (SELECT cb.m, cb.cidx,
-             sum((q.x - cb.cx) * (q.x - cb.cx)) AS qdist
-           FROM (SELECT (dim - 1) // 8 AS m, dim, x FROM v4
-             WHERE vec_id = 0) q
-           JOIN cb ON q.m = cb.m AND q.dim = cb.dim GROUP BY 1, 2),
-         sc AS (SELECT c.vec_id, CAST(sum(qd_.qdist) AS BIGINT)
-             AS adc_score
-           FROM code c JOIN qd_ ON c.m = qd_.m AND c.cidx = qd_.cidx
-           GROUP BY 1)
-         SELECT vec_id, adc_score, row_number() OVER (
-           ORDER BY adc_score, vec_id) AS rank
-         FROM sc QUALIFY rank <= 10 ORDER BY rank""",
+    // qe20/qe21: the whole PQ pipeline in exact integer math — the
+    // persisted-index variant (qe21) must reproduce the in-memory
+    // result bit-for-bit, so both share one oracle.
+    "qe20_pq_adc" -> pqAdcOracleSql,
+    "qe21_pq_index" -> pqAdcOracleSql,
+    // qv18: plain overlap predicate — the binned first-shared-bucket
+    // join must produce exactly these pairs.
+    "qv18_interval_overlap" ->
+      """WITH e AS (SELECT event_id, epoch_ns(ts) AS t FROM events
+           WHERE event_type = 'error'),
+         p AS (SELECT epoch_ns(ts) AS t FROM events
+           WHERE event_type = 'purchase')
+         SELECT e.event_id AS err_event_id,
+           count(*) AS n_purchase_windows
+         FROM e JOIN p ON e.t <= p.t + 180000000000
+           AND p.t <= e.t + 300000000000
+         GROUP BY 1 ORDER BY 1""",
     // qd51: the whole portable-SimHash sketch re-derived — md5-slice
     // token hashes, per-bit ±1 sums, ≥0 packing, 16-bit pigeonhole
     // blocks, exact hamming verify (SQL generated; see lazy val).
@@ -1746,6 +1730,44 @@ object SparkEntry {
          SELECT sym, CAST(sum(freq) AS BIGINT) AS total_freq
          FROM s2 GROUP BY 1
          ORDER BY total_freq DESC, sym LIMIT 30"""
+
+  /** Shared oracle for qe20/qe21: the whole PQ pipeline in exact
+    * integer math — md5-ordered codebook sample, per-subspace argmin
+    * codes (ties to the lower code), ADC score = Σ_m qdist[m, code] —
+    * no float rounding anywhere, so the in-memory operator and the
+    * persisted-index read-back must both match it bit-for-bit. */
+  private lazy val pqAdcOracleSql: String =
+    """WITH v4 AS (SELECT vec_id,
+           generate_subscripts(embedding, 1) AS dim,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
+             AS BIGINT) AS x
+           FROM embeddings),
+         cbsel AS (SELECT vec_id, row_number() OVER (
+             ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS cidx
+           FROM embeddings QUALIFY cidx < 16),
+         cb AS (SELECT c.cidx, v.dim, v.x AS cx, (v.dim - 1) // 8 AS m
+           FROM cbsel c JOIN v4 v USING (vec_id)),
+         sub AS (SELECT vec_id, (dim - 1) // 8 AS m, dim, x FROM v4),
+         d AS (SELECT s.vec_id, s.m, cb.cidx,
+             sum((s.x - cb.cx) * (s.x - cb.cx)) AS dist
+           FROM sub s JOIN cb ON s.m = cb.m AND s.dim = cb.dim
+           GROUP BY 1, 2, 3),
+         code AS (SELECT vec_id, m, cidx FROM (SELECT *, row_number()
+             OVER (PARTITION BY vec_id, m ORDER BY dist, cidx) AS rn
+             FROM d) WHERE rn = 1),
+         qd_ AS (SELECT cb.m, cb.cidx,
+             sum((q.x - cb.cx) * (q.x - cb.cx)) AS qdist
+           FROM (SELECT (dim - 1) // 8 AS m, dim, x FROM v4
+             WHERE vec_id = 0) q
+           JOIN cb ON q.m = cb.m AND q.dim = cb.dim GROUP BY 1, 2),
+         sc AS (SELECT c.vec_id, CAST(sum(qd_.qdist) AS BIGINT)
+             AS adc_score
+           FROM code c JOIN qd_ ON c.m = qd_.m AND c.cidx = qd_.cidx
+           GROUP BY 1)
+         SELECT vec_id, adc_score, row_number() OVER (
+           ORDER BY adc_score, vec_id) AS rank
+         FROM sc QUALIFY rank <= 10 ORDER BY rank"""
 
   /** Oracle for qd51, generated because it carries 64 per-bit sum terms:
     * token hash = two unsigned-32 slices of md5('0:'||token) (the

@@ -98,6 +98,51 @@ object AnnIndex {
         round(Similarity.dot(col("v"), lit(qv)), 4).as("cos")))
   }
 
+  /** Build + persist the PRODUCT-QUANTIZATION codes index: `codes/`
+    * holds `numSub` small ints per vector (the 64× compression that
+    * makes a 100 TB corpus ADC-scannable), `codebook/` the tiny
+    * (m, cidx, dim, c4) dictionary. One corpus scan encodes everything
+    * ([[Similarity.pqCodesExpr]] — a single narrow codegen'd map); at
+    * query time only `codes/` is read, two columns, no join, no
+    * shuffle — a pure scan + TakeOrdered. */
+  def writePqIndex(corpus: DataFrame, id: Column, vec: Column,
+      path: String, numSub: Int = 8, codebookSize: Int = 16): Unit = {
+    val cb = Similarity.pqCodebook(corpus, id, vec, numSub, codebookSize)
+    corpus.select(id.as("vec_id"),
+        Similarity.pqCodesExpr(Similarity.pqQ4(vec), cb).as("codes"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = for {
+      m <- cb.indices; c <- cb(m).indices; d <- cb(m)(c).indices
+    } yield (m, c, d, cb(m)(c)(d))
+    rows.toDF("m", "cidx", "dim", "c4")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** ADC top-k against a persisted PQ index. The query frame carries the
+    * RAW vector (1 row, any column name); the codebook is a bounded
+    * driver read, the distance table is computed locally in exact
+    * integer math, and the scan touches `codes/` only. */
+  def queryPqIndex(spark: SparkSession, path: String, query: DataFrame,
+      k: Int): DataFrame = {
+    val cbRows = spark.read.parquet(s"$path/codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val numSub = cbRows.map(_._1).max + 1
+    val cbSize = cbRows.map(_._2).max + 1
+    val subDim = cbRows.map(_._3).max + 1
+    val cb = Array.ofDim[Double](numSub, cbSize, subDim)
+    cbRows.foreach { case (m, c, d, x) => cb(m)(c)(d) = x }
+    val q4Row = query
+      .select(Similarity.pqQ4(col(query.columns.head)).as("v4"))
+      .head().getSeq[Double](0).toArray
+    val qTable = Similarity.pqAdcTable(q4Row, cb)
+    Similarity.pqRank(
+      spark.read.parquet(s"$path/codes").select(col("vec_id"),
+        Similarity.pqScoreFromCodes(col("codes"), qTable)
+          .cast("long").as("adc_score")), k)
+  }
+
   /** Build + persist the int8-quantized codes index (the ADC storage
     * layout): `codes/` holds one signed byte per element (code − 128 —
     * 4× smaller than float32, and parquet bit-packs it further),

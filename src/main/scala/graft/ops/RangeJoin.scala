@@ -44,4 +44,34 @@ object RangeJoin {
       .select(col("interval_id"), col("point_id"), col("pt"),
         col("start"), col("end"))
   }
+
+  /** All (a, b) interval pairs that OVERLAP (`a_start <= b_end AND
+    * b_start <= a_end`, inclusive) — the interval×interval sibling of
+    * [[pointInInterval]], same binning idea with one extra trick: an
+    * overlapping pair shares every bucket in the overlap range, so to
+    * emit it exactly ONCE (no distinct) each pair is claimed only by the
+    * FIRST shared bucket, `max(a_start, b_start) div width` — a pure
+    * filter, no post-join dedup shuffle. Bounds must be non-negative
+    * longs in one shared unit. */
+  def intervalOverlap(a: DataFrame, aId: Column, aStart: Column,
+      aEnd: Column, b: DataFrame, bId: Column, bStart: Column,
+      bEnd: Column, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def explodeBuckets(df: DataFrame, id: Column, s: Column, e: Column,
+        p: String): DataFrame =
+      df.select(id.as(s"${p}_id"), s.as(s"${p}_start"), e.as(s"${p}_end"))
+        .filter(col(s"${p}_end") >= col(s"${p}_start"))
+        .withColumn("bucket", explode(sequence(
+          expr(s"${p}_start div $bucketWidth"),
+          expr(s"${p}_end div $bucketWidth"))))
+    val av = explodeBuckets(a, aId, aStart, aEnd, "a")
+    val bv = explodeBuckets(b, bId, bStart, bEnd, "b")
+    av.join(bv, "bucket")
+      .filter(col("a_start") <= col("b_end") &&
+        col("b_start") <= col("a_end"))
+      .filter(col("bucket") ===
+        expr(s"greatest(a_start, b_start) div $bucketWidth"))
+      .select(col("a_id"), col("b_id"), col("a_start"), col("a_end"),
+        col("b_start"), col("b_end"))
+  }
 }

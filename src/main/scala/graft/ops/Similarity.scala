@@ -256,53 +256,91 @@ object Similarity {
   def pqTopK(corpus: DataFrame, id: Column, vec: Column,
       queryId: Long, k: Int, numSub: Int = 8,
       codebookSize: Int = 16): DataFrame = {
+    val codebook = pqCodebook(corpus, id, vec, numSub, codebookSize)
+    val qRow = corpus.filter(id === queryId)
+      .select(pqQ4(vec).as("v4")).head().getSeq[Double](0).toArray
+    val qTable = pqAdcTable(qRow, codebook)
+    val score = pqAdcScore(pqQ4(vec), codebook, qTable)
+    pqRank(corpus.select(id.as("vec_id"),
+      score.cast("long").as("adc_score")), k)
+  }
+
+  /** 1e-4 integer elements, exact in doubles (floor yields longs; carry
+    * them as integer-valued doubles so native vecDot applies). */
+  private[ops] def pqQ4(v: Column): Column = transform(v, x =>
+    floor(x.cast("double") * lit(10000.0)).cast("double"))
+
+  /** md5-ordered corpus sample → codebook[m][c][subDim] (bounded
+    * collect, the ivfCentroidsLiteral seam). */
+  private[ops] def pqCodebook(corpus: DataFrame, id: Column, vec: Column,
+      numSub: Int, codebookSize: Int): Array[Array[Array[Double]]] = {
     val dim = corpus.select(size(vec)).head().getInt(0)
     require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
     val subDim = dim / numSub
-    // 1e-4 integer elements, exact in doubles (floor yields longs;
-    // carry them as integer-valued doubles so native vecDot applies)
-    def q4(v: Column): Column = transform(v, x =>
-      floor(x.cast("double") * lit(10000.0)).cast("double"))
-    // md5-ordered sample -> codebook[m][c][d] (bounded collect)
     val sample = corpus
       .orderBy(md5(concat(lit("pq:"), id.cast("string"))), id)
       .limit(codebookSize)
-      .select(q4(vec).as("v4")).collect()
+      .select(pqQ4(vec).as("v4")).collect()
       .map(_.getSeq[Double](0).toArray)
-    val codebook = Array.tabulate(numSub, codebookSize) { (m, c) =>
+    Array.tabulate(numSub, codebookSize) { (m, c) =>
       sample(c).slice(m * subDim, (m + 1) * subDim)
     }
-    val qRow = corpus.filter(id === queryId)
-      .select(q4(vec).as("v4")).head().getSeq[Double](0).toArray
-    // exact integer ADC table, computed driver-side
-    val qTable = Array.tabulate(numSub, codebookSize) { (m, c) =>
-      val qs = qRow.slice(m * subDim, (m + 1) * subDim)
+  }
+
+  /** Exact integer ADC table [m][c] for one quantized query vector. */
+  private[ops] def pqAdcTable(q4Row: Array[Double],
+      codebook: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val subDim = codebook(0)(0).length
+    Array.tabulate(codebook.length, codebook(0).length) { (m, c) =>
+      val qs = q4Row.slice(m * subDim, (m + 1) * subDim)
       qs.zip(codebook(m)(c)).map { case (a, b) =>
         val d = a - b; d * d
       }.sum
     }
-    val v4 = q4(vec)
-    // per-subspace argmin code, then the table lookup, all in one map
-    val score = (0 until numSub).map { m =>
+  }
+
+  /** Per-subspace argmin codes of a quantized vector as `array<int>` —
+    * one codegen'd expression (native dots against literals), ties to
+    * the lower code index. */
+  private[ops] def pqCodesExpr(v4: Column,
+      codebook: Array[Array[Array[Double]]]): Column = {
+    val subDim = codebook(0)(0).length
+    array(codebook.indices.map { m =>
       val sub = slice(v4, m * subDim + 1, subDim)
       val sumSq = dot(sub, sub)
-      val cands = array((0 until codebookSize).map { c =>
+      val cands = array(codebook(m).indices.map { c =>
         val cb = codebook(m)(c)
         val dist = sumSq - lit(2.0) * dot(sub, lit(cb)) +
           lit(cb.map(x => x * x).sum)
         struct(dist.as("d"), lit(c).as("i"))
       }: _*)
-      val code = array_min(cands).getField("i")
-      element_at(lit(qTable(m)), code + 1)
-    }.reduce(_ + _)
-    val top = corpus
-      .select(id.as("vec_id"), score.cast("long").as("adc_score"))
-      .orderBy(col("adc_score"), col("vec_id")).limit(k)
-    // rank over the k-row result only (bounded window)
-    top.withColumn("rank", row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .orderBy(col("adc_score"), col("vec_id"))))
+      array_min(cands).getField("i")
+    }: _*)
   }
+
+  /** Encode + table-lookup score fused into one narrow map. */
+  private[ops] def pqAdcScore(v4: Column,
+      codebook: Array[Array[Array[Double]]],
+      qTable: Array[Array[Double]]): Column = {
+    val codes = pqCodesExpr(v4, codebook)
+    codebook.indices.map { m =>
+      element_at(lit(qTable(m)), element_at(codes, m + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** ADC score lookup over a STORED codes column. */
+  private[ops] def pqScoreFromCodes(codes: Column,
+      qTable: Array[Array[Double]]): Column =
+    qTable.indices.map { m =>
+      element_at(lit(qTable(m)), element_at(codes, m + 1) + 1)
+    }.reduce(_ + _)
+
+  /** TakeOrdered top-k by (adc_score, vec_id) + rank over the k rows. */
+  private[ops] def pqRank(scored: DataFrame, k: Int): DataFrame =
+    scored.orderBy(col("adc_score"), col("vec_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("adc_score"), col("vec_id"))))
 
   /** Per-group centroid DRIFT between two corpus snapshots (old batch vs
     * new batch, last week vs this week): for each group present in BOTH

@@ -770,6 +770,43 @@ object PipelineQueries {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("rank"))
 
+  /** Interval×interval overlap join with NO equi-key: 5-minute error
+    * incident windows × 3-minute purchase activity windows, counted per
+    * incident. Binned with first-shared-bucket dedup — a naive overlap
+    * predicate is a BroadcastNestedLoopJoin. */
+  def intervalOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(s, dir)
+    val win5 = 300L * 1000L * 1000L * 1000L
+    val win3 = 180L * 1000L * 1000L * 1000L
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("ts").as("e_start"),
+        (col("ts") + lit(win5)).as("e_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_start"),
+        (col("ts") + lit(win3)).as("p_end"))
+    graft.ops.RangeJoin.intervalOverlap(
+      errors, col("err_id"), col("e_start"), col("e_end"),
+      purchases, col("p_id"), col("p_start"), col("p_end"),
+      bucketWidth = win5)
+      .groupBy(col("a_id").as("err_event_id"))
+      .agg(count(lit(1)).as("n_purchase_windows"))
+      .orderBy(col("err_event_id"))
+  }
+
+  /** ADC top-10 served from the PERSISTED PQ codes index — identical
+    * results to qe20 (same exact-integer contract), exercising the
+    * write + codes-only scan path. */
+  def pqIndexTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    graft.ops.AnnIndex.writePqIndex(e, col("vec_id"), col("embedding"),
+      path)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+    graft.ops.AnnIndex.queryPqIndex(s, path, q, k = 10)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+  }
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

@@ -2131,6 +2131,52 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall(_._2 >= 0L))
   }
 
+  test("interval overlap join: equals brute force, each pair exactly once, boundaries inclusive") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val as = (1L to 80L).map(i =>
+      { val s = rnd.nextInt(1000).toLong; (i, s, s + rnd.nextInt(200)) })
+    val bs = (1L to 120L).map(i =>
+      { val s = rnd.nextInt(1000).toLong; (i, s, s + rnd.nextInt(100)) })
+    val adf = as.toDF("id", "s", "e"); val bdf = bs.toDF("id", "s", "e")
+    val got = graft.ops.RangeJoin.intervalOverlap(
+      adf, col("id"), col("s"), col("e"),
+      bdf, col("id"), col("s"), col("e"), bucketWidth = 64L)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly once per overlapping pair
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    val expected = (for {
+      (ai, s1, e1) <- as; (bi, s2, e2) <- bs
+      if s1 <= e2 && s2 <= e1
+    } yield (ai, bi)).toSet
+    assert(got.toSet == expected)
+    // inclusive boundary: touching endpoints overlap
+    val t = graft.ops.RangeJoin.intervalOverlap(
+      Seq((1L, 0L, 10L)).toDF("id", "s", "e"), col("id"), col("s"), col("e"),
+      Seq((2L, 10L, 20L)).toDF("id", "s", "e"), col("id"), col("s"), col("e"),
+      bucketWidth = 3L).count()
+    assert(t == 1L)
+  }
+
+  test("pq index: persisted codes reproduce the in-memory ADC result, scan is join-free") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    AnnIndex.writePqIndex(e, col("vec_id"), col("embedding"), dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+    val idx = AnnIndex.queryPqIndex(spark, dir, q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val mem = Similarity.pqTopK(e, col("vec_id"), col("embedding"),
+      queryId = 0L, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(idx.toSeq == mem.toSeq && idx.nonEmpty)
+    // the query-time plan is a pure codes scan: no join, no shuffle
+    // before the TakeOrdered
+    val plan = AnnIndex.queryPqIndex(spark, dir, q, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
   test("heavyhitters_agg: guarantee holds, state bounded, SQL-registered") {
     import spark.implicits._
     // 1000 items: "hot" x 400, "warm" x 200, 400 singletons; m = 9 ->
