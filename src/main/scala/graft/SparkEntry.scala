@@ -142,6 +142,8 @@ object SparkEntry {
     "qe20_pq_adc" -> (PipelineQueries.pqTopKQ _),
     "qe21_pq_index" -> (PipelineQueries.pqIndexTopKQ _),
     "qv18_interval_overlap" -> (PipelineQueries.intervalOverlapQ _),
+    "qd58_bpe_tokenize" -> (PipelineQueries.bpeTokenizeQ _),
+    "qd59_consistent_shard" -> (PipelineQueries.consistentShardQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -518,6 +520,52 @@ object SparkEntry {
     // learned merges and the rewritten symbol state both hash-checked.
     "qd56_bpe_merges" -> bpeMergesOracleSql,
     "qd57_bpe_vocab" -> bpeVocabOracleSql,
+    // qd58: per-word symbol counts from the same merged state, joined
+    // back to the corpus token stream.
+    "qd58_bpe_tokenize" -> (bpeBaseCtes + """,
+         wl AS (SELECT word, count(*) AS n_syms FROM s2 GROUP BY 1),
+         dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+           '\S+')) AS word FROM documents)
+         SELECT dw.doc_id, CAST(sum(wl.n_syms) AS BIGINT)
+           AS n_bpe2_tokens
+         FROM dw JOIN wl USING (word) GROUP BY 1 ORDER BY 1"""),
+    // qd59: the whole ring re-derived in SQL (positions are plain md5),
+    // first point at-or-after the key's position, wraparound to the
+    // ring minimum; the 12-shard ring is the 16-ring minus shards
+    // 12-15, so `moved` is exactly the removed shards' arc.
+    "qd59_consistent_shard" ->
+      """WITH ring16 AS (SELECT s.s AS shard,
+           CAST('0x' || substring(md5('ring:' || CAST(s.s AS VARCHAR)
+             || ':' || CAST(v.v AS VARCHAR)), 1, 8) AS BIGINT) AS pos
+           FROM generate_series(0, 15) s(s), generate_series(0, 7) v(v)),
+         h AS (SELECT doc_id, CAST('0x' || substring(
+             md5('ch:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+             AS hp
+           FROM documents)
+         SELECT h.doc_id,
+           coalesce(
+             (SELECT r.shard FROM ring16 r WHERE r.pos >= h.hp
+                ORDER BY r.pos, r.shard LIMIT 1),
+             (SELECT r.shard FROM ring16 r
+                ORDER BY r.pos, r.shard LIMIT 1)) AS shard_before,
+           coalesce(
+             (SELECT r.shard FROM ring16 r
+                WHERE r.shard < 12 AND r.pos >= h.hp
+                ORDER BY r.pos, r.shard LIMIT 1),
+             (SELECT r.shard FROM ring16 r WHERE r.shard < 12
+                ORDER BY r.pos, r.shard LIMIT 1)) AS shard_after,
+           coalesce(
+             (SELECT r.shard FROM ring16 r WHERE r.pos >= h.hp
+                ORDER BY r.pos, r.shard LIMIT 1),
+             (SELECT r.shard FROM ring16 r
+                ORDER BY r.pos, r.shard LIMIT 1)) <>
+           coalesce(
+             (SELECT r.shard FROM ring16 r
+                WHERE r.shard < 12 AND r.pos >= h.hp
+                ORDER BY r.pos, r.shard LIMIT 1),
+             (SELECT r.shard FROM ring16 r WHERE r.shard < 12
+                ORDER BY r.pos, r.shard LIMIT 1)) AS moved
+         FROM h ORDER BY doc_id""",
     // qe20/qe21: the whole PQ pipeline in exact integer math — the
     // persisted-index variant (qe21) must reproduce the in-memory
     // result bit-for-bit, so both share one oracle.

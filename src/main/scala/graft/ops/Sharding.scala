@@ -42,6 +42,37 @@ object Sharding {
   /** Assign shards and lay the frame out shard-per-partition, rows
     * ordered by `order` inside each shard. Returns the frame WITH the
     * `shard` column, partitioned so each task holds exactly one shard. */
+  /** CONSISTENT-HASH shard assignment: the ring has `vnodes` virtual
+    * points per shard at md5-derived positions, and a key lands on the
+    * first ring point at-or-after its own md5 position (wrapping to the
+    * ring's first point). Why it exists next to [[portableShardId]]'s
+    * mod hash: resharding. Dropping (or adding) shards moves ONLY the
+    * keys on the removed shards' ring arcs — ~1/n of the data — where
+    * a mod hash moves nearly everything; on a 100 TB corpus that is
+    * the difference between rewriting ~6 TB and rewriting the world.
+    * The ring (nShards·vnodes longs) compiles in as LITERAL arrays —
+    * the lookup is a narrow codegen'd map, no join, no shuffle — and
+    * every position is a plain md5, so an external engine re-derives
+    * the full ring and every assignment exactly. */
+  def consistentShard(id: Column, nShards: Int, vnodes: Int = 8,
+      seed: String = "ring"): Column = {
+    require(nShards >= 1 && vnodes >= 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ring = (for { s <- 0 until nShards; v <- 0 until vnodes } yield {
+      val hex = md.digest(s"$seed:$s:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      md.reset()
+      (java.lang.Long.parseLong(hex, 16), s.toLong)
+    }).sortBy(p => (p._1, p._2))
+    val positions = ring.map(_._1).toArray
+    val shards = ring.map(_._2).toArray
+    val h = conv(substring(md5(concat_ws(":", lit("ch"),
+      id.cast("string"))), 1, 8), 16, 10).cast("long")
+    val idx = size(filter(lit(positions), p => p < h))
+    when(idx === lit(positions.length), lit(shards.head))
+      .otherwise(element_at(lit(shards), idx + 1))
+  }
+
   def layout(df: DataFrame, key: Column, order: Column,
       numShards: Int): DataFrame =
     df.withColumn("shard", shardId(key, numShards))

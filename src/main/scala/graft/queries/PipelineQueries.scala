@@ -807,6 +807,30 @@ object PipelineQueries {
       .orderBy(col("rank"))
   }
 
+  /** Per-document token counts under the learned 2-merge BPE — the
+    * budget estimator upgraded from qd08's merge-free approximation. */
+  def bpeTokenizeQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val (_, syms) = graft.ops.Bpe.learn(d, col("text"), rounds = 2)
+    val wordLen = syms.groupBy("word").agg(count(lit(1)).as("n_syms"))
+    d.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .join(wordLen, "word")
+      .groupBy("doc_id").agg(sum("n_syms").as("n_bpe2_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Consistent-hash reshard plan: 16-shard ring vs the same ring
+    * shrunk to 12 — only keys on the removed shards move. */
+  def consistentShardQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        graft.ops.Sharding.consistentShard(col("doc_id"), 16)
+          .as("shard_before"),
+        graft.ops.Sharding.consistentShard(col("doc_id"), 12)
+          .as("shard_after"))
+      .withColumn("moved", col("shard_before") =!= col("shard_after"))
+      .orderBy(col("doc_id"))
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

@@ -2177,6 +2177,38 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), plan.take(2000))
   }
 
+  test("consistent shard: matches local ring lookup, reshard moves only removed arcs") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val got = df.select(col("id"),
+        graft.ops.Sharding.consistentShard(col("id"), 16).as("s16"),
+        graft.ops.Sharding.consistentShard(col("id"), 12).as("s12"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // local reference ring
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def ring(n: Int): Seq[(Long, Long)] =
+      (for { s <- 0 until n; v <- 0 until 8 } yield
+        (java.lang.Long.parseLong(md5hex(s"ring:$s:$v").substring(0, 8), 16),
+          s.toLong)).sortBy(p => (p._1, p._2))
+    def assign(id: Long, r: Seq[(Long, Long)]): Long = {
+      val h = java.lang.Long.parseLong(md5hex(s"ch:$id").substring(0, 8), 16)
+      r.find(_._1 >= h).getOrElse(r.head)._2
+    }
+    val (r16, r12) = (ring(16), ring(12))
+    got.foreach { case (id, s16, s12) =>
+      assert(s16 == assign(id, r16) && s12 == assign(id, r12), id)
+    }
+    // the consistent-hashing contract: keys NOT on removed shards stay put
+    got.filter(_._2 < 12).foreach { case (id, s16, s12) =>
+      assert(s12 == s16, s"key $id moved off a surviving shard")
+    }
+    // removed-shard keys all land somewhere valid, and some keys moved
+    assert(got.forall(_._3 < 12))
+    assert(got.exists(r => r._2 >= 12))
+  }
+
   test("heavyhitters_agg: guarantee holds, state bounded, SQL-registered") {
     import spark.implicits._
     // 1000 items: "hot" x 400, "warm" x 200, 400 singletons; m = 9 ->
