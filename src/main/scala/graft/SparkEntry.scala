@@ -144,6 +144,8 @@ object SparkEntry {
     "qv18_interval_overlap" -> (PipelineQueries.intervalOverlapQ _),
     "qd58_bpe_tokenize" -> (PipelineQueries.bpeTokenizeQ _),
     "qd59_consistent_shard" -> (PipelineQueries.consistentShardQ _),
+    "qe22_pq_rerank" -> (PipelineQueries.pqRerankQ _),
+    "qv19_hourly_anomalies" -> (PipelineQueries.hourlyAnomaliesQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -571,6 +573,23 @@ object SparkEntry {
     // result bit-for-bit, so both share one oracle.
     "qe20_pq_adc" -> pqAdcOracleSql,
     "qe21_pq_index" -> pqAdcOracleSql,
+    "qe22_pq_rerank" -> pqRerankOracleSql,
+    // qv19: the spendOutliers integer z-test on hourly type counts,
+    // spike side only.
+    "qv19_hourly_anomalies" ->
+      """WITH r AS (SELECT (epoch_ns(ts) // 1000000000 // 3600) * 3600
+             AS hour_secs, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS h,
+           sum(n) OVER (PARTITION BY event_type) AS s,
+           sum(n * n) OVER (PARTITION BY event_type) AS q FROM r)
+         SELECT event_type, hour_secs, n, CAST(h AS BIGINT) AS h,
+           CAST(s AS BIGINT) AS s
+         FROM w
+         WHERE CAST(h * n - s AS DOUBLE) * CAST(h * n - s AS DOUBLE)
+             > 9.0 * CAST(h * q - s * s AS DOUBLE)
+           AND h > 1 AND h * n > s
+         ORDER BY event_type, hour_secs""",
     // qv18: plain overlap predicate — the binned first-shared-bucket
     // join must produce exactly these pairs.
     "qv18_interval_overlap" ->
@@ -1784,7 +1803,7 @@ object SparkEntry {
     * codes (ties to the lower code), ADC score = Σ_m qdist[m, code] —
     * no float rounding anywhere, so the in-memory operator and the
     * persisted-index read-back must both match it bit-for-bit. */
-  private lazy val pqAdcOracleSql: String =
+  private lazy val pqAdcCtes: String =
     """WITH v4 AS (SELECT vec_id,
            generate_subscripts(embedding, 1) AS dim,
            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
@@ -1812,10 +1831,28 @@ object SparkEntry {
          sc AS (SELECT c.vec_id, CAST(sum(qd_.qdist) AS BIGINT)
              AS adc_score
            FROM code c JOIN qd_ ON c.m = qd_.m AND c.cidx = qd_.cidx
-           GROUP BY 1)
+           GROUP BY 1)"""
+
+  private lazy val pqAdcOracleSql: String = pqAdcCtes + """
          SELECT vec_id, adc_score, row_number() OVER (
            ORDER BY adc_score, vec_id) AS rank
          FROM sc QUALIFY rank <= 10 ORDER BY rank"""
+
+  /** Oracle for qe22: the ADC shortlist (same CTEs), then the exact
+    * qe01-style cosine rerank restricted to the 50 shortlisted ids. */
+  private lazy val pqRerankOracleSql: String = pqAdcCtes + """,
+         short AS (SELECT vec_id FROM sc
+           ORDER BY adc_score, vec_id LIMIT 50),
+         z2 AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS a,
+           CAST(unnest((SELECT embedding FROM embeddings WHERE vec_id = 0))
+             AS DOUBLE) AS b
+           FROM embeddings e JOIN short USING (vec_id)),
+         s2 AS (SELECT vec_id, sum(a*b) AS ab, sum(a*a) AS aa,
+           sum(b*b) AS bb FROM z2 GROUP BY 1)
+         SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos,
+           row_number() OVER (ORDER BY round(ab / (sqrt(aa) * sqrt(bb)), 4)
+             DESC, vec_id) AS rank
+         FROM s2 QUALIFY rank <= 10 ORDER BY rank"""
 
   /** Oracle for qd51, generated because it carries 64 per-bit sum terms:
     * token hash = two unsigned-32 slices of md5('0:'||token) (the

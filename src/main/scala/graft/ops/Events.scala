@@ -92,6 +92,36 @@ object Events {
         col("n"), col("s"))
   }
 
+  /** Hourly traffic SPIKES per event type: an hour flags when its count
+    * sits more than k standard deviations ABOVE the type's mean hourly
+    * count — the ops-dashboard anomaly pass. Same exact-integer
+    * variance test as [[spendOutliers]] ((h·n − s)² > k²(h·q − s²) on
+    * BIGINT window sums — no float accumulation, engine-identical),
+    * restricted to the spike side (h·n > s). Works on the sparse
+    * rollup (mean over PRESENT hours); compose with
+    * [[denseHourlyCounts]] first if silent hours should drag the mean.
+    * The corpus-sized work is the rollup; the window runs over
+    * (types × hours) rows. */
+  def hourlyAnomalies(events: DataFrame, k: Double): DataFrame = {
+    val hourly = events.groupBy(
+      (expr("ts div 1000000000 div 3600") * 3600).as("hour_secs"),
+      col("event_type")).agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy(col("event_type"))
+    hourly
+      .withColumn("h", count(lit(1)).over(byType))
+      .withColumn("s", sum(col("n")).over(byType))
+      .withColumn("q", sum(col("n") * col("n")).over(byType))
+      .filter {
+        val dev = (col("h") * col("n") - col("s")).cast("double")
+        val variance =
+          (col("h") * col("q") - col("s") * col("s")).cast("double")
+        dev * dev > lit(k * k) * variance && col("h") > 1 &&
+          col("h") * col("n") > col("s")
+      }
+      .select(col("event_type"), col("hour_secs"), col("n"), col("h"),
+        col("s"))
+  }
+
   /** DENSE hourly counts: the tumbling rollup with empty buckets
     * zero-filled — resampling/gap-filling for time-series consumers
     * that need every (hour, type) cell. The only corpus-sized work is

@@ -265,6 +265,27 @@ object Similarity {
       score.cast("long").as("adc_score")), k)
   }
 
+  /** COARSE-TO-FINE retrieval: PQ-ADC shortlist (`shortlist`
+    * candidates, scanning 64×-compressed codes) then EXACT cosine
+    * rerank of the shortlist only — the standard two-stage shape that
+    * gives near-exact quality at compressed-scan cost. The rerank
+    * touches `shortlist` full vectors (a broadcast semi-join prune of
+    * the corpus scan), so the full-precision read is bounded no matter
+    * the corpus size. Both stages are deterministic (exact-integer ADC,
+    * rounded cosine with id tiebreaks) — the composition is
+    * oracle-checkable end to end. */
+  def pqRerankTopK(corpus: DataFrame, id: Column, vec: Column,
+      queryId: Long, k: Int, shortlist: Int, numSub: Int = 8,
+      codebookSize: Int = 16): DataFrame = {
+    val short = pqTopK(corpus, id, vec, queryId, shortlist, numSub,
+      codebookSize).select(col("vec_id").as("_short_id"))
+    val sub = corpus.join(broadcast(short),
+      id === col("_short_id"), "left_semi")
+    val q = corpus.filter(id === queryId)
+      .select(l2Normalize(vec).as("qv"))
+    bruteForceTopK(sub, id, vec, q, k)
+  }
+
   /** 1e-4 integer elements, exact in doubles (floor yields longs; carry
     * them as integer-valued doubles so native vecDot applies). */
   private[ops] def pqQ4(v: Column): Column = transform(v, x =>

@@ -831,6 +831,20 @@ object PipelineQueries {
       .withColumn("moved", col("shard_before") =!= col("shard_after"))
       .orderBy(col("doc_id"))
 
+  /** Coarse-to-fine: PQ-ADC 50-candidate shortlist, exact cosine
+    * rerank to top-10. */
+  def pqRerankQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqRerankTopK(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), queryId = 0L, k = 10, shortlist = 50)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+
+  /** Hourly traffic spikes per event type (k = 3 exact-integer
+    * z-test, spike side only). */
+  def hourlyAnomaliesQ(s: SparkSession, dir: String): DataFrame =
+    Events.hourlyAnomalies(Tables.loadEvents(s, dir), k = 3.0)
+      .orderBy(col("event_type"), col("hour_secs"))
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

@@ -2209,6 +2209,46 @@ class OpsSpec extends AnyFunSuite {
     assert(got.exists(r => r._2 >= 12))
   }
 
+  test("pq rerank: exact cosine over the ADC shortlist, matches manual composition") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val got = Similarity.pqRerankTopK(e, col("vec_id"), col("embedding"),
+      queryId = 0L, k = 5, shortlist = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // manual composition of the two independently-tested stages
+    val shortIds = Similarity.pqTopK(e, col("vec_id"), col("embedding"),
+      queryId = 0L, k = 20).collect().map(_.getLong(0)).toSet
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val expected = Similarity.bruteForceTopK(
+      e.filter(col("vec_id").isin(shortIds.toSeq: _*)),
+      col("vec_id"), col("embedding"), q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(got.toSeq == expected.toSeq && got.nonEmpty)
+    // every reranked hit came from the shortlist
+    assert(got.forall(r => shortIds.contains(r._1)))
+  }
+
+  test("hourly anomalies: spike hour flags, flat hours and dips don't") {
+    import spark.implicits._
+    // type A: 9 flat hours of 10 events, 1 spike hour of 60, 1 dip of 1
+    val base = 1700000000L
+    def at(hour: Int, i: Int) =
+      (base + hour * 3600L + i) * 1000000000L
+    val rows =
+      (0 until 9).flatMap(h => (0 until 10).map(i =>
+        (at(h, i), "A"))) ++
+      (0 until 60).map(i => (at(9, i), "A")) ++
+      Seq.fill(1)((at(10, 0), "A")) ++
+      (0 until 5).flatMap(h => (0 until 7).map(i => (at(h, i), "B")))
+    val ev = rows.zipWithIndex
+      .map { case ((ts, t), i) => (i.toLong, ts, t) }
+      .toDF("event_id", "ts", "event_type")
+    val got = Events.hourlyAnomalies(ev, k = 3.0).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    // only the spike hour of type A flags (dip is below mean; B is flat)
+    assert(got.toSeq == Seq(("A", 60L)), got.mkString(","))
+  }
+
   test("heavyhitters_agg: guarantee holds, state bounded, SQL-registered") {
     import spark.implicits._
     // 1000 items: "hot" x 400, "warm" x 200, 400 singletons; m = 9 ->
