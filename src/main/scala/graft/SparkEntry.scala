@@ -146,6 +146,8 @@ object SparkEntry {
     "qd59_consistent_shard" -> (PipelineQueries.consistentShardQ _),
     "qe22_pq_rerank" -> (PipelineQueries.pqRerankQ _),
     "qv19_hourly_anomalies" -> (PipelineQueries.hourlyAnomaliesQ _),
+    "qd60_oov_rate" -> (PipelineQueries.oovRateQ _),
+    "qv20_next_click" -> (PipelineQueries.nextClickQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -574,6 +576,31 @@ object SparkEntry {
     "qe20_pq_adc" -> pqAdcOracleSql,
     "qe21_pq_index" -> pqAdcOracleSql,
     "qe22_pq_rerank" -> pqRerankOracleSql,
+    // qd60: deterministic top-1000 vocabulary, OOV counted via the
+    // left join's null lane.
+    "qd60_oov_rate" ->
+      """WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(
+           lower(text), '\S+')) AS w FROM documents),
+         c AS (SELECT w, count(*) AS n FROM tk GROUP BY 1),
+         v AS (SELECT w FROM c ORDER BY n DESC, w LIMIT 1000)
+         SELECT tk.doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           floor(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) * 10000.0) / 10000.0 AS oov_rate
+         FROM tk LEFT JOIN v USING (w) GROUP BY 1 ORDER BY 1""",
+    // qv20: first click at-or-after each purchase, click_id tiebreak.
+    "qv20_next_click" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS t
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS t
+           FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.event_id AS purchase_id, p.user_id, c.click_id,
+           row_number() OVER (PARTITION BY p.event_id
+             ORDER BY c.t, c.click_id) AS rn
+           FROM p JOIN c ON p.user_id = c.user_id AND c.t >= p.t)
+         SELECT purchase_id, user_id, click_id AS next_click_id
+         FROM j WHERE rn = 1 ORDER BY purchase_id""",
     // qv19: the spendOutliers integer z-test on hourly type counts,
     // spike side only.
     "qv19_hourly_anomalies" ->

@@ -49,4 +49,36 @@ object AsOf {
     }
     out.drop("_side", "_p", "_tb", "_asof")
   }
+
+  /** FORWARD as-of join — for every left row, the EARLIEST right row
+    * with `right.ts >= left.ts` within the same key (next-touch
+    * attribution: "the first click after this purchase"). The mirror of
+    * [[asofJoin]]'s merge shape: same single shuffle on the key, the
+    * carry runs BACKWARD via `first(..., ignoreNulls)` over
+    * (currentRow, unboundedFollowing). A right row at exactly `left.ts`
+    * IS visible (>= semantics) — left sorts before right at equal ts,
+    * and the window starts at the current row. Among right rows with
+    * identical (key, ts), `tieBreak` picks the FIRST (pass the right
+    * side's unique id for determinism). */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, payload: Seq[String],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val pStruct = struct(payload.map(col): _*)
+    val r = right.select(col(key), col(ts),
+      lit(1).as("_side"), pStruct.as("_p"),
+      struct(tieBreak.map(col): _*).as("_tb"))
+    val l = left.withColumn("_side", lit(0))
+      .withColumn("_p", lit(null).cast(r.schema("_p").dataType))
+      .withColumn("_tb", lit(null).cast(r.schema("_tb").dataType))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("_side"), col("_tb"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val carried = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_asof", first(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+    val out = payload.foldLeft(carried) { (df, p) =>
+      df.withColumn(s"next_$p", col("_asof").getField(p))
+    }
+    out.drop("_side", "_p", "_tb", "_asof")
+  }
 }

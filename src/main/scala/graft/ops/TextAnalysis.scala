@@ -250,6 +250,27 @@ object TextAnalysis {
       (size(lines) - size(kept)).cast("long").as("n_dup_lines"))
   }
 
+  /** Per-document OUT-OF-VOCABULARY rate against the corpus's own
+    * top-`vocabSize` token vocabulary — the tokenizer-coverage check
+    * that catches domains a fixed vocabulary would shred into bytes.
+    * Vocabulary selection is deterministic (count desc, token asc);
+    * the vocabulary is broadcast (it's `vocabSize` rows by
+    * construction), so the scoring pass is one corpus-keyed
+    * aggregation — no corpus shuffle for the join. */
+  def oovRate(docs: DataFrame, id: Column, text: Column,
+      vocabSize: Int): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), explode(tokens(text)).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(vocabSize)
+      .select(col("w").as("_vw"))
+    toks.join(broadcast(vocab), col("w") === col("_vw"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_vw").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", Num.floor4(
+        col("n_oov").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** Top-k characteristic terms per document by TF-IDF. One (doc, token)
     * count pass (map-side combined), document frequency derived from the
     * SAME frame (one row per (doc, token) already), a broadcast join of

@@ -845,6 +845,28 @@ object PipelineQueries {
     Events.hourlyAnomalies(Tables.loadEvents(s, dir), k = 3.0)
       .orderBy(col("event_type"), col("hour_secs"))
 
+  /** Per-doc OOV rate vs the corpus top-1000 vocabulary. */
+  def oovRateQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(t(s, dir, "documents"), col("doc_id"),
+      col("text"), vocabSize = 1000)
+      .orderBy(col("doc_id"))
+
+  /** Forward as-of: each purchase's NEXT click (same user, at or after
+    * the purchase), matched purchases only. */
+  def nextClickQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.ops.AsOf.asofJoinForward(purchases, clicks, "user_id", "ts",
+      Seq("click_id"), tieBreak = Seq("click_id"))
+      .filter(col("next_click_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("next_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

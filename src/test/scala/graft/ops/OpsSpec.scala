@@ -2249,6 +2249,43 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("A", 60L)), got.mkString(","))
   }
 
+  test("oov rate: vocabulary cut is deterministic, rates floor to 4 decimals") {
+    import spark.implicits._
+    // vocab of size 2 -> {'aa' (4 hits), 'bb' (3)}; 'cc'/'dd' are OOV
+    val docs = Seq((1L, "aa aa bb cc"), (2L, "aa aa bb bb dd cc"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(docs, col("doc_id"), col("text"), 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 4L, 1L, 0.25)))
+    assert(got(1) == ((2L, 6L, 2L, 0.3333)))
+  }
+
+  test("forward as-of: earliest right row at-or-after, ties by id, merge shape") {
+    import spark.implicits._
+    val left = Seq((10L, 1L, 100L), (11L, 1L, 200L), (12L, 2L, 50L),
+      (13L, 3L, 10L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, 100L, 900L), (1L, 150L, 901L), (1L, 150L, 902L),
+      (2L, 40L, 903L), (3L, 5L, 904L))
+      .toDF("user_id", "ts", "click_id")
+    val got = AsOf.asofJoinForward(left, right, "user_id", "ts",
+      Seq("click_id"), tieBreak = Seq("click_id"))
+      .select("event_id", "next_click_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .toMap
+    // same-ts right row IS visible (>=); ties pick the lower click_id
+    assert(got(10L).contains(900L))
+    // strictly-later rows: the earliest wins, tiebreak on id
+    assert(got(11L).isEmpty)         // no click at/after 200 for user 1
+    assert(got(12L).isEmpty)         // user 2's click is before
+    assert(got(13L).isEmpty)         // user 3's click is before
+    val got2 = AsOf.asofJoinForward(
+      Seq((20L, 1L, 120L)).toDF("event_id", "user_id", "ts"), right,
+      "user_id", "ts", Seq("click_id"), tieBreak = Seq("click_id"))
+      .select("next_click_id").head().getLong(0)
+    assert(got2 == 901L)             // two clicks at 150: lower id first
+  }
+
   test("heavyhitters_agg: guarantee holds, state bounded, SQL-registered") {
     import spark.implicits._
     // 1000 items: "hot" x 400, "warm" x 200, 400 singletons; m = 9 ->
