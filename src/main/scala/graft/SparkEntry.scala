@@ -148,6 +148,7 @@ object SparkEntry {
     "qv19_hourly_anomalies" -> (PipelineQueries.hourlyAnomaliesQ _),
     "qd60_oov_rate" -> (PipelineQueries.oovRateQ _),
     "qv20_next_click" -> (PipelineQueries.nextClickQ _),
+    "qd61_winnow_portable" -> (PipelineQueries.winnowPortableQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -576,6 +577,31 @@ object SparkEntry {
     "qe20_pq_adc" -> pqAdcOracleSql,
     "qe21_pq_index" -> pqAdcOracleSql,
     "qe22_pq_rerank" -> pqRerankOracleSql,
+    // qd61: the whole portable winnowing pipeline — 4-token shingles,
+    // md5-slice hashes, 5-shingle window argmin via the h·2^20+pos
+    // integer key, distinct selections.
+    "qd61_winnow_portable" ->
+      """WITH tk AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS tok,
+           generate_subscripts(regexp_extract_all(lower(text), '\S+'), 1)
+             - 1 AS pos
+           FROM documents),
+         sh0 AS (SELECT doc_id, pos, tok,
+           lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+           lead(tok, 3) OVER w AS t3
+           FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         sh AS (SELECT doc_id, pos,
+           CAST('0x' || substring(md5('wf:' || tok || ' ' || t1 || ' '
+             || t2 || ' ' || t3), 1, 8) AS BIGINT) AS h
+           FROM sh0 WHERE t3 IS NOT NULL),
+         m AS (SELECT doc_id,
+           min(h * 1048576 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mk,
+           lead(pos, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS p4
+           FROM sh)
+         SELECT DISTINCT doc_id, mk // 1048576 AS fp,
+           CAST(mk % 1048576 AS BIGINT) AS pos
+         FROM m WHERE p4 IS NOT NULL ORDER BY doc_id, pos""",
     // qd60: deterministic top-1000 vocabulary, OOV counted via the
     // left join's null lane.
     "qd60_oov_rate" ->

@@ -271,6 +271,42 @@ object TextAnalysis {
         col("n_oov").cast("double") / col("n_tokens").cast("double")))
   }
 
+  /** ENGINE-PORTABLE winnowing fingerprints — the md5 twin of
+    * [[winnowFingerprints]] (whose xxhash64 rolling hashes no external
+    * engine reproduces; same portable-twin move as the qd24/qd51
+    * sketches). `k`-token shingles hash to the first unsigned-32 slice
+    * of md5("wf:" + shingle); each complete window of `w` consecutive
+    * shingles selects its minimum-hash shingle (leftmost on hash ties —
+    * encoded as one integer key `h·2^20 + pos` so the argmin is a plain
+    * `min`, exact on any engine; positions must stay under 2^20 tokens
+    * per document, ample for chunked corpora); selections dedup to the
+    * document's fingerprint set. All window algebra over (doc, pos) —
+    * one shuffle on the doc id, reproducible in external SQL. */
+  def winnowFingerprintsPortable(docs: DataFrame, id: Column,
+      text: Column, k: Int = 4, w: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.select(id.as("doc_id"),
+      posexplode(tokens(text)).as(Seq("pos", "tok")))
+    val sh = toks
+      .withColumn("shingle", concat_ws(" ",
+        (0 until k).map(j =>
+          if (j == 0) col("tok") else lead(col("tok"), j).over(wd)): _*))
+      .withColumn("_last", lead(col("tok"), k - 1).over(wd))
+      .filter(col("_last").isNotNull)
+      .withColumn("h", conv(substring(md5(concat(lit("wf:"),
+        col("shingle"))), 1, 8), 16, 10).cast("long"))
+    sh
+      .withColumn("_full", lead(col("pos"), w - 1).over(wd).isNotNull)
+      .withColumn("mk", min(col("h") * lit(1048576L) + col("pos"))
+        .over(wd.rowsBetween(0, w - 1)))
+      .filter(col("_full"))
+      .select(col("doc_id"), expr("mk div 1048576").as("fp"),
+        (col("mk") % lit(1048576L)).as("pos"))
+      .distinct()
+  }
+
   /** Top-k characteristic terms per document by TF-IDF. One (doc, token)
     * count pass (map-side combined), document frequency derived from the
     * SAME frame (one row per (doc, token) already), a broadcast join of

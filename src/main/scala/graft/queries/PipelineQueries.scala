@@ -867,6 +867,13 @@ object PipelineQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** Engine-portable winnowing fingerprints (md5 shingle hashes,
+    * window-min selection) — the oracle-checkable twin of qd09. */
+  def winnowPortableQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.winnowFingerprintsPortable(t(s, dir, "documents"),
+      col("doc_id"), col("text"))
+      .orderBy(col("doc_id"), col("pos"))
+
   /** Top-20 session event-type paths (30-minute gap sessions). */
   def topPathsQ(s: SparkSession, dir: String): DataFrame =
     Events.topPaths(Tables.loadEvents(s, dir), gapSeconds = 1800, k = 20)

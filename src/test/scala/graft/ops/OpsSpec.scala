@@ -2286,6 +2286,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got2 == 901L)             // two clicks at 150: lower id first
   }
 
+  test("portable winnowing: matches local window-argmin reference, dedups selections") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> "a b c d e f g h i j k l",
+      2L -> "a b c d",                      // exactly one shingle, one window? no — needs w=5 complete windows
+      3L -> "x y z a b c d e f g h i j")
+    val docs = texts.toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprintsPortable(docs, col("doc_id"),
+      col("text"), k = 4, w = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = texts.flatMap { case (id, t) =>
+      val toks = t.split("\\s+")
+      val shingles = toks.sliding(4).map(_.mkString(" ")).toArray
+        .zipWithIndex.map { case (s, p) =>
+          (p.toLong, java.lang.Long.parseLong(
+            md5hex(s"wf:$s").substring(0, 8), 16)) }
+      shingles.sliding(5).filter(_.length == 5).map { win =>
+        val (p, h) = win.minBy { case (p, h) => h * 1048576L + p }
+        (id, h, p)
+      }
+    }.toSet
+    assert(got == expected, s"got=${got.size} exp=${expected.size}")
+    // doc 2 has one shingle -> no complete 5-window -> contributes nothing
+    assert(!got.exists(_._1 == 2L))
+  }
+
   test("heavyhitters_agg: guarantee holds, state bounded, SQL-registered") {
     import spark.implicits._
     // 1000 items: "hot" x 400, "warm" x 200, 400 singletons; m = 9 ->
