@@ -576,6 +576,9 @@ object SparkEntry {
     // result bit-for-bit, so both share one oracle.
     "qe20_pq_adc" -> pqAdcOracleSql,
     "qe21_pq_index" -> pqAdcOracleSql,
+    // qe08 (round-3 upgrade): literal-plane buckets + exact pairwise
+    // verify, so the LSH-blocked near-dup is now strictly hash-checked.
+    "qe08_neardup_lsh" -> embeddingLshOracleSql,
     "qe22_pq_rerank" -> pqRerankOracleSql,
     // qd61: the whole portable winnowing pipeline — 4-token shingles,
     // md5-slice hashes, 5-shingle window argmin via the h·2^20+pos
@@ -1994,6 +1997,37 @@ object SparkEntry {
          CAST(row_number() OVER (ORDER BY round(ab / (sqrt(aa) * sqrt(bb)), 4)
            DESC, vec_id) AS BIGINT) AS rank
        FROM s QUALIFY rank <= 10 ORDER BY rank"""
+  }
+
+  /** Oracle for qe08 (upgraded from rows-only in round 3): the same
+    * literal splitmix64 planes as qe03 re-derive every vector's bucket,
+    * then the exact pairwise cosine within buckets — the whole
+    * LSH-blocked near-dup is hash-checked, candidates included. */
+  private lazy val embeddingLshOracleSql: String = {
+    val planes = graft.ops.Similarity.planeVectors(6, 64)
+    val rows = planes.zipWithIndex.map { case (row, p) =>
+      s"($p, [${row.mkString(",")}])"
+    }.mkString(",")
+    s"""WITH pl(p, pv) AS (VALUES $rows),
+       e AS (SELECT vec_id, list_transform(embedding, x ->
+         CAST(x AS DOUBLE)) AS v FROM embeddings),
+       d AS (SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.pv) AS dp
+         FROM e, pl),
+       b AS (SELECT vec_id,
+           CAST(sum(CASE WHEN dp >= 0 THEN 1<<p ELSE 0 END) AS BIGINT)
+           AS bucket FROM d GROUP BY 1),
+       z AS (SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           CAST(unnest(ea.embedding) AS DOUBLE) AS x,
+           CAST(unnest(eb.embedding) AS DOUBLE) AS y
+         FROM b a JOIN b b2
+           ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         JOIN embeddings ea ON ea.vec_id = a.vec_id
+         JOIN embeddings eb ON eb.vec_id = b2.vec_id),
+       s AS (SELECT vec_a, vec_b, sum(x*y) AS ab, sum(x*x) AS aa,
+           sum(y*y) AS bb FROM z GROUP BY 1, 2)
+       SELECT vec_a, vec_b, round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos
+       FROM s WHERE round(ab / (sqrt(aa) * sqrt(bb)), 4) >= 0.3
+       ORDER BY vec_a, vec_b"""
   }
 
   /** Oracle for qe04: the centroid sample orders by md5("ivf:" + id)
