@@ -35,4 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // several GB, and a small cap turns the tail queries into GC thrash
   // (measured 4x on the minhash pipelines at 8g). The box has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // A 130-query sweep generates thousands of codegen classes; the JDK 17
+  // default 240m code cache fills mid-sweep, the JIT stops compiling, and
+  // late compute-heavy queries run interpreted (measured 5-6x: qe16
+  // 5.2 s standalone vs 34 s late in a sweep). The box has 128 GiB.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("SPARK_GRAFT_GCLOG").map(f => s"-Xlog:gc*,safepoint*:file=$f:time,uptime").toSeq

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Loaders for the driver-provided parquet tables (see TESTDATA.md).
   *
@@ -29,15 +30,25 @@ object Tables {
       (System.identityHashCode(spark), dir, name),
       _ => spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark has no native type for — read them as nanos-since-epoch longs
-    * (column `ts`, LongType). Keeping the raw int64 preserves the exact
-    * event ordering the oracle sees. */
+  /** The events table's `ts` lands as nanos-since-epoch longs (column
+    * `ts`, LongType) regardless of how the parquet stores it:
+    * TIMESTAMP(NANOS) files have no native Spark type and read as int64
+    * via the nanosAsLong escape; TIMESTAMP(MICROS) files (the refreshed
+    * testdata) read as timestamps and are converted here (session tz is
+    * pinned UTC in build.sbt, so NTZ wall-clock = the instant). All
+    * event-time operators do exact integer-nanosecond math on this one
+    * normalized column; DuckDB reads the same file as TIMESTAMP either
+    * way, so the oracle SQL is unaffected. */
   def loadEvents(spark: SparkSession, dir: String): DataFrame =
     scanCache.computeIfAbsent(
       (System.identityHashCode(spark), dir, "events#nanosAsLong"), _ => {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/events.parquet")
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => raw
+          case _ => raw.withColumn("ts",
+            expr("unix_micros(cast(ts as timestamp)) * 1000"))
+        }
       })
 
   /** Register every table as a temp view so `spark.sql` works on them. */

@@ -108,8 +108,12 @@ object AnnIndex {
   def writePqIndex(corpus: DataFrame, id: Column, vec: Column,
       path: String, numSub: Int = 8, codebookSize: Int = 16): Unit = {
     val cb = Similarity.pqCodebook(corpus, id, vec, numSub, codebookSize)
-    corpus.select(id.as("vec_id"),
-        Similarity.pqCodesExpr(Similarity.pqQ4(vec), cb).as("codes"))
+    // Quantize lambda materialized once, then encoded: two projection
+    // steps so the argmin tree references a plain attribute instead of
+    // embedding the transform() lambda numSub×codebookSize times.
+    corpus.select(id.as("vec_id"), Similarity.pqQ4(vec).as("_v4"))
+      .select(col("vec_id"),
+        Similarity.pqCodesExpr(col("_v4"), cb).as("codes"))
       .write.mode("overwrite").parquet(s"$path/codes")
     val spark = corpus.sparkSession
     import spark.implicits._

@@ -260,9 +260,17 @@ object Similarity {
     val qRow = corpus.filter(id === queryId)
       .select(pqQ4(vec).as("v4")).head().getSeq[Double](0).toArray
     val qTable = pqAdcTable(qRow, codebook)
-    val score = pqAdcScore(pqQ4(vec), codebook, qTable)
-    pqRank(corpus.select(id.as("vec_id"),
-      score.cast("long").as("adc_score")), k)
+    // Three projection steps, each alias referenced many times by the
+    // next: CollapseProject keeps them separate (it only inlines cheap
+    // single-reference aliases), so the quantize lambda and the argmin
+    // tree appear ONCE in the plan instead of numSub×codebookSize times
+    // — the difference between a bounded codegen unit and a
+    // planning/compile blow-up.
+    pqRank(corpus.select(id.as("vec_id"), pqQ4(vec).as("_v4"))
+      .select(col("vec_id"), pqCodesExpr(col("_v4"), codebook).as("_codes"))
+      .select(col("vec_id"),
+        pqScoreFromCodes(col("_codes"), qTable).cast("long").as("adc_score")),
+      k)
   }
 
   /** COARSE-TO-FINE retrieval: PQ-ADC shortlist (`shortlist`
@@ -337,16 +345,6 @@ object Similarity {
       }: _*)
       array_min(cands).getField("i")
     }: _*)
-  }
-
-  /** Encode + table-lookup score fused into one narrow map. */
-  private[ops] def pqAdcScore(v4: Column,
-      codebook: Array[Array[Array[Double]]],
-      qTable: Array[Array[Double]]): Column = {
-    val codes = pqCodesExpr(v4, codebook)
-    codebook.indices.map { m =>
-      element_at(lit(qTable(m)), element_at(codes, m + 1) + 1)
-    }.reduce(_ + _)
   }
 
   /** ADC score lookup over a STORED codes column. */
