@@ -41,11 +41,20 @@ object Bench {
       .map(_.split(',').toSeq.filter(_.nonEmpty))
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.startsWith)) }
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
       val s0 = shuffleWrite.get()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A query that throws (analysis error, missing column after a
+      // testdata refresh) must be LOUD: a swallowed failure shows up as
+      // a suspiciously-fast time and silently drops the query from the
+      // correctness run too. stderr keeps stdout's one-line contract.
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          failed += name
+          System.err.println(s"[bench-FAILED] $name: ${t.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftSparkShims.drainListenerBus(spark.sparkContext)
       val moved = shuffleWrite.get() - s0
@@ -72,8 +81,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val totalSh = if (results.nonEmpty) results.map(_._2._2).sum else 0L
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail = s"""{"metric":"detail","unit":"sec","queries":$qs,""" +
-      s""""shuffle_mb":$sh,"sf":"$sfDir"}"""
+      s""""shuffle_mb":$sh,"failed":$fl,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),

@@ -829,8 +829,13 @@ object SparkEntry {
          words AS (SELECT DISTINCT doc_id, source, unnest(toks) AS w
            FROM kept),
          sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
+         hot AS (SELECT source, w FROM words GROUP BY 1, 2
+           HAVING count(*) > 256),
+         posting AS (SELECT words.* FROM words
+           LEFT JOIN hot ON words.source = hot.source AND words.w = hot.w
+           WHERE hot.w IS NULL),
          c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nab
-           FROM words a JOIN words b
+           FROM posting a JOIN posting b
              ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
            GROUP BY 1, 2),
          pairs AS (SELECT doc_a, doc_b
@@ -1727,8 +1732,13 @@ object SparkEntry {
     """WITH RECURSIVE words AS (SELECT DISTINCT doc_id, source,
          unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
        sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
+       hot AS (SELECT source, w FROM words GROUP BY 1, 2
+         HAVING count(*) > 256),
+       posting AS (SELECT words.* FROM words
+         LEFT JOIN hot ON words.source = hot.source AND words.w = hot.w
+         WHERE hot.w IS NULL),
        c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nab
-         FROM words a JOIN words b
+         FROM posting a JOIN posting b
            ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
          GROUP BY 1, 2),
        pairs AS (SELECT doc_a, doc_b

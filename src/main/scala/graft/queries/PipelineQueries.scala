@@ -168,7 +168,7 @@ object PipelineQueries {
       .filter(col("_keep")).drop("_keep")
     val clusters = Dedup.dupClusters(
       Dedup.ngramJaccardPairs(keptExact, col("doc_id"), col("source"),
-        col("text"), threshold = 0.8),
+        col("text"), threshold = 0.8, maxDocFreq = 256),
       col("doc_a"), col("doc_b"))
     keptExact
       .join(clusters.filter(col("cluster") =!= col("doc_id")),
@@ -182,7 +182,7 @@ object PipelineQueries {
   def dupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.dupClusters(
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
-        col("source"), col("text"), threshold = 0.8),
+        col("source"), col("text"), threshold = 0.8, maxDocFreq = 256),
       col("doc_a"), col("doc_b"))
       .orderBy(col("doc_id"))
 
@@ -193,7 +193,7 @@ object PipelineQueries {
   def dupClustersStar(s: SparkSession, dir: String): DataFrame =
     Dedup.dupClustersStar(
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), col("doc_id"),
-        col("source"), col("text"), threshold = 0.8),
+        col("source"), col("text"), threshold = 0.8, maxDocFreq = 256),
       col("doc_a"), col("doc_b"))
       .orderBy(col("doc_id"))
 
@@ -612,7 +612,7 @@ object PipelineQueries {
     val d = t(s, dir, "documents")
     val clusters = Dedup.dupClusters(
       Dedup.ngramJaccardPairs(d, col("doc_id"), col("source"),
-        col("text"), threshold = 0.8),
+        col("text"), threshold = 0.8, maxDocFreq = 256),
       col("doc_a"), col("doc_b"))
     Sampling.leakFreeSplitAssign(d, col("doc_id"),
       clusters, col("doc_id"), col("cluster"),
