@@ -149,6 +149,10 @@ object SparkEntry {
     "qd60_oov_rate" -> (PipelineQueries.oovRateQ _),
     "qv20_next_click" -> (PipelineQueries.nextClickQ _),
     "qd61_winnow_portable" -> (PipelineQueries.winnowPortableQ _),
+    "qe23_binary_topk" -> (PipelineQueries.binaryTopKQ _),
+    "qe24_matryoshka_topk" -> (PipelineQueries.matryoshkaTopKQ _),
+    "qd62_cluster_canonical" -> (PipelineQueries.clusterCanonicalQ _),
+    "qd63_bpe_fertility" -> (PipelineQueries.bpeFertilityQ _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1708,6 +1712,105 @@ object SparkEntry {
     "qe14_kmeans_clusters" -> kmeansOracleSql,
     "qe15_semantic_dedup" -> semanticDedupOracleSql,
     "qe16_cluster_sample" -> clusterSampleOracleSql,
+    // qe23: sign bits re-derived as conditional bit sums (two 32-bit
+    // halves keep 1<<j off the sign bit), Hamming shortlist via
+    // bit_count(xor), exact-cosine rerank — the full two-stage binary
+    // retrieval is hash-checked.
+    "qe23_binary_topk" ->
+      """WITH el AS (SELECT vec_id,
+           generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         bits AS (SELECT vec_id,
+             CAST(sum(CASE WHEN d <= 32 AND x >= 0
+               THEN CAST(1 AS BIGINT) << (d - 1) ELSE 0 END)
+               AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN d > 32 AND d <= 64 AND x >= 0
+               THEN CAST(1 AS BIGINT) << (d - 33) ELSE 0 END)
+               AS BIGINT) AS hi
+           FROM el GROUP BY 1),
+         qb AS (SELECT lo AS qlo, hi AS qhi FROM bits WHERE vec_id = 0),
+         short AS (SELECT b.vec_id FROM bits b, qb
+           QUALIFY row_number() OVER (ORDER BY
+             bit_count(xor(b.lo, qb.qlo)) + bit_count(xor(b.hi, qb.qhi)),
+             b.vec_id) <= 50),
+         z AS (SELECT s.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS a,
+             CAST(unnest((SELECT embedding FROM embeddings
+               WHERE vec_id = 0)) AS DOUBLE) AS b
+           FROM short s JOIN embeddings e ON s.vec_id = e.vec_id),
+         sc AS (SELECT vec_id, sum(a*b) AS ab, sum(a*a) AS aa,
+             sum(b*b) AS bb FROM z GROUP BY 1)
+         SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos,
+           CAST(row_number() OVER (ORDER BY
+             round(ab / (sqrt(aa) * sqrt(bb)), 4) DESC, vec_id)
+             AS BIGINT) AS rank
+         FROM sc QUALIFY rank <= 10 ORDER BY rank""",
+    // qe24: the 16-dim-prefix cosine is the same ab/(|a||b|) fold over
+    // d <= 16, shortlist of 50 by (prefix cos desc, id), then the
+    // full-dimension exact rerank.
+    "qe24_matryoshka_topk" ->
+      """WITH el AS (SELECT vec_id,
+           generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         pq AS (SELECT d, x FROM el WHERE vec_id = 0 AND d <= 16),
+         ps AS (SELECT el.vec_id, sum(el.x * pq.x) AS ab,
+             sum(el.x * el.x) AS aa, sum(pq.x * pq.x) AS bb
+           FROM el JOIN pq ON el.d = pq.d
+           WHERE el.d <= 16 GROUP BY 1),
+         short AS (SELECT vec_id FROM ps
+           QUALIFY row_number() OVER (ORDER BY
+             round(ab / (sqrt(aa) * sqrt(bb)), 4) DESC, vec_id) <= 50),
+         z AS (SELECT s.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS a,
+             CAST(unnest((SELECT embedding FROM embeddings
+               WHERE vec_id = 0)) AS DOUBLE) AS b
+           FROM short s JOIN embeddings e ON s.vec_id = e.vec_id),
+         sc AS (SELECT vec_id, sum(a*b) AS ab, sum(a*a) AS aa,
+             sum(b*b) AS bb FROM z GROUP BY 1)
+         SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos,
+           CAST(row_number() OVER (ORDER BY
+             round(ab / (sqrt(aa) * sqrt(bb)), 4) DESC, vec_id)
+             AS BIGINT) AS rank
+         FROM sc QUALIFY rank <= 10 ORDER BY rank""",
+    // qd62: the shared capped-pair cluster fixpoint plus the qd14
+    // quality formula; canonical member = (quality desc, doc_id) row 1
+    // per cluster.
+    "qd62_cluster_canonical" -> (dupClustersCte + """,
+       tk2 AS (SELECT doc_id, text,
+           regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+       q2 AS (SELECT doc_id,
+           floor((0.4 * (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(toks, t -> list_contains(
+                 ['the','of','and','to','in','is','that','it','was','for'],
+                 t))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) END)
+             + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+               CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                 AS DOUBLE) / CAST(length(text) AS DOUBLE) END)
+             + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0))
+             * 10000.0) / 10000.0 AS quality
+           FROM tk2),
+       mem AS (SELECT cl.doc_id, cl.cluster, q2.quality
+         FROM cl JOIN q2 USING (doc_id)),
+       canon AS (SELECT cluster, doc_id AS canonical_id,
+           quality AS canonical_score FROM
+         (SELECT *, row_number() OVER (PARTITION BY cluster
+             ORDER BY quality DESC, doc_id) AS rn FROM mem)
+         WHERE rn = 1)
+       SELECT m.doc_id, m.cluster, c.canonical_id, c.canonical_score
+       FROM mem m JOIN canon c USING (cluster) ORDER BY m.doc_id"""),
+    // qd63: per-source chars per BPE(2-merge) token off the shared BPE
+    // state — zero-token docs join away on both sides.
+    "qd63_bpe_fertility" -> (bpeBaseCtes + """,
+         wl AS (SELECT word, count(*) AS n_syms FROM s2 GROUP BY 1),
+         dw AS (SELECT doc_id, source, n_chars,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS word
+           FROM documents),
+         pd AS (SELECT doc_id, source, n_chars, sum(wl.n_syms) AS n_bpe
+           FROM dw JOIN wl USING (word) GROUP BY 1, 2, 3)
+         SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           floor(CAST(sum(n_chars) AS DOUBLE)
+             / CAST(sum(n_bpe) AS DOUBLE) * 10000.0) / 10000.0
+             AS chars_per_token
+         FROM pd GROUP BY 1 ORDER BY 1"""),
   )
 
   /** Shared oracle for qd15/qd43: the Bloom-prefiltered path returns the

@@ -437,9 +437,15 @@ object Dedup {
     * deep graphs at 100 TB swap in the large-star/small-star contraction
     * (Kiveris et al.) — same join shape, fewer rounds. */
   def dupClusters(pairs: DataFrame, a: Column, b: Column): DataFrame = {
+    // No distinct on the doubled edge list: callers hand unique (a, b)
+    // pairs (and a duplicate edge is absorbed by the min-agg anyway), so
+    // the dedup shuffle would be pure cost. Edges are partitioned on dst
+    // ONCE before the checkpoint — localCheckpoint preserves the
+    // physical partitioning, so every round's edges⋈labels comes
+    // pre-clustered on the join key and only the node-sized side moves.
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .union(pairs.select(b.as("src"), a.as("dst")))
-      .distinct()
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lab"))
@@ -456,8 +462,36 @@ object Dedup {
         .localCheckpoint()
       changed = stepped.filter(col("_chg")).count()
       labels = stepped.select(col("id"), col("lab"))
+      if (sys.env.contains("SPARK_GRAFT_TRACE"))
+        System.err.println(s"[prop] round changed=$changed")
     }
     labels.select(col("id").as("doc_id"), col("lab").as("cluster"))
+  }
+
+  /** Canonical-document selection per duplicate cluster: instead of the
+    * keep-LOWEST-ID policy the dedup queries default to, keep the
+    * HIGHEST-`score` member (quality score, length, source priority —
+    * ties to the lowest id so the choice is deterministic), the policy
+    * a curation pipeline actually wants ("keep the cleanest copy, not
+    * the oldest"). Input: cluster labels from [[dupClusters]] /
+    * [[dupClustersStar]] plus a per-document score frame; output one
+    * row per clustered document with its cluster's canonical id and
+    * score. Plan shape: one (cluster)-keyed aggregation picking
+    * max(struct(score, -id)) — map-side partial, no window, no sort —
+    * then a broadcast-friendly join back on the cluster id. */
+  def clusterCanonical(clusters: DataFrame, scored: DataFrame,
+      id: Column, score: Column): DataFrame = {
+    val s = scored.select(id.as("doc_id"), score.as("_score"))
+    val members = clusters.select(col("doc_id"), col("cluster")).join(s, "doc_id")
+    val canon = members
+      .groupBy(col("cluster"))
+      .agg(max(struct(col("_score").as("s"), (-col("doc_id")).as("nid")))
+        .as("_m"))
+      .select(col("cluster"), (-col("_m.nid")).as("canonical_id"),
+        col("_m.s").as("canonical_score"))
+    members.join(canon, "cluster")
+      .select(col("doc_id"), col("cluster"), col("canonical_id"),
+        col("canonical_score"))
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
@@ -528,6 +562,8 @@ object Dedup {
       done = nextSig == sig
       sig = nextSig
       edges = small
+      if (sys.env.contains("SPARK_GRAFT_TRACE"))
+        System.err.println(s"[star] round edges=${nextSig._1}")
     }
     val members = edges
       .select(col("hi").as("doc_id"), col("lo").as("cluster"))

@@ -294,6 +294,79 @@ object Similarity {
     bruteForceTopK(sub, id, vec, q, k)
   }
 
+  /** Sign bits of vector elements `from+1 .. from+32` packed into one
+    * long (bit j set when element from+j+1 is >= 0). Out-of-range
+    * elements contribute 0 bits (null comparison folds to the
+    * otherwise-branch), so dims < from+32 zero-pad — mirrored by the
+    * oracle's conditional sum. */
+  private[ops] def signBits(vec: Column, from: Int): Column =
+    (0 until 32).map(j =>
+      when(element_at(vec, from + j + 1).cast("double") >= 0,
+        lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+
+  /** BINARY-QUANTIZATION retrieval: each vector compresses to its 64
+    * SIGN BITS (two packed longs — a 32× reduction from float32, the
+    * cheapest index format there is), stage 1 shortlists the
+    * `shortlist` nearest by HAMMING distance between sign signatures
+    * (`bit_count(xor)` per half, ascending, vec_id tiebreak — for
+    * L2-normalized vectors sign-agreement is a monotone proxy for the
+    * angle), stage 2 reranks the shortlist with exact cosine. The
+    * signature scan is a narrow codegen'd map + distributed TakeOrdered
+    * (no shuffle of the corpus); the exact pass reads `shortlist` full
+    * vectors via a broadcast semi-join. Everything is deterministic —
+    * sign bits, integer Hamming, rounded cosine — so the two-stage
+    * composition is oracle-checkable end to end. Two 32-bit halves
+    * rather than one 64-bit word keep `1 << bit` off the sign bit, the
+    * same portability trick the SimHash path uses. */
+  def binaryTopK(corpus: DataFrame, id: Column, vec: Column,
+      queryId: Long, k: Int, shortlist: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need 1 <= k <= shortlist: k=$k shortlist=$shortlist")
+    val qRow = corpus.filter(id === queryId)
+      .select(signBits(vec, 0).as("qlo"), signBits(vec, 32).as("qhi"))
+      .head()
+    val (qlo, qhi) = (qRow.getLong(0), qRow.getLong(1))
+    val ham = (bit_count(signBits(vec, 0).bitwiseXOR(lit(qlo))) +
+      bit_count(signBits(vec, 32).bitwiseXOR(lit(qhi)))).cast("long")
+    val short = corpus.select(id.as("_bq_id"), ham.as("_ham"))
+      .orderBy(col("_ham"), col("_bq_id")).limit(shortlist)
+      .select(col("_bq_id"))
+    val sub = corpus.join(broadcast(short), id === col("_bq_id"),
+      "left_semi")
+    val q = corpus.filter(id === queryId)
+      .select(l2Normalize(vec).as("qv"))
+    bruteForceTopK(sub, id, vec, q, k)
+  }
+
+  /** MATRYOSHKA (nested-embedding) coarse-to-fine retrieval: stage 1
+    * scores only the first `prefixDims` dimensions (re-normalized — an
+    * MRL-style embedding packs most of the signal into its prefix, and
+    * a 4× shorter prefix is a 4× cheaper scan and store), shortlists
+    * `shortlist` candidates by (rounded prefix cosine desc, vec_id),
+    * stage 2 reranks them with the full-dimension exact cosine. The
+    * prefix pass is one narrow map + distributed TakeOrdered; the full
+    * vectors are touched only for the broadcast-semi-joined shortlist.
+    * Deterministic at both stages — oracle-checkable end to end. */
+  def matryoshkaTopK(corpus: DataFrame, id: Column, vec: Column,
+      queryId: Long, k: Int, prefixDims: Int, shortlist: Int): DataFrame = {
+    require(prefixDims >= 1 && k >= 1 && shortlist >= k,
+      s"bad args: prefixDims=$prefixDims k=$k shortlist=$shortlist")
+    val pre = l2Normalize(slice(vec, 1, prefixDims))
+    val qp = corpus.filter(id === queryId).select(pre.as("qp"))
+    val short = corpus.select(id.as("_mk_id"), pre.as("_p"))
+      .crossJoin(broadcast(qp))
+      .select(col("_mk_id"),
+        round(dot(col("_p"), col("qp")), 4).as("_pcos"))
+      .orderBy(col("_pcos").desc, col("_mk_id")).limit(shortlist)
+      .select(col("_mk_id"))
+    val sub = corpus.join(broadcast(short), id === col("_mk_id"),
+      "left_semi")
+    val q = corpus.filter(id === queryId)
+      .select(l2Normalize(vec).as("qv"))
+    bruteForceTopK(sub, id, vec, q, k)
+  }
+
   /** 1e-4 integer elements, exact in doubles (floor yields longs; carry
     * them as integer-valued doubles so native vecDot applies). */
   private[ops] def pqQ4(v: Column): Column = transform(v, x =>

@@ -820,6 +820,61 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Binary sign-bit ANN: two packed sign longs per vector (32×
+    * compression), 50-candidate Hamming shortlist, exact cosine rerank
+    * to top-10. */
+  def binaryTopKQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.binaryTopK(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), queryId = 0L, k = 10, shortlist = 50)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+
+  /** Matryoshka coarse-to-fine: 16-dim-prefix cosine shortlist of 50,
+    * full 64-dim exact rerank to top-10. */
+  def matryoshkaTopKQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.matryoshkaTopK(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), queryId = 0L, k = 10, prefixDims = 16,
+      shortlist = 50)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+
+  /** Canonical (highest-quality, ties to lowest id) representative per
+    * near-dup cluster — the "keep the cleanest copy" resolution policy
+    * on top of qd13's clusters. */
+  def clusterCanonicalQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val clusters = Dedup.dupClusters(
+      Dedup.ngramJaccardPairs(d, col("doc_id"), col("source"),
+        col("text"), threshold = 0.8, maxDocFreq = 256),
+      col("doc_a"), col("doc_b"))
+    Dedup.clusterCanonical(clusters,
+      d.withColumn("quality", TextAnalysis.qualityScore(col("text"))),
+      col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source chars-per-BPE-token under the learned 2-merge
+    * tokenizer — the tokenizer-economics profile that prices each
+    * source's share of a token budget (docs with zero tokens carry no
+    * chars into the ratio). */
+  def bpeFertilityQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val (_, syms) = graft.ops.Bpe.learn(d, col("text"), rounds = 2)
+    val wordLen = syms.groupBy("word").agg(count(lit(1)).as("n_syms"))
+    val perDoc = d.select(col("doc_id"), col("source"), col("n_chars"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .join(wordLen, "word")
+      .groupBy(col("doc_id"), col("source"), col("n_chars"))
+      .agg(sum("n_syms").as("n_bpe"))
+    perDoc.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("total_chars"),
+        sum(col("n_bpe")).as("total_bpe_tokens"))
+      .withColumn("chars_per_token",
+        graft.ops.Num.floor4(col("total_chars").cast("double") /
+          col("total_bpe_tokens").cast("double")))
+      .orderBy(col("source"))
+  }
+
   /** Consistent-hash reshard plan: 16-shard ring vs the same ring
     * shrunk to 12 — only keys on the removed shards move. */
   def consistentShardQ(s: SparkSession, dir: String): DataFrame =

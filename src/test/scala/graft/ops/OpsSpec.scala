@@ -2372,4 +2372,71 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id"))
     assert(winner.toSeq == Seq(10L))
   }
+
+  test("binary topk: exact when shortlist covers corpus, sign bits match local packing") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val n = e.count().toInt
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    // shortlist = whole corpus -> stage 2 sees everything -> brute force
+    val got = Similarity.binaryTopK(e, col("vec_id"), col("embedding"),
+      queryId = 0L, k = 5, shortlist = n).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val brute = Similarity.bruteForceTopK(e, col("vec_id"),
+      col("embedding"), q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(got.toSeq == brute.toSeq && got.nonEmpty)
+    // packed sign bits equal a local reference packing
+    val packed = e.select(col("vec_id"),
+      Similarity.signBits(col("embedding"), 0).as("lo"),
+      Similarity.signBits(col("embedding"), 32).as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val local = e.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val v = r.getSeq[Float](1)
+      def pack(from: Int): Long = (0 until 32).foldLeft(0L) { (acc, j) =>
+        if (from + j < v.length && v(from + j) >= 0) acc | (1L << j) else acc
+      }
+      r.getLong(0) -> (pack(0), pack(32))
+    }.toMap
+    assert(packed == local)
+  }
+
+  test("matryoshka topk: full-width prefix equals brute force, narrow prefix stays k-sized") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val n = e.count().toInt
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    // prefix = full dims AND shortlist = corpus -> identical to brute force
+    val full = Similarity.matryoshkaTopK(e, col("vec_id"), col("embedding"),
+      queryId = 0L, k = 5, prefixDims = dim, shortlist = n).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val brute = Similarity.bruteForceTopK(e, col("vec_id"),
+      col("embedding"), q, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(full.toSeq == brute.toSeq)
+    // narrow prefix: still k rows, ranks 1..k, cosines are the EXACT
+    // full-dim cosines of whatever the shortlist surfaced
+    val narrow = Similarity.matryoshkaTopK(e, col("vec_id"),
+      col("embedding"), queryId = 0L, k = 5, prefixDims = 8,
+      shortlist = 20).collect()
+    assert(narrow.length == 5 &&
+      narrow.map(_.getInt(2)).toSeq == (1 to 5).toSeq)
+  }
+
+  test("clusterCanonical: highest score wins, ties to lowest id, all members mapped") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster")
+    val scored = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (7L, 0.5), (8L, 0.5))
+      .toDF("doc_id", "q")
+    val got = Dedup.clusterCanonical(clusters, scored, col("doc_id"),
+        col("q")).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // cluster 1: 2 and 3 tie at 0.9 -> canonical 2; cluster 7: tie at
+    // 0.5 -> canonical 7. Every member row appears with its mapping.
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 0.9), (2L, 1L, 2L, 0.9), (3L, 1L, 2L, 0.9),
+      (7L, 7L, 7L, 0.5), (8L, 7L, 7L, 0.5)))
+  }
 }
