@@ -323,10 +323,11 @@ object Similarity {
       queryId: Long, k: Int, shortlist: Int): DataFrame = {
     require(k >= 1 && shortlist >= k,
       s"need 1 <= k <= shortlist: k=$k shortlist=$shortlist")
-    val qRow = corpus.filter(id === queryId)
+    val qRows = corpus.filter(id === queryId)
       .select(signBits(vec, 0).as("qlo"), signBits(vec, 32).as("qhi"))
-      .head()
-    val (qlo, qhi) = (qRow.getLong(0), qRow.getLong(1))
+      .head(1)
+    if (qRows.isEmpty) return emptyTopK(corpus, id)
+    val (qlo, qhi) = (qRows(0).getLong(0), qRows(0).getLong(1))
     val ham = (bit_count(signBits(vec, 0).bitwiseXOR(lit(qlo))) +
       bit_count(signBits(vec, 32).bitwiseXOR(lit(qhi)))).cast("long")
     val short = corpus.select(id.as("_bq_id"), ham.as("_ham"))
@@ -354,6 +355,7 @@ object Similarity {
       s"bad args: prefixDims=$prefixDims k=$k shortlist=$shortlist")
     val pre = l2Normalize(slice(vec, 1, prefixDims))
     val qp = corpus.filter(id === queryId).select(pre.as("qp"))
+    if (qp.head(1).isEmpty) return emptyTopK(corpus, id)
     val short = corpus.select(id.as("_mk_id"), pre.as("_p"))
       .crossJoin(broadcast(qp))
       .select(col("_mk_id"),
