@@ -328,17 +328,30 @@ object Similarity {
       .head(1)
     if (qRows.isEmpty) return emptyTopK(corpus, id)
     val (qlo, qhi) = (qRows(0).getLong(0), qRows(0).getLong(1))
-    val ham = (bit_count(signBits(vec, 0).bitwiseXOR(lit(qlo))) +
-      bit_count(signBits(vec, 32).bitwiseXOR(lit(qhi)))).cast("long")
-    val short = corpus.select(id.as("_bq_id"), ham.as("_ham"))
-      .orderBy(col("_ham"), col("_bq_id")).limit(shortlist)
-      .select(col("_bq_id"))
-    val sub = corpus.join(broadcast(short), id === col("_bq_id"),
-      "left_semi")
+    val short = binaryShortlist(corpus, id, vec, qlo, qhi, shortlist)
     val q = corpus.filter(id === queryId)
       .select(l2Normalize(vec).as("qv"))
-    bruteForceTopK(sub, id, vec, q, k)
+    bruteForceTopK(shortlistPrune(corpus, id, short), id, vec, q, k)
   }
+
+  /** Hamming shortlist stage of [[binaryTopK]]: one narrow sign-bit
+    * scan + distributed TakeOrdered (exposed as a seam so plan tests
+    * can pin the shape past the rerank's checkpoint). */
+  private[graft] def binaryShortlist(corpus: DataFrame, id: Column,
+      vec: Column, qlo: Long, qhi: Long, shortlist: Int): DataFrame = {
+    val ham = (bit_count(signBits(vec, 0).bitwiseXOR(lit(qlo))) +
+      bit_count(signBits(vec, 32).bitwiseXOR(lit(qhi)))).cast("long")
+    corpus.select(id.as("_short_id"), ham.as("_ham"))
+      .orderBy(col("_ham"), col("_short_id")).limit(shortlist)
+      .select(col("_short_id"))
+  }
+
+  /** Broadcast-semi-join prune of the corpus to a shortlist id frame
+    * (column `_short_id`) — the bounded full-precision read both
+    * two-stage retrievals share. */
+  private[graft] def shortlistPrune(corpus: DataFrame, id: Column,
+      short: DataFrame): DataFrame =
+    corpus.join(broadcast(short), id === col("_short_id"), "left_semi")
 
   /** MATRYOSHKA (nested-embedding) coarse-to-fine retrieval: stage 1
     * scores only the first `prefixDims` dimensions (re-normalized — an
@@ -356,17 +369,25 @@ object Similarity {
     val pre = l2Normalize(slice(vec, 1, prefixDims))
     val qp = corpus.filter(id === queryId).select(pre.as("qp"))
     if (qp.head(1).isEmpty) return emptyTopK(corpus, id)
-    val short = corpus.select(id.as("_mk_id"), pre.as("_p"))
-      .crossJoin(broadcast(qp))
-      .select(col("_mk_id"),
-        round(dot(col("_p"), col("qp")), 4).as("_pcos"))
-      .orderBy(col("_pcos").desc, col("_mk_id")).limit(shortlist)
-      .select(col("_mk_id"))
-    val sub = corpus.join(broadcast(short), id === col("_mk_id"),
-      "left_semi")
+    val short = matryoshkaShortlist(corpus, id, vec, qp, prefixDims,
+      shortlist)
     val q = corpus.filter(id === queryId)
       .select(l2Normalize(vec).as("qv"))
-    bruteForceTopK(sub, id, vec, q, k)
+    bruteForceTopK(shortlistPrune(corpus, id, short), id, vec, q, k)
+  }
+
+  /** Prefix-cosine shortlist stage of [[matryoshkaTopK]] (seam for
+    * plan-shape tests, like [[binaryShortlist]]). */
+  private[graft] def matryoshkaShortlist(corpus: DataFrame, id: Column,
+      vec: Column, qp: DataFrame, prefixDims: Int,
+      shortlist: Int): DataFrame = {
+    val pre = l2Normalize(slice(vec, 1, prefixDims))
+    corpus.select(id.as("_short_id"), pre.as("_p"))
+      .crossJoin(broadcast(qp))
+      .select(col("_short_id"),
+        round(dot(col("_p"), col("qp")), 4).as("_pcos"))
+      .orderBy(col("_pcos").desc, col("_short_id")).limit(shortlist)
+      .select(col("_short_id"))
   }
 
   /** 1e-4 integer elements, exact in doubles (floor yields longs; carry

@@ -176,4 +176,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("binary / matryoshka retrieval: TakeOrdered shortlist, broadcast semi-join rerank, no global window") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    // stage 1 must be a distributed TakeOrderedAndProject over the
+    // narrow signature/prefix scan — never a global sort or window
+    val pb = plan(Similarity.binaryShortlist(embs, col("vec_id"),
+      col("embedding"), qlo = 0L, qhi = 0L, shortlist = 20))
+    assert(pb.contains("TakeOrderedAndProject"), pb.take(3000))
+    assert(!pb.contains("Window"), pb.take(3000))
+    val qp = embs.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(slice(col("embedding"), 1, 8))
+        .as("qp"))
+    val pm = plan(Similarity.matryoshkaShortlist(embs, col("vec_id"),
+      col("embedding"), qp, prefixDims = 8, shortlist = 20))
+    assert(pm.contains("TakeOrderedAndProject"), pm.take(3000))
+    assert(!pm.contains("Window"), pm.take(3000))
+    // stage 2: the full-precision read is a broadcast semi-join prune
+    val short = Similarity.binaryShortlist(embs, col("vec_id"),
+      col("embedding"), qlo = 0L, qhi = 0L, shortlist = 20)
+    val pr = plan(Similarity.shortlistPrune(embs, col("vec_id"), short))
+    assert(pr.contains("BroadcastHashJoin") && pr.contains("LeftSemi"),
+      pr.take(3000))
+  }
 }
