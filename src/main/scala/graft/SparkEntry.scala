@@ -151,6 +151,7 @@ object SparkEntry {
     "qd61_winnow_portable" -> (PipelineQueries.winnowPortableQ _),
     "qe23_binary_topk" -> (PipelineQueries.binaryTopKQ _),
     "qe24_matryoshka_topk" -> (PipelineQueries.matryoshkaTopKQ _),
+    "qe25_binary_index" -> (PipelineQueries.binaryIndexTopKQ _),
     "qd62_cluster_canonical" -> (PipelineQueries.clusterCanonicalQ _),
     "qd63_bpe_fertility" -> (PipelineQueries.bpeFertilityQ _),
   )
@@ -1712,38 +1713,11 @@ object SparkEntry {
     "qe14_kmeans_clusters" -> kmeansOracleSql,
     "qe15_semantic_dedup" -> semanticDedupOracleSql,
     "qe16_cluster_sample" -> clusterSampleOracleSql,
-    // qe23: sign bits re-derived as conditional bit sums (two 32-bit
-    // halves keep 1<<j off the sign bit), Hamming shortlist via
-    // bit_count(xor), exact-cosine rerank — the full two-stage binary
-    // retrieval is hash-checked.
-    "qe23_binary_topk" ->
-      """WITH el AS (SELECT vec_id,
-           generate_subscripts(embedding, 1) AS d,
-           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
-         bits AS (SELECT vec_id,
-             CAST(sum(CASE WHEN d <= 32 AND x >= 0
-               THEN CAST(1 AS BIGINT) << (d - 1) ELSE 0 END)
-               AS BIGINT) AS lo,
-             CAST(sum(CASE WHEN d > 32 AND d <= 64 AND x >= 0
-               THEN CAST(1 AS BIGINT) << (d - 33) ELSE 0 END)
-               AS BIGINT) AS hi
-           FROM el GROUP BY 1),
-         qb AS (SELECT lo AS qlo, hi AS qhi FROM bits WHERE vec_id = 0),
-         short AS (SELECT b.vec_id FROM bits b, qb
-           QUALIFY row_number() OVER (ORDER BY
-             bit_count(xor(b.lo, qb.qlo)) + bit_count(xor(b.hi, qb.qhi)),
-             b.vec_id) <= 50),
-         z AS (SELECT s.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS a,
-             CAST(unnest((SELECT embedding FROM embeddings
-               WHERE vec_id = 0)) AS DOUBLE) AS b
-           FROM short s JOIN embeddings e ON s.vec_id = e.vec_id),
-         sc AS (SELECT vec_id, sum(a*b) AS ab, sum(a*a) AS aa,
-             sum(b*b) AS bb FROM z GROUP BY 1)
-         SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos,
-           CAST(row_number() OVER (ORDER BY
-             round(ab / (sqrt(aa) * sqrt(bb)), 4) DESC, vec_id)
-             AS BIGINT) AS rank
-         FROM sc QUALIFY rank <= 10 ORDER BY rank""",
+    // qe23/qe25 share one oracle: the persisted-index path runs the
+    // same two deterministic stages (sign-bit Hamming shortlist, exact
+    // cosine rerank) off stored bits instead of an in-memory scan.
+    "qe23_binary_topk" -> binaryTopKOracleSql,
+    "qe25_binary_index" -> binaryTopKOracleSql,
     // qe24: the 16-dim-prefix cosine is the same ab/(|a||b|) fold over
     // d <= 16, shortlist of 50 by (prefix cos desc, id), then the
     // full-dimension exact rerank.
@@ -1858,6 +1832,40 @@ object SparkEntry {
 
   private lazy val dupClustersOracleSql: String =
     dupClustersCte + "\n       SELECT doc_id, cluster FROM cl ORDER BY doc_id"
+
+  /** Shared oracle for qe23 (in-memory) and qe25 (persisted index):
+    * sign bits re-derived as conditional bit sums (two 32-bit halves
+    * keep 1<<j off the sign bit), Hamming shortlist via bit_count(xor),
+    * exact-cosine rerank — both stages deterministic, so the whole
+    * two-stage binary retrieval is hash-checked. */
+  private lazy val binaryTopKOracleSql: String =
+    """WITH el AS (SELECT vec_id,
+           generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         bits AS (SELECT vec_id,
+             CAST(sum(CASE WHEN d <= 32 AND x >= 0
+               THEN CAST(1 AS BIGINT) << (d - 1) ELSE 0 END)
+               AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN d > 32 AND d <= 64 AND x >= 0
+               THEN CAST(1 AS BIGINT) << (d - 33) ELSE 0 END)
+               AS BIGINT) AS hi
+           FROM el GROUP BY 1),
+         qb AS (SELECT lo AS qlo, hi AS qhi FROM bits WHERE vec_id = 0),
+         short AS (SELECT b.vec_id FROM bits b, qb
+           QUALIFY row_number() OVER (ORDER BY
+             bit_count(xor(b.lo, qb.qlo)) + bit_count(xor(b.hi, qb.qhi)),
+             b.vec_id) <= 50),
+         z AS (SELECT s.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS a,
+             CAST(unnest((SELECT embedding FROM embeddings
+               WHERE vec_id = 0)) AS DOUBLE) AS b
+           FROM short s JOIN embeddings e ON s.vec_id = e.vec_id),
+         sc AS (SELECT vec_id, sum(a*b) AS ab, sum(a*a) AS aa,
+             sum(b*b) AS bb FROM z GROUP BY 1)
+         SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos,
+           CAST(row_number() OVER (ORDER BY
+             round(ab / (sqrt(aa) * sqrt(bb)), 4) DESC, vec_id)
+             AS BIGINT) AS rank
+         FROM sc QUALIFY rank <= 10 ORDER BY rank"""
 
   /** Oracle for qe19, generated because the 5 greedy MMR steps unroll
     * into one CTE each (the qe14 unrolled-Lloyd move): top-30 relevance

@@ -216,6 +216,55 @@ object AnnIndex {
       k)
   }
 
+  /** Build + persist the BINARY sign-bit index: `bits/` holds two
+    * packed longs per vector — 16 bytes against 256 for float32, the
+    * cheapest stored first-stage filter there is — plus `vectors/`
+    * (normalized, vec_id-sorted so row-group stats prune the rerank
+    * lookup). One corpus scan builds both. */
+  def writeBinaryIndex(corpus: DataFrame, id: Column, vec: Column,
+      path: String): Unit = {
+    corpus.select(id.as("vec_id"),
+        Similarity.signBits(vec, 0).as("lo"),
+        Similarity.signBits(vec, 32).as("hi"))
+      .write.mode("overwrite").parquet(s"$path/bits")
+    corpus.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  /** Two-stage top-k against the persisted binary index. Stage 1 scans
+    * `bits/` ONLY — Hamming distance to the query's stored signature is
+    * two codegen'd bit_count(xor) ops per row, shortlisted by a
+    * distributed TakeOrdered. Stage 2 reads just the shortlist rows
+    * from `vectors/` (vec_id IN — row-group pruned) and rescores with
+    * exact cosine. The query is named by id; its signature and full
+    * vector both come from the index, so the corpus is never touched. */
+  def queryBinaryIndex(spark: SparkSession, path: String, queryId: Long,
+      k: Int, shortlist: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need 1 <= k <= shortlist: k=$k shortlist=$shortlist")
+    val bits = spark.read.parquet(s"$path/bits")
+    val qRows = bits.filter(col("vec_id") === queryId).head(1)
+    if (qRows.isEmpty)
+      return bits.select(col("vec_id"), lit(0.0d).as("cos"),
+        lit(0).as("rank")).limit(0)
+    val (qlo, qhi) = (qRows(0).getLong(1), qRows(0).getLong(2))
+    val short = bits.select(col("vec_id"),
+        (bit_count(col("lo").bitwiseXOR(lit(qlo))) +
+          bit_count(col("hi").bitwiseXOR(lit(qhi)))).cast("long")
+          .as("_ham"))
+      .orderBy(col("_ham"), col("vec_id")).limit(shortlist)
+      .collect().map(_.getLong(0))
+    val vectors = spark.read.parquet(s"$path/vectors")
+    val qv = vectors.filter(col("vec_id") === queryId)
+      .head().getSeq[Double](1).toArray
+    Similarity.topKRanked(
+      vectors.filter(col("vec_id").isin(short.toIndexedSeq: _*))
+        .select(col("vec_id"),
+          round(Similarity.dot(col("v"), lit(qv)), 4).as("cos")),
+      k)
+  }
+
   /** Build + persist the IVF index: centroids sampled deterministically
     * (optionally Lloyd-refined with `refineIters` spherical k-means
     * passes), every vector assigned partition-locally (centroids are

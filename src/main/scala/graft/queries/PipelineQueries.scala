@@ -829,6 +829,22 @@ object PipelineQueries {
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("rank"))
 
+  /** Persisted-binary-index top-10: build the 16-byte-per-vector sign
+    * index, stage-1 Hamming scan over `bits/` only, rerank from the
+    * row-group-pruned `vectors/` read — identical results to qe23
+    * (same two deterministic stages), exercising the write + codes-only
+    * scan path. */
+  def binaryIndexTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_bq").toString
+    graft.ops.AnnIndex.writeBinaryIndex(e, col("vec_id"),
+      col("embedding"), path)
+    graft.ops.AnnIndex.queryBinaryIndex(s, path, queryId = 0L, k = 10,
+      shortlist = 50)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+  }
+
   /** Matryoshka coarse-to-fine: 16-dim-prefix cosine shortlist of 50,
     * full 64-dim exact rerank to top-10. */
   def matryoshkaTopKQ(s: SparkSession, dir: String): DataFrame =

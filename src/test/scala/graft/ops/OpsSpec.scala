@@ -2424,6 +2424,21 @@ class OpsSpec extends AnyFunSuite {
       narrow.map(_.getInt(2)).toSeq == (1 to 5).toSeq)
   }
 
+  test("binary index: persisted bits reproduce the in-memory result, absent query is empty") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("graft_bqidx").toString
+    AnnIndex.writeBinaryIndex(e, col("vec_id"), col("embedding"), path)
+    val fromIndex = AnnIndex.queryBinaryIndex(spark, path, queryId = 0L,
+      k = 5, shortlist = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val inMemory = Similarity.binaryTopK(e, col("vec_id"),
+      col("embedding"), queryId = 0L, k = 5, shortlist = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(fromIndex.toSeq == inMemory.toSeq && fromIndex.nonEmpty)
+    assert(AnnIndex.queryBinaryIndex(spark, path, queryId = -1L,
+      k = 5, shortlist = 20).count() == 0)
+  }
+
   test("clusterCanonical: highest score wins, ties to lowest id, all members mapped") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
