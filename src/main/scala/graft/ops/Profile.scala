@@ -185,6 +185,35 @@ object ScaleProbe {
       col("source"), col("text"), Seq("src0", "src1")))
   }
 
+  /** Round-4 additions: the two-stage retrieval family — confirms the
+    * stage-1 scans stay flat-per-row (narrow map + TakeOrdered) and the
+    * rerank cost is bound by the shortlist, not the corpus. */
+  private def retrievalFamily(spark: SparkSession, sfDir: String): Unit = {
+    val embs = graft.Tables.load(spark, sfDir, "embeddings")
+      .localCheckpoint()
+    val n = embs.count()
+    println(s"[probe] $sfDir embeddings=$n")
+    def run(label: String)(df: => DataFrame): Unit = {
+      val rows = time(s"$sfDir $label")(df.count())
+      println(s"[probe] $sfDir $label rows=$rows")
+    }
+    run("qe23 binary topk")(Similarity.binaryTopK(embs, col("vec_id"),
+      col("embedding"), queryId = 0L, k = 10, shortlist = 50))
+    run("qe24 matryoshka topk")(Similarity.matryoshkaTopK(embs,
+      col("vec_id"), col("embedding"), queryId = 0L, k = 10,
+      prefixDims = 16, shortlist = 50))
+    run("qe25 binary index") {
+      val path = java.nio.file.Files.createTempDirectory("graft_bqp").toString
+      AnnIndex.writeBinaryIndex(embs, col("vec_id"), col("embedding"), path)
+      AnnIndex.queryBinaryIndex(spark, path, queryId = 0L, k = 10,
+        shortlist = 50)
+    }
+    run("qe20 pq adc")(Similarity.pqTopK(embs, col("vec_id"),
+      col("embedding"), queryId = 0L, k = 10))
+    run("qe22 pq rerank")(Similarity.pqRerankTopK(embs, col("vec_id"),
+      col("embedding"), queryId = 0L, k = 10, shortlist = 50))
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -197,6 +226,13 @@ object ScaleProbe {
     if (sys.env.contains("SPARK_GRAFT_PROBE_CURATION")) {
       curationFamily(spark, "/root/testdata/sf0.01")
       curationFamily(spark, "/root/testdata/sf0.1")
+      spark.stop()
+      return
+    }
+
+    if (sys.env.contains("SPARK_GRAFT_PROBE_RETRIEVAL")) {
+      retrievalFamily(spark, "/root/testdata/sf0.01")
+      retrievalFamily(spark, "/root/testdata/sf0.1")
       spark.stop()
       return
     }
