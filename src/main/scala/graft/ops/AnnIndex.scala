@@ -159,22 +159,26 @@ object AnnIndex {
       path: String): Unit = {
     val normed = corpus.select(id.as("vec_id"),
       Similarity.l2Normalize(vec).as("v"))
-    val e = normed
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        floor(col("x") * lit(10000.0)).cast("long").as("x_e4"))
-    val stats = e.groupBy(col("dim"))
-      .agg(min(col("x_e4")).as("mn"), max(col("x_e4")).as("mx"))
-    val code = when(col("mx") === col("mn"), lit(0.0)).otherwise(
-      least(floor(((col("x_e4") - col("mn")) * lit(255)).cast("double") /
-        (col("mx") - col("mn")).cast("double")), lit(255.0)))
-    e.join(broadcast(stats), "dim")
-      .withColumn("c", (code - lit(128)).cast("byte"))
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        s => s.getField("c")).as("codes"))
+    val (mn, mx) = Similarity.int8Stats(normed)
+    // Codes build as ONE narrow map against the literal (mn, mx)
+    // dictionary arrays — no dim join and no groupBy(vec_id)
+    // reassembly shuffle of the exploded corpus (same integer-valued
+    // double arithmetic as the exploded form, byte-identical codes).
+    val mnL = lit(mn.map(_.toDouble)); val mxL = lit(mx.map(_.toDouble))
+    val codesExpr = transform(col("v"), (x, i) => {
+      val m = element_at(mnL, i + 1); val mM = element_at(mxL, i + 1)
+      val xi = floor(x * lit(10000.0))
+      (when(mM === m, lit(0.0)).otherwise(
+        least(floor((xi - m) * lit(255.0) / (mM - m)), lit(255.0)))
+        - lit(128)).cast("byte")
+    })
+    normed.select(col("vec_id"), codesExpr.as("codes"))
       .write.mode("overwrite").parquet(s"$path/codes")
-    stats.write.mode("overwrite").parquet(s"$path/stats")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    mn.indices.map(d => (d.toLong, mn(d), mx(d)))
+      .toDF("dim", "mn", "mx")
+      .write.mode("overwrite").parquet(s"$path/stats")
     normed.sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").parquet(s"$path/vectors")
   }

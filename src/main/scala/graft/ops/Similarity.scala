@@ -524,31 +524,24 @@ object Similarity {
   def quantizedTopK(corpus: DataFrame, id: Column, vec: Column,
       query: DataFrame, k: Int, rerank: Int): DataFrame = {
     val qvName = query.columns.head
-    if (query.select(col(qvName)).head(1).isEmpty)
-      return emptyTopK(corpus, id)
+    val qRows = query.select(col(qvName)).head(1)
+    if (qRows.isEmpty) return emptyTopK(corpus, id)
+    val qv = qRows(0).getSeq[Double](0).toArray
     val normed = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"))
-    val e = normed
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
-        floor(col("x") * lit(10000.0)).cast("long").as("x_e4"))
-    val stats = e.groupBy(col("dim"))
-      .agg(min(col("x_e4")).as("mn"), max(col("x_e4")).as("mx"))
-    // int8 code, then its affine reconstruction back to vector space —
-    // the only information kept per element is the 8-bit code
-    val code = when(col("mx") === col("mn"), lit(0.0)).otherwise(
-      least(floor(((col("x_e4") - col("mn")) * lit(255)).cast("double") /
-        (col("mx") - col("mn")).cast("double")), lit(255.0)))
-    val decoded = e.join(broadcast(stats), "dim")
-      .withColumn("c",
-        (col("mn").cast("double") +
-          code * (col("mx") - col("mn")).cast("double") / lit(255.0)) /
-          lit(10000.0))
-    val corpusCodes = decoded.groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
-        s => s.getField("c")).as("codes"))
-    val candidates = corpusCodes
-      .crossJoin(broadcast(query.select(col(qvName).as("qv"))))
-      .select(col("vec_id"), dot(col("codes"), col("qv")).as("ascore"))
+    val (mn, mx) = int8Stats(normed)
+    if (mn.isEmpty) return emptyTopK(corpus, id)
+    // Stage 1 is ONE narrow map: per-dim (min, max) is a dim-sized
+    // driver collect (the stored dictionary at scale), so encode +
+    // affine decode + query dot fold into a literal-weighted expression
+    // — no dim join, and crucially no groupBy(vec_id) reassembly
+    // shuffle of the exploded corpus (2 shuffles of |corpus|·dim rows
+    // gone; the only corpus-sized pass left is the narrow scan into
+    // the TakeOrdered). Same double arithmetic as the exploded form —
+    // all intermediates are integer-valued doubles — so scores are
+    // bit-identical and the oracle is untouched.
+    val ascore = mn.indices.map(i =>
+      int8DecodedTerm(col("v"), i, mn(i), mx(i), qv(i))).reduce(_ + _)
+    val candidates = normed.select(col("vec_id"), ascore.as("ascore"))
       .orderBy(col("ascore").desc, col("vec_id")).limit(rerank)
       .select(col("vec_id"))
     val exact = normed.join(broadcast(candidates), "vec_id")
@@ -556,6 +549,41 @@ object Similarity {
       .select(col("vec_id"), round(dot(col("v"), col("qv")), 4).as("cos"))
     topKRanked(exact, k)
   }
+
+  /** Per-dim (min, max) of the 1e-4-floored normalized elements — the
+    * int8 dictionary. One explode + map-side-combined aggregation, at
+    * most `dim` rows collected. */
+  private[ops] def int8Stats(
+      normed: DataFrame): (Array[Long], Array[Long]) = {
+    val rows = normed
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x") * lit(10000.0)).cast("long").as("x_e4"))
+      .groupBy(col("dim"))
+      .agg(min(col("x_e4")).as("mn"), max(col("x_e4")).as("mx"))
+      .collect()
+    if (rows.isEmpty) return (Array.empty, Array.empty)
+    val d = rows.map(_.getInt(0)).max + 1
+    val mn = new Array[Long](d); val mx = new Array[Long](d)
+    rows.foreach { r =>
+      mn(r.getInt(0)) = r.getLong(1); mx(r.getInt(0)) = r.getLong(2)
+    }
+    (mn, mx)
+  }
+
+  /** One stage-1 term: decode(int8(v_i)) · q_i with the dim's (mn, mx)
+    * and the query element as literals. Constant dims quantize to code
+    * 0 → the whole term folds to a literal. */
+  private def int8DecodedTerm(v: Column, i: Int, mn: Long, mx: Long,
+      q: Double): Column =
+    if (mx == mn) lit(mn.toDouble / 10000.0 * q)
+    else {
+      val xi = floor(element_at(v, i + 1) * lit(10000.0))
+      val code = least(floor((xi - lit(mn.toDouble)) * lit(255.0) /
+        lit((mx - mn).toDouble)), lit(255.0))
+      ((lit(mn.toDouble) + code * lit((mx - mn).toDouble) / lit(255.0)) /
+        lit(10000.0)) * lit(q)
+    }
 
   /** Deterministically sample `nList` corpus vectors as IVF centroids:
     * the nList ids sorting first by md5("ivf:" + id) — stable across
