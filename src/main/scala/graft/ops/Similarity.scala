@@ -299,11 +299,20 @@ object Similarity {
     * elements contribute 0 bits (null comparison folds to the
     * otherwise-branch), so dims < from+32 zero-pad — mirrored by the
     * oracle's conditional sum. */
-  private[ops] def signBits(vec: Column, from: Int): Column =
+  private[graft] def signBits(vec: Column, from: Int): Column =
     (0 until 32).map(j =>
       when(element_at(vec, from + j + 1).cast("double") >= 0,
         lit(1L << j)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
+
+  /** The 4×16-bit pigeonhole blocks of a packed sign signature — the
+    * same blocking the portable SimHash path uses: two signatures
+    * within Hamming distance 3 are GUARANTEED to share a block, looser
+    * pairs probabilistically. Returns the 4-element block-value array
+    * (callers posexplode it into (bidx, bval)). */
+  private[graft] def signBlockArray(lo: Column, hi: Column): Column =
+    array(shiftrightunsigned(hi, 16), hi.bitwiseAND(lit(0xffffL)),
+      shiftrightunsigned(lo, 16), lo.bitwiseAND(lit(0xffffL)))
 
   /** BINARY-QUANTIZATION retrieval: each vector compresses to its 64
     * SIGN BITS (two packed longs — a 32× reduction from float32, the

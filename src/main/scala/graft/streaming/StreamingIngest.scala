@@ -123,6 +123,93 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming EMBEDDING near-dup ingest against a persisted binary
+    * sign-bit index ([[graft.ops.AnnIndex.writeBinaryIndex]] layout):
+    * the vector twin of [[nearDupIngestTo]]. Per micro-batch —
+    * (1) normalize + pack sign bits once; (2) in-batch keep-lowest-id:
+    * candidates share one of the 4×16-bit sign blocks, verified with
+    * exact rounded cosine ≥ `threshold`; (3) surviving vectors probe
+    * the INDEX's bits by the same block equi-join, verified against the
+    * index's stored normalized vectors; (4) fresh vectors land in the
+    * sink and their bits + vectors append to the index, so later
+    * batches and later RUNS see them.
+    *
+    * Recall contract (be honest about what the screen catches): a
+    * shared 16-bit block is guaranteed at sign-Hamming ≤ 3, and a
+    * cosine-c pair flips each sign bit with p = acos(c)/π — at
+    * c = 0.99 the expected Hamming is ~2 and the screen catches ~93%
+    * of pairs; at c = 0.9 expected Hamming is ~9 and most pairs pass.
+    * This operator is the streaming guard against RE-INGESTED /
+    * near-identical embeddings (the default 0.99); for looser SEMANTIC
+    * dedup block by k-means cell ([[graft.ops.Clustering]]) instead.
+    * Replay idempotency: a replayed vector matches itself in the index
+    * (cosine 1.0, identical blocks), so re-probes yield zero survivors.
+    * State lives entirely in the index parquet — nothing in the state
+    * store; candidates are bounded by the batch's own blocks. */
+  def vectorNearDupIngestTo(vecs: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, threshold: Double = 0.99)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.ops.Similarity
+        val b = batch.localCheckpoint() // one source read per batch
+        val sig = b.select(col("vec_id"),
+            Similarity.l2Normalize(col("embedding")).as("v"),
+            Similarity.signBits(col("embedding"), 0).as("lo"),
+            Similarity.signBits(col("embedding"), 32).as("hi"))
+          .localCheckpoint() // sign/normalize once per batch
+        def blocksOf(df: DataFrame, idAs: String): DataFrame =
+          df.select(col("vec_id").as(idAs),
+            posexplode(Similarity.signBlockArray(col("lo"), col("hi")))
+              .as(Seq("bidx", "bval")))
+        val bBlocks = blocksOf(sig, "vec_id")
+        // in-batch keep-lowest-id (candidate set bounded by blocks)
+        val cand = bBlocks.as("a")
+          .join(bBlocks.as("b"),
+            col("a.bidx") === col("b.bidx") &&
+              col("a.bval") === col("b.bval") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .distinct()
+        val inDup = cand
+          .join(sig.select(col("vec_id").as("id_a"), col("v").as("va")),
+            "id_a")
+          .join(sig.select(col("vec_id").as("id_b"), col("v").as("vb")),
+            "id_b")
+          .filter(round(Similarity.dot(col("va"), col("vb")), 4)
+            >= threshold)
+          .select(col("id_b").as("vec_id")).distinct()
+        val solo = sig.join(inDup, Seq("vec_id"), "left_anti")
+        // probe the persisted index: block equi-join, exact verify
+        val iBits = spark.read.parquet(s"$indexPath/bits")
+        val iBlocks = iBits.select(col("vec_id").as("idx_id"),
+          posexplode(Similarity.signBlockArray(col("lo"), col("hi")))
+            .as(Seq("bidx", "bval")))
+        val hit = blocksOf(solo, "vec_id")
+          .join(iBlocks, Seq("bidx", "bval"))
+          .select(col("vec_id"), col("idx_id")).distinct()
+          .join(solo.select(col("vec_id"), col("v").as("bv")), "vec_id")
+          .join(spark.read.parquet(s"$indexPath/vectors")
+            .select(col("vec_id").as("idx_id"), col("v").as("iv")),
+            "idx_id")
+          .filter(round(Similarity.dot(col("bv"), col("iv")), 4)
+            >= threshold)
+          .select(col("vec_id")).distinct()
+        val fresh = solo.join(hit, Seq("vec_id"), "left_anti")
+          .localCheckpoint() // probe once: the appends mutate the index
+        b.join(fresh.select("vec_id"), Seq("vec_id"), "left_semi")
+          .write.mode("append").parquet(outPath)
+        fresh.select(col("vec_id"), col("lo"), col("hi"))
+          .write.mode("append").parquet(s"$indexPath/bits")
+        fresh.select(col("vec_id"), col("v"))
+          .sortWithinPartitions(col("vec_id"))
+          .write.mode("append").parquet(s"$indexPath/vectors")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Enrich a stream with a static dimension table (stream-static join).
     * The dim side is broadcast, so each micro-batch joins partition-
     * locally — no stream-side shuffle, no state store; the standard

@@ -2439,6 +2439,41 @@ class OpsSpec extends AnyFunSuite {
       k = 5, shortlist = 20).count() == 0)
   }
 
+  test("streaming VECTOR near-dup ingest: index rejects re-ingested vectors, in-batch twins resolve, replay idempotent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("vecingest").toString
+    val idx = s"$root/idx"; val in = s"$root/in"; val out = s"$root/out"
+    // ±scale sign-pattern vectors: cosine is 1.0 exactly for scaled
+    // copies (same pattern), ≤ (64-2)/64 for any differing pattern —
+    // cleanly on either side of the 0.99 threshold.
+    def v(bits: Long, scale: Float = 1f): Array[Float] =
+      Array.tabulate(64)(i =>
+        if ((bits >> i & 1L) == 1L) scale else -scale)
+    val corpus = Seq((1L, v(0x0123456789ABCDEFL)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.writeBinaryIndex(corpus, col("vec_id"), col("embedding"), idx)
+    Seq(
+      (10L, v(0x0123456789ABCDEFL, 2f)), // scaled copy of indexed 1
+      (20L, v(0xFEDCBA9876543210L)),     // new pattern
+      (21L, v(0xFEDCBA9876543210L, 3f)), // in-batch twin of 20
+      (30L, v(0x00000000FFFFFFFFL))      // new pattern
+    ).toDF("vec_id", "embedding").write.parquet(s"$in/f1")
+    val schema = corpus.schema
+    StreamingIngest.vectorNearDupIngestTo(
+      StreamingIngest.watchParquetDir(spark, s"$in/*", schema),
+      idx, out, s"$root/ckpt").awaitTermination()
+    // 10 rejected (index), 21 rejected (twin of 20), 20+30 admitted
+    assert(spark.read.parquet(out).select("vec_id").as[Long]
+      .collect().sorted.toSeq == Seq(20L, 30L))
+    // fresh checkpoint replay: every vector now matches itself (or its
+    // twin) in the index -> no new rows
+    StreamingIngest.vectorNearDupIngestTo(
+      StreamingIngest.watchParquetDir(spark, s"$in/*", schema),
+      idx, out, s"$root/ckpt2").awaitTermination()
+    assert(spark.read.parquet(out).select("vec_id").as[Long]
+      .collect().sorted.toSeq == Seq(20L, 30L))
+  }
+
   test("clusterCanonical: highest score wins, ties to lowest id, all members mapped") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
