@@ -152,6 +152,7 @@ object SparkEntry {
     "qe23_binary_topk" -> (PipelineQueries.binaryTopKQ _),
     "qe24_matryoshka_topk" -> (PipelineQueries.matryoshkaTopKQ _),
     "qe25_binary_index" -> (PipelineQueries.binaryIndexTopKQ _),
+    "qe26_hamming_knn" -> (PipelineQueries.hammingKnnJoinQ _),
     "qd62_cluster_canonical" -> (PipelineQueries.clusterCanonicalQ _),
     "qd63_bpe_fertility" -> (PipelineQueries.bpeFertilityQ _),
   )
@@ -1718,6 +1719,41 @@ object SparkEntry {
     // cosine rerank) off stored bits instead of an in-memory scan.
     "qe23_binary_topk" -> binaryTopKOracleSql,
     "qe25_binary_index" -> binaryTopKOracleSql,
+    // qe26: per-query exact Hamming top-k over the packed sign bits
+    // (ties to the lower id — topk_agg's contract), exact-cosine
+    // rerank per query.
+    "qe26_hamming_knn" ->
+      """WITH el AS (SELECT vec_id,
+           generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         bits AS (SELECT vec_id,
+             CAST(sum(CASE WHEN d <= 32 AND x >= 0
+               THEN CAST(1 AS BIGINT) << (d - 1) ELSE 0 END)
+               AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN d > 32 AND d <= 64 AND x >= 0
+               THEN CAST(1 AS BIGINT) << (d - 33) ELSE 0 END)
+               AS BIGINT) AS hi
+           FROM el GROUP BY 1),
+         cand AS (SELECT q.vec_id AS query_id, c.vec_id,
+             bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+               AS ham
+           FROM bits q JOIN bits c ON q.vec_id < 5),
+         short AS (SELECT query_id, vec_id FROM cand
+           QUALIFY row_number() OVER (PARTITION BY query_id
+             ORDER BY ham, vec_id) <= 5),
+         z AS (SELECT s.query_id, s.vec_id,
+             CAST(unnest(e1.embedding) AS DOUBLE) AS a,
+             CAST(unnest(e2.embedding) AS DOUBLE) AS b
+           FROM short s JOIN embeddings e1 ON s.vec_id = e1.vec_id
+             JOIN embeddings e2 ON s.query_id = e2.vec_id),
+         sc AS (SELECT query_id, vec_id, sum(a*b) AS ab,
+             sum(a*a) AS aa, sum(b*b) AS bb FROM z GROUP BY 1, 2)
+         SELECT query_id, vec_id,
+           round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY round(ab / (sqrt(aa) * sqrt(bb)), 4) DESC, vec_id)
+             AS BIGINT) AS rank
+         FROM sc ORDER BY query_id, rank""",
     // qe24: the 16-dim-prefix cosine is the same ab/(|a||b|) fold over
     // d <= 16, shortlist of 50 by (prefix cos desc, id), then the
     // full-dimension exact rerank.

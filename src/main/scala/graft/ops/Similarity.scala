@@ -731,6 +731,51 @@ object Similarity {
         col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
   }
 
+  /** Multi-query BINARY (sign-bit) kNN join: for every query vector,
+    * the `k` Hamming-nearest corpus vectors by packed sign signature
+    * (ties to the lower id), reranked with exact cosine. The batched
+    * form of [[binaryTopK]], shaped like [[knnJoin]]: the query batch
+    * broadcasts, so ONE narrow corpus scan computes every (vector,
+    * query) Hamming distance — two bit_count(xor) ops against in-row
+    * longs, ~100× cheaper than a 64-dim float dot — and the per-query
+    * top-k runs in the bounded `topk_agg` (map-side k-row states, no
+    * window over the scan, the corpus never shuffles). Only the
+    * ≤ k·|queries| shortlist rows are read at full precision. For
+    * query sets too large to broadcast, this stops being a scan
+    * problem and becomes pair mining — use the sign-block near-dup
+    * path instead. Deterministic at every stage — oracle-checkable
+    * end to end. */
+  def hammingKnnJoin(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"),
+        signBits(vec, 0).as("lo"), signBits(vec, 32).as("hi"))
+      .localCheckpoint(eager = false)
+    val q = queries.select(qid.as("query_id"), l2Normalize(qvec).as("qv"),
+        signBits(qvec, 0).as("qlo"), signBits(qvec, 32).as("qhi"))
+      .localCheckpoint(eager = false)
+    val ham = bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+      bit_count(col("hi").bitwiseXOR(col("qhi")))
+    val shortIds = c.select(col("vec_id"), col("lo"), col("hi"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("qlo"),
+        col("qhi"))))
+      .select(col("query_id"), col("vec_id"),
+        (-ham).cast("double").as("nham"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("nham"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"))
+    shortIds
+      .join(c.select(col("vec_id"), col("v")), "vec_id")
+      .join(q.select(col("query_id"), col("qv")), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("v"), col("qv")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+  }
+
   /** Deterministic ±1 sign for the random-projection matrix: +1 when
     * the first hex digit of md5("j:i") is below '8'. md5 is the shared
     * deterministic randomness primitive across engines (same trick as

@@ -891,6 +891,16 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** Multi-query binary kNN join: 5 broadcast query signatures × one
+    * corpus scan, per query the 5 Hamming-nearest vectors reranked
+    * with exact cosine — the batched form of qe23. */
+  def hammingKnnJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.hammingKnnJoin(e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Consistent-hash reshard plan: 16-shard ring vs the same ring
     * shrunk to 12 — only keys on the removed shards move. */
   def consistentShardQ(s: SparkSession, dir: String): DataFrame =

@@ -2474,6 +2474,53 @@ class OpsSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(20L, 30L))
   }
 
+  test("hamming knn join: k rows per query, self-match at rank 1, matches local reference") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val got = Similarity.hammingKnnJoin(e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"), k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // 3 queries × 4 ranks, every query's own vector at rank 1, cos 1.0
+    assert(got.length == 12)
+    (0L until 3L).foreach { qid =>
+      val mine = got.filter(_._1 == qid).sortBy(_._4)
+      assert(mine.map(_._4).toSeq == Seq(1L, 2L, 3L, 4L))
+      assert(mine.head._2 == qid && mine.head._3 == 1.0)
+    }
+    // local reference: exact hamming shortlist then cosine rerank
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def bits(v: Array[Float]): (Long, Long) = {
+      def pack(from: Int): Long = (0 until 32).foldLeft(0L) { (acc, j) =>
+        if (from + j < v.length && v(from + j) >= 0) acc | (1L << j)
+        else acc
+      }
+      (pack(0), pack(32))
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      def n(x: Array[Double]) = { val s = math.sqrt(x.map(y => y * y).sum)
+        x.map(_ / s) }
+      val (na, nb) = (n(ad), n(bd))
+      val d = na.zip(nb).map { case (x, y) => x * y }.sum
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (0L until 3L).foreach { qid =>
+      val (qlo, qhi) = bits(vecs(qid))
+      val short = vecs.toSeq.map { case (id2, v) =>
+        val (lo, hi) = bits(v)
+        (id2, java.lang.Long.bitCount(lo ^ qlo) +
+          java.lang.Long.bitCount(hi ^ qhi))
+      }.sortBy { case (id2, h) => (h, id2) }.take(4).map(_._1)
+      val expect = short.map(id2 => (id2, cos(vecs(qid), vecs(id2))))
+        .sortBy { case (id2, c) => (-c, id2) }
+        .zipWithIndex.map { case ((id2, c), i) => (id2, c, i + 1L) }
+      val mine = got.filter(_._1 == qid).sortBy(_._4)
+        .map(t => (t._2, t._3, t._4))
+      assert(mine.toSeq == expect, s"query $qid")
+    }
+  }
+
   test("clusterCanonical: highest score wins, ties to lowest id, all members mapped") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
