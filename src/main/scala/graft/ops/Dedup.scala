@@ -51,7 +51,9 @@ object Dedup {
       text: Column, threshold: Double,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // the self-join's two exchanges hash on the same (w, block) key, so
-    // Spark reuses one shuffle; a checkpoint here measured slower
+    // Spark reuses one shuffle; a checkpoint here measured slower both
+    // before and after the df-cap consumers were added (re-tested
+    // round 4: 3.2 -> 3.6 s warm at sf0.1)
     val words = wordSet(docs, id, block, text)
     val sizes = words.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"))
@@ -64,6 +66,11 @@ object Dedup {
         .select(col("block"), col("w"))
       words.join(broadcast(hot), Seq("block", "w"), "left_anti")
     }
+    // Pair expansion stays a self-join: a grouped collect_list +
+    // nested-transform expansion was measured SLOWER (3.5 → 6.0 s warm
+    // at sf0.1) because higher-order-function lambdas evaluate
+    // interpreted per element while the join is whole-stage codegen'd —
+    // the same reason vecDot is a native expression.
     val inter = posting.as("a").hint("shuffle_hash")
       .join(posting.as("b"),
         col("a.w") === col("b.w") && col("a.block") === col("b.block") &&

@@ -230,6 +230,33 @@ object ScaleProbe {
       return
     }
 
+    if (sys.env.contains("SPARK_GRAFT_PROBE_PAIRS")) {
+      // Stage decomposition of the near-dup pair generation that five
+      // cluster-family queries re-run cold: where do its seconds go?
+      val docs = graft.Tables.load(spark, "/root/testdata/sf0.1",
+        "documents").localCheckpoint()
+      val words = docs.select(col("doc_id"), col("source").as("block"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
+      time("wordSet scan+explode")(words.count())
+      time("sizes agg")(words.groupBy(col("doc_id"))
+        .agg(count(lit(1))).count())
+      val hot = words.groupBy(col("block"), col("w"))
+        .agg(count(lit(1)).as("df")).filter(col("df") > 256)
+        .select(col("block"), col("w"))
+      time("hot-token pass")(hot.count())
+      val posting = words.join(broadcast(hot), Seq("block", "w"),
+        "left_anti")
+      time("posting anti-join")(posting.count())
+      time("full ngramJaccardPairs cap256")(
+        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("source"),
+          col("text"), threshold = 0.8, maxDocFreq = 256).count())
+      time("full x2 (warm)")(
+        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("source"),
+          col("text"), threshold = 0.8, maxDocFreq = 256).count())
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SPARK_GRAFT_PROBE_RETRIEVAL")) {
       retrievalFamily(spark, "/root/testdata/sf0.01")
       retrievalFamily(spark, "/root/testdata/sf0.1")
