@@ -257,6 +257,27 @@ object ScaleProbe {
       return
     }
 
+    if (sys.env.contains("SPARK_GRAFT_PROBE_INDEX")) {
+      // qd30 stage decomposition: minhash index write vs probe vs the
+      // 4.5M-pair output aggregation.
+      val docs = graft.Tables.load(spark, "/root/testdata/sf0.1",
+        "documents").localCheckpoint()
+      val half = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      val path = java.nio.file.Files.createTempDirectory("graft_ip").toString
+      time("writeMinhashIndex")(
+        DedupIndex.writeMinhashIndex(half, col("doc_id"), col("text"),
+          path))
+      time("nearDupAgainstIndex count")(
+        DedupIndex.nearDupAgainstIndex(spark, batch, col("doc_id"),
+          col("text"), path, minEstimate = 0.5).count())
+      time("probe candidates only")(
+        DedupIndex.nearDupAgainstIndex(spark, batch, col("doc_id"),
+          col("text"), path, minEstimate = 0.0).limit(1).count())
+      spark.stop()
+      return
+    }
+
     if (sys.env.contains("SPARK_GRAFT_PROBE_RETRIEVAL")) {
       retrievalFamily(spark, "/root/testdata/sf0.01")
       retrievalFamily(spark, "/root/testdata/sf0.1")
