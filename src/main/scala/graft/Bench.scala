@@ -14,9 +14,16 @@ object Bench {
     // The operators themselves scale by partitioning (ARCHITECTURE.md);
     // raise SPARK_GRAFT_CPUS when benching larger scale factors.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // Dev experiment knobs (driver never sets them): AQE toggle and an
+    // explicit shuffle-partition count, for measuring small-SF fixed
+    // costs. Defaults match production guidance (AQE on, partitions =
+    // cores).
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
