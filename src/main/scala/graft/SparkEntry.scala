@@ -155,6 +155,7 @@ object SparkEntry {
     "qe26_hamming_knn" -> (PipelineQueries.hammingKnnJoinQ _),
     "qd62_cluster_canonical" -> (PipelineQueries.clusterCanonicalQ _),
     "qd63_bpe_fertility" -> (PipelineQueries.bpeFertilityQ _),
+    "qd64_cluster_map" -> (PipelineQueries.clusterSizes _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -586,31 +587,12 @@ object SparkEntry {
     // verify, so the LSH-blocked near-dup is now strictly hash-checked.
     "qe08_neardup_lsh" -> embeddingLshOracleSql,
     "qe22_pq_rerank" -> pqRerankOracleSql,
-    // qd61: the whole portable winnowing pipeline — 4-token shingles,
-    // md5-slice hashes, 5-shingle window argmin via the h·2^20+pos
-    // integer key, distinct selections.
-    "qd61_winnow_portable" ->
-      """WITH tk AS (SELECT doc_id,
-           unnest(regexp_extract_all(lower(text), '\S+')) AS tok,
-           generate_subscripts(regexp_extract_all(lower(text), '\S+'), 1)
-             - 1 AS pos
-           FROM documents),
-         sh0 AS (SELECT doc_id, pos, tok,
-           lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
-           lead(tok, 3) OVER w AS t3
-           FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         sh AS (SELECT doc_id, pos,
-           CAST('0x' || substring(md5('wf:' || tok || ' ' || t1 || ' '
-             || t2 || ' ' || t3), 1, 8) AS BIGINT) AS h
-           FROM sh0 WHERE t3 IS NOT NULL),
-         m AS (SELECT doc_id,
-           min(h * 1048576 + pos) OVER (PARTITION BY doc_id ORDER BY pos
-             ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS mk,
-           lead(pos, 4) OVER (PARTITION BY doc_id ORDER BY pos) AS p4
-           FROM sh)
-         SELECT DISTINCT doc_id, mk // 1048576 AS fp,
-           CAST(mk % 1048576 AS BIGINT) AS pos
-         FROM m WHERE p4 IS NOT NULL ORDER BY doc_id, pos""",
+    // qd61/qd09: the whole portable winnowing pipeline — k-token
+    // shingles, md5-slice hashes, w-shingle window argmin via the
+    // h·2^20+pos integer key, distinct selections (SQL generated) — at
+    // (k=4, w=5) for qd61 and the MOSS-style (k=5, w=4) for qd09.
+    "qd61_winnow_portable" -> winnowPortableOracle(k = 4, w = 5),
+    "qd09_winnow_fp" -> winnowPortableOracle(k = 5, w = 4),
     // qd60: deterministic top-1000 vocabulary, OOV counted via the
     // left join's null lane.
     "qd60_oov_rate" ->
@@ -664,10 +646,12 @@ object SparkEntry {
          FROM e JOIN p ON e.t <= p.t + 180000000000
            AND p.t <= e.t + 300000000000
          GROUP BY 1 ORDER BY 1""",
-    // qd51: the whole portable-SimHash sketch re-derived — md5-slice
+    // qd51/qd06: the whole portable-SimHash sketch re-derived — md5-slice
     // token hashes, per-bit ±1 sums, ≥0 packing, 16-bit pigeonhole
-    // blocks, exact hamming verify (SQL generated; see lazy val).
-    "qd51_simhash_portable" -> simhashPortableOracleSql,
+    // blocks, exact hamming verify (SQL generated) — at radius 3 (qd51,
+    // the standard dedup point) and radius 2 (qd06, the strict point).
+    "qd51_simhash_portable" -> simhashPortableOracle(maxHamming = 3),
+    "qd06_simhash_neardup" -> simhashPortableOracle(maxHamming = 2),
     // qd52: repeat factors as a CASE chain; fractional copy decided by
     // the same md5-threshold compare as the sampling family.
     "qd52_epoch_upsample" ->
@@ -807,8 +791,11 @@ object SparkEntry {
          FROM s QUALIFY rank <= 10 ORDER BY rank""",
     // The composed curation pipeline: quality/PII gate -> exact dedup
     // (min doc per fingerprint) -> near-dup cluster representative.
-    "qd14_curated_corpus" ->
-      """WITH RECURSIVE tk AS (SELECT doc_id, source, text,
+    // qd14: the curation chain — quality/PII gate, exact dedup, then a
+    // probe of the FULL-CORPUS cluster map (dupClustersCte) keeping the
+    // smallest surviving member per near-dup family.
+    "qd14_curated_corpus" -> (dupClustersCte + """,
+         tk AS (SELECT doc_id, source, text,
            regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
          q AS (SELECT doc_id, source, text, toks,
            floor((0.4 * (CASE WHEN len(toks) = 0 THEN 0.0 ELSE
@@ -821,7 +808,7 @@ object SparkEntry {
              + 0.3 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0))
              * 10000.0) / 10000.0 AS quality
            FROM tk),
-         passed AS (SELECT doc_id, source, text, toks, quality FROM q
+         passed AS (SELECT doc_id, source, text, quality FROM q
            WHERE quality >= 0.5
              AND (len(regexp_extract_all(text,
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
@@ -830,35 +817,15 @@ object SparkEntry {
          ex AS (SELECT *, min(doc_id) OVER (PARTITION BY
              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
              AS keep_id FROM passed),
-         kept AS (SELECT doc_id, source, toks, quality FROM ex
+         kept AS (SELECT doc_id, source, quality FROM ex
            WHERE doc_id = keep_id),
-         words AS (SELECT DISTINCT doc_id, source, unnest(toks) AS w
-           FROM kept),
-         sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
-         hot AS (SELECT source, w FROM words GROUP BY 1, 2
-           HAVING count(*) > 256),
-         posting AS (SELECT words.* FROM words
-           LEFT JOIN hot ON words.source = hot.source AND words.w = hot.w
-           WHERE hot.w IS NULL),
-         c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nab
-           FROM posting a JOIN posting b
-             ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         pairs AS (SELECT doc_a, doc_b
-           FROM c JOIN sizes sa ON c.doc_a = sa.doc_id
-                  JOIN sizes sb ON c.doc_b = sb.doc_id
-           WHERE floor(CAST(nab AS DOUBLE)
-               / CAST(sa.n + sb.n - nab AS DOUBLE) * 10000.0) / 10000.0 >= 0.8),
-         e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-           UNION SELECT doc_b, doc_a FROM pairs),
-         cc(a, b) AS (SELECT a, b FROM e
-           UNION SELECT cc.a, e.b FROM cc JOIN e ON cc.b = e.a),
-         clus AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
-           FROM cc GROUP BY a)
-         SELECT k.doc_id, k.source, k.quality
-         FROM kept k LEFT JOIN clus ON k.doc_id = clus.doc_id
-         WHERE clus.doc_id IS NULL OR clus.cluster = k.doc_id
-         ORDER BY k.doc_id""",
+         sel AS (SELECT k.doc_id, k.source, k.quality,
+             coalesce(cl.cluster, k.doc_id) AS cluster
+           FROM kept k LEFT JOIN cl ON k.doc_id = cl.doc_id),
+         mm AS (SELECT *, min(doc_id) OVER (PARTITION BY cluster) AS mn
+           FROM sel)
+         SELECT doc_id, source, quality FROM mm WHERE doc_id = mn
+         ORDER BY doc_id"""),
     // Training docs sharing any 4-token n-gram with the eval subset
     // (doc_id % 97 == 0). Gram strings reproduce Spark's concat_ws(" ").
     // Shared by qd43: the Bloom prefilter is exact end-to-end (no false
@@ -943,45 +910,13 @@ object SparkEntry {
          SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
          ORDER BY doc_a, doc_b""",
     // Portable MinHash+LSH: md5-prefix lanes, md5 band buckets, exact
-    // word-set verification — the whole sketch pipeline reproduced.
+    // word-set verification — the whole sketch pipeline reproduced, at
+    // both declared LSH operating points (qd24 recall-oriented 8×2,
+    // qd05 precision-oriented 16×4).
     "qd24_minhash_portable" ->
-      """WITH w AS (SELECT DISTINCT doc_id, source,
-           unnest(list_distinct(regexp_extract_all(lower(text), '\S+')))
-             AS w
-           FROM documents),
-         h AS (SELECT doc_id, source,
-           md5('0:' || w) AS h0, md5('1:' || w) AS h1 FROM w),
-         sig AS (SELECT doc_id, source,
-           min(substring(h0, 1, 8)) AS l0,
-           min(substring(h0, 9, 8)) AS l1,
-           min(substring(h0, 17, 8)) AS l2,
-           min(substring(h0, 25, 8)) AS l3,
-           min(substring(h1, 1, 8)) AS l4,
-           min(substring(h1, 9, 8)) AS l5,
-           min(substring(h1, 17, 8)) AS l6,
-           min(substring(h1, 25, 8)) AS l7
-           FROM h GROUP BY 1, 2),
-         banded AS (
-           SELECT doc_id, source, 0 AS band, md5(l0 || l1) AS bucket
-             FROM sig
-           UNION ALL SELECT doc_id, source, 1, md5(l2 || l3) FROM sig
-           UNION ALL SELECT doc_id, source, 2, md5(l4 || l5) FROM sig
-           UNION ALL SELECT doc_id, source, 3, md5(l6 || l7) FROM sig),
-         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM banded a JOIN banded b
-             ON a.band = b.band AND a.bucket = b.bucket
-               AND a.source = b.source AND a.doc_id < b.doc_id),
-         toks AS (SELECT doc_id,
-           list_distinct(regexp_extract_all(lower(text), '\S+')) AS t
-           FROM documents),
-         v AS (SELECT doc_a, doc_b,
-           floor(CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
-             / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))
-               AS DOUBLE) * 10000.0) / 10000.0 AS jaccard
-           FROM cand JOIN toks ta ON cand.doc_a = ta.doc_id
-                     JOIN toks tb ON cand.doc_b = tb.doc_id)
-         SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8
-         ORDER BY doc_a, doc_b""",
+      minhashPortableOracle(numLanes = 8, rowsPerBand = 2),
+    "qd05_minhash_neardup" ->
+      minhashPortableOracle(numLanes = 16, rowsPerBand = 4),
     // Unigram NLL quality signal: corpus token frequencies, per-token
     // -ln(c/N) floored to 1e-4 longs BEFORE the per-doc sum (exact ints).
     "qd18_unigram_nll" ->
@@ -1806,6 +1741,12 @@ object SparkEntry {
          WHERE rn = 1)
        SELECT m.doc_id, m.cluster, c.canonical_id, c.canonical_score
        FROM mem m JOIN canon c USING (cluster) ORDER BY m.doc_id"""),
+    // qd64: per-family size/span profile over the same cluster fixpoint
+    // — the probe-side check of the persisted cluster map.
+    "qd64_cluster_map" -> (dupClustersCte + """
+       SELECT cluster, count(*) AS n_docs,
+         CAST(max(doc_id) AS BIGINT) AS max_id
+       FROM cl GROUP BY 1 ORDER BY 1"""),
     // qd63: per-source chars per BPE(2-merge) token off the shared BPE
     // state — zero-token docs join away on both sides.
     "qd63_bpe_fertility" -> (bpeBaseCtes + """,
@@ -2067,13 +2008,96 @@ object SparkEntry {
              DESC, vec_id) AS rank
          FROM s2 QUALIFY rank <= 10 ORDER BY rank"""
 
-  /** Oracle for qd51, generated because it carries 64 per-bit sum terms:
+  /** Oracle for the portable MinHash+LSH near-dup family (qd24, qd05),
+    * generated because the lane/band unrolling is parameter-shaped:
+    * lane s = min over distinct tokens of the 8-hex slice
+    * [8·(s mod 4), 8·(s mod 4)+8) of md5((s div 4) || ':' || token)
+    * (the [[graft.functions.Md5Lanes]] contract), band b's bucket =
+    * md5 over the concat of its `rowsPerBand` lane hex strings,
+    * candidates join on (band, bucket) within the source block, and the
+    * exact word-set Jaccard verify keeps pairs ≥ 0.8 — every stage
+    * engine-portable, so the whole sketch is hash-checked, candidates
+    * included. */
+  private def minhashPortableOracle(numLanes: Int,
+      rowsPerBand: Int): String = {
+    val hCols = (0 until (numLanes + 3) / 4)
+      .map(c => s"md5('$c:' || w) AS h$c").mkString(", ")
+    val laneMins = (0 until numLanes).map { s =>
+      s"min(substring(h${s / 4}, ${(s % 4) * 8 + 1}, 8)) AS l$s"
+    }.mkString(",\n           ")
+    val bands = (0 until numLanes / rowsPerBand).map { b =>
+      val cat = (0 until rowsPerBand).map(r => s"l${b * rowsPerBand + r}")
+        .mkString(" || ")
+      if (b == 0)
+        s"SELECT doc_id, source, 0 AS band, md5($cat) AS bucket\n             FROM sig"
+      else s"UNION ALL SELECT doc_id, source, $b, md5($cat) FROM sig"
+    }.mkString("\n           ")
+    s"""WITH w AS (SELECT DISTINCT doc_id, source,
+           unnest(list_distinct(regexp_extract_all(lower(text), '\\S+')))
+             AS w
+           FROM documents),
+         h AS (SELECT doc_id, source, $hCols FROM w),
+         sig AS (SELECT doc_id, source,
+           $laneMins
+           FROM h GROUP BY 1, 2),
+         banded AS (
+           $bands),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bucket = b.bucket
+               AND a.source = b.source AND a.doc_id < b.doc_id),
+         toks AS (SELECT doc_id,
+           list_distinct(regexp_extract_all(lower(text), '\\S+')) AS t
+           FROM documents),
+         v AS (SELECT doc_a, doc_b,
+           floor(CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+             / CAST(len(ta.t) + len(tb.t) - len(list_intersect(ta.t, tb.t))
+               AS DOUBLE) * 10000.0) / 10000.0 AS jaccard
+           FROM cand JOIN toks ta ON cand.doc_a = ta.doc_id
+                     JOIN toks tb ON cand.doc_b = tb.doc_id)
+         SELECT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.8
+         ORDER BY doc_a, doc_b"""
+  }
+
+  /** Oracle for the portable winnowing family (qd61, qd09), generated
+    * because the shingle leads and window width are parameter-shaped:
+    * k-token shingles hashed via the md5 'wf:' slice, per-document
+    * w-shingle sliding-window argmin through the h·2^20+pos integer
+    * key (ties to the leftmost position), distinct selections. */
+  private def winnowPortableOracle(k: Int, w: Int): String = {
+    val leads = (1 until k)
+      .map(j => s"lead(tok, $j) OVER w AS t$j").mkString(", ")
+    val cat = ("tok" +: (1 until k).map(j => s"t$j")).mkString(" || ' ' || ")
+    s"""WITH tk AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\\S+')) AS tok,
+           generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1)
+             - 1 AS pos
+           FROM documents),
+         sh0 AS (SELECT doc_id, pos, tok, $leads
+           FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         sh AS (SELECT doc_id, pos,
+           CAST('0x' || substring(md5('wf:' || $cat), 1, 8) AS BIGINT) AS h
+           FROM sh0 WHERE t${k - 1} IS NOT NULL),
+         m AS (SELECT doc_id,
+           min(h * 1048576 + pos) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mk,
+           lead(pos, ${w - 1}) OVER (PARTITION BY doc_id ORDER BY pos)
+             AS pw
+           FROM sh)
+         SELECT DISTINCT doc_id, mk // 1048576 AS fp,
+           CAST(mk % 1048576 AS BIGINT) AS pos
+         FROM m WHERE pw IS NOT NULL ORDER BY doc_id, pos"""
+  }
+
+  /** Oracle for the portable-SimHash family (qd51 radius 3, qd06
+    * radius 2), generated because it carries 64 per-bit sum terms:
     * token hash = two unsigned-32 slices of md5('0:'||token) (the
     * [[graft.functions.Md5Lanes]] contract), exact ±1 integer sums per
     * bit, signature bit set when sum ≥ 0, 4 × 16-bit pigeonhole blocks,
-    * exact hamming ≤ 3 verify — every stage is engine-portable, so the
-    * whole sketch is hash-checked, candidates included. */
-  private lazy val simhashPortableOracleSql: String = {
+    * exact hamming ≤ maxHamming verify — every stage is
+    * engine-portable, so the whole sketch is hash-checked, candidates
+    * included. */
+  private def simhashPortableOracle(maxHamming: Int): String = {
     def sums(src: String, p: String) = (0 until 32).map(j =>
       s"sum(CASE WHEN ($src >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS $p$j")
       .mkString(",\n           ")
@@ -2104,7 +2128,8 @@ object SparkEntry {
        SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb))
            + bit_count(xor(la, lb)) AS BIGINT) AS hamming
        FROM p
-       WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+       WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+         <= $maxHamming
        ORDER BY doc_a, doc_b"""
   }
 

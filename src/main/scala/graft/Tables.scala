@@ -34,8 +34,11 @@ object Tables {
     * `ts`, LongType) regardless of how the parquet stores it:
     * TIMESTAMP(NANOS) files have no native Spark type and read as int64
     * via the nanosAsLong escape; TIMESTAMP(MICROS) files (the refreshed
-    * testdata) read as timestamps and are converted here (session tz is
-    * pinned UTC in build.sbt, so NTZ wall-clock = the instant). All
+    * testdata) read as timestamps and are converted here. The session
+    * timezone is pinned to UTC RIGHT HERE (not only via build.sbt
+    * javaOptions) so an NTZ wall-clock reads as the same instant from
+    * any launcher JVM — without the pin, a session created outside the
+    * sbt harness would silently shift every event by its host tz. All
     * event-time operators do exact integer-nanosecond math on this one
     * normalized column; DuckDB reads the same file as TIMESTAMP either
     * way, so the oracle SQL is unaffected. */
@@ -43,6 +46,7 @@ object Tables {
     scanCache.computeIfAbsent(
       (System.identityHashCode(spark), dir, "events#nanosAsLong"), _ => {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         val raw = spark.read.parquet(s"$dir/events.parquet")
         raw.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType => raw

@@ -127,6 +127,40 @@ object DedupIndex {
     * Scale shape: batch bands are batch-sized, the join against the
     * band-partitioned index shuffles only bucket-matched rows, and the
     * lane join touches index lanes only for candidate ids. */
+  /** Build + persist the near-dup CLUSTER MAP: the write-once,
+    * probe-many artifact for every downstream consumer of duplicate
+    * clusters (canonical selection, leak-free splits, curation) —
+    * nobody re-runs pair generation and connected components per
+    * downstream query at 100 TB; they join a stored (doc_id, cluster)
+    * table.
+    *
+    * Layout: `<path>/pairs/` (doc_a, doc_b — the verified near-dup
+    * edges, kept so alternative clustering algorithms can re-derive
+    * labels without re-running the pair join) and `<path>/clusters/`
+    * (doc_id, cluster = the component's min doc id, only docs that
+    * appear in some pair — singleton docs are their own cluster by
+    * convention, which probes express as coalesce(cluster, doc_id)).
+    * The pairs are written FIRST and clustering reads them back from
+    * parquet, so the (expensive) pair join executes exactly once even
+    * though the label loop iterates over the edge set. Both tables are
+    * doc-count-sized, not corpus-sized. */
+  def writeClusterMap(pairs: DataFrame, a: Column, b: Column,
+      path: String): Unit = {
+    pairs.select(a.as("doc_a"), b.as("doc_b"))
+      .write.mode("overwrite").parquet(s"$path/pairs")
+    val stored = pairs.sparkSession.read.parquet(s"$path/pairs")
+    Dedup.dupClusters(stored, col("doc_a"), col("doc_b"))
+      .write.mode("overwrite").parquet(s"$path/clusters")
+  }
+
+  /** The stored (doc_id, cluster) labels of [[writeClusterMap]]. */
+  def readClusterMap(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/clusters")
+
+  /** The stored verified near-dup edges of [[writeClusterMap]]. */
+  def readClusterPairs(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/pairs")
+
   def nearDupAgainstIndex(spark: SparkSession, batch: DataFrame,
       id: Column, text: Column, path: String,
       minEstimate: Double): DataFrame = {

@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * Media travel as opaque `binary` columns with a typed metadata struct;
   * decode/feature-extraction run per-partition over iterator batches so
   * a 100 TB corpus streams through executors without collecting. The
-  * actual codec calls are STUBBED behind [[Decoder]] — the image/audio
-  * libraries are not in this container — but the Spark-side contract
-  * (schema, batching, partitioning, deterministic output) is real and
-  * tested; a production deployment swaps in a real decoder only.
+  * IMAGE half decodes for real via the JDK's `javax.imageio`
+  * ([[imageIoDecoder]]: true format/width/height from PNG/JPEG/GIF/BMP
+  * headers, no extra dependencies); audio/video codec calls remain
+  * STUBBED behind [[Decoder]] — those libraries are not in this
+  * container — with the Spark-side contract (schema, batching,
+  * partitioning, deterministic output) real and tested either way; a
+  * production deployment swaps in the remaining codecs only.
   */
 object Multimodal {
 
@@ -43,6 +46,40 @@ object Multimodal {
       durationMs = n.toLong)
   }
 
+  /** REAL image header decode via the JDK's own `javax.imageio` — zero
+    * extra dependencies: format name, width and height are read from
+    * the PNG/JPEG/GIF/BMP header WITHOUT decoding pixels
+    * (`ImageReader.getWidth/getHeight` parse only the stream header, so
+    * the per-row cost is a few hundred bytes of parsing no matter the
+    * image size — the right shape for a 100 TB binary-column scan).
+    * Payloads no JDK reader recognizes (audio/video, corrupt bytes)
+    * fall back to [[stubDecoder]]: those codecs are not in this
+    * container, and the fallback keeps the column total — the
+    * audio/video half of the surface remains a disclosed stub. */
+  val imageIoDecoder: Decoder = { bytes =>
+    val viaJdk: Option[MediaMeta] =
+      if (bytes == null || bytes.length == 0) None
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Some(MediaMeta(r.getFormatName.toLowerCase,
+                r.getWidth(0), r.getHeight(0), nFrames = 1,
+                durationMs = 0L))
+            } catch { case _: java.io.IOException => None }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      }
+    viaJdk.getOrElse(stubDecoder(bytes))
+  }
+
   /** Attach deterministic fake binary payloads derived from an id column
     * — the test-data generator for the plumbing. */
   def withFakeMedia(df: DataFrame, idCol: String): DataFrame =
@@ -54,9 +91,12 @@ object Multimodal {
           lit("hex")))
 
   /** Decode metadata per partition: iterator-at-a-time (no per-row task
-    * overhead, no driver collect), preserving partitioning. */
+    * overhead, no driver collect), preserving partitioning. The default
+    * decoder reads REAL image headers (and stubs everything else), so
+    * existing stub-payload pipelines are unchanged while genuine
+    * PNG/JPEG bytes report their true dimensions. */
   def decodeMeta(df: DataFrame, idCol: String,
-      decoder: Decoder = stubDecoder): DataFrame = {
+      decoder: Decoder = imageIoDecoder): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol), col("content"))

@@ -214,6 +214,51 @@ object ScaleProbe {
       col("embedding"), queryId = 0L, k = 10, shortlist = 50))
   }
 
+  /** Round-5 probe: the materialized cluster-map family at sf0.1 and at
+    * a 10× "sf1-equivalent" built by replicating documents with disjoint
+    * ids AND disjoint source blocks — each replica keeps the exact dup-
+    * family structure of the base corpus (the production model: dup
+    * families have ~constant size; the corpus gains more of them), so
+    * pair volume, cluster count and map size all scale ×replicas while
+    * per-family work is unchanged. Measures the write side (pair join +
+    * min-label rounds), the star variant over the STORED pairs, and the
+    * two probe-side joins; run with SPARK_GRAFT_TRACE=1 to count
+    * propagation/contraction rounds on stderr. */
+  private def clusterFamily(spark: SparkSession, sfDir: String,
+      replicas: Int): Unit = {
+    val base = graft.Tables.load(spark, sfDir, "documents")
+    val docs = (if (replicas <= 1) Seq(base) else (0 until replicas).map(i =>
+        base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          concat(col("source"), lit(s"#$i")).as("source"), col("text"))))
+      .reduce(_.unionByName(_))
+      .localCheckpoint()
+    println(s"[probe] $sfDir x$replicas documents=${docs.count()}")
+    def run(label: String)(f: => Long): Unit = {
+      val rows = time(s"$sfDir x$replicas $label")(f)
+      println(s"[probe] $sfDir x$replicas $label rows=$rows")
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft_clpr").toString
+    run("cluster-map WRITE (pairs + min-label + 2 parquet writes)") {
+      DedupIndex.writeClusterMap(
+        Dedup.ngramJaccardPairs(docs, col("doc_id"), col("source"),
+          col("text"), threshold = 0.8, maxDocFreq = 256),
+        col("doc_a"), col("doc_b"), path)
+      DedupIndex.readClusterMap(spark, path).count()
+    }
+    run("star contraction over STORED pairs")(
+      Dedup.dupClustersStar(DedupIndex.readClusterPairs(spark, path),
+        col("doc_a"), col("doc_b")).count())
+    run("PROBE leak-free split (map join only)")(
+      Sampling.leakFreeSplitAssign(docs, col("doc_id"),
+        DedupIndex.readClusterMap(spark, path), col("doc_id"),
+        col("cluster"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).count())
+    run("PROBE canonical selection (map join + keyed max)")(
+      Dedup.clusterCanonical(DedupIndex.readClusterMap(spark, path),
+        docs.withColumn("q", TextAnalysis.qualityScore(col("text"))),
+        col("doc_id"), col("q")).count())
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -281,6 +326,13 @@ object ScaleProbe {
     if (sys.env.contains("SPARK_GRAFT_PROBE_RETRIEVAL")) {
       retrievalFamily(spark, "/root/testdata/sf0.01")
       retrievalFamily(spark, "/root/testdata/sf0.1")
+      spark.stop()
+      return
+    }
+
+    if (sys.env.contains("SPARK_GRAFT_PROBE_CLUSTER")) {
+      clusterFamily(spark, "/root/testdata/sf0.1", replicas = 1)
+      clusterFamily(spark, "/root/testdata/sf0.1", replicas = 10)
       spark.stop()
       return
     }

@@ -296,12 +296,14 @@ object Similarity {
 
   /** Sign bits of vector elements `from+1 .. from+32` packed into one
     * long (bit j set when element from+j+1 is >= 0). Out-of-range
-    * elements contribute 0 bits (null comparison folds to the
-    * otherwise-branch), so dims < from+32 zero-pad — mirrored by the
-    * oracle's conditional sum. */
+    * elements contribute 0 bits: `try_element_at` yields NULL past the
+    * array end (where plain `element_at` THROWS under the ANSI default
+    * of Spark 4), and the null comparison folds to the otherwise-branch
+    * — so dims < from+32 zero-pad, mirrored by the oracle's conditional
+    * sum. */
   private[graft] def signBits(vec: Column, from: Int): Column =
     (0 until 32).map(j =>
-      when(element_at(vec, from + j + 1).cast("double") >= 0,
+      when(try_element_at(vec, lit(from + j + 1)).cast("double") >= 0,
         lit(1L << j)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
 

@@ -198,13 +198,24 @@ object StreamingIngest {
           .select(col("vec_id")).distinct()
         val fresh = solo.join(hit, Seq("vec_id"), "left_anti")
           .localCheckpoint() // probe once: the appends mutate the index
-        b.join(fresh.select("vec_id"), Seq("vec_id"), "left_semi")
-          .write.mode("append").parquet(outPath)
-        fresh.select(col("vec_id"), col("lo"), col("hi"))
-          .write.mode("append").parquet(s"$indexPath/bits")
+        // Append order is the crash-safety contract: foreachBatch is
+        // at-least-once, and the three appends are not atomic. Index
+        // parts go FIRST (vectors, then bits — the probe keys off bits,
+        // so a vectors-only remnant is invisible), sink LAST: a crash
+        // before the bits append replays cleanly (at worst duplicate
+        // index rows, absorbed by the probe's distinct); a crash after
+        // bits but before the sink write makes the replay see its own
+        // rows as index dups and DROP them from the sink — never
+        // duplicate sink rows, which downstream dedup semantics can't
+        // repair, at the cost of possibly missing sink rows after a
+        // mid-batch crash (recoverable by re-ingesting the source file).
         fresh.select(col("vec_id"), col("v"))
           .sortWithinPartitions(col("vec_id"))
           .write.mode("append").parquet(s"$indexPath/vectors")
+        fresh.select(col("vec_id"), col("lo"), col("hi"))
+          .write.mode("append").parquet(s"$indexPath/bits")
+        b.join(fresh.select("vec_id"), Seq("vec_id"), "left_semi")
+          .write.mode("append").parquet(outPath)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

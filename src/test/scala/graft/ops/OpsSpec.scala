@@ -185,6 +185,35 @@ class OpsSpec extends AnyFunSuite {
         col("target_height") =!= col("height"))).count() == 0)
   }
 
+  test("multimodal REAL image decode: true PNG/JPEG dimensions via " +
+      "javax.imageio, stub fallback for non-image bytes") {
+    import spark.implicits._
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, imageBytes("png", 37, 21)),
+      (2L, imageBytes("jpg", 64, 48)),
+      (3L, Array.fill[Byte](32)(7))) // not an image -> stub fallback
+    val media = rows.toDF("media_id", "content").repartition(2)
+    val decoded = Multimodal.decodeMeta(media, "media_id")
+      .orderBy("media_id").collect()
+    assert(decoded(0).getAs[String]("format") == "png")
+    assert(decoded(0).getAs[Int]("width") == 37)
+    assert(decoded(0).getAs[Int]("height") == 21)
+    assert(decoded(1).getAs[String]("format").startsWith("jp")) // jpeg
+    assert(decoded(1).getAs[Int]("width") == 64)
+    assert(decoded(1).getAs[Int]("height") == 48)
+    // the stub path is unchanged for unrecognized payloads
+    val stub = Multimodal.stubDecoder(rows(2)._2)
+    assert(decoded(2).getAs[String]("format") == stub.format)
+    assert(decoded(2).getAs[Int]("width") == stub.width)
+  }
+
   test("minhash LSH candidates superset check on near-identical docs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
@@ -1005,6 +1034,28 @@ class OpsSpec extends AnyFunSuite {
     val out = Dedup.dupClustersStar(chain, col("a"), col("b"))
     assert(out.count() == 151L)
     assert(out.filter(col("cluster") =!= 0L).count() == 0L)
+  }
+
+  test("materialized cluster map: stored pairs + labels round-trip, " +
+      "probes equal fresh clustering") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("source"),
+      col("text"), threshold = 0.8, maxDocFreq = 256).localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("clmap_spec").toString
+    DedupIndex.writeClusterMap(pairs, col("doc_a"), col("doc_b"), path)
+    // stored edges are exactly the input pairs (projection only)
+    val storedPairs = DedupIndex.readClusterPairs(spark, path)
+    val inPairs = pairs.select(col("doc_a"), col("doc_b"))
+    assert(storedPairs.exceptAll(inPairs).isEmpty &&
+      inPairs.exceptAll(storedPairs).isEmpty)
+    // stored labels equal a fresh min-label clustering of the pairs
+    val fresh = Dedup.dupClusters(pairs, col("doc_a"), col("doc_b"))
+    val stored = DedupIndex.readClusterMap(spark, path)
+    assert(stored.count() > 0)
+    assert(stored.exceptAll(fresh).isEmpty && fresh.exceptAll(stored).isEmpty)
+    // the star variant over the STORED edges reproduces the same labels
+    val star = Dedup.dupClustersStar(storedPairs, col("doc_a"), col("doc_b"))
+    assert(star.exceptAll(stored).isEmpty && stored.exceptAll(star).isEmpty)
   }
 
   test("pii flags: emails, phones, ssns detected; clean text passes") {
@@ -2399,6 +2450,25 @@ class OpsSpec extends AnyFunSuite {
       r.getLong(0) -> (pack(0), pack(32))
     }.toMap
     assert(packed == local)
+  }
+
+  test("binary topk on sub-64-dim vectors: sign bits zero-pad instead " +
+      "of throwing under ANSI") {
+    import spark.implicits._
+    // 40-dim corpus: lanes 41..64 are past the array end — try_element_at
+    // must fold them to 0 bits (plain element_at throws INVALID_ARRAY_INDEX
+    // under Spark 4's ANSI default)
+    val rnd = new scala.util.Random(11)
+    val e = (0L until 30L)
+      .map(i => (i, Array.fill(40)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.binaryTopK(e, col("vec_id"), col("embedding"),
+      queryId = 0L, k = 3, shortlist = 30).collect()
+    assert(got.length == 3 && got.head.getLong(0) == 0L) // self is rank 1
+    val bits = e.select(Similarity.signBits(col("embedding"), 32).as("hi"))
+      .collect().map(_.getLong(0))
+    // bits 8..31 of the hi word (dims 41..64) are always zero-padded
+    assert(bits.forall(h => (h >> 8) == 0L))
   }
 
   test("matryoshka topk: full-width prefix equals brute force, narrow prefix stays k-sized") {
