@@ -156,6 +156,10 @@ object SparkEntry {
     "qd62_cluster_canonical" -> (PipelineQueries.clusterCanonicalQ _),
     "qd63_bpe_fertility" -> (PipelineQueries.bpeFertilityQ _),
     "qd64_cluster_map" -> (PipelineQueries.clusterSizes _),
+    "qd65_hll_distinct" -> (PipelineQueries.hllDistinctTokens _),
+    "qd66_cms_freq" -> (PipelineQueries.cmsTokenFreq _),
+    "qd67_bm25_topk" -> (PipelineQueries.bm25TopDocs _),
+    "qe27_hybrid_rrf" -> (PipelineQueries.hybridRrf _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1762,7 +1766,128 @@ object SparkEntry {
              / CAST(sum(n_bpe) AS DOUBLE) * 10000.0) / 10000.0
              AS chars_per_token
          FROM pd GROUP BY 1 ORDER BY 1"""),
+    // qd65: the whole HLL sketch re-derived in SQL — md5 first byte =
+    // register, leftmost-1-bit rank of the next 32 bits via bin() (both
+    // engines strip leading zeros), EXACT bigint register sum
+    // Σ 2^(40-rank), single final division + the Flajolet small-range
+    // ln correction. Constants interpolation-free and order-matched.
+    "qd65_hll_distinct" ->
+      """WITH words AS (SELECT source,
+           unnest(regexp_extract_all(lower(text), '\S+')) AS w
+           FROM documents),
+         h AS (SELECT source, md5(w) AS hx FROM words),
+         rr AS (SELECT source,
+           CAST('0x' || substring(hx, 1, 2) AS INT) AS reg,
+           CAST('0x' || substring(hx, 3, 8) AS BIGINT) AS v FROM h),
+         r2 AS (SELECT source, reg,
+           CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END AS rank
+           FROM rr),
+         regs AS (SELECT source, reg, max(rank) AS mrank
+           FROM r2 GROUP BY 1, 2),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) AS present_registers,
+           sum((1::BIGINT) << (40 - mrank)) AS sum_present
+           FROM regs GROUP BY 1),
+         g2 AS (SELECT source, present_registers,
+           256 - present_registers AS zero_registers,
+           sum_present + (256 - present_registers) * 1099511627776
+             AS sum_int FROM g)
+         SELECT source, present_registers, zero_registers,
+           round(CASE WHEN zero_registers > 0 AND
+               0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                 * 1099511627776.0 / sum_int <= 640.0
+             THEN 256.0 * ln(256.0 / zero_registers)
+             ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                 * 1099511627776.0 / sum_int END, 4) AS est_distinct
+         FROM g2 ORDER BY source""",
+    // qd66: count-min re-derived — 4 hash rows from the u32 lanes of
+    // md5('0:' || w) (the Md5Lanes chunk-0 layout, same as qd24), width
+    // 1024, min over rows with empty buckets as 0; exact counts ride
+    // along to show the exact-or-over guarantee.
+    "qd66_cms_freq" -> {
+      val probeList = PipelineQueries.cmsProbeTerms
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH words AS (SELECT
+           unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+           FROM documents),
+         lanes AS (SELECT w, r,
+           CAST('0x' || substring(md5('0:' || w), 8*r + 1, 8) AS BIGINT)
+             % 1024 AS bucket
+           FROM words, (SELECT unnest([0, 1, 2, 3]) AS r) rs),
+         sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM lanes GROUP BY 1, 2),
+         probes AS (SELECT unnest([$probeList]) AS term),
+         pl AS (SELECT term, r,
+           CAST('0x' || substring(md5('0:' || term), 8*r + 1, 8) AS BIGINT)
+             % 1024 AS bucket
+           FROM probes, (SELECT unnest([0, 1, 2, 3]) AS r) rs),
+         est AS (SELECT term, min(coalesce(cnt, 0::BIGINT)) AS cms_est
+           FROM pl LEFT JOIN sk USING (r, bucket) GROUP BY 1),
+         ex AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS exact_n
+           FROM words GROUP BY 1)
+         SELECT term, coalesce(exact_n, 0::BIGINT) AS exact_n, cms_est
+         FROM est LEFT JOIN ex USING (term) ORDER BY term"""
+    },
+    "qd67_bm25_topk" -> (bm25Ctes + """
+         SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+         FROM sc QUALIFY rank <= 10 ORDER BY rank"""),
+    // qe27: reciprocal-rank fusion of the BM25 top-50 (shared CTEs) and
+    // the qe01-style brute-force cosine top-50, k=60, on doc_id = vec_id.
+    "qe27_hybrid_rrf" -> (bm25Ctes + """,
+         lex AS (SELECT doc_id AS id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank_lex
+           FROM sc QUALIFY rank_lex <= 50),
+         z AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS a,
+           CAST(unnest((SELECT embedding FROM embeddings WHERE vec_id = 0))
+             AS DOUBLE) AS b2
+           FROM embeddings e),
+         s AS (SELECT vec_id, sum(a*b2) AS ab, sum(a*a) AS aa,
+           sum(b2*b2) AS bb FROM z GROUP BY 1),
+         vec AS (SELECT vec_id AS id,
+           CAST(row_number() OVER (ORDER BY
+               round(ab / (sqrt(aa) * sqrt(bb)), 4) DESC, vec_id) AS BIGINT)
+             AS rank_vec
+           FROM s QUALIFY rank_vec <= 50),
+         f AS (SELECT coalesce(lex.id, vec.id) AS id, rank_lex, rank_vec,
+           round(coalesce(1.0 / (60.0 + rank_lex), 0.0)
+             + coalesce(1.0 / (60.0 + rank_vec), 0.0), 6) AS rrf
+           FROM lex FULL OUTER JOIN vec ON lex.id = vec.id)
+         SELECT id, rank_lex, rank_vec, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank
+         FROM f QUALIFY rank <= 10 ORDER BY rank"""),
   )
+
+  /** Shared BM25 CTE generator for qd67/qe27 — SAME constants (k1=1.2,
+    * b=0.75) and literal term list as [[graft.ops.TextAnalysis.bm25TopK]];
+    * the interpolated Scala doubles round-trip to identical DuckDB
+    * doubles, and every arithmetic step is order-matched with the Spark
+    * expression tree so round(…, 4) hash-checks. */
+  private def bm25Ctes: String = {
+    val terms = PipelineQueries.bm25QueryTerms
+    val k1 = 1.2; val b = 0.75
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n           ")
+    val dfAggs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+      .mkString(",\n           ")
+    val scoreExpr = terms.indices.map { i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ${k1 + 1.0}" +
+        s" / (tf$i + $k1 * (${1.0 - b} + $b * dl / avgdl))"
+    }.mkString("\n           + ")
+    s"""WITH d AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '\\S+') AS toks FROM documents),
+         base AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+           $tfCols
+           FROM d),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+           $dfAggs
+           FROM base),
+         sc AS (SELECT doc_id, round($scoreExpr, 4) AS score
+           FROM base, st)"""
+  }
 
   /** Shared oracle for qd15/qd43: the Bloom-prefiltered path returns the
     * exact overlap report, so one SQL covers both. */

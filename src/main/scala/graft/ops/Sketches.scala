@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable cardinality / frequency sketches for 100 TB profiling.
+  *
+  * Both sketches hash with plain `md5` (not `xxhash64`) so every query
+  * built on them is oracle-exact: the register / bucket / rank values are
+  * re-derivable in ANSI SQL (`'0x' || substr(md5(x), …)` casts) and the
+  * estimate arithmetic is either pure-integer or a single final division,
+  * so DuckDB reproduces the output bit-for-bit.
+  *
+  * Scale shapes:
+  *  - HLL: the per-row map emits `(group, register, rank)`; partial
+  *    aggregation collapses that to ≤ m rows per group per partition
+  *    BEFORE the shuffle, so a 100 TB scan shuffles `groups × m` tiny
+  *    rows, never the raw values. This is the only sane way to count
+  *    distinct tokens/urls per domain at corpus scale — an exact
+  *    `count(distinct)` shuffles every value.
+  *  - CMS: the sketch is `depth × width` counters built with one
+  *    map-side-combined aggregation; probes broadcast-join the counters.
+  */
+object Sketches {
+
+  /** HLL register count m = 2^8. 256 registers give ~6.5% standard
+    * error — the classic profiling operating point. */
+  val HllM: Int = 256
+
+  /** Register index: first byte of md5(value), 0..255. */
+  def hllRegister(value: Column): Column =
+    conv(substring(md5(value), 1, 2), 16, 10).cast("int")
+
+  /** Rank = 1-based position of the leftmost 1-bit in the NEXT 32 hash
+    * bits (33 when all zero). `bin()` strips leading zeros identically
+    * in Spark and DuckDB, so `33 - length(bin(v))` is portable. */
+  def hllRank(value: Column): Column = {
+    val v = conv(substring(md5(value), 3, 8), 16, 10).cast("long")
+    when(v === 0L, lit(33))
+      .otherwise(lit(33) - length(bin(v))).cast("int")
+  }
+
+  /** Per-group HyperLogLog distinct estimate of `value`.
+    *
+    * Output: `grp, present_registers, zero_registers, est_distinct`.
+    * The register sum is kept EXACT as `Σ 2^(40-rank)` (a bigint —
+    * rank ≤ 33 so every term and the 256-term sum fit), so the only
+    * floating-point steps are one division and (for the small-range
+    * correction, Flajolet et al. 2007) one `ln` — both reproducible
+    * across engines, rounded to 4 decimals. */
+  def hllDistinct(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val regs = df
+      .select(group.as("grp"), hllRegister(value).as("reg"),
+        hllRank(value).as("rank"))
+      .groupBy(col("grp"), col("reg"))
+      .agg(max(col("rank")).as("mrank"))
+    val twoP40 = 1099511627776L // 2^40
+    val byGroup = regs.groupBy(col("grp")).agg(
+      count(lit(1)).cast("long").as("present_registers"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - mrank)")).as("sum_present"))
+    // Empty registers contribute 2^-0 = 1 = 2^40/2^40 each.
+    val withSum = byGroup
+      .withColumn("zero_registers",
+        (lit(HllM.toLong) - col("present_registers")).as("zero_registers"))
+      .withColumn("sum_int",
+        col("sum_present") + col("zero_registers") * lit(twoP40))
+    // alpha_256 * m^2 * 2^40 / sum_int, same literal order as the oracle.
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(256.0) * lit(256.0) * lit(1099511627776.0) / col("sum_int")
+    val corrected = when(
+      col("zero_registers") > 0L && raw <= lit(2.5 * HllM),
+      lit(256.0) * log(lit(256.0) / col("zero_registers"))).otherwise(raw)
+    withSum.select(col("grp"), col("present_registers"),
+      col("zero_registers"), round(corrected, 4).as("est_distinct"))
+  }
+
+  /** Count-min sketch of `value` occurrences: `depth` = 4 hash rows
+    * (the 4 u32 lanes of `md5("0:" || value)` via the native codegen'd
+    * [[graft.functions.Md5Lanes]] expression), `width` buckets per row.
+    * Output: `(row, bucket, cnt)` — at most `4 × width` rows, with
+    * map-side partial counting so the shuffle is bounded by
+    * `4 × width × partitions` regardless of corpus size. */
+  def cmsSketch(df: DataFrame, value: Column, width: Int): DataFrame =
+    df.select(posexplode(graft.functions.Md5Lanes.lanes(value, 1))
+        .as(Seq("row", "lane")))
+      .select(col("row"), (col("lane") % lit(width.toLong)).as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate the count of each probe term: min over the 4 rows
+    * of the matching bucket counters (0 when a bucket is empty). The
+    * sketch side is tiny (≤ 4 × width rows) and broadcast; probes are
+    * never shuffled. Estimates are exact-or-over, never under. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+      term: Column, width: Int): DataFrame = {
+    val pl = probes
+      .select(term.as("term"),
+        posexplode(graft.functions.Md5Lanes.lanes(term, 1))
+          .as(Seq("row", "lane")))
+      .select(col("term"), col("row"),
+        (col("lane") % lit(width.toLong)).as("bucket"))
+    pl.join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+}

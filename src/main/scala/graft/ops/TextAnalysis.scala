@@ -526,4 +526,46 @@ object TextAnalysis {
         floor(col("hapax").cast("double") / col("vocab").cast("double")
           * lit(10000.0)).cast("long").as("hapax_ratio_e4"))
   }
+
+  /** BM25 (Robertson/Spärck Jones, the Okapi formulation with the
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` non-negative idf) scored
+    * against a LITERAL term list — the lexical half of a retrieval
+    * stack next to the ANN family in [[Similarity]].
+    *
+    * Scale shape: per-term tf is a codegen'd array filter over the
+    * token array (no explode — the corpus is scanned once, narrow);
+    * the only aggregation is one single-row global stats pass
+    * (N, avgdl, per-term df) that is broadcast back, and the top-k is
+    * a TakeOrdered. Nothing corpus-sized ever shuffles.
+    *
+    * Ranking uses the 4-decimal-rounded score (desc, id asc tiebreak)
+    * so the order is engine-portable and the oracle hash-checks. */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+    val withTf = terms.zipWithIndex.foldLeft(
+      toks.withColumn("dl", size(col("toks")).cast("double"))) {
+      case (df, (term, i)) =>
+        df.withColumn(s"tf$i",
+          size(filter(col("toks"), t => t === lit(term))).cast("double"))
+    }.drop("toks")
+    val statAggs =
+      Seq(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl")) ++
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * col(s"tf$i") * lit(k1 + 1.0) /
+        (col(s"tf$i") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

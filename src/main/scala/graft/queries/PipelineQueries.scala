@@ -1224,4 +1224,87 @@ object PipelineQueries {
       minEstimate = 0.5)
       .orderBy(col("batch_doc"), col("index_doc"))
   }
+
+  /** qd65: HyperLogLog distinct-token estimate per source — the
+    * shuffle-bounded way to profile vocabulary breadth at corpus scale
+    * (exact distinct shuffles every token; HLL shuffles ≤ 256 register
+    * rows per source per partition). md5-register sketch, oracle-exact. */
+  def hllDistinctTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    graft.ops.Sketches.hllDistinct(toks, col("source"), col("w"))
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
+  /** Probe terms for the count-min sketch query: a fixed literal list
+    * (common corpus words + one absent term exercising the zero path). */
+  val cmsProbeTerms: Seq[String] = Seq(
+    "the", "scan", "join", "spark", "hash", "window", "sort", "merge",
+    "stream", "batch", "dup", "key", "absentterm")
+
+  /** qd66: count-min sketch (depth 4 × width 1024, md5 lanes) over all
+    * corpus tokens, probed with a literal term list; `exact_n` rides
+    * along so the exact-or-over guarantee is visible in-row. */
+  def cmsTokenFreq(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val words = d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val sketch = graft.ops.Sketches.cmsSketch(words, col("w"), width = 1024)
+      .localCheckpoint(eager = false)
+    val probes = s.createDataFrame(
+      cmsProbeTerms.map(Tuple1(_))).toDF("term").distinct()
+    val exact = words.groupBy(col("w").as("term"))
+      .agg(count(lit(1)).as("exact_n"))
+    graft.ops.Sketches.cmsEstimate(sketch, probes, col("term"), width = 1024)
+      .join(broadcast(exact.join(broadcast(probes), Seq("term"))),
+        Seq("term"), "left")
+      .select(col("term"), coalesce(col("exact_n"), lit(0L)).as("exact_n"),
+        col("cms_est"))
+      .orderBy(col("term"))
+  }
+
+  /** Query terms for the BM25 / hybrid retrieval queries — a fixed
+    * literal "search" over the corpus vocabulary. */
+  val bm25QueryTerms: Seq[String] = Seq("spark", "merge", "window", "dup")
+
+  /** qd67: BM25 top-10 documents for the literal query terms. */
+  def bm25TopDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = TextAnalysis.bm25TopK(t(s, dir, "documents"), col("doc_id"),
+      col("text"), bm25QueryTerms, k = 10)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .orderBy(col("rank"))
+  }
+
+  /** qe27: hybrid retrieval — reciprocal-rank fusion (k=60) of the BM25
+    * top-50 lexical list over `documents` and the brute-force cosine
+    * top-50 vector list over `embeddings` (vec_id 0 as the query),
+    * fused on doc_id = vec_id. Both lists are TakeOrdered-shaped; the
+    * fusion is a tiny outer join of two ≤50-row frames. */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextAnalysis.bm25TopK(t(s, dir, "documents"), col("doc_id"),
+      col("text"), bm25QueryTerms, k = 50)
+      .withColumn("rank_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id"), col("rank_lex"))
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val vec = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
+        q, k = 50)
+      .select(col("vec_id").as("id"), col("rank").cast("long").as("rank_vec"))
+    val fused = lex.join(vec, Seq("id"), "full_outer")
+      .select(col("id"), col("rank_lex"), col("rank_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_vec")), lit(0.0)),
+          6).as("rrf"))
+    fused.withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("rank"))
+  }
 }

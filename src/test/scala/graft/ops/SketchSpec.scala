@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+
+/** Specs for the portable sketches (HLL, count-min) and the BM25 /
+  * hybrid-RRF retrieval family — accuracy properties the DuckDB oracle
+  * can't express (the oracle pins exact output; these pin the sketch
+  * ERROR GUARANTEES against exact recomputation). */
+class SketchSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def tokens = {
+    val d = Tables.load(spark, sf, "documents")
+    d.select(col("source"),
+      explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+  }
+
+  test("HLL estimate within 3 standard errors of exact per-group distinct") {
+    val est = Sketches.hllDistinct(tokens, col("source"), col("w"))
+      .select(col("grp"), col("est_distinct"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = tokens.groupBy("source")
+      .agg(countDistinct("w").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    // 1.04/sqrt(256) ≈ 6.5% standard error; allow 3σ ≈ 20%.
+    exact.foreach { case (g, n) =>
+      val e = est(g)
+      assert(math.abs(e - n) <= math.max(3.0, 0.20 * n),
+        s"group $g: est $e vs exact $n")
+    }
+  }
+
+  test("HLL never reports more present registers than m and zero+present=m") {
+    val rows = Sketches.hllDistinct(tokens, col("source"), col("w"))
+      .collect()
+    rows.foreach { r =>
+      val present = r.getAs[Long]("present_registers")
+      val zeros = r.getAs[Long]("zero_registers")
+      assert(present >= 1 && present <= Sketches.HllM)
+      assert(present + zeros == Sketches.HllM)
+    }
+  }
+
+  test("CMS estimates are exact-or-over, never under") {
+    val words = tokens.select("w")
+    val sketch = Sketches.cmsSketch(words, col("w"), width = 1024)
+    val probes = words.distinct().limit(200)
+    val est = Sketches.cmsEstimate(sketch, probes, col("w"), width = 1024)
+    val exact = words.groupBy(col("w").as("term"))
+      .agg(count(lit(1)).as("n"))
+    val joined = est.join(exact, Seq("term")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("n"),
+        s"term ${r.getAs[String]("term")} underestimated")
+    }
+  }
+
+  test("CMS sketch is bounded by depth x width rows") {
+    val sketch = Sketches.cmsSketch(tokens.select("w"), col("w"), 1024)
+    assert(sketch.count() <= 4L * 1024)
+  }
+
+  test("BM25 ranks a term-dense doc above a term-free doc, k1/b defaults") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark merge window pipeline"),
+      (2L, "unrelated words entirely different content"),
+      (3L, "spark appears once here among many many many other tokens")
+    ).toDF("doc_id", "text")
+    val top = graft.ops.TextAnalysis.bm25TopK(docs, col("doc_id"),
+      col("text"), Seq("spark", "merge", "window"), k = 3).collect()
+    assert(top.head.getAs[Long]("doc_id") == 1L)
+    // the no-hit doc scores exactly 0
+    val zero = top.find(_.getAs[Long]("doc_id") == 2L).get
+    assert(zero.getAs[Double]("score") == 0.0)
+  }
+
+  test("BM25 never shuffles the corpus: plan has no corpus-sized exchange") {
+    val d = Tables.load(spark, sf, "documents")
+    val plan = graft.ops.TextAnalysis.bm25TopK(d, col("doc_id"), col("text"),
+      Seq("spark", "merge"), k = 10)
+      .queryExecution.executedPlan.toString
+    // top-k must be a TakeOrdered, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("hybrid RRF fuses both lists: top result present in lex or vec list") {
+    val fused = graft.queries.PipelineQueries.hybridRrf(spark, sf).collect()
+    assert(fused.length == 10)
+    // every fused row must carry at least one source rank
+    fused.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("rank_lex")) ||
+        !r.isNullAt(r.fieldIndex("rank_vec")))
+    }
+    // ranks are 1..10 dense
+    assert(fused.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+  }
+}
