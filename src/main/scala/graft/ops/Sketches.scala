@@ -64,15 +64,62 @@ object Sketches {
         (lit(HllM.toLong) - col("present_registers")).as("zero_registers"))
       .withColumn("sum_int",
         col("sum_present") + col("zero_registers") * lit(twoP40))
-    // alpha_256 * m^2 * 2^40 / sum_int, same literal order as the oracle.
-    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
-      lit(256.0) * lit(256.0) * lit(1099511627776.0) / col("sum_int")
-    val corrected = when(
-      col("zero_registers") > 0L && raw <= lit(2.5 * HllM),
-      lit(256.0) * log(lit(256.0) / col("zero_registers"))).otherwise(raw)
     withSum.select(col("grp"), col("present_registers"),
-      col("zero_registers"), round(corrected, 4).as("est_distinct"))
+      col("zero_registers"),
+      hllEstimate(col("zero_registers"), col("sum_int")).as("est_distinct"))
   }
+
+  /** Shared HLL finishing arithmetic — alpha_256 · m² · 2^40 / sum_int
+    * with the Flajolet small-range `ln` correction, literal order
+    * matched with the DuckDB oracle SQL. Both the composed and the
+    * native-aggregate paths route through this exact expression tree so
+    * their doubles are bit-identical. */
+  private def hllEstimate(zeros: Column, sumInt: Column): Column = {
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+      lit(256.0) * lit(256.0) * lit(1099511627776.0) / sumInt
+    val corrected = when(zeros > 0L && raw <= lit(2.5 * HllM),
+      lit(256.0) * log(lit(256.0) / zeros)).otherwise(raw)
+    round(corrected, 4)
+  }
+
+  /** [[hllDistinct]] via the native one-buffer register aggregate
+    * ([[graft.functions.HllRegistersAgg]]): one 256-byte buffer per
+    * group per partition crosses the exchange instead of ≤ 256 register
+    * rows, and each value is hashed once in a tight JVM loop. Output is
+    * BYTE-IDENTICAL to [[hllDistinct]] (same registers, same finishing
+    * arithmetic) — spec-pinned. */
+  def hllDistinctFast(df: DataFrame, group: Column, value: Column)
+      : DataFrame = {
+    val ag = df.groupBy(group.as("grp"))
+      .agg(graft.functions.HllRegistersAgg.hllRegisters(value).as("regs"))
+    ag.select(col("grp"),
+        hllPresentRegisters(col("regs")).as("present_registers"),
+        hllSumInt(col("regs")).as("sum_int"))
+      .withColumn("zero_registers",
+        lit(HllM.toLong) - col("present_registers"))
+      .select(col("grp"), col("present_registers"), col("zero_registers"),
+        hllEstimate(col("zero_registers"), col("sum_int"))
+          .as("est_distinct"))
+  }
+
+  /** Count of non-empty registers in a 256-register max-rank array. */
+  def hllPresentRegisters(regs: Column): Column =
+    size(filter(regs, r => r > 0)).cast("long")
+
+  /** Exact bigint Σ 2^(40-rank) over ALL 256 registers — empty registers
+    * (rank 0) contribute 2^40, the same uniform sum the composed path
+    * splits into present + zeros terms. 2^(40-r) for r ≤ 40 is exact in
+    * a double, so `pow → cast` is integer-exact. */
+  def hllSumInt(regs: Column): Column =
+    aggregate(regs, lit(0L),
+      (acc, r) => acc + pow(lit(2.0), lit(40) - r).cast("long"))
+
+  /** Finished `est_distinct` straight from a register array — for
+    * consumers holding raw sketches (e.g. the streaming windowed
+    * distinct), byte-identical to [[hllDistinct]]'s estimates. */
+  def hllEstimateFromRegisters(regs: Column): Column =
+    hllEstimate(lit(HllM.toLong) - hllPresentRegisters(regs),
+      hllSumInt(regs))
 
   /** Count-min sketch of `value` occurrences: `depth` = 4 hash rows
     * (the 4 u32 lanes of `md5("0:" || value)` via the native codegen'd

@@ -1233,7 +1233,7 @@ object PipelineQueries {
     val d = t(s, dir, "documents")
     val toks = d.select(col("source"),
       explode(TextAnalysis.tokens(col("text"))).as("w"))
-    graft.ops.Sketches.hllDistinct(toks, col("source"), col("w"))
+    graft.ops.Sketches.hllDistinctFast(toks, col("source"), col("w"))
       .withColumnRenamed("grp", "source")
       .orderBy(col("source"))
   }

@@ -34,6 +34,27 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value")).as("total_value"))
 
+  /** Streaming per-window DISTINCT estimate — watermarked windowed HLL
+    * over `value` via the native one-buffer register aggregate
+    * ([[graft.functions.HllRegistersAgg]]). Exact streaming distinct
+    * needs per-key state proportional to the number of distinct values;
+    * the HLL buffer is a fixed 256 bytes per (window, type) group in
+    * the state store no matter how many values arrive, which is the
+    * only shape that survives an unbounded high-cardinality feed
+    * (distinct users/urls per hour at production volume). Estimates are
+    * byte-identical to the batch [[graft.ops.Sketches.hllDistinct]]
+    * family — spec-pinned against the batch twin. */
+  def windowedDistinct(events: DataFrame,
+      value: org.apache.spark.sql.Column, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(graft.functions.HllRegistersAgg.hllRegisters(value).as("regs"))
+      .select(col("window"), col("event_type"),
+        graft.ops.Sketches.hllEstimateFromRegisters(col("regs"))
+          .as("est_distinct"))
+
   /** Streaming exact-dedup: drop documents whose content fingerprint was
     * already seen, across micro-batches. The watermark bounds the
     * dedup state — a duplicate arriving later than `retention` after the

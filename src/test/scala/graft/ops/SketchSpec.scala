@@ -98,6 +98,46 @@ class SketchSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("native HLL aggregate is byte-identical to the composed register path") {
+    val slow = Sketches.hllDistinct(tokens, col("source"), col("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    val fast = Sketches.hllDistinctFast(tokens, col("source"), col("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(fast.toSeq == slow.toSeq)
+  }
+
+  test("streaming windowed HLL distinct matches the batch twin exactly") {
+    val events = graft.Tables.loadEvents(spark, sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = java.nio.file.Files.createTempDirectory("hllstream").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = graft.streaming.StreamingIngest.watchParquetDir(
+      spark, s"$dir/in", events.schema)
+    graft.streaming.StreamingIngest.drainToMemory(
+      graft.streaming.StreamingIngest.windowedDistinct(
+        stream, col("user_id").cast("string")),
+      "hll_out", outputMode = "complete")
+    val streamed = spark.table("hll_out")
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("est_distinct"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.HllRegistersAgg
+        .hllRegisters(col("user_id").cast("string")).as("regs"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        Sketches.hllEstimateFromRegisters(col("regs")).as("est"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("hybrid RRF fuses both lists: top result present in lex or vec list") {
     val fused = graft.queries.PipelineQueries.hybridRrf(spark, sf).collect()
     assert(fused.length == 10)
