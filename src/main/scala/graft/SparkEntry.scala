@@ -160,6 +160,7 @@ object SparkEntry {
     "qd66_cms_freq" -> (PipelineQueries.cmsTokenFreq _),
     "qd67_bm25_topk" -> (PipelineQueries.bm25TopDocs _),
     "qe27_hybrid_rrf" -> (PipelineQueries.hybridRrf _),
+    "qv21_zorder_codes" -> (PipelineQueries.zorderCodes _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1857,6 +1858,20 @@ object SparkEntry {
          SELECT id, rank_lex, rank_vec, rrf,
            CAST(row_number() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rank
          FROM f QUALIFY rank <= 10 ORDER BY rank"""),
+    // qv21: the 12-bit Morton interleave re-derived term by term — pure
+    // integer shifts/masks, generated from the same `bits` the Spark
+    // side uses.
+    "qv21_zorder_codes" -> {
+      val bits = 12
+      val terms = (0 until bits).flatMap { i =>
+        Seq(s"((((user_id % 4096) >> $i) & 1) << ${2 * i})",
+          s"((((event_id % 4096) >> $i) & 1) << ${2 * i + 1})")
+      }.mkString("\n           | ")
+      s"""SELECT event_id, user_id,
+           CAST($terms AS BIGINT) AS zval
+         FROM events
+         ORDER BY zval DESC, event_id LIMIT 20"""
+    },
   )
 
   /** Shared BM25 CTE generator for qd67/qe27 — SAME constants (k1=1.2,

@@ -104,4 +104,38 @@ object Sharding {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("c")).as("total_cost"))
+
+  /** Z-value (Morton code): bit-interleave of two non-negative integer
+    * dimensions, `bits` low bits each → a `2·bits`-bit code whose
+    * ordering maps compact code ranges to small RECTANGLES in (a, b)
+    * space. Pure integer shifts/masks — codegen'd, engine-portable,
+    * oracle-checkable. Callers bucket raw columns into the `bits`-bit
+    * domain first (`% (1 << bits)`, or a range bin). */
+  def zValue(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_.bitwiseOR(_)).cast("long")
+  }
+
+  /** Z-ordered layout write: range-partition on the z-value (sampled
+    * range boundaries — one shuffle, NO global sort) and sort each file
+    * internally, so every output file covers a compact z-range = a
+    * small rectangle in (a, b) space. Parquet min/max column stats then
+    * prune scans filtered on EITHER dimension — the multi-dimensional
+    * layout a 100 TB table wants when queries slice by more than one
+    * key (a single-column sort clusters only its own column; z-order
+    * gives both columns ~√files locality). Returns the read-back frame.
+    */
+  def writeZOrdered(df: DataFrame, a: Column, b: Column, bits: Int,
+      numFiles: Int, path: String): DataFrame = {
+    val laid = df.withColumn("zval", zValue(a, b, bits))
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+    laid.write.mode("overwrite").parquet(path)
+    laid.sparkSession.read.parquet(path)
+  }
 }

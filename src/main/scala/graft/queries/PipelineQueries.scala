@@ -1278,6 +1278,19 @@ object PipelineQueries {
       .orderBy(col("rank"))
   }
 
+  /** qv21: Morton z-codes over (user_id, event_id) low 12 bits — the
+    * portable core of the z-ordered layout ([[graft.ops.Sharding
+    * .writeZOrdered]], locality spec-pinned in LayoutSpec); the declared
+    * query pins the interleave bit-exactly against the oracle. */
+  def zorderCodes(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.loadEvents(s, dir)
+    e.select(col("event_id"), col("user_id"),
+        graft.ops.Sharding.zValue(col("user_id") % 4096,
+          col("event_id") % 4096, 12).as("zval"))
+      .orderBy(col("zval").desc, col("event_id"))
+      .limit(20)
+  }
+
   /** qe27: hybrid retrieval — reciprocal-rank fusion (k=60) of the BM25
     * top-50 lexical list over `documents` and the brute-force cosine
     * top-50 vector list over `embeddings` (vec_id 0 as the query),
