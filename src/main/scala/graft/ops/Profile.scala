@@ -259,6 +259,38 @@ object ScaleProbe {
         col("doc_id"), col("q")).count())
   }
 
+  /** Sketch/retrieval-family scale probe: the claim under test is that
+    * the sketch OUTPUTS (and thus their shuffles) are input-size-
+    * INVARIANT — HLL ships ≤ 256 registers per group per partition and
+    * CMS ≤ 4×width counters no matter how many tokens arrive, and BM25
+    * shuffles one stats row — so ×10 input should move runtime ~linearly
+    * (the scan) while shuffled bytes stay flat. Replicas get disjoint
+    * doc_ids but the SAME source keys (the production model: more data
+    * per group, not more groups). */
+  private def sketchFamily(spark: SparkSession, sfDir: String,
+      replicas: Int): Unit = {
+    val base = graft.Tables.load(spark, sfDir, "documents")
+    val docs = (if (replicas <= 1) Seq(base) else (0 until replicas).map(i =>
+        base.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          col("source"), col("text"))))
+      .reduce(_.unionByName(_))
+      .localCheckpoint()
+    println(s"[probe] $sfDir x$replicas documents=${docs.count()}")
+    def run(label: String)(f: => Long): Unit = {
+      val rows = time(s"$sfDir x$replicas $label")(f)
+      println(s"[probe] $sfDir x$replicas $label rows=$rows")
+    }
+    val toks = docs.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    run("HLL distinct per source (native agg)")(
+      Sketches.hllDistinctFast(toks, col("source"), col("w")).count())
+    run("CMS sketch build (4x1024)")(
+      Sketches.cmsSketch(toks.select("w"), col("w"), 1024).count())
+    run("BM25 top-50")(
+      TextAnalysis.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("spark", "merge", "window", "dup"), k = 50).count())
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -333,6 +365,13 @@ object ScaleProbe {
     if (sys.env.contains("SPARK_GRAFT_PROBE_CLUSTER")) {
       clusterFamily(spark, "/root/testdata/sf0.1", replicas = 1)
       clusterFamily(spark, "/root/testdata/sf0.1", replicas = 10)
+      spark.stop()
+      return
+    }
+
+    if (sys.env.contains("SPARK_GRAFT_PROBE_SKETCH")) {
+      sketchFamily(spark, "/root/testdata/sf0.1", replicas = 1)
+      sketchFamily(spark, "/root/testdata/sf0.1", replicas = 10)
       spark.stop()
       return
     }
