@@ -55,6 +55,27 @@ object StreamingIngest {
         graft.ops.Sketches.hllEstimateFromRegisters(col("regs"))
           .as("est_distinct"))
 
+  /** Streaming per-window heavy hitters: watermarked windowed
+    * Misra-Gries ([[graft.functions.HeavyHittersAggregate]]) over
+    * `item` — m counters of fixed state per window in the state store,
+    * independent of item cardinality (an exact per-item count needs a
+    * counter per distinct item). MG estimates are arrival-order-
+    * dependent LOWER bounds, but the membership guarantee is order-free:
+    * every item with true window frequency > n/(m+1) is in the summary
+    * — that guarantee (not estimate equality) is what the spec pins
+    * against a batch recount, the same contract the batch qd40/qd41
+    * exact-recount composition builds on. */
+  def windowedHeavyHitters(events: DataFrame,
+      item: org.apache.spark.sql.Column, m: Int,
+      window_ : String = "1 hour", watermark: String = "2 hours")
+      : DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.functions.HeavyHittersAggregate.heavyHitters(item, m)
+          .as("hh"),
+        count(lit(1)).as("n"))
+
   /** Streaming exact-dedup: drop documents whose content fingerprint was
     * already seen, across micro-batches. The watermark bounds the
     * dedup state — a duplicate arriving later than `retention` after the

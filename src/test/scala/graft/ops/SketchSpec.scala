@@ -138,6 +138,43 @@ class SketchSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming windowed heavy hitters keep the n/(m+1) guarantee") {
+    val m = 4
+    val events = graft.Tables.loadEvents(spark, sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = java.nio.file.Files.createTempDirectory("hhstream").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = graft.streaming.StreamingIngest.watchParquetDir(
+      spark, s"$dir/in", events.schema)
+    graft.streaming.StreamingIngest.drainToMemory(
+      graft.streaming.StreamingIngest.windowedHeavyHitters(
+        stream, col("event_type"), m),
+      "hh_out", outputMode = "complete")
+    val streamed = spark.table("hh_out")
+      .select(col("window.start").as("ws"), col("hh"), col("n"))
+      .collect()
+      .map { r =>
+        r.getTimestamp(0) ->
+          (r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).toSet,
+            r.getLong(2))
+      }.toMap
+    assert(streamed.nonEmpty)
+    // exact per-window counts: anything above n/(m+1) MUST be present
+    val exact = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("ws"), col("event_type"), col("c"))
+      .collect()
+      .groupBy(_.getTimestamp(0))
+    exact.foreach { case (ws, rows) =>
+      val (candidates, n) = streamed(ws)
+      rows.filter(r => r.getLong(2) * (m + 1) > n).foreach { r =>
+        assert(candidates.contains(r.getString(1)),
+          s"window $ws missing guaranteed hitter ${r.getString(1)}")
+      }
+    }
+  }
+
   test("hybrid RRF fuses both lists: top result present in lex or vec list") {
     val fused = graft.queries.PipelineQueries.hybridRrf(spark, sf).collect()
     assert(fused.length == 10)
