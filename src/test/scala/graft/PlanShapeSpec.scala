@@ -199,4 +199,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pr.contains("BroadcastHashJoin") && pr.contains("LeftSemi"),
       pr.take(3000))
   }
+
+  test("HLL native aggregate partial-aggregates map-side (ObjectHashAggregate)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val toks = docs.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val p = plan(graft.ops.Sketches.hllDistinctFast(toks, col("source"),
+      col("w")))
+    // one object-hash aggregate pair (partial before the exchange), so
+    // only 256-byte buffers per (group, partition) cross the shuffle
+    assert(p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("CMS probe broadcasts the sketch; the probe side never shuffles") {
+    val docs = Tables.load(spark, sf, "documents")
+    val words = docs.select(explode(TextAnalysis.tokens(col("text")))
+      .as("w"))
+    val sketch = graft.ops.Sketches.cmsSketch(words, col("w"), 1024)
+    import spark.implicits._
+    val probes = Seq("the", "scan").toDF("term")
+    val p = plan(graft.ops.Sketches.cmsEstimate(sketch, probes,
+      col("term"), 1024))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("z-order codes are one narrow map + TakeOrdered (no exchange before the top-k)") {
+    val p = plan(SparkEntry.queries("qv21_zorder_codes")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      p.take(3000))
+  }
 }
