@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * a 100 TB corpus streams through executors without collecting. The
   * IMAGE half decodes for real via the JDK's `javax.imageio`
   * ([[imageIoDecoder]]: true format/width/height from PNG/JPEG/GIF/BMP
-  * headers, no extra dependencies); audio/video codec calls remain
-  * STUBBED behind [[Decoder]] — those libraries are not in this
-  * container — with the Spark-side contract (schema, batching,
-  * partitioning, deterministic output) real and tested either way; a
-  * production deployment swaps in the remaining codecs only.
+  * headers) and the AUDIO half via `javax.sound.sampled` (WAV/AIFF/AU
+  * container headers: encoding, channels, sample bits, frame count) —
+  * both zero-dependency JDK parsers chained in [[jdkDecoder]]. VIDEO
+  * codec calls remain STUBBED behind [[Decoder]] — no video library
+  * ships with the JDK or this container — with the Spark-side contract
+  * (schema, batching, partitioning, deterministic output) real and
+  * tested either way; a production deployment swaps in that one codec.
   */
 object Multimodal {
 
@@ -80,6 +82,60 @@ object Multimodal {
     viaJdk.getOrElse(stubDecoder(bytes))
   }
 
+  /** REAL audio header decode via the JDK's own `javax.sound.sampled` —
+    * zero extra dependencies: WAV/AIFF/AU container headers yield the
+    * encoding name, channel count, sample size and frame count without
+    * reading sample data (`AudioSystem.getAudioFileFormat` parses only
+    * the header). MediaMeta mapping: width = channels, height = sample
+    * bits, nFrames = frame count, durationMs from frames / frameRate.
+    * Unrecognized payloads return None so decoders can chain. */
+  private def audioHeader(bytes: Array[Byte]): Option[MediaMeta] =
+    if (bytes == null || bytes.length == 0) None
+    else try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      val frames = math.max(aff.getFrameLength, 0)
+      val durMs =
+        if (fmt.getFrameRate > 0 && frames > 0)
+          (frames.toDouble / fmt.getFrameRate * 1000.0).toLong
+        else 0L
+      Some(MediaMeta(aff.getType.getExtension.toLowerCase,
+        width = fmt.getChannels, height = fmt.getSampleSizeInBits,
+        nFrames = frames, durationMs = durMs))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Default production decoder: real IMAGE headers (`javax.imageio`),
+    * then real AUDIO headers (`javax.sound.sampled`), then the
+    * deterministic stub for everything else (video codecs are not in
+    * the JDK — the remaining disclosed stub). */
+  val jdkDecoder: Decoder = { bytes =>
+    val viaImage: Option[MediaMeta] =
+      if (bytes == null || bytes.length == 0) None
+      else {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Some(MediaMeta(r.getFormatName.toLowerCase,
+                r.getWidth(0), r.getHeight(0), nFrames = 1,
+                durationMs = 0L))
+            } catch { case _: java.io.IOException => None }
+            finally r.dispose()
+          }
+        } finally iis.close()
+      }
+    viaImage.orElse(audioHeader(bytes)).getOrElse(stubDecoder(bytes))
+  }
+
   /** Attach deterministic fake binary payloads derived from an id column
     * — the test-data generator for the plumbing. */
   def withFakeMedia(df: DataFrame, idCol: String): DataFrame =
@@ -96,7 +152,7 @@ object Multimodal {
     * existing stub-payload pipelines are unchanged while genuine
     * PNG/JPEG bytes report their true dimensions. */
   def decodeMeta(df: DataFrame, idCol: String,
-      decoder: Decoder = imageIoDecoder): DataFrame = {
+      decoder: Decoder = jdkDecoder): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol), col("content"))

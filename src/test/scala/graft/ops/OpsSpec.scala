@@ -214,6 +214,35 @@ class OpsSpec extends AnyFunSuite {
     assert(decoded(2).getAs[Int]("width") == stub.width)
   }
 
+  test("audio WAV headers decode for real via javax.sound.sampled") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wavBytes(sampleRate: Float, channels: Int, bits: Int,
+        frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, bits, channels, true, false)
+      val data = new Array[Byte](frames * fmt.getFrameSize)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, wavBytes(8000f, 2, 16, 4000)),
+      (2L, wavBytes(16000f, 1, 8, 1600)))
+    val media = rows.toDF("media_id", "content").repartition(2)
+    val decoded = Multimodal.decodeMeta(media, "media_id")
+      .orderBy("media_id").collect()
+    assert(decoded(0).getAs[String]("format") == "wav")
+    assert(decoded(0).getAs[Int]("width") == 2)     // channels
+    assert(decoded(0).getAs[Int]("height") == 16)   // sample bits
+    assert(decoded(0).getAs[Int]("n_frames") == 4000)
+    assert(decoded(0).getAs[Long]("duration_ms") == 500L) // 4000/8000 s
+    assert(decoded(1).getAs[String]("format") == "wav")
+    assert(decoded(1).getAs[Int]("width") == 1)
+    assert(decoded(1).getAs[Long]("duration_ms") == 100L) // 1600/16000 s
+  }
+
   test("minhash LSH candidates superset check on near-identical docs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
