@@ -159,6 +159,7 @@ object SparkEntry {
     "qd65_hll_distinct" -> (PipelineQueries.hllDistinctTokens _),
     "qd66_cms_freq" -> (PipelineQueries.cmsTokenFreq _),
     "qd67_bm25_topk" -> (PipelineQueries.bm25TopDocs _),
+    "qd68_hll_merge" -> (PipelineQueries.hllMergeParity _),
     "qe27_hybrid_rrf" -> (PipelineQueries.hybridRrf _),
     "qv21_zorder_codes" -> (PipelineQueries.zorderCodes _),
   )
@@ -1767,39 +1768,10 @@ object SparkEntry {
              / CAST(sum(n_bpe) AS DOUBLE) * 10000.0) / 10000.0
              AS chars_per_token
          FROM pd GROUP BY 1 ORDER BY 1"""),
-    // qd65: the whole HLL sketch re-derived in SQL — md5 first byte =
-    // register, leftmost-1-bit rank of the next 32 bits via bin() (both
-    // engines strip leading zeros), EXACT bigint register sum
-    // Σ 2^(40-rank), single final division + the Flajolet small-range
-    // ln correction. Constants interpolation-free and order-matched.
-    "qd65_hll_distinct" ->
-      """WITH words AS (SELECT source,
-           unnest(regexp_extract_all(lower(text), '\S+')) AS w
-           FROM documents),
-         h AS (SELECT source, md5(w) AS hx FROM words),
-         rr AS (SELECT source,
-           CAST('0x' || substring(hx, 1, 2) AS INT) AS reg,
-           CAST('0x' || substring(hx, 3, 8) AS BIGINT) AS v FROM h),
-         r2 AS (SELECT source, reg,
-           CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END AS rank
-           FROM rr),
-         regs AS (SELECT source, reg, max(rank) AS mrank
-           FROM r2 GROUP BY 1, 2),
-         g AS (SELECT source, CAST(count(*) AS BIGINT) AS present_registers,
-           sum((1::BIGINT) << (40 - mrank)) AS sum_present
-           FROM regs GROUP BY 1),
-         g2 AS (SELECT source, present_registers,
-           256 - present_registers AS zero_registers,
-           sum_present + (256 - present_registers) * 1099511627776
-             AS sum_int FROM g)
-         SELECT source, present_registers, zero_registers,
-           round(CASE WHEN zero_registers > 0 AND
-               0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
-                 * 1099511627776.0 / sum_int <= 640.0
-             THEN 256.0 * ln(256.0 / zero_registers)
-             ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
-                 * 1099511627776.0 / sum_int END, 4) AS est_distinct
-         FROM g2 ORDER BY source""",
+    "qd65_hll_distinct" -> hllOracleSql,
+    // qd68: register max-merge is associative, so the merged-partials
+    // result is byte-identical to the direct derivation — one oracle.
+    "qd68_hll_merge" -> hllOracleSql,
     // qd66: count-min re-derived — 4 hash rows from the u32 lanes of
     // md5('0:' || w) (the Md5Lanes chunk-0 layout, same as qd24), width
     // 1024, min over rows with empty buckets as 0; exact counts ride
@@ -1873,6 +1845,43 @@ object SparkEntry {
          ORDER BY zval DESC, event_id LIMIT 20"""
     },
   )
+
+  /** Shared oracle for qd65 (direct HLL) and qd68 (merged partial
+    * sketches — register max-merge is associative, so both queries
+    * produce byte-identical output): the whole sketch re-derived in
+    * SQL — md5 first byte = register, leftmost-1-bit rank of the next
+    * 32 bits via bin() (both engines strip leading zeros), EXACT bigint
+    * register sum Σ 2^(40-rank), single final division + the Flajolet
+    * small-range ln correction. Constants order-matched with the Spark
+    * expression tree. */
+  private val hllOracleSql: String =
+    """WITH words AS (SELECT source,
+         unnest(regexp_extract_all(lower(text), '\S+')) AS w
+         FROM documents),
+       h AS (SELECT source, md5(w) AS hx FROM words),
+       rr AS (SELECT source,
+         CAST('0x' || substring(hx, 1, 2) AS INT) AS reg,
+         CAST('0x' || substring(hx, 3, 8) AS BIGINT) AS v FROM h),
+       r2 AS (SELECT source, reg,
+         CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END AS rank
+         FROM rr),
+       regs AS (SELECT source, reg, max(rank) AS mrank
+         FROM r2 GROUP BY 1, 2),
+       g AS (SELECT source, CAST(count(*) AS BIGINT) AS present_registers,
+         sum((1::BIGINT) << (40 - mrank)) AS sum_present
+         FROM regs GROUP BY 1),
+       g2 AS (SELECT source, present_registers,
+         256 - present_registers AS zero_registers,
+         sum_present + (256 - present_registers) * 1099511627776
+           AS sum_int FROM g)
+       SELECT source, present_registers, zero_registers,
+         round(CASE WHEN zero_registers > 0 AND
+             0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+               * 1099511627776.0 / sum_int <= 640.0
+           THEN 256.0 * ln(256.0 / zero_registers)
+           ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+               * 1099511627776.0 / sum_int END, 4) AS est_distinct
+       FROM g2 ORDER BY source"""
 
   /** Shared BM25 CTE generator for qd67/qe27 — SAME constants (k1=1.2,
     * b=0.75) and literal term list as [[graft.ops.TextAnalysis.bm25TopK]];

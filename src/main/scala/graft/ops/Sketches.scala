@@ -121,6 +121,33 @@ object Sketches {
     hllEstimate(lit(HllM.toLong) - hllPresentRegisters(regs),
       hllSumInt(regs))
 
+  /** Merge per-group register ARRAYS (one row per partial sketch, e.g.
+    * one per day / batch / shard) into one finished estimate per group —
+    * HLL's point at corpus scale: registers max-merge associatively, so
+    * yesterday's sketch + today's sketch equals the sketch of the union
+    * WITHOUT rescanning yesterday. Byte-identical to running
+    * [[hllDistinctFast]] over the union (spec + oracle-pinned: qd68
+    * merges per-parity partials and hash-checks against qd65's direct
+    * derivation). */
+  def hllMergeRegisters(sketches: DataFrame, group: Column,
+      regs: Column): DataFrame = {
+    val merged = sketches
+      .select(group.as("grp"), posexplode(regs).as(Seq("reg", "rank")))
+      .groupBy(col("grp"), col("reg"))
+      .agg(max(col("rank")).as("mrank"))
+      .groupBy(col("grp"))
+      .agg(sum(when(col("mrank") > 0, 1L).otherwise(0L))
+          .as("present_registers"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - mrank)"))
+          .as("sum_int"))
+    merged
+      .withColumn("zero_registers",
+        lit(HllM.toLong) - col("present_registers"))
+      .select(col("grp"), col("present_registers"), col("zero_registers"),
+        hllEstimate(col("zero_registers"), col("sum_int"))
+          .as("est_distinct"))
+  }
+
   /** Count-min sketch of `value` occurrences: `depth` = 4 hash rows
     * (the 4 u32 lanes of `md5("0:" || value)` via the native codegen'd
     * [[graft.functions.Md5Lanes]] expression), `width` buckets per row.

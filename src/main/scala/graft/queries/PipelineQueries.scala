@@ -1238,6 +1238,25 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** qd68: HLL MERGEABILITY — build per-(source, doc-parity) partial
+    * sketches, then max-merge the register arrays per source. Registers
+    * merge associatively, so the merged estimates are byte-identical to
+    * the direct whole-corpus derivation and qd65's oracle applies
+    * verbatim — the incremental shape: daily sketches roll up without
+    * rescanning history. */
+  def hllMergeParity(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = d.select(col("source"), (col("doc_id") % 2).as("parity"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val partials = toks.groupBy(col("source"), col("parity"))
+      .agg(graft.functions.HllRegistersAgg.hllRegisters(col("w"))
+        .as("regs"))
+    graft.ops.Sketches.hllMergeRegisters(partials, col("source"),
+        col("regs"))
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
   /** Probe terms for the count-min sketch query: a fixed literal list
     * (common corpus words + one absent term exercising the zero path). */
   val cmsProbeTerms: Seq[String] = Seq(

@@ -108,6 +108,24 @@ class SketchSpec extends AnyFunSuite {
     assert(fast.toSeq == slow.toSeq)
   }
 
+  test("HLL partial sketches max-merge to the direct whole-corpus result") {
+    val d = graft.Tables.load(spark, sf, "documents")
+    val byParity = d.select(col("source"), (col("doc_id") % 2).as("p"),
+      explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+    val partials = byParity.groupBy(col("source"), col("p"))
+      .agg(graft.functions.HllRegistersAgg.hllRegisters(col("w"))
+        .as("regs"))
+    val merged = Sketches.hllMergeRegisters(partials, col("source"),
+        col("regs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    val direct = Sketches.hllDistinctFast(
+        byParity.select(col("source"), col("w")), col("source"), col("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(merged.toSeq == direct.toSeq)
+  }
+
   test("streaming windowed HLL distinct matches the batch twin exactly") {
     val events = graft.Tables.loadEvents(spark, sf)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
