@@ -160,6 +160,7 @@ object SparkEntry {
     "qd66_cms_freq" -> (PipelineQueries.cmsTokenFreq _),
     "qd67_bm25_topk" -> (PipelineQueries.bm25TopDocs _),
     "qd68_hll_merge" -> (PipelineQueries.hllMergeParity _),
+    "qd69_cms_merge" -> (PipelineQueries.cmsMergeFreq _),
     "qe27_hybrid_rrf" -> (PipelineQueries.hybridRrf _),
     "qv21_zorder_codes" -> (PipelineQueries.zorderCodes _),
   )
@@ -1772,34 +1773,10 @@ object SparkEntry {
     // qd68: register max-merge is associative, so the merged-partials
     // result is byte-identical to the direct derivation — one oracle.
     "qd68_hll_merge" -> hllOracleSql,
-    // qd66: count-min re-derived — 4 hash rows from the u32 lanes of
-    // md5('0:' || w) (the Md5Lanes chunk-0 layout, same as qd24), width
-    // 1024, min over rows with empty buckets as 0; exact counts ride
-    // along to show the exact-or-over guarantee.
-    "qd66_cms_freq" -> {
-      val probeList = PipelineQueries.cmsProbeTerms
-        .map(t => s"'$t'").mkString(", ")
-      s"""WITH words AS (SELECT
-           unnest(regexp_extract_all(lower(text), '\\S+')) AS w
-           FROM documents),
-         lanes AS (SELECT w, r,
-           CAST('0x' || substring(md5('0:' || w), 8*r + 1, 8) AS BIGINT)
-             % 1024 AS bucket
-           FROM words, (SELECT unnest([0, 1, 2, 3]) AS r) rs),
-         sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
-           FROM lanes GROUP BY 1, 2),
-         probes AS (SELECT unnest([$probeList]) AS term),
-         pl AS (SELECT term, r,
-           CAST('0x' || substring(md5('0:' || term), 8*r + 1, 8) AS BIGINT)
-             % 1024 AS bucket
-           FROM probes, (SELECT unnest([0, 1, 2, 3]) AS r) rs),
-         est AS (SELECT term, min(coalesce(cnt, 0::BIGINT)) AS cms_est
-           FROM pl LEFT JOIN sk USING (r, bucket) GROUP BY 1),
-         ex AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS exact_n
-           FROM words GROUP BY 1)
-         SELECT term, coalesce(exact_n, 0::BIGINT) AS exact_n, cms_est
-         FROM est LEFT JOIN ex USING (term) ORDER BY term"""
-    },
+    "qd66_cms_freq" -> cmsOracleSql,
+    // qd69: CMS counters SUM-merge associatively, so the merged-partials
+    // result equals the direct sketch — one oracle.
+    "qd69_cms_merge" -> cmsOracleSql,
     "qd67_bm25_topk" -> (bm25Ctes + """
          SELECT doc_id, score,
            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
@@ -1882,6 +1859,37 @@ object SparkEntry {
            ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
                * 1099511627776.0 / sum_int END, 4) AS est_distinct
        FROM g2 ORDER BY source"""
+
+  /** Shared oracle for qd66 (direct count-min) and qd69 (sum-merged
+    * partial sketches — counters add associatively, identical result):
+    * 4 hash rows from the u32 lanes of md5('0:' || w) (the Md5Lanes
+    * chunk-0 layout, same as qd24), width 1024, min over rows with
+    * empty buckets as 0; exact counts ride along to show the
+    * exact-or-over guarantee. */
+  private lazy val cmsOracleSql: String = {
+    val probeList = PipelineQueries.cmsProbeTerms
+      .map(t => s"'$t'").mkString(", ")
+    s"""WITH words AS (SELECT
+           unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+           FROM documents),
+         lanes AS (SELECT w, r,
+           CAST('0x' || substring(md5('0:' || w), 8*r + 1, 8) AS BIGINT)
+             % 1024 AS bucket
+           FROM words, (SELECT unnest([0, 1, 2, 3]) AS r) rs),
+         sk AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+           FROM lanes GROUP BY 1, 2),
+         probes AS (SELECT unnest([$probeList]) AS term),
+         pl AS (SELECT term, r,
+           CAST('0x' || substring(md5('0:' || term), 8*r + 1, 8) AS BIGINT)
+             % 1024 AS bucket
+           FROM probes, (SELECT unnest([0, 1, 2, 3]) AS r) rs),
+         est AS (SELECT term, min(coalesce(cnt, 0::BIGINT)) AS cms_est
+           FROM pl LEFT JOIN sk USING (r, bucket) GROUP BY 1),
+         ex AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS exact_n
+           FROM words GROUP BY 1)
+         SELECT term, coalesce(exact_n, 0::BIGINT) AS exact_n, cms_est
+         FROM est LEFT JOIN ex USING (term) ORDER BY term"""
+  }
 
   /** Shared BM25 CTE generator for qd67/qe27 — SAME constants (k1=1.2,
     * b=0.75) and literal term list as [[graft.ops.TextAnalysis.bm25TopK]];

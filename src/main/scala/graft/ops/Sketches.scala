@@ -161,6 +161,16 @@ object Sketches {
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Merge count-min sketches by ADDING matching counters — CMS's
+    * mergeability half (HLL registers max-merge, CMS counters sum), so
+    * per-batch sketches roll up into the union's sketch exactly.
+    * Input: a union of `(row, bucket, cnt)` sketch frames; output: one
+    * merged sketch, byte-identical to building over the union (pinned
+    * by qd69 sharing qd66's oracle verbatim). */
+  def cmsMergeSketches(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point-estimate the count of each probe term: min over the 4 rows
     * of the matching bucket counters (0 when a bucket is empty). The
     * sketch side is tiny (≤ 4 × width rows) and broadcast; probes are

@@ -1270,7 +1270,30 @@ object PipelineQueries {
     val d = t(s, dir, "documents")
     val words = d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
     val sketch = graft.ops.Sketches.cmsSketch(words, col("w"), width = 1024)
-      .localCheckpoint(eager = false)
+    cmsProbeReport(s, dir, sketch)
+  }
+
+  /** qd69: CMS MERGEABILITY — per-parity partial sketches summed
+    * counter-wise equal the whole-corpus sketch exactly, so qd66's
+    * oracle applies verbatim; the incremental shape for frequency
+    * sketches (HLL merges by max, CMS by sum). */
+  def cmsMergeFreq(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def words(f: DataFrame) =
+      f.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val partials = Seq(0, 1).map(p =>
+      graft.ops.Sketches.cmsSketch(words(d.filter(col("doc_id") % 2 === p)),
+        col("w"), width = 1024))
+    cmsProbeReport(s, dir,
+      graft.ops.Sketches.cmsMergeSketches(partials.reduce(_.unionByName(_))))
+  }
+
+  /** Shared probe/exact report over a CMS sketch frame (qd66/qd69). */
+  private def cmsProbeReport(s: SparkSession, dir: String,
+      sketchIn: DataFrame): DataFrame = {
+    val d = t(s, dir, "documents")
+    val words = d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val sketch = sketchIn.localCheckpoint(eager = false)
     val probes = s.createDataFrame(
       cmsProbeTerms.map(Tuple1(_))).toDF("term").distinct()
     val exact = words.groupBy(col("w").as("term"))

@@ -69,6 +69,23 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS partial sketches sum-merge to the direct whole-corpus sketch") {
+    val d = graft.Tables.load(spark, sf, "documents")
+    def words(f: org.apache.spark.sql.DataFrame) =
+      f.select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+    val partials = Seq(0, 1).map(p =>
+      Sketches.cmsSketch(words(d.filter(col("doc_id") % 2 === p)),
+        col("w"), 1024))
+    val merged = Sketches.cmsMergeSketches(partials.reduce(_.unionByName(_)))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val direct = Sketches.cmsSketch(words(d), col("w"), 1024)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(merged == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("CMS sketch is bounded by depth x width rows") {
     val sketch = Sketches.cmsSketch(tokens.select("w"), col("w"), 1024)
     assert(sketch.count() <= 4L * 1024)
