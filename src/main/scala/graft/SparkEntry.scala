@@ -161,6 +161,7 @@ object SparkEntry {
     "qd67_bm25_topk" -> (PipelineQueries.bm25TopDocs _),
     "qd68_hll_merge" -> (PipelineQueries.hllMergeParity _),
     "qd69_cms_merge" -> (PipelineQueries.cmsMergeFreq _),
+    "qd70_hll_overlap" -> (PipelineQueries.hllOverlapHalves _),
     "qe27_hybrid_rrf" -> (PipelineQueries.hybridRrf _),
     "qv21_zorder_codes" -> (PipelineQueries.zorderCodes _),
   )
@@ -1777,6 +1778,24 @@ object SparkEntry {
     // qd69: CMS counters SUM-merge associatively, so the merged-partials
     // result equals the direct sketch — one oracle.
     "qd69_cms_merge" -> cmsOracleSql,
+    // qd70: three HLL estimate derivations (even docs, odd docs, all
+    // docs — element-wise register max of the halves IS the union's
+    // sketch) + inclusion–exclusion on the rounded estimates, generated
+    // from one parameterized CTE chain.
+    "qd70_hll_overlap" -> {
+      val nib = "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), " +
+        "1, 1) AS INT)"
+      val ctes = Seq(
+        hllEstCtes("a", s"WHERE $nib < 8"),
+        hllEstCtes("b", s"WHERE $nib >= 8"),
+        hllEstCtes("u", "")).mkString(",\n         ")
+      s"""WITH $ctes
+         SELECT a.source, a.est AS est_a, b.est AS est_b,
+           u.est AS est_union,
+           round(a.est + b.est - u.est, 4) AS est_inter
+         FROM a JOIN b USING (source) JOIN u USING (source)
+         ORDER BY source"""
+    },
     "qd67_bm25_topk" -> (bm25Ctes + """
          SELECT doc_id, score,
            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
@@ -1890,6 +1909,38 @@ object SparkEntry {
          SELECT term, coalesce(exact_n, 0::BIGINT) AS exact_n, cms_est
          FROM est LEFT JOIN ex USING (term) ORDER BY term"""
   }
+
+  /** Parameterized HLL estimate CTE chain for qd70: derives
+    * `<tag>(source, est)` over the documents matching `where` — the
+    * same register/rank/sum arithmetic as [[hllOracleSql]], estimate
+    * only. */
+  private def hllEstCtes(tag: String, where: String): String =
+    s"""${tag}w AS (SELECT source,
+           unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+           FROM documents $where),
+         ${tag}h AS (SELECT source, md5(w) AS hx FROM ${tag}w),
+         ${tag}r AS (SELECT source,
+           CAST('0x' || substring(hx, 1, 2) AS INT) AS reg,
+           CASE WHEN CAST('0x' || substring(hx, 3, 8) AS BIGINT) = 0
+             THEN 33
+             ELSE 33 - length(bin(CAST('0x' || substring(hx, 3, 8)
+               AS BIGINT))) END AS rank
+           FROM ${tag}h),
+         ${tag}m AS (SELECT source, reg, max(rank) AS mrank
+           FROM ${tag}r GROUP BY 1, 2),
+         ${tag}g AS (SELECT source,
+           CAST(count(*) AS BIGINT) AS pres,
+           sum((1::BIGINT) << (40 - mrank)) AS sp
+           FROM ${tag}m GROUP BY 1),
+         ${tag}g2 AS (SELECT source, 256 - pres AS zr,
+           sp + (256 - pres) * 1099511627776 AS si FROM ${tag}g),
+         $tag AS (SELECT source,
+           round(CASE WHEN zr > 0 AND
+               0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                 * 1099511627776.0 / si <= 640.0
+             THEN 256.0 * ln(256.0 / zr)
+             ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                 * 1099511627776.0 / si END, 4) AS est FROM ${tag}g2)"""
 
   /** Shared BM25 CTE generator for qd67/qe27 — SAME constants (k1=1.2,
     * b=0.75) and literal term list as [[graft.ops.TextAnalysis.bm25TopK]];

@@ -161,6 +161,26 @@ object Sketches {
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Set algebra on two per-group register sketches `(grp, regs)`:
+    * union via element-wise register max (exactly the union's sketch),
+    * intersection via inclusion–exclusion on the ROUNDED estimates —
+    * the standard HLL answer to "how much vocabulary do two corpora
+    * share" without ever co-shuffling their values. Output:
+    * `grp, est_a, est_b, est_union, est_inter`, all 4-decimal, all
+    * derivable (and oracle-checked) from the two register arrays. */
+  def hllOverlap(a: DataFrame, b: DataFrame): DataFrame = {
+    val j = a.select(col("grp"), col("regs").as("ra"))
+      .join(b.select(col("grp"), col("regs").as("rb")), Seq("grp"))
+    val estA = hllEstimateFromRegisters(col("ra"))
+    val estB = hllEstimateFromRegisters(col("rb"))
+    val estU = hllEstimateFromRegisters(
+      zip_with(col("ra"), col("rb"), (x, y) => greatest(x, y)))
+    j.select(col("grp"), estA.as("est_a"), estB.as("est_b"),
+        estU.as("est_union"))
+      .withColumn("est_inter",
+        round(col("est_a") + col("est_b") - col("est_union"), 4))
+  }
+
   /** Merge count-min sketches by ADDING matching counters — CMS's
     * mergeability half (HLL registers max-merge, CMS counters sum), so
     * per-batch sketches roll up into the union's sketch exactly.

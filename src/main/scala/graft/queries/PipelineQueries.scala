@@ -1257,6 +1257,29 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** qd70: HLL SET ALGEBRA — per-source vocabulary overlap between two
+    * md5-split halves of the corpus (doc_id parity CORRELATES with
+    * source in the testdata, so the split key is a content hash, the
+    * same discipline as the sampling family): union by register max,
+    * intersection by inclusion–exclusion on the rounded estimates. The
+    * two halves never co-shuffle; each contributes one 256-register
+    * sketch per source. */
+  def hllOverlapHalves(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val nibble = conv(
+      substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    def sketchOf(lo: Boolean) = d.filter(if (lo) nibble < 8 else nibble >= 8)
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("source").as("grp"))
+      .agg(graft.functions.HllRegistersAgg.hllRegisters(col("w"))
+        .as("regs"))
+    graft.ops.Sketches.hllOverlap(sketchOf(true), sketchOf(false))
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
   /** Probe terms for the count-min sketch query: a fixed literal list
     * (common corpus words + one absent term exercising the zero path). */
   val cmsProbeTerms: Seq[String] = Seq(

@@ -143,6 +143,36 @@ class SketchSpec extends AnyFunSuite {
     assert(merged.toSeq == direct.toSeq)
   }
 
+  test("HLL overlap: union <= a+b, inter tracks the exact intersection") {
+    val d = graft.Tables.load(spark, sf, "documents")
+    val nibble = conv(
+      substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    def half(p: Int) = d.filter(if (p == 0) nibble < 8 else nibble >= 8)
+      .select(col("source"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("w"))
+    def sketch(p: Int) = half(p).groupBy(col("source").as("grp"))
+      .agg(graft.functions.HllRegistersAgg.hllRegisters(col("w"))
+        .as("regs"))
+    val ov = Sketches.hllOverlap(sketch(0), sketch(1)).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(ov.nonEmpty)
+    // exact per-source intersection of the two vocabularies
+    val exactInter = half(0).distinct()
+      .join(half(1).distinct(), Seq("source", "w"))
+      .groupBy("source").agg(countDistinct("w").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ov.foreach { case (src, (a, b, u, i)) =>
+      assert(u <= a + b + 1e-6, s"$src union exceeds a+b")
+      assert(math.abs(i - (a + b - u)) < 1e-6)
+      val exact = exactInter.getOrElse(src, 0L).toDouble
+      // inclusion-exclusion compounds three 6.5%-se estimates
+      assert(math.abs(i - exact) <= math.max(15.0, 0.35 * exact),
+        s"$src inter est $i vs exact $exact")
+    }
+  }
+
   test("streaming windowed HLL distinct matches the batch twin exactly") {
     val events = graft.Tables.loadEvents(spark, sf)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
