@@ -87,29 +87,37 @@ object Bench {
             f"[trace] up=${java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1000.0}%.1f $name%-28s ${dt}%7.2f s")
         if (ok) Some((dt, moved)) else None
       }
+      // Both run times are kept (min AND max): a stalled-host spike that
+      // survives best-of-2 (both runs stalled) is visible in the artifact
+      // itself as a min ≈ max pair far above the query's neighbors,
+      // without needing a judge re-run to diagnose.
       val first = oneRun()
-      val best = first match {
-        case None => (0.0, 0L) // failed: don't re-run, don't hide it
+      val (best, worst) = first match {
+        case None => ((0.0, 0L), 0.0) // failed: don't re-run, don't hide it
         case Some(r1) =>
-          if (runsPerQuery == 1) r1
-          else oneRun().fold(r1)(r2 => if (r2._1 < r1._1) r2 else r1)
+          if (runsPerQuery == 1) (r1, r1._1)
+          else oneRun().fold((r1, r1._1)) { r2 =>
+            (if (r2._1 < r1._1) r2 else r1, math.max(r1._1, r2._1))
+          }
       }
-      name -> best
+      name -> (best, worst)
     }
     // Compact per-query detail (3-decimal seconds / MB) goes to a file and
     // an EARLIER stdout line; the LAST line is a short totals-only JSON so
     // a log-tail capture can never truncate it mid-object.
     def f3(d: Double): String = "%.3f".format(d)
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, ((v, _), _)) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, (_, b)) =>
+    val qsMax = results.map { case (k, (_, mx)) => s"\"" + k + "\":" + f3(mx) }
+      .mkString("{", ",", "}")
+    val sh = results.map { case (k, ((_, b), _)) =>
       s"\"" + k + "\":" + f3(b / 1048576.0)
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
-    val totalSh = if (results.nonEmpty) results.map(_._2._2).sum else 0L
+    val total = if (results.nonEmpty) results.map(_._2._1._1).sum else 0.0
+    val totalSh = if (results.nonEmpty) results.map(_._2._1._2).sum else 0L
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail = s"""{"metric":"detail","unit":"sec","queries":$qs,""" +
-      s""""shuffle_mb":$sh,"failed":$fl,"sf":"$sfDir"}"""
+      s""""queries_max":$qsMax,"shuffle_mb":$sh,"failed":$fl,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_detail.json"),

@@ -164,6 +164,12 @@ object SparkEntry {
     "qd70_hll_overlap" -> (PipelineQueries.hllOverlapHalves _),
     "qe27_hybrid_rrf" -> (PipelineQueries.hybridRrf _),
     "qv21_zorder_codes" -> (PipelineQueries.zorderCodes _),
+    "qd71_exact_index_build" -> (PipelineQueries.exactIndexBuild _),
+    "qd72_minhash_index_build" -> (PipelineQueries.minhashIndexBuild _),
+    "qd73_hll_store" -> (PipelineQueries.hllStoreProfile _),
+    "qd74_cms_store" -> (PipelineQueries.cmsStoreFreq _),
+    "qd75_bm25_index_build" -> (PipelineQueries.bm25IndexBuild _),
+    "qd76_bm25_index_topk" -> (PipelineQueries.bm25IndexTopDocs _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1778,6 +1784,55 @@ object SparkEntry {
     // qd69: CMS counters SUM-merge associatively, so the merged-partials
     // result equals the direct sketch — one oracle.
     "qd69_cms_merge" -> cmsOracleSql,
+    // qd73/qd74: the PERSISTED sketch store (write + append + merged
+    // read) produces exactly the union sketch — register max / counter
+    // sum merges are associative — so the direct-derivation oracles
+    // apply verbatim to the store round-trip.
+    "qd73_hll_store" -> hllOracleSql,
+    "qd74_cms_store" -> cmsOracleSql,
+    // qd71: the stored exact-fingerprint index IS the even-doc content
+    // fingerprints (qd29's `f`/`idx` CTEs, read back from parquet).
+    "qd71_exact_index_build" ->
+      """SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    // qd72: the stored MinHash lane table IS the even-doc portable
+    // 8-lane signatures (qd30's `sig` CTE with the hex slices cast to
+    // their unsigned-32 values — fixed-width lowercase hex, so the
+    // string min and the numeric min agree).
+    "qd72_minhash_index_build" ->
+      """WITH w AS (SELECT DISTINCT doc_id,
+           unnest(list_distinct(regexp_extract_all(lower(text), '\S+')))
+             AS w
+           FROM documents WHERE doc_id % 2 = 0),
+         h AS (SELECT doc_id,
+           md5('0:' || w) AS h0, md5('1:' || w) AS h1 FROM w)
+         SELECT doc_id,
+           CAST('0x' || min(substring(h0, 1, 8)) AS BIGINT) AS l0,
+           CAST('0x' || min(substring(h0, 9, 8)) AS BIGINT) AS l1,
+           CAST('0x' || min(substring(h0, 17, 8)) AS BIGINT) AS l2,
+           CAST('0x' || min(substring(h0, 25, 8)) AS BIGINT) AS l3,
+           CAST('0x' || min(substring(h1, 1, 8)) AS BIGINT) AS l4,
+           CAST('0x' || min(substring(h1, 9, 8)) AS BIGINT) AS l5,
+           CAST('0x' || min(substring(h1, 17, 8)) AS BIGINT) AS l6,
+           CAST('0x' || min(substring(h1, 25, 8)) AS BIGINT) AS l7
+         FROM h GROUP BY 1 ORDER BY doc_id""",
+    // qd75: the stored postings/stats profile — doc count, 4-decimal
+    // avgdl, (term, doc) posting cardinality, distinct-term count.
+    "qd75_bm25_index_build" ->
+      """WITH t AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+         p AS (SELECT doc_id, unnest(ws) AS term FROM t),
+         pc AS (SELECT term, doc_id FROM p GROUP BY 1, 2)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_docs,
+           (SELECT round(avg(CAST(len(ws) AS DOUBLE)), 4) FROM t)
+             AS avgdl_r4,
+           CAST(count(*) AS BIGINT) AS n_postings,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+         FROM pc""",
+    "qd76_bm25_index_topk" -> (bm25IndexedCtes + """
+         SELECT doc_id, score_e4 FROM isc
+         ORDER BY score_e4 DESC, doc_id LIMIT 10"""),
     // qd70: three HLL estimate derivations (even docs, odd docs, all
     // docs — element-wise register max of the halves IS the union's
     // sketch) + inclusion–exclusion on the rounded estimates, generated
@@ -1801,13 +1856,15 @@ object SparkEntry {
            CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
              AS rank
          FROM sc QUALIFY rank <= 10 ORDER BY rank"""),
-    // qe27: reciprocal-rank fusion of the BM25 top-50 (shared CTEs) and
-    // the qe01-style brute-force cosine top-50, k=60, on doc_id = vec_id.
-    "qe27_hybrid_rrf" -> (bm25Ctes + """,
+    // qe27: reciprocal-rank fusion of the INDEXED BM25 top-50 (shared
+    // CTEs with qd76 — the lexical list is served from the persisted
+    // postings index, so only term-matched docs rank) and the qe01-style
+    // brute-force cosine top-50, k=60, on doc_id = vec_id.
+    "qe27_hybrid_rrf" -> (bm25IndexedCtes + """,
          lex AS (SELECT doc_id AS id,
-           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
-             AS rank_lex
-           FROM sc QUALIFY rank_lex <= 50),
+           CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id)
+             AS BIGINT) AS rank_lex
+           FROM isc QUALIFY rank_lex <= 50),
          z AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS a,
            CAST(unnest((SELECT embedding FROM embeddings WHERE vec_id = 0))
              AS DOUBLE) AS b2
@@ -1970,6 +2027,42 @@ object SparkEntry {
            FROM base),
          sc AS (SELECT doc_id, round($scoreExpr, 4) AS score
            FROM base, st)"""
+  }
+
+  /** Shared indexed-BM25 CTE generator for qd76/qe27: the persisted
+    * postings probe re-derived — tf/dl over only the docs containing a
+    * query term (the pruned posting lists), df from those lists, the
+    * one-row stats sidecar, and each (doc, term) contribution FLOORED
+    * to 1e-4 units BEFORE the per-doc sum (exact integer math,
+    * independent of aggregation order), ending in
+    * `isc(doc_id, score_e4)`. Constants are the same k1=1.2 / b=0.75 as
+    * [[graft.ops.LexIndex.bm25TopKIndexed]]; interpolated Scala doubles
+    * round-trip to identical DuckDB doubles and every arithmetic step
+    * is order-matched with the Spark expression tree. */
+  private def bm25IndexedCtes: String = {
+    val termList = PipelineQueries.bm25QueryTerms
+      .map(t => s"'$t'").mkString(", ")
+    val k1 = 1.2; val b = 0.75
+    s"""WITH it AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '\\S+') AS ws FROM documents),
+         ist AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM it),
+         itok AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+           unnest(ws) AS w FROM it),
+         iq AS (SELECT unnest([$termList]) AS term),
+         ip AS (SELECT doc_id, dl, w AS term,
+             CAST(count(*) AS DOUBLE) AS tf
+           FROM itok JOIN iq ON itok.w = iq.term GROUP BY 1, 2, 3),
+         idf_ AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+           FROM ip GROUP BY 1),
+         ic AS (SELECT doc_id,
+             CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * ${k1 + 1.0}
+               / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl))
+               * 10000.0) AS BIGINT) AS c_e4
+           FROM ip JOIN idf_ USING (term) CROSS JOIN ist),
+         isc AS (SELECT doc_id, CAST(sum(c_e4) AS BIGINT) AS score_e4
+           FROM ic GROUP BY 1)"""
   }
 
   /** Shared oracle for qd15/qd43: the Bloom-prefiltered path returns the

@@ -4,11 +4,12 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native HyperLogLog register aggregate — the engine-internal fast path
@@ -32,6 +33,15 @@ case class HllRegistersAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]]
   with UnaryLike[Expression] {
+
+  // Analysis-time input contract: reject non-string children with a
+  // clear error instead of ClassCastException-ing at execution time
+  // (the update loop blind-casts child.eval to UTF8String).
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING child, got " +
+        child.dataType.catalogString)
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](256)
 

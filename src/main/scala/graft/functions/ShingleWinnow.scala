@@ -139,3 +139,107 @@ object ShingleWinnow {
   def winnow(tokens: Column, k: Int, w: Int): Column =
     GraftShims.column(ShingleWinnow(GraftShims.expression(tokens), k, w))
 }
+
+/** ENGINE-PORTABLE winnowing as ONE native expression — the md5 twin of
+  * [[ShingleWinnow]] and the single-pass replacement for the lead-chain
+  * window form [[graft.ops.TextAnalysis.winnowFingerprintsPortable]]
+  * previously composed (k `lead()` calls + two window passes per
+  * document, all shuffled on the doc id).
+  *
+  * Token array in, distinct `fp · 2^20 + pos` selections out, where
+  * `fp` = the first unsigned-32 slice of md5("wf:" + the k-token shingle
+  * joined by single spaces) — EXACTLY the hash the composed form (and
+  * the DuckDB oracle) computes — and `pos` = the selected shingle's
+  * token position. Window semantics follow the composed form: only
+  * COMPLETE windows of `w` consecutive shingles select (a document with
+  * fewer than k+w-1 tokens emits nothing), each selecting its minimum
+  * combined key (hash ties go to the leftmost position, exactly the
+  * `min(h·2^20 + pos)` argmin trick), selections deduplicated in
+  * first-appearance order.
+  *
+  * Per-row compute, no shuffle, one md5 per shingle — a 100 TB corpus
+  * winnows in one narrow map stage; byte-equality with the composed
+  * form is spec-pinned and the qd09/qd61 oracles hash-check it. */
+case class ShingleWinnowMd5(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && w >= 1, "shingle size and window must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_winnow_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleWinnowMd5.compute(input.asInstanceOf[ArrayData], k, w)
+
+  // Codegen participates in whole-stage (no interpreted-lambda
+  // allocations); the heavy loop lives in one static JVM method.
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks => {
+      s"""
+        ${ev.value} = graft.functions.ShingleWinnowMd5
+          .compute($toks, $k, $w);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleWinnowMd5 {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val Prefix = "wf:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private val Empty = new GenericArrayData(Array.emptyLongArray)
+
+  /** The whole winnow for one token array: md5 shingle hashes, complete
+    * sliding-window minima over the combined `h·2^20 + pos` keys,
+    * first-appearance dedup. */
+  def compute(toks: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = toks.numElements()
+    val m = n - k + 1 // number of complete k-token shingles
+    if (m < 1) return Empty
+    val mw = m - w + 1 // number of COMPLETE w-shingle windows
+    if (mw < 1) return Empty
+    val md = digests.get()
+    val keys = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      md.update(Prefix)
+      var j = i
+      while (j < i + k) {
+        if (j > i) md.update(' '.toByte)
+        val s = toks.getUTF8String(j)
+        md.update(s.getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      keys(i) = h * 1048576L + i
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[Long]()
+    i = 0
+    while (i < mw) {
+      var mn = keys(i)
+      var j = i + 1
+      while (j < i + w) { if (keys(j) < mn) mn = keys(j); j += 1 }
+      out.add(mn)
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** Distinct `fp · 2^20 + pos` winnow selections of a token-array
+    * column (decode with `mk div 2^20` / `mk % 2^20`). */
+  def winnow(tokens: Column, k: Int, w: Int): Column =
+    GraftShims.column(ShingleWinnowMd5(GraftShims.expression(tokens), k, w))
+}

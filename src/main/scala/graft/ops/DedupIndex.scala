@@ -157,6 +157,56 @@ object DedupIndex {
   def readClusterMap(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/clusters")
 
+  /** Corpus-coverage sidecar for the cluster map — the STALENESS
+    * CONTRACT for long-lived deployments: the map is a write-once
+    * artifact derived from a corpus snapshot, and a session must be able
+    * to tell when the persisted map no longer covers the corpus it is
+    * probed against (docs appended, removed, or edited since the build).
+    *
+    * `sig` is a per-document signature column the caller chooses —
+    * `xxhash64(id, text)` detects edits as well as membership changes;
+    * `xxhash64(id)` detects membership only. Coverage stores the doc
+    * COUNT and the order-independent XOR of the signatures (bit_xor is
+    * commutative/associative, overflow-free, and one map-side-combined
+    * aggregation — the check costs one narrow scan, no shuffle beyond a
+    * single row per partition). */
+  def writeClusterMapCoverage(docs: DataFrame, sig: Column,
+      path: String): Unit =
+    coverageOf(docs, sig).write.mode("overwrite").parquet(s"$path/coverage")
+
+  private def coverageOf(docs: DataFrame, sig: Column): DataFrame =
+    docs.select(xxhash64(sig).as("_s"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(expr("bit_xor(_s)"), lit(0L)).as("corpus_sig"))
+
+  /** True when the corpus no longer matches the coverage the map was
+    * built from (or when no coverage was ever recorded — an unknown
+    * corpus is stale by definition). */
+  def clusterMapIsStale(spark: SparkSession, docs: DataFrame, sig: Column,
+      path: String): Boolean = {
+    val covPath = new org.apache.hadoop.fs.Path(s"$path/coverage")
+    val fs = covPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(covPath)) return true
+    val stored = spark.read.parquet(s"$path/coverage").head()
+    val cur = coverageOf(docs, sig).head()
+    stored.getLong(0) != cur.getLong(0) || stored.getLong(1) != cur.getLong(1)
+  }
+
+  /** Rebuild the cluster map iff the coverage check says the corpus
+    * moved; returns true when a rebuild happened. `pairs` is BY-NAME so
+    * the expensive pair generation only executes on a genuine refresh —
+    * the steady-state call is one coverage scan + a head(). */
+  def refreshClusterMap(docs: DataFrame, sig: Column, path: String,
+      a: Column, b: Column)(pairs: => DataFrame): Boolean = {
+    val spark = docs.sparkSession
+    if (!clusterMapIsStale(spark, docs, sig, path)) false
+    else {
+      writeClusterMap(pairs, a, b, path)
+      writeClusterMapCoverage(docs, sig, path)
+      true
+    }
+  }
+
   /** The stored verified near-dup edges of [[writeClusterMap]]. */
   def readClusterPairs(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/pairs")

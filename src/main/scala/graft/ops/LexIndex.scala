@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 postings/stats index — the LEXICAL twin of the vector
+  * index family in [[AnnIndex]]. The in-memory
+  * [[TextAnalysis.bm25TopK]] takes literal terms and rescans the corpus
+  * per query set — fine for one-off analytics, wrong for a retrieval
+  * service: at 100 TB the corpus is tokenized ONCE into a stored
+  * postings table and every query is a partition-pruned probe bounded
+  * by its own terms' posting lists.
+  *
+  * Layout (plain parquet):
+  *   `<path>/postings/`  term, doc_id, tf, dl — partitioned by `tpfx`
+  *                       ("x" + first 2 md5 hex chars of the term, 256
+  *                       directories) so a probe prunes to the
+  *                       directories its own terms name; `dl` (the
+  *                       document token count) is denormalized onto the
+  *                       posting row so scoring needs NO doc-side join
+  *   `<path>/stats/`     n_docs, avgdl — the single-row global sidecar
+  *
+  * A term's full posting list lives inside its own partition, so
+  * per-term document frequency is computable from the pruned read alone
+  * — probes never touch global state beyond the one-row stats sidecar.
+  */
+object LexIndex {
+
+  /** Prefix partition key: "x" + first 2 term-md5 hex chars (the letter
+    * guard keeps Hive partition-type inference string-stable, same as
+    * [[DedupIndex]]'s fingerprint prefixes). */
+  private def tpfx(term: Column): Column =
+    concat(lit("x"), substring(md5(term), 1, 2))
+
+  /** Build + persist the index: ONE corpus tokenization feeds both the
+    * postings table and the stats sidecar. The pre-write
+    * `repartition(tpfx)` clusters each prefix into one file per shuffle
+    * partition (without it a wide scan writes tasks × 256 tiny files). */
+  def writeBm25Index(docs: DataFrame, id: Column, text: Column,
+      path: String): Unit = {
+    val toks = docs
+      .select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .localCheckpoint(eager = false)
+    toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tpfx", tpfx(col("term")))
+      .repartition(col("tpfx"))
+      .write.mode("overwrite").partitionBy("tpfx").parquet(s"$path/postings")
+    toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 (Okapi, `ln(1 + (N - df + 0.5)/(df + 0.5))` idf) top-k against
+    * the PERSISTED index, with query terms AS A TABLE — the
+    * parameterized service shape ([[TextAnalysis.bm25TopK]]'s literal
+    * list becomes a probe join).
+    *
+    * Scale shape: the terms' distinct prefixes (≤ |terms|, a
+    * driver-sized set by construction) become a static partition filter
+    * on the postings read, so a probe touches only the directories its
+    * own terms name; df comes from the pruned lists themselves, the
+    * one-row stats sidecar broadcasts, and the top-k is a TakeOrdered
+    * over match-bounded rows. Nothing corpus-sized is read or shuffled.
+    *
+    * Scoring: each (doc, term) contribution floors to 1e-4 units (long)
+    * BEFORE the per-doc sum, so the score is exact integer math —
+    * independent of aggregation order and engine (the float-sum
+    * discipline of the oracle family). Only documents containing at
+    * least one query term are scored: an index probe never enumerates
+    * the rest of the corpus — that is the point of the index. Output:
+    * (doc_id, score_e4), score desc / id asc, k rows. */
+  def bm25TopKIndexed(spark: SparkSession, path: String, terms: DataFrame,
+      term: Column, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tq = terms.select(term.as("term")).distinct()
+      .withColumn("tpfx", tpfx(col("term")))
+      .localCheckpoint(eager = false)
+    val pfxs = tq.select(col("tpfx")).distinct().collect()
+      .map(_.getString(0)).toSeq
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("tpfx").isin(pfxs: _*))
+      .join(broadcast(tq.select(col("term"))), Seq("term"))
+    val dfByTerm = post.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = spark.read.parquet(s"$path/stats")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val contrib = idf * col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    post.join(broadcast(dfByTerm), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(contrib * lit(10000.0)).cast("long").as("c_e4"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c_e4")).as("score_e4"))
+      .orderBy(col("score_e4").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -11,13 +11,15 @@ import org.apache.spark.sql.types._
   * a 100 TB corpus streams through executors without collecting. The
   * IMAGE half decodes for real via the JDK's `javax.imageio`
   * ([[imageIoDecoder]]: true format/width/height from PNG/JPEG/GIF/BMP
-  * headers) and the AUDIO half via `javax.sound.sampled` (WAV/AIFF/AU
-  * container headers: encoding, channels, sample bits, frame count) —
-  * both zero-dependency JDK parsers chained in [[jdkDecoder]]. VIDEO
-  * codec calls remain STUBBED behind [[Decoder]] — no video library
-  * ships with the JDK or this container — with the Spark-side contract
-  * (schema, batching, partitioning, deterministic output) real and
-  * tested either way; a production deployment swaps in that one codec.
+  * headers), the AUDIO half via `javax.sound.sampled` (WAV/AIFF/AU
+  * container headers: encoding, channels, sample bits, frame count),
+  * and the VIDEO half via a pure-JVM ISO BMFF (MP4/QuickTime) box walk
+  * ([[videoHeader]]: duration, track count, codec fourcc, pixel
+  * dimensions, sample count — container metadata needs no codec) — all
+  * zero-dependency parsers chained in [[jdkDecoder]]. Only exotic
+  * containers with no pure-JDK parser (AVI, MKV) fall through to the
+  * deterministic stub, with the Spark-side contract (schema, batching,
+  * partitioning, deterministic output) real and tested either way.
   */
 object Multimodal {
 
@@ -54,32 +56,32 @@ object Multimodal {
     * (`ImageReader.getWidth/getHeight` parse only the stream header, so
     * the per-row cost is a few hundred bytes of parsing no matter the
     * image size — the right shape for a 100 TB binary-column scan).
-    * Payloads no JDK reader recognizes (audio/video, corrupt bytes)
-    * fall back to [[stubDecoder]]: those codecs are not in this
-    * container, and the fallback keeps the column total — the
-    * audio/video half of the surface remains a disclosed stub. */
+    * Unrecognized payloads return None so decoders can chain. */
+  private def imageHeader(bytes: Array[Byte]): Option[MediaMeta] =
+    if (bytes == null || bytes.length == 0) None
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some(MediaMeta(r.getFormatName.toLowerCase,
+              r.getWidth(0), r.getHeight(0), nFrames = 1,
+              durationMs = 0L))
+          } catch { case _: java.io.IOException => None }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    }
+
+  /** Image-only decoder: real headers for anything `javax.imageio`
+    * recognizes, the deterministic stub for the rest. */
   val imageIoDecoder: Decoder = { bytes =>
-    val viaJdk: Option[MediaMeta] =
-      if (bytes == null || bytes.length == 0) None
-      else {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) None
-          else {
-            val r = readers.next()
-            try {
-              r.setInput(iis)
-              Some(MediaMeta(r.getFormatName.toLowerCase,
-                r.getWidth(0), r.getHeight(0), nFrames = 1,
-                durationMs = 0L))
-            } catch { case _: java.io.IOException => None }
-            finally r.dispose()
-          }
-        } finally iis.close()
-      }
-    viaJdk.getOrElse(stubDecoder(bytes))
+    imageHeader(bytes).getOrElse(stubDecoder(bytes))
   }
 
   /** REAL audio header decode via the JDK's own `javax.sound.sampled` —
@@ -108,32 +110,116 @@ object Multimodal {
       case _: java.io.IOException => None
     }
 
-  /** Default production decoder: real IMAGE headers (`javax.imageio`),
-    * then real AUDIO headers (`javax.sound.sampled`), then the
-    * deterministic stub for everything else (video codecs are not in
-    * the JDK — the remaining disclosed stub). */
-  val jdkDecoder: Decoder = { bytes =>
-    val viaImage: Option[MediaMeta] =
-      if (bytes == null || bytes.length == 0) None
-      else {
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) None
-          else {
-            val r = readers.next()
-            try {
-              r.setInput(iis)
-              Some(MediaMeta(r.getFormatName.toLowerCase,
-                r.getWidth(0), r.getHeight(0), nFrames = 1,
-                durationMs = 0L))
-            } catch { case _: java.io.IOException => None }
-            finally r.dispose()
-          }
-        } finally iis.close()
+  /** REAL video container header decode: a pure-JVM ISO BMFF
+    * (MP4 / QuickTime) box walk — no codec library, just the
+    * container's length-prefixed box tree. Recognizes a leading `ftyp`
+    * box, then reads `moov/mvhd` (timescale + duration), counts `trak`
+    * boxes, and descends the first sample-table-bearing track
+    * (`trak/mdia/minf/stbl`) for the `stsd` sample-entry fourcc (the
+    * codec id), the `stsz` sample count (frame count) and the track's
+    * `tkhd` 16.16-fixed pixel dimensions.
+    *
+    * MediaMeta mapping: format = "mp4:" + codec fourcc ("mp4" when no
+    * sample description exists), width/height = tkhd integer pixels,
+    * nFrames = stsz sample count (trak COUNT when the container carries
+    * no sample table — header-only fixtures), durationMs = mvhd
+    * duration · 1000 / timescale. Only box headers and fixed-offset
+    * header fields are touched — a few hundred bytes of parsing
+    * regardless of media size, like the image/audio halves. Non-ISO
+    * containers (AVI, MKV, corrupt bytes) return None so decoders can
+    * chain to the stub. */
+  private[ops] def videoHeader(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // (type, payloadStart, payloadEnd) of each child box in [from, to);
+    // malformed sizes stop the walk rather than throw, and the box-count
+    // guard bounds the scan on adversarial bytes.
+    def boxes(from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var o = from
+      var guard = 0
+      while (o + 8 <= to && guard < 4096) {
+        val size = u32(o)
+        val (payload, end) =
+          if (size == 1L && o + 16 <= to) {
+            val largesize = (u32(o + 8) << 32) | u32(o + 12)
+            (o + 16, o + math.min(largesize, (to - o).toLong).toInt)
+          } else if (size == 0L) (o + 8, to) // last box: extends to end
+          else (o + 8, o + math.min(size, (to - o).toLong).toInt)
+        if (end <= o || payload > to) return out.result()
+        out += ((fourcc(o + 4), payload, math.min(end, to)))
+        o = end
+        guard += 1
       }
-    viaImage.orElse(audioHeader(bytes)).getOrElse(stubDecoder(bytes))
+      out.result()
+    }
+    def find(bs: Seq[(String, Int, Int)], t: String) = bs.find(_._1 == t)
+    val top = boxes(0, bytes.length)
+    if (!top.headOption.exists(_._1 == "ftyp")) return None
+    find(top, "moov").map { case (_, ms, me) =>
+      val moov = boxes(ms, me)
+      val durMs = find(moov, "mvhd").flatMap { case (_, p, e) =>
+        val v = bytes(p) & 0xff
+        if (v == 0 && e - p >= 20) { // u32 creation/modification/duration
+          val (timescale, duration) = (u32(p + 12), u32(p + 16))
+          if (timescale > 0) Some(duration * 1000L / timescale) else None
+        } else if (v == 1 && e - p >= 32) { // u64 times, u32 timescale
+          val timescale = u32(p + 20)
+          val duration = (u32(p + 24) << 32) | u32(p + 28)
+          if (timescale > 0) Some(duration * 1000L / timescale) else None
+        } else None
+      }.getOrElse(0L)
+      val traks = moov.filter(_._1 == "trak")
+      val codecTrack = traks.iterator.flatMap { case (_, ts, te) =>
+        val trak = boxes(ts, te)
+        val stbl = for {
+          (_, ds, de) <- find(trak, "mdia")
+          (_, ns, ne) <- find(boxes(ds, de), "minf")
+          (_, ss, se) <- find(boxes(ns, ne), "stbl")
+        } yield boxes(ss, se)
+        stbl.flatMap { sb =>
+          // stsd payload: version/flags(4) entry_count(4), then the first
+          // sample entry's own size(4) + format fourcc(4)
+          find(sb, "stsd").collect { case (_, p, e) if e - p >= 16 =>
+            val cc = fourcc(p + 12).trim
+            val nFrames = find(sb, "stsz").collect {
+              // stsz payload: version/flags(4) sample_size(4) count(4)
+              case (_, zp, ze) if ze - zp >= 12 => u32(zp + 8).toInt
+            }.getOrElse(0)
+            // tkhd: width/height are 16.16 fixed after 76 (v0) / 88 (v1)
+            // payload bytes; the u16 at the field start is the int part
+            val (w, h) = find(trak, "tkhd").collect {
+              case (_, tp, te) if (bytes(tp) & 0xff) == 0 && te - tp >= 84 =>
+                (u16(tp + 76), u16(tp + 80))
+              case (_, tp, te) if (bytes(tp) & 0xff) == 1 && te - tp >= 96 =>
+                (u16(tp + 88), u16(tp + 92))
+            }.getOrElse((0, 0))
+            (cc, w, h, nFrames)
+          }
+        }
+      }.toSeq.headOption
+      val (cc, w, h, nf) = codecTrack.getOrElse(("", 0, 0, 0))
+      MediaMeta(
+        format = if (cc.nonEmpty) "mp4:" + cc else "mp4",
+        width = w, height = h,
+        nFrames = if (nf > 0) nf else traks.size,
+        durationMs = durMs)
+    }
+  }
+
+  /** Default production decoder: real IMAGE headers (`javax.imageio`),
+    * then real AUDIO headers (`javax.sound.sampled`), then real VIDEO
+    * container headers (the pure-JVM MP4/QuickTime box walk), then the
+    * deterministic stub for exotic containers only (AVI/MKV — no
+    * pure-JDK parser; the one remaining disclosed seam). */
+  val jdkDecoder: Decoder = { bytes =>
+    imageHeader(bytes).orElse(audioHeader(bytes))
+      .orElse(videoHeader(bytes)).getOrElse(stubDecoder(bytes))
   }
 
   /** Attach deterministic fake binary payloads derived from an id column

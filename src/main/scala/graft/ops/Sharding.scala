@@ -113,10 +113,14 @@ object Sharding {
     * domain first (`% (1 << bits)`, or a range bin). */
   def zValue(a: Column, b: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    // Operands are widened to BIGINT first: on an INT operand Spark's
+    // shiftleft wraps the shift amount mod 32, so any bits > 15 would
+    // silently corrupt the interleave for integer-typed columns.
+    val (al, bl) = (a.cast("long"), b.cast("long"))
     val terms = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
     terms.reduce(_.bitwiseOR(_)).cast("long")
   }

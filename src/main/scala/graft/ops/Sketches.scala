@@ -49,7 +49,11 @@ object Sketches {
     * correction, Flajolet et al. 2007) one `ln` — both reproducible
     * across engines, rounded to 4 decimals. */
   def hllDistinct(df: DataFrame, group: Column, value: Column): DataFrame = {
+    // Nulls are skipped (matching the native aggregate's null skip):
+    // md5(NULL) would otherwise emit a null register row that inflates
+    // present_registers and drops a 2^40 term from the sum.
     val regs = df
+      .filter(value.isNotNull)
       .select(group.as("grp"), hllRegister(value).as("reg"),
         hllRank(value).as("rank"))
       .groupBy(col("grp"), col("reg"))

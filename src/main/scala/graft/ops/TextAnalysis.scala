@@ -276,13 +276,33 @@ object TextAnalysis {
     * engine reproduces; same portable-twin move as the qd24/qd51
     * sketches). `k`-token shingles hash to the first unsigned-32 slice
     * of md5("wf:" + shingle); each complete window of `w` consecutive
-    * shingles selects its minimum-hash shingle (leftmost on hash ties —
-    * encoded as one integer key `h·2^20 + pos` so the argmin is a plain
-    * `min`, exact on any engine; positions must stay under 2^20 tokens
-    * per document, ample for chunked corpora); selections dedup to the
-    * document's fingerprint set. All window algebra over (doc, pos) —
-    * one shuffle on the doc id, reproducible in external SQL. */
+    * shingles selects its minimum-hash shingle (leftmost on hash ties);
+    * selections dedup to the document's fingerprint set.
+    *
+    * Runs the NATIVE single-pass expression
+    * ([[graft.functions.ShingleWinnowMd5]]): one md5 per shingle inside
+    * one narrow codegen'd map stage — no shuffle at all (the composed
+    * window form this replaces shuffled every token on the doc id and
+    * ran k lead() chains + two window passes). Output is byte-identical
+    * to [[winnowFingerprintsComposed]] (spec-pinned) and to the DuckDB
+    * oracle's window-SQL derivation. */
   def winnowFingerprintsPortable(docs: DataFrame, id: Column,
+      text: Column, k: Int = 4, w: Int = 5): DataFrame =
+    docs.select(id.as("doc_id"), explode(
+        graft.functions.ShingleWinnowMd5.winnow(tokens(text), k, w))
+        .as("mk"))
+      .select(col("doc_id"), expr("mk div 1048576").as("fp"),
+        (col("mk") % lit(1048576L)).as("pos"))
+
+  /** The window-algebra COMPOSED form of [[winnowFingerprintsPortable]]
+    * — `k`-token shingles via a lead() chain, the argmin encoded as one
+    * integer key `h·2^20 + pos` so a plain window `min` is exact on any
+    * engine (positions must stay under 2^20 tokens per document, ample
+    * for chunked corpora), all window algebra over (doc, pos) with one
+    * shuffle on the doc id. Kept as the executable specification the
+    * native expression is byte-equality-pinned against (and as the
+    * shape an external SQL engine would run). */
+  private[graft] def winnowFingerprintsComposed(docs: DataFrame, id: Column,
       text: Column, k: Int = 4, w: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1 && w >= 1)

@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Tables
+
+/** Round-6 persisted-store + native-expression specs:
+  *  - SketchStore: write + append + merged read is byte-identical to
+  *    sketching the union corpus directly (the merge-exactness claim the
+  *    qd73/qd74 oracles also pin);
+  *  - LexIndex: the partition-pruned BM25 probe matches an independent
+  *    in-memory reference, and the probe plan really prunes;
+  *  - ShingleWinnowMd5: the native single-pass winnow is byte-identical
+  *    to the composed window-algebra form;
+  *  - DedupIndex cluster-map lifecycle: coverage-based staleness detects
+  *    appends/edits and refreshClusterMap rebuilds exactly when stale;
+  *  - Multimodal.videoHeader: real MP4 box-walk metadata from
+  *    synthesized container bytes, stub fallback only for non-ISO bytes.
+  */
+class StoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.load(spark, sf, "documents")
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  // md5-nibble half split — doc_id PARITY correlates with `source` in
+  // the testdata, so a parity split would give each source a one-sided
+  // batch and the store merge would never combine cross-batch state
+  private def half(lo: Boolean) = {
+    val nibble = conv(
+      substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    docs.filter(if (lo) nibble < 8 else nibble >= 8)
+  }
+
+  test("HLL sketch store: write + append + merged read == direct union sketch") {
+    def toks(lo: Boolean) = half(lo)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val all = docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val path = tmp("st_hll")
+    SketchStore.writeHll(toks(true), col("source"), col("w"), path)
+    SketchStore.appendHll(toks(false), col("source"), col("w"), path)
+    val got = SketchStore.readHllProfile(spark, path)
+      .orderBy("grp").collect().toSeq
+    val want = Sketches.hllDistinctFast(all, col("source"), col("w"))
+      .orderBy("grp").collect().toSeq
+    assert(got == want)
+    // at least one group stored partials from BOTH batches, so the
+    // read-time register max-merge genuinely combined cross-batch state
+    val partials = spark.read.parquet(s"$path/hll")
+      .groupBy("grp").count().collect()
+    assert(partials.forall(_.getLong(1) <= 2L))
+    assert(partials.exists(_.getLong(1) == 2L))
+  }
+
+  test("CMS sketch store: width sidecar pins shape; merged == direct") {
+    def words(lo: Boolean) = half(lo)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val all = docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val path = tmp("st_cms")
+    SketchStore.writeCms(words(true), col("w"), width = 512, path)
+    assert(SketchStore.cmsWidth(spark, path) == 512)
+    SketchStore.appendCms(words(false), col("w"), path)
+    val got = SketchStore.readCms(spark, path)
+      .orderBy("row", "bucket").collect().toSeq
+    val want = Sketches.cmsSketch(all, col("w"), width = 512)
+      .orderBy("row", "bucket").collect().toSeq
+    assert(got == want)
+    // probe through the store (never-under on a known-present term)
+    val probes = spark.createDataFrame(Seq(Tuple1("the"), Tuple1("zzzznope")))
+      .toDF("term")
+    val est = SketchStore.probeCms(spark, path, probes, col("term"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = all.filter(col("w") === "the").count()
+    assert(est("the") >= exact)
+    assert(est("zzzznope") >= 0L)
+  }
+
+  test("BM25 index probe matches the in-memory integer-exact reference") {
+    val path = tmp("st_bm25")
+    LexIndex.writeBm25Index(docs, col("doc_id"), col("text"), path)
+    val terms = Seq("spark", "merge", "window", "dup")
+    val termsDf = spark.createDataFrame(terms.map(Tuple1(_))).toDF("term")
+    val got = LexIndex
+      .bm25TopKIndexed(spark, path, termsDf, col("term"), k = 10)
+      .orderBy(col("score_e4").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // independent reference: same tokenizer (lower + \S+ runs), same
+    // floored-contribution arithmetic, computed driver-side
+    val corpus = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        "\\S+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val n = corpus.length.toDouble
+    val avgdl = corpus.map(_._2.length.toLong).sum.toDouble / n
+    val dfByTerm = terms.map(t =>
+      t -> corpus.count(_._2.contains(t)).toDouble).toMap
+    val scored = corpus.flatMap { case (id, toks) =>
+      val dl = toks.length.toDouble
+      val contribs = terms.flatMap { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None
+        else {
+          val df = dfByTerm(t)
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          Some(math.floor(idf * tf * 2.2 /
+            (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 10000.0).toLong)
+        }
+      }
+      if (contribs.isEmpty) None else Some(id -> contribs.sum)
+    }
+    val want = scored.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    assert(got == want)
+  }
+
+  test("BM25 index probe prunes postings partitions to the query's terms") {
+    val path = tmp("st_bm25p")
+    LexIndex.writeBm25Index(docs, col("doc_id"), col("text"), path)
+    val termsDf = spark.createDataFrame(Seq(Tuple1("spark"))).toDF("term")
+    val probe = LexIndex.bm25TopKIndexed(spark, path, termsDf,
+      col("term"), k = 5)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[.*tpfx.*"), p.take(3000))
+  }
+
+  test("native md5 winnow is byte-identical to the composed window form") {
+    for ((k, w) <- Seq((5, 4), (4, 5), (2, 3))) {
+      val a = TextAnalysis.winnowFingerprintsPortable(docs, col("doc_id"),
+          col("text"), k, w)
+        .orderBy("doc_id", "pos", "fp").collect().toSeq
+      val b = TextAnalysis.winnowFingerprintsComposed(docs, col("doc_id"),
+          col("text"), k, w)
+        .orderBy("doc_id", "pos", "fp").collect().toSeq
+      assert(a == b, s"k=$k w=$w: native ${a.size} rows vs composed ${b.size}")
+      assert(a.nonEmpty)
+    }
+  }
+
+  test("native md5 winnow: short docs emit nothing, like the composed form") {
+    import spark.implicits._
+    // k=4,w=5 needs k+w-1 = 8 tokens for one complete window
+    val tiny = Seq((1L, "a b c"), (2L, ""), (3L, "t1 t2 t3 t4 t5 t6 t7"),
+      (4L, "t1 t2 t3 t4 t5 t6 t7 t8")).toDF("doc_id", "text")
+    val native = TextAnalysis.winnowFingerprintsPortable(tiny, col("doc_id"),
+      col("text"), k = 4, w = 5)
+    val composed = TextAnalysis.winnowFingerprintsComposed(tiny, col("doc_id"),
+      col("text"), k = 4, w = 5)
+    assert(native.orderBy("doc_id", "pos").collect().toSeq ==
+      composed.orderBy("doc_id", "pos").collect().toSeq)
+    assert(native.filter(col("doc_id") =!= 4L).count() == 0)
+    assert(native.filter(col("doc_id") === 4L).count() == 1)
+  }
+
+  test("cluster-map lifecycle: coverage staleness + refresh-only-when-stale") {
+    import spark.implicits._
+    val corpusA = Seq((1L, "alpha beta"), (2L, "alpha beta"),
+      (3L, "gamma delta")).toDF("doc_id", "text")
+    val corpusB = corpusA.unionByName(
+      Seq((4L, "gamma delta")).toDF("doc_id", "text"))
+    def sig = concat(col("doc_id").cast("string"), lit(":"), col("text"))
+    def pairsOf(c: org.apache.spark.sql.DataFrame) =
+      Dedup.ngramJaccardPairs(c, col("doc_id"), lit("all"), col("text"),
+        threshold = 0.8, maxDocFreq = 256)
+    val path = tmp("st_clmap")
+    var builds = 0
+    // no coverage yet -> stale by definition -> first refresh builds
+    assert(DedupIndex.refreshClusterMap(corpusA, sig, path,
+      col("doc_a"), col("doc_b")) { builds += 1; pairsOf(corpusA) })
+    assert(builds == 1)
+    // same corpus -> fresh; the by-name pair generator must NOT run
+    assert(!DedupIndex.refreshClusterMap(corpusA, sig, path,
+      col("doc_a"), col("doc_b")) { builds += 1; pairsOf(corpusA) })
+    assert(builds == 1)
+    // appended doc -> stale -> refresh rebuilds and covers the new corpus
+    assert(DedupIndex.clusterMapIsStale(spark, corpusB, sig, path))
+    assert(DedupIndex.refreshClusterMap(corpusB, sig, path,
+      col("doc_a"), col("doc_b")) { builds += 1; pairsOf(corpusB) })
+    assert(builds == 2)
+    assert(!DedupIndex.clusterMapIsStale(spark, corpusB, sig, path))
+    val clusters = DedupIndex.readClusterMap(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(4L) == 3L) // new doc joined doc 3's family
+    // content EDIT (same ids) is detected because sig hashes the text
+    val edited = corpusB.withColumn("text",
+      when(col("doc_id") === 1L, lit("edited text")).otherwise(col("text")))
+    assert(DedupIndex.clusterMapIsStale(spark, edited, sig, path))
+  }
+
+  // ---- MP4 / QuickTime box-walk fixtures ----
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ typ.getBytes("US-ASCII") ++ payload
+
+  private def mp4Fixture: Array[Byte] = {
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(1) ++ "isom".getBytes("US-ASCII"))
+    // mvhd v0: version/flags, creation, modification, timescale=1000,
+    // duration=90000 -> 90_000 ms
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(1000) ++ be32(90000))
+    // tkhd v0: 84-byte payload, width 1920.0 / height 1080.0 in 16.16
+    val tkhd = box("tkhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(90000) ++
+        new Array[Byte](8) ++ new Array[Byte](8) ++ // reserved+layer/alt/vol
+        new Array[Byte](36) ++                      // matrix
+        be32(1920L << 16) ++ be32(1080L << 16))
+    // stsd: entry_count 1, one 16-byte sample entry with fourcc avc1
+    val stsd = box("stsd",
+      be32(0) ++ be32(1) ++
+        (be32(16) ++ "avc1".getBytes("US-ASCII") ++ new Array[Byte](8)))
+    // stsz: sample_size 0, sample_count 2400
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(2400))
+    val stbl = box("stbl", stsd ++ stsz)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", minf)
+    val trak = box("trak", tkhd ++ mdia)
+    val moov = box("moov", mvhd ++ trak)
+    ftyp ++ moov
+  }
+
+  test("videoHeader: real duration/codec/dimensions/frames from MP4 boxes") {
+    val meta = Multimodal.videoHeader(mp4Fixture)
+    assert(meta.contains(Multimodal.MediaMeta("mp4:avc1", 1920, 1080,
+      2400, 90000L)))
+    // jdkDecoder routes MP4 bytes through the real parser
+    assert(Multimodal.jdkDecoder(mp4Fixture) ==
+      Multimodal.MediaMeta("mp4:avc1", 1920, 1080, 2400, 90000L))
+  }
+
+  test("videoHeader: header-only container falls back to trak count; non-ISO bytes chain to stub") {
+    // moov with mvhd + two sample-table-less traks
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(1200))
+    val bareTrak = box("trak", Array.emptyByteArray)
+    val hdrOnly = box("ftyp", "qt  ".getBytes("US-ASCII") ++ be32(0)) ++
+      box("moov", mvhd ++ bareTrak ++ bareTrak)
+    val meta = Multimodal.videoHeader(hdrOnly)
+    assert(meta.contains(Multimodal.MediaMeta("mp4", 0, 0, 2, 2000L)))
+    // RIFF/AVI (and arbitrary bytes) are not ISO BMFF: None -> stub
+    val avi = "RIFF".getBytes("US-ASCII") ++ be32(128) ++
+      "AVI LIST".getBytes("US-ASCII") ++ new Array[Byte](64)
+    assert(Multimodal.videoHeader(avi).isEmpty)
+    assert(Multimodal.videoHeader("garbage".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.jdkDecoder(avi) == Multimodal.stubDecoder(avi))
+  }
+}
