@@ -17,13 +17,18 @@ import org.apache.spark.sql.functions._
   * Usage: `sbt "runMain graft.GenData /tmp/graft_sf1 10"` — the factor
   * is relative to sf0.1 (10 → ~6M lineitem rows).
   *
-  * ONE deliberate deviation, for measurement value: document `source`
-  * cardinality scales with the corpus (20 at factor 1 → 200 at factor
-  * 10) so source-blocked operators keep sf0.1's ~250-docs-per-block
-  * density. With the fixed 20 sources, the 31-word vocabulary saturates
-  * the df-256 candidate cap at 2 500 docs/block and the whole pair
-  * stage degenerates to empty — legal, but it would make the 10× point
-  * for the dedup/cluster family measure nothing.
+  * TWO deliberate deviations, both for measurement value: document
+  * `source` cardinality AND vocabulary size scale with the corpus
+  * (20 sources / 31 words at factor 1 → 200 / 310 at factor 10) so the
+  * per-block document density and the per-pair word-set similarity stay
+  * at their sf0.1 operating points. With both fixed, a 10× corpus
+  * degenerates in two opposite ways at once: every token saturates the
+  * df-256 candidate cap (pair stage measures an empty join) and every
+  * document's word set converges on the full vocabulary (the TRUE
+  * near-dup answer becomes quadratic in the corpus — measured before
+  * this fix: qd30 alone was 1 625 s / 5.2 GB shuffle at sf1, 82% of the
+  * sweep, all of it honest output). Neither says anything about plan
+  * scaling; density-preserving growth does.
   *
   * A measurement tool, not part of the declared operator surface.
   */
@@ -147,15 +152,20 @@ object GenData {
         format_string("{\"k\": %d}", h(col("id"), "ek", 100)).as("props"))
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    // documents: 31-word vocabulary (the testdata's), 10-109 tokens,
-    // ~12% exact dups sharing a 7-block leader's seed, a slice of
-    // near-dups (same seed, one token shorter), source cardinality
-    // scaled with the corpus (see the header note)
-    val words = Seq("the", "a", "key", "agg", "row", "scan", "slow",
+    // documents: the testdata's 31-word vocabulary extended with
+    // synthetic tokens so vocabulary scales with the corpus (see the
+    // header note), 10-109 tokens, ~12% exact dups sharing a 7-block
+    // leader's seed, a slice of near-dups (same seed, one token
+    // shorter), source cardinality scaled with the corpus
+    val baseWords = Seq("the", "a", "key", "agg", "row", "scan", "slow",
       "fast", "table", "value", "part", "hash", "merge", "batch", "line",
       "sort", "win", "spark", "join", "shuffle", "filter", "group",
       "order", "limit", "index", "plan", "stage", "task", "byte",
       "cache", "disk")
+    val vocabSize = math.max(baseWords.size,
+      (baseWords.size * factor).toInt)
+    val words = baseWords ++
+      (baseWords.size until vocabSize).map(i => s"tok$i")
     val langs = Seq("en", "en", "en", "en", "de", "de", "fr", "fr",
       "es", "zh")
     val nSources = math.max(20L, (20 * factor).toLong)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, HeavyHittersAgg, MinHashAgg, ShingleWinnow, SimHashAgg, TopKAgg}
+import graft.functions.{DotProduct, HeavyHittersAgg, HllRegistersAgg, MinHashAgg, ShingleWinnow, ShingleWinnowMd5, SimHashAgg, TopKAgg}
 
 /** Session extension injecting the library's native expressions into the
   * SQL function registry, so `spark.sql("SELECT vec_dot(a, b) ...")`
@@ -21,8 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.minhashDescriptor)
     ext.injectFunction(GraftExtensions.simhashDescriptor)
     ext.injectFunction(GraftExtensions.winnowDescriptor)
+    ext.injectFunction(GraftExtensions.winnowMd5Descriptor)
     ext.injectFunction(GraftExtensions.topkDescriptor)
     ext.injectFunction(GraftExtensions.heavyHittersDescriptor)
+    ext.injectFunction(GraftExtensions.hllRegistersDescriptor)
     // whole-operator tier: native as-of join (custom LogicalPlan ->
     // merge-scan SparkPlan) + its left-filter pushdown rule
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -103,5 +105,29 @@ object GraftExtensions {
       require(args.length == 3,
         "shingle_winnow requires (tokens, k, w) arguments")
       ShingleWinnow(args.head, litInt(args(1), "k"), litInt(args(2), "w"))
+    })
+
+  /** `shingle_winnow_md5(tokens, k, w)` — the engine-portable winnow:
+    * distinct `fp·2^20 + pos` selection keys (md5 shingle hashes). */
+  val winnowMd5Descriptor: Descriptor = (
+    FunctionIdentifier("shingle_winnow_md5"),
+    new ExpressionInfo(classOf[ShingleWinnowMd5].getName,
+      "shingle_winnow_md5"),
+    { args: Seq[Expression] =>
+      require(args.length == 3,
+        "shingle_winnow_md5 requires (tokens, k, w) arguments")
+      ShingleWinnowMd5(args.head, litInt(args(1), "k"),
+        litInt(args(2), "w"))
+    })
+
+  /** `hll_registers_agg(value)` — the 256-register HLL max-rank array. */
+  val hllRegistersDescriptor: Descriptor = (
+    FunctionIdentifier("hll_registers_agg"),
+    new ExpressionInfo(classOf[HllRegistersAgg].getName,
+      "hll_registers_agg"),
+    { args: Seq[Expression] =>
+      require(args.length == 1,
+        "hll_registers_agg requires (value) argument")
+      HllRegistersAgg(args.head).toAggregateExpression()
     })
 }

@@ -310,6 +310,29 @@ class OpsSpec extends AnyFunSuite {
     assert(winSql.as("a")
       .join(winApi.as("b"), col("a.doc_id") === col("b.doc_id"))
       .filter(col("a.fps") =!= col("b.fps")).count() == 0)
+    // round-6 registrations: the md5 winnow and the HLL register agg
+    Seq(graft.GraftExtensions.winnowMd5Descriptor,
+      graft.GraftExtensions.hllRegistersDescriptor)
+      .foreach(d =>
+        spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3))
+    val wm5Sql = spark.sql(
+      """SELECT doc_id, shingle_winnow_md5(
+           regexp_extract_all(lower(text), '\\S+', 0), 4, 5) AS mks
+         FROM docs_sqlreg""")
+    val wm5Api = docs.select(col("doc_id"),
+      graft.functions.ShingleWinnowMd5.winnow(
+        TextAnalysis.tokens(col("text")), 4, 5).as("mks"))
+    assert(wm5Sql.as("a")
+      .join(wm5Api.as("b"), col("a.doc_id") === col("b.doc_id"))
+      .filter(col("a.mks") =!= col("b.mks")).count() == 0)
+    val hllSql = spark.sql(
+      """WITH t AS (SELECT explode(regexp_extract_all(lower(text),
+           '\\S+', 0)) AS w FROM docs_sqlreg)
+         SELECT hll_registers_agg(w) AS regs FROM t""")
+    val hllApi = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .agg(graft.functions.HllRegistersAgg.hllRegisters(col("w")).as("regs"))
+    assert(hllSql.head().getSeq[Int](0) == hllApi.head().getSeq[Int](0))
   }
 
   test("persisted quantized index: self-match at rank 1, high recall") {
