@@ -170,6 +170,9 @@ object SparkEntry {
     "qd74_cms_store" -> (PipelineQueries.cmsStoreFreq _),
     "qd75_bm25_index_build" -> (PipelineQueries.bm25IndexBuild _),
     "qd76_bm25_index_topk" -> (PipelineQueries.bm25IndexTopDocs _),
+    "qd77_hist_quantiles" -> (PipelineQueries.histQuantileProfile _),
+    "qd78_hist_merge" -> (PipelineQueries.histMergeQuantiles _),
+    "qd79_hist_store" -> (PipelineQueries.histStoreQuantiles _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1790,6 +1793,13 @@ object SparkEntry {
     // apply verbatim to the store round-trip.
     "qd73_hll_store" -> hllOracleSql,
     "qd74_cms_store" -> cmsOracleSql,
+    // qd77/qd78/qd79: the log-bucket histogram quantile sketch — the
+    // direct sketch, the per-half sum-merge, and the persisted store
+    // round-trip are counter-identical (sums are associative), so ONE
+    // oracle covers all three.
+    "qd77_hist_quantiles" -> histOracleSql,
+    "qd78_hist_merge" -> histOracleSql,
+    "qd79_hist_store" -> histOracleSql,
     // qd71: the stored exact-fingerprint index IS the even-doc content
     // fingerprints (qd29's `f`/`idx` CTEs, read back from parquet).
     "qd71_exact_index_build" ->
@@ -1966,6 +1976,36 @@ object SparkEntry {
          SELECT term, coalesce(exact_n, 0::BIGINT) AS exact_n, cms_est
          FROM est LEFT JOIN ex USING (term) ORDER BY term"""
   }
+
+  /** Shared oracle for qd77 (direct histogram sketch), qd78 (sum-merged
+    * per-half sketches) and qd79 (persisted store round-trip) — all
+    * three are counter-identical: the per-source token-count
+    * distribution re-derived in SQL. Bucket = bit length of the
+    * measure via `bin()` (the HLL-rank portability trick), quantile =
+    * upper bound `2^bucket − 1` of the first bucket whose cumulative
+    * count reaches q·n, rank test in pure bigint (`cum·10⁴ ≥ n·q·10⁴`).
+    * The cumulative window's ORDER BY key is unique per partition, so
+    * the default RANGE frame equals the Spark side's ROWS frame. */
+  private val histOracleSql: String =
+    """WITH d AS (SELECT source,
+         CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS m
+         FROM documents),
+       b AS (SELECT source,
+         CASE WHEN m <= 0 THEN 0 ELSE length(bin(m)) END AS bucket
+         FROM d),
+       sk AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt
+         FROM b GROUP BY 1, 2),
+       c AS (SELECT source, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bucket)
+           AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n,
+         ((1::BIGINT) << bucket) - 1 AS ub
+         FROM sk)
+       SELECT source, max(n) AS n_rows,
+         min(CASE WHEN cum * 10000 >= n * 5000 THEN ub END) AS p50,
+         min(CASE WHEN cum * 10000 >= n * 9000 THEN ub END) AS p90,
+         min(CASE WHEN cum * 10000 >= n * 9900 THEN ub END) AS p99
+       FROM c GROUP BY source ORDER BY source"""
 
   /** Parameterized HLL estimate CTE chain for qd70: derives
     * `<tag>(source, est)` over the documents matching `where` — the

@@ -13,13 +13,14 @@ import org.apache.spark.sql.types._
   * ([[imageIoDecoder]]: true format/width/height from PNG/JPEG/GIF/BMP
   * headers), the AUDIO half via `javax.sound.sampled` (WAV/AIFF/AU
   * container headers: encoding, channels, sample bits, frame count),
-  * and the VIDEO half via a pure-JVM ISO BMFF (MP4/QuickTime) box walk
-  * ([[videoHeader]]: duration, track count, codec fourcc, pixel
-  * dimensions, sample count — container metadata needs no codec) — all
-  * zero-dependency parsers chained in [[jdkDecoder]]. Only exotic
-  * containers with no pure-JDK parser (AVI, MKV) fall through to the
-  * deterministic stub, with the Spark-side contract (schema, batching,
-  * partitioning, deterministic output) real and tested either way.
+  * and the VIDEO half via pure-JVM container walks — ISO BMFF
+  * (MP4/QuickTime, [[videoHeader]]), RIFF ([[aviHeader]]) and
+  * EBML/Matroska ([[mkvHeader]]): duration, track count, codec id,
+  * pixel dimensions, sample count — container metadata needs no codec.
+  * All zero-dependency parsers chained in [[jdkDecoder]]; only payloads
+  * NO parser recognizes fall through to the deterministic stub, with
+  * the Spark-side contract (schema, batching, partitioning,
+  * deterministic output) real and tested either way.
   */
 object Multimodal {
 
@@ -212,14 +213,184 @@ object Multimodal {
     }
   }
 
+  /** REAL AVI container header decode: a pure-JVM RIFF chunk walk — the
+    * same zero-dependency shape as [[videoHeader]], little-endian. The
+    * `LIST hdrl` header list carries `avih` (the main AVI header:
+    * microseconds per frame, total frames, pixel dimensions) and one
+    * `LIST strl` per stream whose `strh` names the stream type and
+    * codec handler fourcc.
+    *
+    * MediaMeta mapping: format = "avi:" + the first `vids` stream's
+    * handler fourcc ("avi" when none), width/height = avih pixels,
+    * nFrames = avih total frames, durationMs = frames · µs-per-frame
+    * / 1000. Only chunk headers and fixed-offset fields are touched.
+    * Non-RIFF/AVI payloads return None so decoders can chain. */
+  private[ops] def aviHeader(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null || bytes.length < 24) return None
+    def u32le(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    def fourcc(o: Int): String =
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    // (chunkId, payloadStart, payloadEnd); chunks are word-aligned (an
+    // odd payload is followed by one pad byte). Malformed sizes clamp
+    // to the parent; the chunk-count guard bounds adversarial bytes.
+    def chunks(from: Int, to: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var o = from
+      var guard = 0
+      while (o + 8 <= to && guard < 4096) {
+        val size = u32le(o + 4)
+        val end = o + 8 + math.min(size, (to - o - 8).toLong).toInt
+        out += ((fourcc(o), o + 8, end))
+        o = end + (end & 1)
+        guard += 1
+      }
+      out.result()
+    }
+    // LIST payloads begin with the 4-byte list type, then child chunks.
+    def lists(cs: Seq[(String, Int, Int)], typ: String) =
+      cs.filter { case (id, p, e) =>
+        id == "LIST" && e - p >= 4 && fourcc(p) == typ }
+    val top = chunks(12, bytes.length)
+    lists(top, "hdrl").headOption.flatMap { case (_, hs, he) =>
+      val hdrl = chunks(hs + 4, he)
+      hdrl.collectFirst { case ("avih", p, e) if e - p >= 40 =>
+        // avih payload: µs/frame(0), total frames(16), width(32),
+        // height(36) — all u32 little-endian
+        val usPerFrame = u32le(p)
+        val totalFrames = u32le(p + 16)
+        val codec = lists(hdrl, "strl").iterator.flatMap {
+          case (_, ss, se) =>
+            // strh payload: stream type fourcc(0), handler fourcc(4)
+            chunks(ss + 4, se).collectFirst {
+              case ("strh", sp, spe)
+                  if spe - sp >= 8 && fourcc(sp) == "vids" =>
+                fourcc(sp + 4).trim
+            }
+        }.find(_.nonEmpty)
+        MediaMeta(
+          format = codec.map("avi:" + _).getOrElse("avi"),
+          width = u32le(p + 32).toInt, height = u32le(p + 36).toInt,
+          nFrames = totalFrames.toInt,
+          durationMs = totalFrames * usPerFrame / 1000L)
+      }
+    }
+  }
+
+  /** REAL Matroska/WebM container header decode: a pure-JVM EBML walk.
+    * EBML elements are (varint id, varint size, payload); ids keep
+    * their length-marker bit (matching the spec'd constants below),
+    * sizes strip it, and an all-ones size means "extends to the end"
+    * (how live-muxed Segments are written). The walk reads
+    * Segment→Info for TimestampScale + Duration and Segment→Tracks for
+    * the first video TrackEntry's CodecID and pixel dimensions.
+    *
+    * MediaMeta mapping: format = "mkv:" + CodecID ("mkv" when no video
+    * track), width/height = PixelWidth/PixelHeight, nFrames = track
+    * COUNT (Matroska headers carry no sample count — same fallback as
+    * the header-only MP4 case), durationMs = Duration ·
+    * TimestampScale(ns) / 10^6. Non-EBML payloads return None so
+    * decoders can chain. */
+  private[ops] def mkvHeader(bytes: Array[Byte]): Option[MediaMeta] = {
+    if (bytes == null || bytes.length < 8) return None
+    // EBML varint: the first byte's leading-zero count gives the width.
+    def varint(o: Int, to: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (o >= to) return None
+      val b0 = bytes(o) & 0xff
+      if (b0 == 0) return None
+      val len = java.lang.Integer.numberOfLeadingZeros(b0) - 23
+      if (len > 8 || o + len > to) return None
+      var v = if (keepMarker) b0.toLong else (b0 & (0xff >>> len)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (bytes(o + i) & 0xffL); i += 1 }
+      Some((v, len))
+    }
+    // (id, payloadStart, payloadEnd) of each sibling in [from, to)
+    def elems(from: Int, to: Int): Seq[(Long, Int, Int)] = {
+      val out = Seq.newBuilder[(Long, Int, Int)]
+      var o = from
+      var guard = 0
+      var ok = true
+      while (ok && o < to && guard < 4096) {
+        val parsed = for {
+          (id, idLen) <- varint(o, to, keepMarker = true)
+          (size, szLen) <- varint(o + idLen, to, keepMarker = false)
+        } yield {
+          val p = o + idLen + szLen
+          val unknown = size == (1L << (7 * szLen)) - 1
+          val end =
+            if (unknown) to else p + math.min(size, (to - p).toLong).toInt
+          out += ((id, p, end))
+          end
+        }
+        parsed match {
+          case Some(next) if next > o => o = next; guard += 1
+          case _ => ok = false
+        }
+      }
+      out.result()
+    }
+    def uint(p: Int, e: Int): Long = {
+      var v = 0L
+      var i = p
+      while (i < e && i - p < 8) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
+      v
+    }
+    def dbl(p: Int, e: Int): Double =
+      if (e - p == 4) java.lang.Float.intBitsToFloat(uint(p, e).toInt).toDouble
+      else if (e - p == 8) java.lang.Double.longBitsToDouble(uint(p, e))
+      else 0.0
+    def child(cs: Seq[(Long, Int, Int)], id: Long) = cs.find(_._1 == id)
+    val top = elems(0, bytes.length)
+    if (!top.headOption.exists(_._1 == 0x1A45DFA3L)) return None // EBML
+    child(top, 0x18538067L).map { case (_, ss, se) => // Segment
+      val seg = elems(ss, se)
+      val info = child(seg, 0x1549A966L) // Info
+        .map { case (_, p, e) => elems(p, e) }.getOrElse(Seq.empty)
+      val tsScaleNs = child(info, 0x2AD7B1L) // TimestampScale
+        .map { case (_, p, e) => uint(p, e) }.filter(_ > 0)
+        .getOrElse(1000000L)
+      val durMs = child(info, 0x4489L) // Duration (float, scale units)
+        .map { case (_, p, e) => (dbl(p, e) * tsScaleNs / 1e6).toLong }
+        .getOrElse(0L)
+      val trackEntries = child(seg, 0x1654AE6BL).toSeq // Tracks
+        .flatMap { case (_, p, e) => elems(p, e).filter(_._1 == 0xAEL) }
+      val video = trackEntries.iterator.map { case (_, p, e) =>
+        val t = elems(p, e)
+        val isVideo = child(t, 0x83L) // TrackType: 1 = video
+          .exists { case (_, vp, ve) => uint(vp, ve) == 1L }
+        val codec = child(t, 0x86L).map { case (_, cp, ce) => // CodecID
+          new String(bytes, cp, ce - cp,
+            java.nio.charset.StandardCharsets.US_ASCII).trim }
+        val dims = child(t, 0xE0L).map { case (_, vp, ve) => // Video
+          val v = elems(vp, ve)
+          (child(v, 0xB0L).map { case (_, a, b) => uint(a, b).toInt }
+            .getOrElse(0), // PixelWidth
+            child(v, 0xBAL).map { case (_, a, b) => uint(a, b).toInt }
+              .getOrElse(0)) // PixelHeight
+        }.getOrElse((0, 0))
+        (isVideo, codec, dims)
+      }.find(_._1)
+      MediaMeta(
+        format = video.flatMap(_._2).map("mkv:" + _).getOrElse("mkv"),
+        width = video.map(_._3._1).getOrElse(0),
+        height = video.map(_._3._2).getOrElse(0),
+        nFrames = trackEntries.size,
+        durationMs = durMs)
+    }
+  }
+
   /** Default production decoder: real IMAGE headers (`javax.imageio`),
     * then real AUDIO headers (`javax.sound.sampled`), then real VIDEO
-    * container headers (the pure-JVM MP4/QuickTime box walk), then the
-    * deterministic stub for exotic containers only (AVI/MKV — no
-    * pure-JDK parser; the one remaining disclosed seam). */
+    * container headers (the pure-JVM MP4/QuickTime, RIFF/AVI and
+    * EBML/Matroska walks), then the deterministic stub only for
+    * payloads no parser recognizes. */
   val jdkDecoder: Decoder = { bytes =>
     imageHeader(bytes).orElse(audioHeader(bytes))
-      .orElse(videoHeader(bytes)).getOrElse(stubDecoder(bytes))
+      .orElse(videoHeader(bytes)).orElse(aviHeader(bytes))
+      .orElse(mkvHeader(bytes)).getOrElse(stubDecoder(bytes))
   }
 
   /** Attach deterministic fake binary payloads derived from an id column

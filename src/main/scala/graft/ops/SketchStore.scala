@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   *   `<path>/cms/`   row, bucket, cnt — ≤ depth×width rows per batch
   *   `<path>/cms_meta/`  width sidecar so appends can't change the
   *                   sketch shape mid-store
+  *   `<path>/hist/`  grp, bucket, cnt — ≤ 64 log-bucket counter rows
+  *                   per group per batch (sum-merged quantile profile)
   *
   * Scale shape: a batch append writes `groups × 1` KB-sized rows (HLL)
   * or ≤ 4×width counters (CMS) regardless of batch size; a profile read
@@ -93,4 +95,33 @@ object SketchStore {
       term: Column): DataFrame =
     Sketches.cmsEstimate(readCms(spark, path), probes, term,
       cmsWidth(spark, path))
+
+  /** Initialize (overwrite) the HISTOGRAM half with one batch's
+    * per-group log-bucket counters: one batch scan, ≤ 64 rows per
+    * group out. The distribution member of the store's profiling triad
+    * (HLL = distinct, CMS = frequency, histogram = quantiles). */
+  def writeHist(df: DataFrame, group: Column, measure: Column,
+      path: String): Unit =
+    Sketches.histSketch(df, group, measure)
+      .write.mode("overwrite").parquet(s"$path/hist")
+
+  /** Append a new batch's partial histogram counters — history is never
+    * re-read; counters ADD at read time (associative, append-order
+    * free, like the CMS half). */
+  def appendHist(batch: DataFrame, group: Column, measure: Column,
+      path: String): Unit =
+    Sketches.histSketch(batch, group, measure)
+      .write.mode("append").parquet(s"$path/hist")
+
+  /** Merged counters over ALL stored partials — counter-wise equal to
+    * sketching the union corpus directly. */
+  def readHist(spark: SparkSession, path: String): DataFrame =
+    Sketches.histMergeSketches(spark.read.parquet(s"$path/hist"))
+
+  /** Merged per-group quantile profile over all stored partials —
+    * identical to [[Sketches.histQuantiles]] over the union's sketch,
+    * without rescanning any batch. */
+  def readHistProfile(spark: SparkSession, path: String,
+      quantiles: Seq[Double]): DataFrame =
+    Sketches.histQuantiles(readHist(spark, path), quantiles)
 }

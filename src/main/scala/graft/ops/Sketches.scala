@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Engine-portable cardinality / frequency sketches for 100 TB profiling.
@@ -194,6 +195,62 @@ object Sketches {
   def cmsMergeSketches(sketches: DataFrame): DataFrame =
     sketches.groupBy(col("row"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** Log2 bucket of a non-negative bigint measure: 0 for ≤ 0, else the
+    * bit length `length(bin(v))` = ⌊log₂ v⌋ + 1 — the same
+    * engine-portable `bin()` trick the HLL rank uses, so stored buckets
+    * re-derive in ANSI SQL. Bucket b > 0 covers [2^(b−1), 2^b − 1]; a
+    * bigint measure can land in at most 64 buckets ever. */
+  def histBucket(measure: Column): Column =
+    when(measure <= 0L, lit(0))
+      .otherwise(length(bin(measure.cast("long")))).cast("int")
+
+  /** Per-group log-bucket histogram sketch of `measure` — the
+    * DISTRIBUTION member of the profiling triad (HLL = distinct,
+    * CMS = frequency, histogram = quantiles). Output
+    * `(grp, bucket, cnt)`: ≤ 64 counter rows per group regardless of
+    * corpus size, map-side partial counting, shuffle bounded by
+    * `groups × 64`. Mergeable by counter ADDITION (like CMS), so
+    * per-batch sketches roll up into the union's sketch exactly. */
+  def histSketch(df: DataFrame, group: Column, measure: Column): DataFrame =
+    df.select(group.as("grp"), histBucket(measure).as("bucket"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge per-batch histogram sketches by adding matching counters —
+    * counter-wise equal to sketching the union directly. */
+  def histMergeSketches(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("grp"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a histogram sketch: for each requested
+    * quantile q, the UPPER bound `2^bucket − 1` of the first bucket
+    * whose cumulative count reaches q·n. The rank test is pure bigint
+    * (`cum · 10⁴ ≥ n · q·10⁴` — q quantized to 4 decimals, no float
+    * anywhere), so estimates are deterministic, oracle-exact, and
+    * merge-invariant. Guarantee: est ≥ the true q-quantile v and
+    * est < 2·v (v shares est's bucket, whose width is one doubling).
+    * Output: `grp, n_rows, p<q·100> …` — one finished row per group,
+    * computed from ≤ 64 counter rows per group (the window runs over
+    * the SKETCH, never the corpus). */
+  def histQuantiles(sketch: DataFrame, quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
+      "quantiles must lie in (0, 1]")
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("grp")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+      .withColumn("ub",
+        expr("shiftleft(CAST(1 AS BIGINT), bucket)") - lit(1L))
+    val qAggs = quantiles.map { q =>
+      val qq = math.round(q * 10000).toInt
+      min(when(col("cum") * lit(10000L) >= col("n") * lit(qq.toLong),
+        col("ub"))).as(s"p${qq / 100}")
+    }
+    cum.groupBy(col("grp"))
+      .agg(max(col("n")).as("n_rows"), qAggs: _*)
+  }
 
   /** Point-estimate the count of each probe term: min over the 4 rows
     * of the matching bucket counters (0 when a bucket is empty). The

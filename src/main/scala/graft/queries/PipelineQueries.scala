@@ -1428,6 +1428,60 @@ object PipelineQueries {
     cmsProbeReport(s, dir, graft.ops.SketchStore.readCms(s, path))
   }
 
+  /** The histogram-sketch quantile levels shared by qd77/qd78/qd79. */
+  private val histQs = Seq(0.5, 0.9, 0.99)
+
+  /** qd77: per-source token-count QUANTILES from the log-bucket
+    * histogram sketch — the distribution member of the sketch triad
+    * (qd65 distinct, qd66 frequency). ≤ 64 counter rows per source
+    * cross the shuffle regardless of corpus size; the quantile window
+    * runs over the sketch, never the corpus; every step is bigint
+    * math, so the p50/p90/p99 doubling-bounded estimates are
+    * oracle-exact. */
+  def histQuantileProfile(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val sketch = graft.ops.Sketches.histSketch(d, col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long"))
+    graft.ops.Sketches.histQuantiles(sketch, histQs)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
+  /** qd78: histogram MERGEABILITY — per-half sketches (md5-nibble
+    * split, qd70's discipline) sum-merged equal the whole-corpus
+    * sketch exactly, so qd77's oracle applies verbatim; the
+    * incremental shape for distribution profiles. */
+  def histMergeQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def sketchOf(lo: Boolean) =
+      graft.ops.Sketches.histSketch(docHalf(d, lo), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+    graft.ops.Sketches.histQuantiles(
+      graft.ops.Sketches.histMergeSketches(
+        sketchOf(true).unionByName(sketchOf(false))), histQs)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
+  /** qd79: the PERSISTED histogram store end-to-end — initialize from
+    * one md5-split half (one scan), APPEND the other (no history
+    * rescan), read the merged per-source quantile profile. Counter
+    * sums are exact, so qd77's oracle applies verbatim. */
+  def histStoreQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    def half(lo: Boolean) = docHalf(d, lo)
+    val measure = size(TextAnalysis.tokens(col("text"))).cast("long")
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_histst").toString
+    graft.ops.SketchStore.writeHist(half(true), col("source"), measure,
+      path)
+    graft.ops.SketchStore.appendHist(half(false), col("source"), measure,
+      path)
+    graft.ops.SketchStore.readHistProfile(s, path, histQs)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
   /** Shared probe/exact report over a CMS sketch frame (qd66/qd69). */
   private def cmsProbeReport(s: SparkSession, dir: String,
       sketchIn: DataFrame): DataFrame = {

@@ -253,11 +253,98 @@ class StoreSpec extends AnyFunSuite {
       box("moov", mvhd ++ bareTrak ++ bareTrak)
     val meta = Multimodal.videoHeader(hdrOnly)
     assert(meta.contains(Multimodal.MediaMeta("mp4", 0, 0, 2, 2000L)))
-    // RIFF/AVI (and arbitrary bytes) are not ISO BMFF: None -> stub
+    // a RIFF shell with no hdrl header list satisfies NO parser: every
+    // videoHeader/aviHeader/mkvHeader returns None and the chain stubs
     val avi = "RIFF".getBytes("US-ASCII") ++ be32(128) ++
       "AVI LIST".getBytes("US-ASCII") ++ new Array[Byte](64)
     assert(Multimodal.videoHeader(avi).isEmpty)
+    assert(Multimodal.aviHeader(avi).isEmpty)
     assert(Multimodal.videoHeader("garbage".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.jdkDecoder(avi) == Multimodal.stubDecoder(avi))
+  }
+
+  // ---- RIFF / AVI fixtures (little-endian) ----
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val base = id.getBytes("US-ASCII") ++ le32(payload.length.toLong) ++
+      payload
+    if (payload.length % 2 == 1) base :+ 0.toByte else base
+  }
+
+  private def riffList(typ: String, children: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("US-ASCII") ++ children)
+
+  test("aviHeader: real frames/codec/dimensions/duration from RIFF chunks") {
+    // avih: 33333 µs/frame, 750 total frames, 640x480
+    val avih = riffChunk("avih",
+      le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(750) ++
+        le32(0) ++ le32(1) ++ le32(0) ++ le32(640) ++ le32(480) ++
+        new Array[Byte](16))
+    // one audio stream BEFORE the video stream: the codec pick must
+    // skip non-vids strh entries
+    val auds = riffList("strl", riffChunk("strh",
+      "audspcm ".getBytes("US-ASCII") ++ new Array[Byte](48)))
+    val vids = riffList("strl", riffChunk("strh",
+      "vidsmjpg".getBytes("US-ASCII") ++ new Array[Byte](48)))
+    val hdrl = riffList("hdrl", avih ++ auds ++ vids)
+    val fixture = "RIFF".getBytes("US-ASCII") ++
+      le32((4 + hdrl.length).toLong) ++ "AVI ".getBytes("US-ASCII") ++ hdrl
+    val expected = Multimodal.MediaMeta("avi:mjpg", 640, 480, 750,
+      750L * 33333L / 1000L)
+    assert(Multimodal.aviHeader(fixture).contains(expected))
+    assert(Multimodal.jdkDecoder(fixture) == expected)
+    // ISO walk must NOT claim RIFF bytes (and vice versa: AVI walk
+    // rejects the MP4 fixture)
+    assert(Multimodal.videoHeader(fixture).isEmpty)
+    assert(Multimodal.aviHeader(mp4Fixture).isEmpty)
+  }
+
+  // ---- EBML / Matroska fixtures ----
+
+  private def ebmlId(id: Long): Array[Byte] = {
+    val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+    (n - 1 to 0 by -1).map(i => ((id >> (8 * i)) & 0xff).toByte).toArray
+  }
+
+  // 2-byte size form (0x40xx): valid for payloads up to 16382 bytes
+  private def ebml(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlId(id) ++ Array((0x40 | (payload.length >> 8)).toByte,
+      (payload.length & 0xff).toByte) ++ payload
+
+  test("mkvHeader: real duration/codec/dimensions from EBML elements") {
+    val hdr = ebml(0x1A45DFA3L, Array.emptyByteArray)
+    val info = ebml(0x1549A966L,
+      ebml(0x2AD7B1L, Array(0x0f.toByte, 0x42.toByte, 0x40.toByte)) ++
+        ebml(0x4489L, // Duration 120000.0f ticks of 1 ms -> 120 s
+          be32(java.lang.Float.floatToIntBits(120000.0f).toLong &
+            0xffffffffL)))
+    val videoTrack = ebml(0xAEL,
+      ebml(0x83L, Array(1.toByte)) ++
+        ebml(0x86L, "V_MPEG4/ISO/AVC".getBytes("US-ASCII")) ++
+        ebml(0xE0L,
+          ebml(0xB0L, Array(0x05.toByte, 0x00.toByte)) ++ // 1280
+            ebml(0xBAL, Array(0x02.toByte, 0xd0.toByte)))) // 720
+    // a non-video track first: codec pick must skip TrackType != 1
+    val audioTrack = ebml(0xAEL,
+      ebml(0x83L, Array(2.toByte)) ++
+        ebml(0x86L, "A_OPUS".getBytes("US-ASCII")))
+    val tracks = ebml(0x1654AE6BL, audioTrack ++ videoTrack)
+    val fixture = hdr ++ ebml(0x18538067L, info ++ tracks)
+    val expected = Multimodal.MediaMeta("mkv:V_MPEG4/ISO/AVC", 1280, 720,
+      2, 120000L)
+    assert(Multimodal.mkvHeader(fixture).contains(expected))
+    assert(Multimodal.jdkDecoder(fixture) == expected)
+    // an unknown-length Segment (all-ones size varint, the live-muxed
+    // form) extends to the end of the payload and still parses
+    val streamed = hdr ++ ebmlId(0x18538067L) ++ Array(0xff.toByte) ++
+      info ++ tracks
+    assert(Multimodal.mkvHeader(streamed).contains(expected))
+    // foreign containers are rejected, not misparsed
+    assert(Multimodal.mkvHeader(mp4Fixture).isEmpty)
+    assert(Multimodal.mkvHeader("garbage".getBytes("US-ASCII")).isEmpty)
   }
 }
