@@ -50,10 +50,6 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, id: Column, block: Column,
       text: Column, threshold: Double,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    // the self-join's two exchanges hash on the same (w, block) key, so
-    // Spark reuses one shuffle; a checkpoint here measured slower both
-    // before and after the df-cap consumers were added (re-tested
-    // round 4: 3.2 -> 3.6 s warm at sf0.1)
     val words = wordSet(docs, id, block, text)
     val sizes = words.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"))
@@ -66,16 +62,34 @@ object Dedup {
         .select(col("block"), col("w"))
       words.join(broadcast(hot), Seq("block", "w"), "left_anti")
     }
-    // Pair expansion stays a self-join: a grouped collect_list +
-    // nested-transform expansion was measured SLOWER (3.5 → 6.0 s warm
-    // at sf0.1) because higher-order-function lambdas evaluate
-    // interpreted per element while the join is whole-stage codegen'd —
-    // the same reason vecDot is a native expression.
-    val inter = posting.as("a").hint("shuffle_hash")
-      .join(posting.as("b"),
-        col("a.w") === col("b.w") && col("a.block") === col("b.block") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Pair counting in three bounded exchanges instead of a posting
+    // self-join. The self-join shape shuffles one ROW PER SHARED TOKEN
+    // PER PAIR into the (doc_a, doc_b) aggregation — partitioned by
+    // (block, token), a pair's shared tokens scatter across partitions,
+    // so map-side combine never fires (measured at the sf1 10× point:
+    // 524 MB shuffled for 56M token-share events, avg 9 per pair).
+    // Instead: (1) posting lists per (block, token) — same volume as
+    // the self-join's one reused exchange; (2) repartition the DOC-ID
+    // ARRAYS by block (21 MB at sf1, the lists are just longs; the
+    // explicit partition count keeps AQE from coalescing the small
+    // exchange under the 56M-row expansion it feeds); (3) expand pairs
+    // IN-PARTITION with codegen'd nested explodes. Every shared token
+    // of a pair now lives in ONE partition (a pair is within-block by
+    // construction), partial aggregation is COMPLETE, and the final
+    // exchange carries one row per distinct candidate pair — bounded
+    // by Σ_block C(|block|, 2), never by shared-token volume. Parallelism
+    // of the expansion is block-granular, like any blocked pair stage:
+    // keep block cardinality above cluster cores.
+    val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val plists = posting.groupBy(col("block"), col("w"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .repartition(nParts, col("block"))
+    val inter = plists
+      .select(col("ds"), explode(col("ds")).as("da"))
+      .select(col("da"), explode(col("ds")).as("db"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
