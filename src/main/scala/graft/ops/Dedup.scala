@@ -334,8 +334,16 @@ object Dedup {
     * pair for the count. */
   def sharedPassages(docs: DataFrame, id: Column, text: Column, n: Int,
       maxDocFreq: Int, minShared: Int): DataFrame = {
+    // Grams reduce to 8-byte xxhash64 keys BEFORE the first exchange:
+    // the gram text never appears in the output, so every downstream
+    // shuffle (df window, self-join) moves fixed-width longs instead of
+    // n-word strings (~4× fewer bytes at the sf1 point). Same internal-
+    // key discipline as the LSH band buckets; a 2^-64 collision merges
+    // two grams' posting lists, the accepted risk class of any hashed
+    // inverted index.
     val grams = docs.select(id.as("doc_id"),
-      explode(Decontaminate.ngrams(text, n)).as("gram"))
+        explode(Decontaminate.ngrams(text, n)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
     val kept = grams
       .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .filter(col("_df") <= maxDocFreq)
@@ -436,8 +444,12 @@ object Dedup {
     * One shuffle on the gram, one tiny aggregation on the pair. */
   def sourceOverlap(docs: DataFrame, source: Column, text: Column,
       n: Int): DataFrame = {
+    // Same 8-byte-key discipline as [[sharedPassages]]: hash grams
+    // before the distinct/join exchanges — the output only counts them.
     val grams = docs.select(source.as("src"),
-      explode(Decontaminate.ngrams(text, n)).as("gram")).distinct()
+        explode(Decontaminate.ngrams(text, n)).as("gram"))
+      .select(col("src"), xxhash64(col("gram")).as("gram"))
+      .distinct()
     grams.as("a")
       .join(grams.as("b"), col("a.gram") === col("b.gram") &&
         col("a.src") < col("b.src"))

@@ -252,6 +252,35 @@ object Sketches {
       .agg(max(col("n")).as("n_rows"), qAggs: _*)
   }
 
+  /** One quantile estimate from a 64-slot bucket-count ARRAY (slot i =
+    * [[histBucket]] value i) — the arrayized twin of [[histQuantiles]]
+    * for contexts where a second aggregation or window pass is
+    * unavailable (the finishing projection of a STREAMING windowed
+    * bucket-count aggregate). Same pure-bigint rank test; the bucket
+    * ceiling 2^b − 1 computes as `pow(2,b) − 1` cast to long (exact to
+    * b = 53, far beyond any realistic measure — the [[hllSumInt]]
+    * precedent). The scan is a 64-element fold: per-row cost is
+    * constant regardless of data volume. */
+  def histQuantileFromCounts(counts: Column, q: Double): Column = {
+    require(q > 0 && q <= 1, s"quantile must lie in (0, 1]: $q")
+    val qq = math.round(q * 10000)
+    val n = aggregate(counts, lit(0L), (a, c) => a + c)
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, b) => struct(c.cast("long").as("c"), b.as("b"))),
+      struct(lit(0L).as("cum"), lit(-1L).as("ans")),
+      (acc, x) => {
+        val cum2 = acc.getField("cum") + x.getField("c")
+        val ub = pow(lit(2.0), x.getField("b")).cast("long") - lit(1L)
+        val hit = acc.getField("ans") === lit(-1L) &&
+          x.getField("c") > lit(0L) &&
+          cum2 * lit(10000L) >= n * lit(qq)
+        struct(cum2.as("cum"),
+          when(hit, ub).otherwise(acc.getField("ans")).as("ans"))
+      },
+      acc => acc.getField("ans"))
+  }
+
   /** Point-estimate the count of each probe term: min over the 4 rows
     * of the matching bucket counters (0 when a bucket is empty). The
     * sketch side is tiny (≤ 4 × width rows) and broadcast; probes are

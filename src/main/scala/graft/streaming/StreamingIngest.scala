@@ -55,6 +55,40 @@ object StreamingIngest {
         graft.ops.Sketches.hllEstimateFromRegisters(col("regs"))
           .as("est_distinct"))
 
+  /** Streaming per-window QUANTILE estimates — watermarked windowed
+    * log-bucket histogram over `measure` (the streaming face of
+    * [[graft.ops.Sketches.histSketch]]/`histQuantiles`, completing the
+    * streaming sketch triad: distinct, heavy hitters, distribution).
+    * State is 64 bucket counters — 512 bytes per (window, type) group
+    * no matter how many rows arrive, the only shape that survives an
+    * unbounded feed (exact streaming quantiles need all values).
+    * Estimates are doubling-bounded ceilings (v ≤ est < 2v) computed
+    * by the same pure-bigint rank test as the batch path, so the
+    * streamed profile EQUALS the batch twin's — spec-pinned. The
+    * quantile extraction is a stateless 64-element fold in the
+    * finishing projection ([[graft.ops.Sketches.histQuantileFromCounts]]),
+    * legal downstream of the one streaming aggregation. */
+  def windowedQuantiles(events: DataFrame,
+      measure: org.apache.spark.sql.Column,
+      quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      window_ : String = "1 hour", watermark: String = "2 hours")
+      : DataFrame = {
+    val bucketAggs = (0 until 64).map(b =>
+      sum(when(graft.ops.Sketches.histBucket(measure) === b, 1L)
+        .otherwise(0L)).as(s"_c$b"))
+    val counts = array((0 until 64).map(b => col(s"_c$b")): _*)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(bucketAggs.head, bucketAggs.tail: _*)
+      .withColumn("_counts", counts)
+      .select(Seq(col("window"), col("event_type"),
+        aggregate(col("_counts"), lit(0L), (a, c) => a + c).as("n_rows")) ++
+        quantiles.map(q => graft.ops.Sketches
+          .histQuantileFromCounts(col("_counts"), q)
+          .as(s"p${math.round(q * 10000) / 100}")): _*)
+  }
+
   /** Streaming per-window heavy hitters: watermarked windowed
     * Misra-Gries ([[graft.functions.HeavyHittersAggregate]]) over
     * `item` — m counters of fixed state per window in the state store,

@@ -230,4 +230,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
       p.take(3000))
   }
+
+  test("pair stage expands in-partition: no join, pair agg fed by the block repartition") {
+    // The group-pairs rewrite must keep the expansion OUT of the
+    // shuffle: posting-list agg → repartition by block → nested
+    // explodes → complete-combined pair agg. A join re-appearing here
+    // means the self-join shape (one shuffled row per token-share
+    // event) regressed.
+    val pairs = ops.Dedup.ngramJaccardPairs(
+      Tables.load(spark, sf, "documents"), col("doc_id"), col("source"),
+      col("text"), threshold = 0.8, maxDocFreq = 256)
+    val p = plan(pairs)
+    assert(p.contains("Generate explode"), p.take(3000))
+    // the old self-join shape pinned a shuffled-hash join of the
+    // posting against itself; the rewrite must not bring it back
+    // (sizes attach via ordinary small joins — those may plan as any
+    // join type pre-AQE, so only the posting self-join hint's
+    // signature is prohibited)
+    assert(!p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(p.contains("REPARTITION_BY_NUM"), p.take(3000))
+  }
+
+  test("histogram sketch aggregates map-side; quantile window runs over the sketch") {
+    val p = plan(SparkEntry.queries("qd77_hist_quantiles")(spark, sf))
+    // one hash agg pair for the bucket counts (partial + final) and a
+    // window over grp — but NO exchange after the window's (the window
+    // input is already grouped by grp)
+    assert(p.contains("HashAggregate"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
 }

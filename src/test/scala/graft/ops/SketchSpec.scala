@@ -317,6 +317,46 @@ class SketchSpec extends AnyFunSuite {
     assert(stored.count() == direct.count())
   }
 
+  test("streaming windowed quantiles match the batch histogram twin exactly") {
+    val events = graft.Tables.loadEvents(spark, sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dir = java.nio.file.Files.createTempDirectory("histstream").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = graft.streaming.StreamingIngest.watchParquetDir(
+      spark, s"$dir/in", events.schema)
+    graft.streaming.StreamingIngest.drainToMemory(
+      graft.streaming.StreamingIngest.windowedQuantiles(
+        stream, col("value").cast("long")),
+      "hist_out", outputMode = "complete")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1))
+    val streamed = spark.table("hist_out")
+      .select(col("window.start"), col("event_type"), col("n_rows"),
+        col("p50"), col("p90"), col("p99"))
+      .collect()
+      .map(r => key(r) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    // batch twin: the sketch + window-function quantile path over the
+    // same (hour, type) grouping
+    val batch = Sketches.histQuantiles(
+      Sketches.histSketch(
+        events.select(
+          struct(window(col("ts"), "1 hour").getField("start").as("ws"),
+            col("event_type").as("et")).as("g"),
+          col("value").cast("long").as("m")),
+        col("g"), col("m")),
+      Seq(0.5, 0.9, 0.99))
+      .collect()
+      .map { r =>
+        val g = r.getStruct(0)
+        (g.getTimestamp(0), g.getString(1)) ->
+          (r.getAs[Long]("n_rows"), r.getAs[Long]("p50"),
+            r.getAs[Long]("p90"), r.getAs[Long]("p99"))
+      }.toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("histBucket: zero, one, and power-of-two boundaries") {
     import spark.implicits._
     val df = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L)
