@@ -173,6 +173,8 @@ object SparkEntry {
     "qd77_hist_quantiles" -> (PipelineQueries.histQuantileProfile _),
     "qd78_hist_merge" -> (PipelineQueries.histMergeQuantiles _),
     "qd79_hist_store" -> (PipelineQueries.histStoreQuantiles _),
+    "qd80_minhash_recall" -> (PipelineQueries.minhashRecall _),
+    "qe28_ann_recall" -> (PipelineQueries.annRecall _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -435,28 +437,7 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY 1""",
-    "qd04_ngram_jaccard" ->
-      """WITH words AS (SELECT DISTINCT doc_id, source,
-           unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
-         sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
-         hot AS (SELECT source, w FROM words GROUP BY 1, 2
-           HAVING count(*) > 256),
-         posting AS (SELECT words.* FROM words
-           LEFT JOIN hot ON words.source = hot.source AND words.w = hot.w
-           WHERE hot.w IS NULL),
-         c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nab
-           FROM posting a JOIN posting b
-             ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
-           GROUP BY 1, 2)
-         SELECT doc_a, doc_b,
-           floor(CAST(nab AS DOUBLE)
-             / CAST(sa.n + sb.n - nab AS DOUBLE) * 10000.0) / 10000.0
-             AS jaccard
-         FROM c JOIN sizes sa ON c.doc_a = sa.doc_id
-                JOIN sizes sb ON c.doc_b = sb.doc_id
-         WHERE floor(CAST(nab AS DOUBLE)
-             / CAST(sa.n + sb.n - nab AS DOUBLE) * 10000.0) / 10000.0 >= 0.8
-         ORDER BY 1, 2""",
+    "qd04_ngram_jaccard" -> ngramJaccardOracleSql,
     "qd07_token_topk" ->
       """WITH words AS (SELECT source,
            unnest(regexp_extract_all(lower(text), '\S+')) AS w
@@ -1017,33 +998,11 @@ object SparkEntry {
           + len(regexp_extract_all(text, '\d{3}-\d{2}-\d{4}'))) > 0
            AS has_pii
          FROM documents ORDER BY doc_id""",
-    "qe01_cosine_topk" ->
-      """WITH z AS (SELECT e.vec_id,
-           CAST(unnest(e.embedding) AS DOUBLE) AS a,
-           CAST(unnest((SELECT embedding FROM embeddings WHERE vec_id = 0))
-             AS DOUBLE) AS b
-           FROM embeddings e),
-         s AS (SELECT vec_id, sum(a*b) AS ab, sum(a*a) AS aa, sum(b*b) AS bb
-           FROM z GROUP BY 1)
-         SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos,
-           row_number() OVER (ORDER BY round(ab / (sqrt(aa) * sqrt(bb)), 4)
-             DESC, vec_id) AS rank
-         FROM s QUALIFY rank <= 10 ORDER BY rank""",
+    "qe01_cosine_topk" -> bruteTopKOracleSql,
     // Persisted-LSH-index top-k with every bucket probed is EXACT, so the
     // brute-force oracle applies — a strict correctness check on the
     // index write + partition-pruned read path, not just a rows count.
-    "qe05_ann_index" ->
-      """WITH z AS (SELECT e.vec_id,
-           CAST(unnest(e.embedding) AS DOUBLE) AS a,
-           CAST(unnest((SELECT embedding FROM embeddings WHERE vec_id = 0))
-             AS DOUBLE) AS b
-           FROM embeddings e),
-         s AS (SELECT vec_id, sum(a*b) AS ab, sum(a*a) AS aa, sum(b*b) AS bb
-           FROM z GROUP BY 1)
-         SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos,
-           row_number() OVER (ORDER BY round(ab / (sqrt(aa) * sqrt(bb)), 4)
-             DESC, vec_id) AS rank
-         FROM s QUALIFY rank <= 10 ORDER BY rank""",
+    "qe05_ann_index" -> bruteTopKOracleSql,
     "qe02_embedding_neardup" ->
       """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CAST(unnest(a.embedding) AS DOUBLE) AS x,
@@ -1800,6 +1759,11 @@ object SparkEntry {
     "qd77_hist_quantiles" -> histOracleSql,
     "qd78_hist_merge" -> histOracleSql,
     "qd79_hist_store" -> histOracleSql,
+    // qd80/qe28: quality-evaluation queries — recall of the sketch /
+    // ANN paths against their exact truths, every side its own pinned
+    // derivation composed as a subquery.
+    "qd80_minhash_recall" -> minhashRecallOracleSql,
+    "qe28_ann_recall" -> annRecallOracleSql,
     // qd71: the stored exact-fingerprint index IS the even-doc content
     // fingerprints (qd29's `f`/`idx` CTEs, read back from parquet).
     "qd71_exact_index_build" ->
@@ -1908,6 +1872,74 @@ object SparkEntry {
          ORDER BY zval DESC, event_id LIMIT 20"""
     },
   )
+
+  /** Shared oracle for qd04 (exact capped n-gram Jaccard pairs) — also
+    * the TRUTH side of the qd80 recall evaluation. */
+  private lazy val ngramJaccardOracleSql: String =
+    """WITH words AS (SELECT DISTINCT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
+       sizes AS (SELECT doc_id, count(*) AS n FROM words GROUP BY 1),
+       hot AS (SELECT source, w FROM words GROUP BY 1, 2
+         HAVING count(*) > 256),
+       posting AS (SELECT words.* FROM words
+         LEFT JOIN hot ON words.source = hot.source AND words.w = hot.w
+         WHERE hot.w IS NULL),
+       c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nab
+         FROM posting a JOIN posting b
+           ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+         floor(CAST(nab AS DOUBLE)
+           / CAST(sa.n + sb.n - nab AS DOUBLE) * 10000.0) / 10000.0
+           AS jaccard
+       FROM c JOIN sizes sa ON c.doc_a = sa.doc_id
+              JOIN sizes sb ON c.doc_b = sb.doc_id
+       WHERE floor(CAST(nab AS DOUBLE)
+           / CAST(sa.n + sb.n - nab AS DOUBLE) * 10000.0) / 10000.0 >= 0.8
+       ORDER BY 1, 2"""
+
+  /** Shared oracle for qe01/qe05 (exact brute-force cosine top-10) —
+    * also the TRUTH side of the qe28 recall evaluation. */
+  private lazy val bruteTopKOracleSql: String =
+    """WITH z AS (SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS a,
+         CAST(unnest((SELECT embedding FROM embeddings WHERE vec_id = 0))
+           AS DOUBLE) AS b
+         FROM embeddings e),
+       s AS (SELECT vec_id, sum(a*b) AS ab, sum(a*a) AS aa, sum(b*b) AS bb
+         FROM z GROUP BY 1)
+       SELECT vec_id, round(ab / (sqrt(aa) * sqrt(bb)), 4) AS cos,
+         row_number() OVER (ORDER BY round(ab / (sqrt(aa) * sqrt(bb)), 4)
+           DESC, vec_id) AS rank
+       FROM s QUALIFY rank <= 10 ORDER BY rank"""
+
+  /** qd80: sketch-quality EVALUATION — recall of the portable banded
+    * MinHash near-dup (qd24's recall-oriented 8×2 operating point)
+    * against the exact capped-Jaccard truth (qd04). Both sides are the
+    * very derivations their own queries pin, composed as subqueries, so
+    * the evaluation is itself oracle-exact — the QA loop a production
+    * dedup pipeline runs when tuning band/row parameters. */
+  private lazy val minhashRecallOracleSql: String =
+    s"""WITH t AS ($ngramJaccardOracleSql),
+         f AS (${minhashPortableOracle(numLanes = 8, rowsPerBand = 2)})
+       SELECT CAST((SELECT count(*) FROM t) AS BIGINT) AS n_true,
+         CAST((SELECT count(*) FROM f) AS BIGINT) AS n_found,
+         CAST((SELECT count(*) FROM t JOIN f USING (doc_a, doc_b))
+           AS BIGINT) AS n_hit,
+         round((SELECT count(*) FROM t JOIN f USING (doc_a, doc_b)) * 1.0
+           / (SELECT count(*) FROM t), 4) AS recall"""
+
+  /** qe28: retrieval-quality EVALUATION — recall@10 of the IVF probe
+    * (qe04, nProbe 4 of 16 cells) against the exact brute-force top-10
+    * (qe01), both sides their own pinned derivations. */
+  private lazy val annRecallOracleSql: String =
+    s"""WITH brute AS ($bruteTopKOracleSql),
+         approx AS ($ivfOracleSql)
+       SELECT CAST(10 AS BIGINT) AS k,
+         CAST((SELECT count(*) FROM brute JOIN approx USING (vec_id))
+           AS BIGINT) AS n_hit,
+         round((SELECT count(*) FROM brute JOIN approx USING (vec_id))
+           * 1.0 / 10, 4) AS recall"""
 
   /** Shared oracle for qd65 (direct HLL) and qd68 (merged partial
     * sketches — register max-merge is associative, so both queries

@@ -1482,6 +1482,47 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** qd80: sketch-quality EVALUATION — recall of the portable banded
+    * MinHash near-dup (qd24's 8×2 recall-oriented operating point)
+    * against the exact capped-Jaccard truth (qd04's pairs). The QA
+    * loop a dedup pipeline runs when tuning band/row parameters; both
+    * sides are the engine's own pinned derivations, so the evaluation
+    * row is itself oracle-exact. One row out; the heavy inputs are the
+    * two existing pair derivations, nothing new shuffles. */
+  def minhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val truth = graft.ops.Dedup.ngramJaccardPairs(d, col("doc_id"),
+      col("source"), col("text"), threshold = 0.8, maxDocFreq = 256)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = false)
+    val found = graft.ops.Dedup.minhashNearDupPortable(d, col("doc_id"),
+      col("source"), col("text"), threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = false)
+    val hit = truth.join(found, Seq("doc_a", "doc_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(found.agg(count(lit(1)).as("n_found")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_found"), col("n_hit"),
+        round(col("n_hit") * lit(1.0) / col("n_true"), 4).as("recall"))
+  }
+
+  /** qe28: retrieval-quality EVALUATION — recall@10 of the IVF probe
+    * (qe04: nProbe 4 of 16 cells) against brute-force cosine (qe01).
+    * Same shape as qd80 for the vector side. Measures ~0.3 at sf0.01:
+    * qe04's cells are md5-seeded picks, not trained centroids (the
+    * price of a deterministic, oracle-derivable partition) — the
+    * measurement that tells an operator to raise nProbe or train cells
+    * (qe14's k-means) before trusting the probe path. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = cosineTopK(s, dir).select(col("vec_id"))
+    val approx = ivfTopK(s, dir).select(col("vec_id"))
+    brute.join(approx, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(lit(10L).as("k"), col("n_hit"),
+        round(col("n_hit") * lit(1.0) / lit(10), 4).as("recall"))
+  }
+
   /** Shared probe/exact report over a CMS sketch frame (qd66/qd69). */
   private def cmsProbeReport(s: SparkSession, dir: String,
       sketchIn: DataFrame): DataFrame = {
