@@ -175,6 +175,8 @@ object SparkEntry {
     "qd79_hist_store" -> (PipelineQueries.histStoreQuantiles _),
     "qd80_minhash_recall" -> (PipelineQueries.minhashRecall _),
     "qe28_ann_recall" -> (PipelineQueries.annRecall _),
+    "qe29_ann_ivf_trained" -> (PipelineQueries.ivfTrainedTopK _),
+    "qe30_ann_recall_trained" -> (PipelineQueries.annRecallTrained _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1764,6 +1766,10 @@ object SparkEntry {
     // derivation composed as a subquery.
     "qd80_minhash_recall" -> minhashRecallOracleSql,
     "qe28_ann_recall" -> annRecallOracleSql,
+    // qe29/qe30: the improve + re-measure half of the evaluation loop —
+    // Lloyd-trained IVF cells, then its recall against the same truth.
+    "qe29_ann_ivf_trained" -> ivfTrainedOracleSql,
+    "qe30_ann_recall_trained" -> annRecallTrainedOracleSql,
     // qd71: the stored exact-fingerprint index IS the even-doc content
     // fingerprints (qd29's `f`/`idx` CTEs, read back from parquet).
     "qd71_exact_index_build" ->
@@ -1935,6 +1941,36 @@ object SparkEntry {
   private lazy val annRecallOracleSql: String =
     s"""WITH brute AS ($bruteTopKOracleSql),
          approx AS ($ivfOracleSql)
+       SELECT CAST(10 AS BIGINT) AS k,
+         CAST((SELECT count(*) FROM brute JOIN approx USING (vec_id))
+           AS BIGINT) AS n_hit,
+         round((SELECT count(*) FROM brute JOIN approx USING (vec_id))
+           * 1.0 / 10, 4) AS recall"""
+
+  /** qe29: IVF with TRAINED cells — the same md5 'ivf:' seeds as qe04
+    * refined by 2 spherical Lloyd rounds (the [[kmeansCtes]] machinery
+    * with the IVF seed prefix, k = 16), then the standard
+    * assign → probe-4 → top-10 tail. Means round to 1e-6 before
+    * re-normalization on BOTH engines, so the trained centroids (and
+    * therefore cells, probes and ranks) are hash-exact. */
+  private lazy val ivfTrainedOracleSql: String =
+    s"""${kmeansCtes(16, seedPrefix = "ivf:")},
+         cellof AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+         qv AS (SELECT v FROM e WHERE vec_id = 0),
+         probe AS (SELECT c.cell FROM c2 c, qv
+           ORDER BY list_dot_product(c.cv, qv.v) DESC, c.cell LIMIT 4),
+         s AS (SELECT e.vec_id, list_dot_product(e.v, qv.v) AS ab
+           FROM e JOIN cellof USING (vec_id) JOIN probe USING (cell), qv)
+       SELECT vec_id, round(ab, 4) AS cos,
+         CAST(row_number() OVER (ORDER BY round(ab, 4) DESC, vec_id)
+           AS BIGINT) AS rank
+       FROM s QUALIFY rank <= 10 ORDER BY rank"""
+
+  /** qe30: recall@10 of the TRAINED IVF probe — the re-measure half of
+    * the qe28 evaluation loop (measure → train → re-measure). */
+  private lazy val annRecallTrainedOracleSql: String =
+    s"""WITH brute AS ($bruteTopKOracleSql),
+         approx AS ($ivfTrainedOracleSql)
        SELECT CAST(10 AS BIGINT) AS k,
          CAST((SELECT count(*) FROM brute JOIN approx USING (vec_id))
            AS BIGINT) AS n_hit,
@@ -2621,7 +2657,7 @@ object SparkEntry {
     * md5("km:"||id) seeds, argmax-dot assignment with the higher-cell
     * tiebreak, per-cell means rounded to 1e-6 then re-normalized
     * (empty/zero-norm cells keep the previous centroid). */
-  private def kmeansCtes(k: Int): String = {
+  private def kmeansCtes(k: Int, seedPrefix: String = "km:"): String = {
     def lloyd(i: Int): String = {
       val (prev, a, x, m, mc, next) =
         (s"c$i", s"a$i", s"x$i", s"m${i + 1}", s"mc${i + 1}", s"c${i + 1}")
@@ -2649,9 +2685,10 @@ object SparkEntry {
          list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
          FROM raw),
        c0 AS (SELECT CAST(row_number() OVER (ORDER BY
-             md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1
-             AS cell, v AS cv
-         FROM e ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id
+             md5('$seedPrefix' || CAST(vec_id AS VARCHAR)), vec_id)
+             AS INTEGER) - 1 AS cell, v AS cv
+         FROM e ORDER BY md5('$seedPrefix' || CAST(vec_id AS VARCHAR)),
+           vec_id
          LIMIT $k),
        ${lloyd(0)},
        ${lloyd(1)},

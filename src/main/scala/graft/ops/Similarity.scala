@@ -639,7 +639,14 @@ object Similarity {
           case Some(rows) =>
             val mean = new Array[Double](old.length)
             rows.foreach { r =>
-              mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3).toDouble
+              // means round to 1e-6 BEFORE normalization (HALF_UP, the
+              // graft.ops.Clustering contract) so the trained centroids
+              // are reproducible in external SQL despite each engine's
+              // own floating sum order — what makes the qe29 trained-IVF
+              // query oracle-exact rather than merely deterministic.
+              mean(r.getInt(1)) = new java.math.BigDecimal(
+                r.getDouble(2) / r.getLong(3).toDouble)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
             }
             val norm = math.sqrt(mean.map(x => x * x).sum)
             if (norm == 0.0) (cell, old)

@@ -1514,14 +1514,34 @@ object PipelineQueries {
     * price of a deterministic, oracle-derivable partition) — the
     * measurement that tells an operator to raise nProbe or train cells
     * (qe14's k-means) before trusting the probe path. */
-  def annRecall(s: SparkSession, dir: String): DataFrame = {
-    val brute = cosineTopK(s, dir).select(col("vec_id"))
-    val approx = ivfTopK(s, dir).select(col("vec_id"))
-    brute.join(approx, Seq("vec_id"), "left_semi")
+  def annRecall(s: SparkSession, dir: String): DataFrame =
+    recallAt10(cosineTopK(s, dir), ivfTopK(s, dir))
+
+  /** qe29: IVF with TRAINED cells — qe04's md5-seeded 16 cells refined
+    * by 2 spherical Lloyd rounds before the same probe-4 → top-10 tail.
+    * The improve half of the qe28 evaluation loop; means round to 1e-6
+    * pre-normalization so the trained centroids re-derive in SQL. */
+  def ivfTrainedTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    Similarity.ivfTopK(e, col("vec_id"), col("embedding"), q, k = 10,
+      nList = 16, nProbe = 4, refineIters = 2)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+  }
+
+  /** qe30: recall@10 of the trained IVF probe against the brute-force
+    * truth — the re-measure half of the loop qe28 opened. */
+  def annRecallTrained(s: SparkSession, dir: String): DataFrame =
+    recallAt10(cosineTopK(s, dir), ivfTrainedTopK(s, dir))
+
+  private def recallAt10(brute: DataFrame, approx: DataFrame): DataFrame =
+    brute.select(col("vec_id"))
+      .join(approx.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
       .select(lit(10L).as("k"), col("n_hit"),
         round(col("n_hit") * lit(1.0) / lit(10), 4).as("recall"))
-  }
 
   /** Shared probe/exact report over a CMS sketch frame (qd66/qd69). */
   private def cmsProbeReport(s: SparkSession, dir: String,
