@@ -177,6 +177,7 @@ object SparkEntry {
     "qe28_ann_recall" -> (PipelineQueries.annRecall _),
     "qe29_ann_ivf_trained" -> (PipelineQueries.ivfTrainedTopK _),
     "qe30_ann_recall_trained" -> (PipelineQueries.annRecallTrained _),
+    "qd81_bm25_index_append" -> (PipelineQueries.bm25IndexAppendTopDocs _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1811,6 +1812,12 @@ object SparkEntry {
            CAST(count(DISTINCT term) AS BIGINT) AS n_terms
          FROM pc""",
     "qd76_bm25_index_topk" -> (bm25IndexedCtes + """
+         SELECT doc_id, score_e4 FROM isc
+         ORDER BY score_e4 DESC, doc_id LIMIT 10"""),
+    // qd81: the appended index probes byte-identically to a fresh
+    // whole-corpus build (same posting rows, associative stats sums),
+    // so qd76's whole-corpus oracle applies verbatim.
+    "qd81_bm25_index_append" -> (bm25IndexedCtes + """
          SELECT doc_id, score_e4 FROM isc
          ORDER BY score_e4 DESC, doc_id LIMIT 10"""),
     // qd70: three HLL estimate derivations (even docs, odd docs, all

@@ -18,12 +18,21 @@ import org.apache.spark.sql.functions._
   *                       directories its own terms name; `dl` (the
   *                       document token count) is denormalized onto the
   *                       posting row so scoring needs NO doc-side join
-  *   `<path>/stats/`     n_docs, avgdl — the single-row global sidecar
+  *   `<path>/stats/`     n_docs, total_dl — one PARTIAL row per
+  *                       appended batch; both fields sum associatively,
+  *                       so `avgdl = Σtotal_dl / Σn_docs` at read time
+  *                       and appends never read history (the
+  *                       [[SketchStore]] merge-on-read discipline)
   *
   * A term's full posting list lives inside its own partition, so
   * per-term document frequency is computable from the pruned read alone
-  * — probes never touch global state beyond the one-row stats sidecar.
-  */
+  * — probes never touch global state beyond the tiny stats sidecar.
+  * [[appendBm25Index]] makes the lifecycle incremental: a new batch's
+  * postings land in their prefix directories and its stats partial
+  * appends blindly; a probe over the appended index is byte-identical
+  * to one over a single whole-corpus build (df derives from the pruned
+  * posting lists themselves, which are the same rows either way —
+  * spec-pinned, and qd81 shares qd76's oracle verbatim). */
 object LexIndex {
 
   /** Prefix partition key: "x" + first 2 term-md5 hex chars (the letter
@@ -37,7 +46,21 @@ object LexIndex {
     * `repartition(tpfx)` clusters each prefix into one file per shuffle
     * partition (without it a wide scan writes tasks × 256 tiny files). */
   def writeBm25Index(docs: DataFrame, id: Column, text: Column,
-      path: String): Unit = {
+      path: String): Unit =
+    writeBatch(docs, id, text, path, mode = "overwrite")
+
+  /** Append a new batch: postings rows land in their term-prefix
+    * directories, the stats partial appends blindly — no history read,
+    * no rebuild. Identical probe results to a fresh whole-corpus build
+    * because postings(A ∪ B) IS postings(A) ∪ postings(B) row-for-row
+    * (doc_ids are disjoint across batches) and the stats sums are
+    * associative. */
+  def appendBm25Index(batch: DataFrame, id: Column, text: Column,
+      path: String): Unit =
+    writeBatch(batch, id, text, path, mode = "append")
+
+  private def writeBatch(docs: DataFrame, id: Column, text: Column,
+      path: String, mode: String): Unit = {
     val toks = docs
       .select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
@@ -47,10 +70,21 @@ object LexIndex {
       .agg(count(lit(1)).as("tf"))
       .withColumn("tpfx", tpfx(col("term")))
       .repartition(col("tpfx"))
-      .write.mode("overwrite").partitionBy("tpfx").parquet(s"$path/postings")
-    toks.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode(mode).partitionBy("tpfx").parquet(s"$path/postings")
+    toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+      .write.mode(mode).parquet(s"$path/stats")
   }
+
+  /** Merged global stats over all appended partials: `(n_docs, avgdl)`.
+    * Both partial fields are exact longs, so the one division equals a
+    * whole-corpus `avg(dl)` bit-for-bit. */
+  def readStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_dl")).as("total_dl"))
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
 
   /** BM25 (Okapi, `ln(1 + (N - df + 0.5)/(df + 0.5))` idf) top-k against
     * the PERSISTED index, with query terms AS A TABLE — the
@@ -83,7 +117,7 @@ object LexIndex {
       .join(broadcast(tq.select(col("term"))), Seq("term"))
     val dfByTerm = post.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = readStats(spark, path)
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)))

@@ -1595,13 +1595,32 @@ object PipelineQueries {
       col("doc_id"), col("text"), path)
     bm25IndexPaths.putIfAbsent(dir, path)
     val post = s.read.parquet(s"$path/postings")
-    val stats = s.read.parquet(s"$path/stats")
+    val stats = graft.ops.LexIndex.readStats(s, path)
     post.agg(count(lit(1)).as("n_postings"),
         countDistinct(col("term")).as("n_terms"))
       .crossJoin(broadcast(stats.select(col("n_docs"),
         round(col("avgdl"), 4).as("avgdl_r4"))))
       .select(col("n_docs"), col("avgdl_r4"), col("n_postings"),
         col("n_terms"))
+  }
+
+  /** qd81: the BM25 index LIFECYCLE — build from one md5-split half,
+    * APPEND the other (postings land in their prefix dirs, the stats
+    * partial appends blindly — no history read), probe with qd76's
+    * terms. Postings(A ∪ B) is the same row set as a whole-corpus
+    * build and the stats sums are associative, so qd76's oracle
+    * applies verbatim. */
+  def bm25IndexAppendTopDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_bm25ap").toString
+    graft.ops.LexIndex.writeBm25Index(docHalf(d, lo = true),
+      col("doc_id"), col("text"), path)
+    graft.ops.LexIndex.appendBm25Index(docHalf(d, lo = false),
+      col("doc_id"), col("text"), path)
+    val terms = s.createDataFrame(bm25QueryTerms.map(Tuple1(_))).toDF("term")
+    graft.ops.LexIndex.bm25TopKIndexed(s, path, terms, col("term"), k = 10)
+      .orderBy(col("score_e4").desc, col("doc_id"))
   }
 
   /** qd76: PROBE side of the BM25 index — query terms arrive AS A TABLE

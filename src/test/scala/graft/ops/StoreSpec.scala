@@ -89,6 +89,29 @@ class StoreSpec extends AnyFunSuite {
     assert(est("zzzznope") >= 0L)
   }
 
+  test("BM25 index append: probe equals a single whole-corpus build") {
+    val whole = tmp("st_bm25w")
+    LexIndex.writeBm25Index(docs, col("doc_id"), col("text"), whole)
+    val inc = tmp("st_bm25i")
+    // split by a doc_id content hash so both batches carry every term
+    val nib = conv(substring(md5(col("doc_id").cast("string")), 1, 1),
+      16, 10).cast("int")
+    LexIndex.writeBm25Index(docs.filter(nib < 8), col("doc_id"),
+      col("text"), inc)
+    LexIndex.appendBm25Index(docs.filter(nib >= 8), col("doc_id"),
+      col("text"), inc)
+    // merged stats are exact sums — identical either way
+    assert(LexIndex.readStats(spark, whole).collect().toSeq ==
+      LexIndex.readStats(spark, inc).collect().toSeq)
+    val termsDf = spark.createDataFrame(
+      Seq("spark", "merge", "window", "dup").map(Tuple1(_))).toDF("term")
+    def top(path: String) = LexIndex
+      .bm25TopKIndexed(spark, path, termsDf, col("term"), k = 10)
+      .orderBy(col("score_e4").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(inc) == top(whole))
+  }
+
   test("BM25 index probe matches the in-memory integer-exact reference") {
     val path = tmp("st_bm25")
     LexIndex.writeBm25Index(docs, col("doc_id"), col("text"), path)
