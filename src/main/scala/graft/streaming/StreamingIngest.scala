@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState,
   GroupStateTimeout, OutputMode, Trigger}
@@ -140,6 +140,41 @@ object StreamingIngest {
     * appended yields zero new docs, so the corpus sink sees no
     * duplicates (the classic dedup-sink answer to at-least-once
     * delivery). */
+  /** Streaming corpus PROFILING into the persisted [[graft.ops
+    * .SketchStore]]: each micro-batch is sketched once — per-group HLL
+    * registers (distinct tokens), CMS counters (token frequency) and
+    * histogram buckets (token-count distribution) — and the partials
+    * APPEND blindly (all three merge associatively at read time), so
+    * the store's profile always covers everything that has streamed
+    * through while the stream itself is never retained. This is the
+    * production telemetry shape: profile reads cost `groups ×
+    * sketch-size × n_batches`, never the corpus, and a replayed batch
+    * only widens estimates (HLL max is idempotent; CMS/histogram
+    * over-count by one batch — the usual at-least-once sketch trade,
+    * disclosed here rather than hidden).
+    *
+    * `group`/`value`/`measure` are column-expression parameters so the
+    * same sink profiles any feed: by source, language, day, shard. */
+  def profileIngestTo(docs: DataFrame, group: Column, value: Column,
+      measure: Column, storePath: String, cmsWidth: Int,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint() // sketch thrice, scan once
+        if (batchId == 0) {
+          graft.ops.SketchStore.writeHll(b, group, value, storePath)
+          graft.ops.SketchStore.writeCms(b, value, cmsWidth, storePath)
+          graft.ops.SketchStore.writeHist(b, group, measure, storePath)
+        } else {
+          graft.ops.SketchStore.appendHll(b, group, value, storePath)
+          graft.ops.SketchStore.appendCms(b, value, storePath)
+          graft.ops.SketchStore.appendHist(b, group, measure, storePath)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def dedupIngestTo(docs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream

@@ -1571,6 +1571,37 @@ class OpsSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(11L, 21L))
   }
 
+  test("streaming profile ingest: store profiles equal whole-corpus derivations") {
+    val root = java.nio.file.Files.createTempDirectory("profingest").toString
+    val store = s"$root/store"; val in = s"$root/in"
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("text"))
+    // two arrival batches split by a content hash (both carry every
+    // source, so read-time merges do real cross-batch work)
+    val nib = conv(substring(md5(col("text")), 1, 1), 16, 10).cast("int")
+    docs.filter(nib < 8).write.parquet(s"$in/f1")
+    def run() = StreamingIngest.profileIngestTo(
+      StreamingIngest.watchParquetDir(spark, s"$in/*", docs.schema),
+      col("source"), col("text"), length(col("text")).cast("long"),
+      store, cmsWidth = 256, s"$root/ckpt").awaitTermination()
+    run()
+    docs.filter(nib >= 8).write.parquet(s"$in/f2")
+    run()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // HLL: merged store profile == direct whole-corpus derivation
+    assert(rows(SketchStore.readHllProfile(spark, store)) ==
+      rows(Sketches.hllDistinctFast(docs, col("source"), col("text"))))
+    // CMS: merged counters == direct whole-corpus sketch
+    assert(rows(SketchStore.readCms(spark, store)) ==
+      rows(Sketches.cmsSketch(docs, col("text"), width = 256)))
+    // histogram: merged quantile profile == direct sketch + window path
+    val qs = Seq(0.5, 0.9)
+    assert(rows(SketchStore.readHistProfile(spark, store, qs)) ==
+      rows(Sketches.histQuantiles(Sketches.histSketch(docs, col("source"),
+        length(col("text")).cast("long")), qs)))
+  }
+
   test("streaming NEAR-dup ingest: index rejects, in-batch twins resolve, replay idempotent") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("neardupingest").toString
