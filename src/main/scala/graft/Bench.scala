@@ -96,7 +96,10 @@ object Bench {
         case None => ((0.0, 0L), 0.0) // failed: don't re-run, don't hide it
         case Some(r1) =>
           if (runsPerQuery == 1) (r1, r1._1)
-          else oneRun().fold((r1, r1._1)) { r2 =>
+          // a FAILED second run reports worst = -1, never worst = best:
+          // min == max is the surviving-stall signature, and a swallowed
+          // rerun failure must not counterfeit it
+          else oneRun().fold((r1, -1.0)) { r2 =>
             (if (r2._1 < r1._1) r2 else r1, math.max(r1._1, r2._1))
           }
       }

@@ -203,6 +203,12 @@ object ShingleWinnowMd5 {
     if (m < 1) return Empty
     val mw = m - w + 1 // number of COMPLETE w-shingle windows
     if (mw < 1) return Empty
+    // The selection key packs (hash, position) as h·2^20 + i, so a
+    // position ≥ 2^20 would silently corrupt both fields on decode —
+    // fail loudly at the contract boundary instead.
+    require(m <= 1048576,
+      s"shingle_winnow_md5 position field is 20 bits: document has $m " +
+        "shingles (max 1048576); split longer documents before winnowing")
     val md = digests.get()
     val keys = new Array[Long](m)
     var i = 0

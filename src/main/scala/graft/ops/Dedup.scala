@@ -69,28 +69,48 @@ object Dedup {
     // so map-side combine never fires (measured at the sf1 10× point:
     // 524 MB shuffled for 56M token-share events, avg 9 per pair).
     // Instead: (1) posting lists per (block, token) — same volume as
-    // the self-join's one reused exchange; (2) repartition the DOC-ID
-    // ARRAYS by block (21 MB at sf1, the lists are just longs; the
-    // explicit partition count keeps AQE from coalescing the small
-    // exchange under the 56M-row expansion it feeds); (3) expand pairs
-    // IN-PARTITION with codegen'd nested explodes. Every shared token
-    // of a pair now lives in ONE partition (a pair is within-block by
-    // construction), partial aggregation is COMPLETE, and the final
-    // exchange carries one row per distinct candidate pair — bounded
-    // by Σ_block C(|block|, 2), never by shared-token volume. Parallelism
+    // the self-join's one reused exchange, and each list bounded by
+    // the maxDocFreq cap; (2) repartition the DOC-ID ARRAYS by block
+    // (21 MB at sf1, the lists are just longs; the explicit partition
+    // count keeps AQE from coalescing the small exchange under the
+    // 56M-row expansion it feeds); (3) expand pairs IN-PARTITION with
+    // codegen'd nested explodes. Every shared token of a pair now
+    // lives in ONE partition (a pair is within-block by construction),
+    // partial aggregation is COMPLETE, and the final exchange carries
+    // one row per distinct candidate pair — bounded by
+    // Σ_block C(|block|, 2), never by shared-token volume. Parallelism
     // of the expansion is block-granular, like any blocked pair stage:
     // keep block cardinality above cluster cores.
-    val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val plists = posting.groupBy(col("block"), col("w"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .repartition(nParts, col("block"))
-    val inter = plists
-      .select(col("ds"), explode(col("ds")).as("da"))
-      .select(col("da"), explode(col("ds")).as("db"))
-      .filter(col("da") < col("db"))
-      .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    //
+    // The group-pairs shape REQUIRES the df cap: it bounds both the
+    // collected list (≤ maxDocFreq longs per buffer) and the
+    // per-partition expansion. With the cap disabled a hot token's
+    // list is block-sized (a multi-GB aggregation buffer at corpus
+    // scale) — so that path keeps the streaming self-join, which
+    // never materializes a posting list.
+    val inter =
+      if (maxDocFreq == Int.MaxValue) {
+        posting.as("a").hint("shuffle_hash")
+          .join(posting.as("b"),
+            col("a.w") === col("b.w") &&
+              col("a.block") === col("b.block") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+      } else {
+        val nParts =
+          docs.sparkSession.sessionState.conf.numShufflePartitions
+        val plists = posting.groupBy(col("block"), col("w"))
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) > 1)
+          .repartition(nParts, col("block"))
+        plists
+          .select(col("ds"), explode(col("ds")).as("da"))
+          .select(col("da"), explode(col("ds")).as("db"))
+          .filter(col("da") < col("db"))
+          .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+      }
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")

@@ -201,8 +201,15 @@ object DedupIndex {
     val spark = docs.sparkSession
     if (!clusterMapIsStale(spark, docs, sig, path)) false
     else {
-      writeClusterMap(pairs, a, b, path)
+      // Coverage is signed BEFORE the pair pass runs. On a live corpus
+      // directory the two operations scan at different times; signing
+      // first makes the race benign in the SAFE direction — a doc that
+      // lands between the scans is clustered but not signed, so the
+      // map merely reads stale and the next refresh picks it up. The
+      // reverse order would sign a doc the map never clustered and
+      // mask the gap forever.
       writeClusterMapCoverage(docs, sig, path)
+      writeClusterMap(pairs, a, b, path)
       true
     }
   }

@@ -52,7 +52,12 @@ object Sketches {
   def hllDistinct(df: DataFrame, group: Column, value: Column): DataFrame = {
     // Nulls are skipped (matching the native aggregate's null skip):
     // md5(NULL) would otherwise emit a null register row that inflates
-    // present_registers and drops a 2^40 term from the sum.
+    // present_registers and drops a 2^40 term from the sum. Groups
+    // whose values are ALL null still get a row (empty sketch,
+    // est 0) — the left join below restores them, keeping this path
+    // row-for-row identical to [[hllDistinctFast]], whose one-buffer
+    // aggregate emits a row for every group regardless.
+    val allGroups = df.select(group.as("grp")).distinct()
     val regs = df
       .filter(value.isNotNull)
       .select(group.as("grp"), hllRegister(value).as("reg"),
@@ -64,7 +69,10 @@ object Sketches {
       count(lit(1)).cast("long").as("present_registers"),
       sum(expr("shiftleft(CAST(1 AS BIGINT), 40 - mrank)")).as("sum_present"))
     // Empty registers contribute 2^-0 = 1 = 2^40/2^40 each.
-    val withSum = byGroup
+    val withSum = allGroups.join(byGroup, Seq("grp"), "left")
+      .withColumn("present_registers",
+        coalesce(col("present_registers"), lit(0L)))
+      .withColumn("sum_present", coalesce(col("sum_present"), lit(0L)))
       .withColumn("zero_registers",
         (lit(HllM.toLong) - col("present_registers")).as("zero_registers"))
       .withColumn("sum_int",
@@ -214,6 +222,11 @@ object Sketches {
     * per-batch sketches roll up into the union's sketch exactly. */
   def histSketch(df: DataFrame, group: Column, measure: Column): DataFrame =
     df.select(group.as("grp"), histBucket(measure).as("bucket"))
+      // null measures are dropped (histBucket(null) is null), matching
+      // the streaming windowed twin, whose per-bucket conditional sums
+      // skip them — a null-bucket row would otherwise inflate n in
+      // [[histQuantiles]] while never being selectable as a quantile
+      .filter(col("bucket").isNotNull)
       .groupBy(col("grp"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -233,9 +246,20 @@ object Sketches {
     * Output: `grp, n_rows, p<q·100> …` — one finished row per group,
     * computed from ≤ 64 counter rows per group (the window runs over
     * the SKETCH, never the corpus). */
+  /** Column label for quantile q (4-decimal quantization `qq`): whole
+    * percents read naturally (0.5 → p50, 0.99 → p99); fractional
+    * percents carry their basis points (0.999 → p99_90, 0.005 → p0_50)
+    * so DISTINCT quantiles can never collide into one name. */
+  private[graft] def quantileLabel(q: Double): String = {
+    val qq = math.round(q * 10000).toInt
+    if (qq % 100 == 0) s"p${qq / 100}" else f"p${qq / 100}%d_${qq % 100}%02d"
+  }
+
   def histQuantiles(sketch: DataFrame, quantiles: Seq[Double]): DataFrame = {
     require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
       "quantiles must lie in (0, 1]")
+    require(quantiles.map(quantileLabel).distinct.size == quantiles.size,
+      s"quantiles collide after 4-decimal quantization: $quantiles")
     val cum = sketch
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("grp")).orderBy(col("bucket"))
@@ -246,7 +270,7 @@ object Sketches {
     val qAggs = quantiles.map { q =>
       val qq = math.round(q * 10000).toInt
       min(when(col("cum") * lit(10000L) >= col("n") * lit(qq.toLong),
-        col("ub"))).as(s"p${qq / 100}")
+        col("ub"))).as(quantileLabel(q))
     }
     cum.groupBy(col("grp"))
       .agg(max(col("n")).as("n_rows"), qAggs: _*)

@@ -73,12 +73,15 @@ object StreamingIngest {
       quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
       window_ : String = "1 hour", watermark: String = "2 hours")
       : DataFrame = {
+    // project the bucket ONCE per row; the 64 conditional sums then
+    // compare a ready int instead of re-evaluating the md5-free but
+    // still multi-op bucket expression per counter
     val bucketAggs = (0 until 64).map(b =>
-      sum(when(graft.ops.Sketches.histBucket(measure) === b, 1L)
-        .otherwise(0L)).as(s"_c$b"))
+      sum(when(col("_b") === b, 1L).otherwise(0L)).as(s"_c$b"))
     val counts = array((0 until 64).map(b => col(s"_c$b")): _*)
     events
       .withWatermark("ts", watermark)
+      .withColumn("_b", graft.ops.Sketches.histBucket(measure))
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(bucketAggs.head, bucketAggs.tail: _*)
       .withColumn("_counts", counts)
@@ -86,7 +89,7 @@ object StreamingIngest {
         aggregate(col("_counts"), lit(0L), (a, c) => a + c).as("n_rows")) ++
         quantiles.map(q => graft.ops.Sketches
           .histQuantileFromCounts(col("_counts"), q)
-          .as(s"p${math.round(q * 10000) / 100}")): _*)
+          .as(graft.ops.Sketches.quantileLabel(q))): _*)
   }
 
   /** Streaming per-window heavy hitters: watermarked windowed

@@ -252,6 +252,20 @@ class SketchSpec extends AnyFunSuite {
     assert(fused.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
   }
 
+  test("HLL composed and native paths agree on all-null groups") {
+    import spark.implicits._
+    val df = Seq(("g1", Option.empty[String]), ("g2", Some("x")),
+      ("g1", None)).toDF("g", "v")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("grp").collect().map(_.toSeq).toSeq
+    val composed = rows(Sketches.hllDistinct(df, col("g"), col("v")))
+    val native = rows(Sketches.hllDistinctFast(df, col("g"), col("v")))
+    assert(composed == native)
+    // the all-null group g1 still gets a row: empty sketch, estimate 0
+    assert(composed.map(_.head) == Seq("g1", "g2"))
+    assert(composed.head(3) == 0.0)
+  }
+
   private def docMeasures = {
     val d = Tables.load(spark, sf, "documents")
     d.select(col("source"),
