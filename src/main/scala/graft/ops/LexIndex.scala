@@ -115,16 +115,22 @@ object LexIndex {
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("tpfx").isin(pfxs: _*))
       .join(broadcast(tq.select(col("term"))), Seq("term"))
-    val dfByTerm = post.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
+    // df = the term's posting-list length, derived as a window over the
+    // SAME pruned rows the scoring consumes — one parquet read feeds
+    // both (the earlier separate groupBy + join-back executed the scan
+    // and broadcast join twice). The window shuffles by term, but probe
+    // rows are bounded by the query terms' own posting lists, never the
+    // corpus.
     val stats = readStats(spark, path)
+    val df_ = count(lit(1)).over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))).cast("double")
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)))
     val contrib = idf * col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") + lit(k1) *
         (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
-    post.join(broadcast(dfByTerm), "term")
+    post.withColumn("df", df_)
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         floor(contrib * lit(10000.0)).cast("long").as("c_e4"))

@@ -164,16 +164,23 @@ object Multimodal {
     if (!top.headOption.exists(_._1 == "ftyp")) return None
     find(top, "moov").map { case (_, ms, me) =>
       val moov = boxes(ms, me)
+      // payload-length guard FIRST: a truncated box can end exactly at
+      // the buffer edge (p == bytes.length), so the version byte is only
+      // readable once the v0 minimum length is established — the walk's
+      // "malformed sizes stop, never throw" contract
       val durMs = find(moov, "mvhd").flatMap { case (_, p, e) =>
-        val v = bytes(p) & 0xff
-        if (v == 0 && e - p >= 20) { // u32 creation/modification/duration
-          val (timescale, duration) = (u32(p + 12), u32(p + 16))
-          if (timescale > 0) Some(duration * 1000L / timescale) else None
-        } else if (v == 1 && e - p >= 32) { // u64 times, u32 timescale
-          val timescale = u32(p + 20)
-          val duration = (u32(p + 24) << 32) | u32(p + 28)
-          if (timescale > 0) Some(duration * 1000L / timescale) else None
-        } else None
+        if (e - p < 20) None
+        else {
+          val v = bytes(p) & 0xff
+          if (v == 0) { // u32 creation/modification/duration
+            val (timescale, duration) = (u32(p + 12), u32(p + 16))
+            if (timescale > 0) Some(duration * 1000L / timescale) else None
+          } else if (v == 1 && e - p >= 32) { // u64 times, u32 timescale
+            val timescale = u32(p + 20)
+            val duration = (u32(p + 24) << 32) | u32(p + 28)
+            if (timescale > 0) Some(duration * 1000L / timescale) else None
+          } else None
+        }
       }.getOrElse(0L)
       val traks = moov.filter(_._1 == "trak")
       val codecTrack = traks.iterator.flatMap { case (_, ts, te) =>
@@ -194,10 +201,12 @@ object Multimodal {
             }.getOrElse(0)
             // tkhd: width/height are 16.16 fixed after 76 (v0) / 88 (v1)
             // payload bytes; the u16 at the field start is the int part
+            // length guard BEFORE the version-byte read (same truncated-
+            // payload hazard as mvhd above)
             val (w, h) = find(trak, "tkhd").collect {
-              case (_, tp, te) if (bytes(tp) & 0xff) == 0 && te - tp >= 84 =>
+              case (_, tp, te) if te - tp >= 84 && (bytes(tp) & 0xff) == 0 =>
                 (u16(tp + 76), u16(tp + 80))
-              case (_, tp, te) if (bytes(tp) & 0xff) == 1 && te - tp >= 96 =>
+              case (_, tp, te) if te - tp >= 96 && (bytes(tp) & 0xff) == 1 =>
                 (u16(tp + 88), u16(tp + 92))
             }.getOrElse((0, 0))
             (cc, w, h, nFrames)
@@ -388,9 +397,15 @@ object Multimodal {
     * EBML/Matroska walks), then the deterministic stub only for
     * payloads no parser recognizes. */
   val jdkDecoder: Decoder = { bytes =>
-    imageHeader(bytes).orElse(audioHeader(bytes))
-      .orElse(videoHeader(bytes)).orElse(aviHeader(bytes))
-      .orElse(mkvHeader(bytes)).getOrElse(stubDecoder(bytes))
+    // Each walk guards its own reads, but a 100 TB binary scan WILL
+    // contain corrupt shapes no guard anticipated — any parser that
+    // throws falls through to the next instead of failing the task
+    // (the decoder twin of the walks' "malformed sizes stop" contract).
+    def safe(p: Array[Byte] => Option[MediaMeta]): Option[MediaMeta] =
+      try p(bytes) catch { case scala.util.control.NonFatal(_) => None }
+    safe(imageHeader).orElse(safe(audioHeader))
+      .orElse(safe(videoHeader)).orElse(safe(aviHeader))
+      .orElse(safe(mkvHeader)).getOrElse(stubDecoder(bytes))
   }
 
   /** Attach deterministic fake binary payloads derived from an id column

@@ -157,6 +157,9 @@ class StoreSpec extends AnyFunSuite {
       col("term"), k = 5)
     val p = probe.queryExecution.executedPlan.toString
     assert(p.matches("(?s).*PartitionFilters: \\[.*tpfx.*"), p.take(3000))
+    // df derives from a window over the SAME pruned rows the scoring
+    // consumes: the postings table is scanned exactly once per probe
+    assert("/postings".r.findAllIn(p).size == 1, p.take(3000))
   }
 
   test("native md5 winnow is byte-identical to the composed window form") {
@@ -284,6 +287,34 @@ class StoreSpec extends AnyFunSuite {
     assert(Multimodal.aviHeader(avi).isEmpty)
     assert(Multimodal.videoHeader("garbage".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.jdkDecoder(avi) == Multimodal.stubDecoder(avi))
+  }
+
+  test("videoHeader: truncated mvhd/tkhd payloads ending at the buffer edge never throw") {
+    // an mvhd whose (empty) payload ends EXACTLY at the buffer end:
+    // p == bytes.length, so any version-byte read before the length
+    // guard is an ArrayIndexOutOfBoundsException — the corrupt shape a
+    // 100 TB binary scan will contain
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(1) ++ "isom".getBytes("US-ASCII"))
+    val emptyMvhd = ftyp ++ box("moov", box("mvhd", Array.emptyByteArray))
+    assert(Multimodal.videoHeader(emptyMvhd)
+      .contains(Multimodal.MediaMeta("mp4", 0, 0, 0, 0L)))
+    // same for tkhd: a trak with a VALID sample table (so the tkhd
+    // dimension read genuinely executes) whose empty tkhd is the last
+    // box in the file
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      (be32(16) ++ "avc1".getBytes("US-ASCII") ++ new Array[Byte](8)))
+    val mdia = box("mdia", box("minf", box("stbl", stsd)))
+    val emptyTkhd = ftyp ++
+      box("moov", box("trak", mdia ++ box("tkhd", Array.emptyByteArray)))
+    assert(Multimodal.videoHeader(emptyTkhd)
+      .contains(Multimodal.MediaMeta("mp4:avc1", 0, 0, 1, 0L)))
+    // short (< v0 minimum) but non-empty payloads fall through too
+    val shortMvhd = ftyp ++ box("moov", box("mvhd", be32(0) ++ be32(0)))
+    assert(Multimodal.videoHeader(shortMvhd)
+      .contains(Multimodal.MediaMeta("mp4", 0, 0, 0, 0L)))
+    // the decoder chain routes them to the real parser without throwing
+    assert(Multimodal.jdkDecoder(emptyMvhd).format == "mp4")
   }
 
   // ---- RIFF / AVI fixtures (little-endian) ----
