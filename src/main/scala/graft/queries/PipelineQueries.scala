@@ -1507,15 +1507,51 @@ object PipelineQueries {
         round(col("n_hit") * lit(1.0) / col("n_true"), 4).as("recall"))
   }
 
+  /** The evaluation query batch shared by the recall queries: the
+    * first 100 corpus vectors (a fixed-size sample — the query count
+    * does not grow with the corpus). n = 100 puts a ±~0.03 standard
+    * error on a recall estimate instead of the ±0.3 an n = 1 probe
+    * carries. */
+  private def evalQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 100)
+
+  /** Brute-force per-query top-10 over the evaluation batch — the
+    * TRUTH side of every recall measurement (the bounded `topk_agg`
+    * kNN join: corpus scanned once, never shuffled). */
+  private def evalTruth(e: DataFrame): DataFrame =
+    Similarity.knnJoin(e, col("vec_id"), col("embedding"),
+        evalQueries(e), col("vec_id"), col("embedding"), k = 10)
+      .select(col("query_id"), col("vec_id"))
+
+  /** One recall row over the evaluation batch: hits / (10 × queries).
+    * Both sides are (query_id, vec_id) member sets of deterministic
+    * derivations, so the measurement row is itself oracle-exact. */
+  private def recallRow(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val tr = truth.localCheckpoint(eager = false)
+    tr.join(approx.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+      .crossJoin(broadcast(
+        tr.select(countDistinct(col("query_id")).as("n_queries"))))
+      .select(lit(10L).as("k"), col("n_queries"), col("n_hit"),
+        round(col("n_hit") * lit(1.0) /
+          (col("n_queries") * lit(10)), 4).as("recall"))
+  }
+
   /** qe28: retrieval-quality EVALUATION — recall@10 of the IVF probe
-    * (qe04: nProbe 4 of 16 cells) against brute-force cosine (qe01).
-    * Same shape as qd80 for the vector side. Measures ~0.3 at sf0.01:
-    * qe04's cells are md5-seeded picks, not trained centroids (the
-    * price of a deterministic, oracle-derivable partition) — the
-    * measurement that tells an operator to raise nProbe or train cells
-    * (qe14's k-means) before trusting the probe path. */
-  def annRecall(s: SparkSession, dir: String): DataFrame =
-    recallAt10(cosineTopK(s, dir), ivfTopK(s, dir))
+    * (qe04's operating point: nProbe 4 of 16 md5-seeded cells) against
+    * brute-force truth, averaged over 100 query vectors (the multi-
+    * query [[Similarity.ivfKnnJoin]]). Measures ~0.54: the honest
+    * number for cell-probing on ISOTROPIC embeddings, where no cell
+    * partition concentrates neighbors and recall is bounded by the
+    * scanned fraction (qe31 pins the whole curve). */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    recallRow(evalTruth(e),
+      Similarity.ivfKnnJoin(e, col("vec_id"), col("embedding"),
+        evalQueries(e), col("vec_id"), col("embedding"), k = 10,
+        nList = 16, nProbe = 4))
+  }
 
   /** qe29: IVF with TRAINED cells — qe04's md5-seeded 16 cells refined
     * by 2 spherical Lloyd rounds before the same probe-4 → top-10 tail.
@@ -1531,17 +1567,135 @@ object PipelineQueries {
       .orderBy(col("rank"))
   }
 
-  /** qe30: recall@10 of the trained IVF probe against the brute-force
-    * truth — the re-measure half of the loop qe28 opened. */
-  def annRecallTrained(s: SparkSession, dir: String): DataFrame =
-    recallAt10(cosineTopK(s, dir), ivfTrainedTopK(s, dir))
+  /** qe30: recall@10 of the TRAINED IVF probe (2 Lloyd rounds) over
+    * the same 100-query batch — the re-measure half of the loop qe28
+    * opened. Training lifts 0.54 → ~0.59: real but small, because the
+    * embeddings carry no cluster structure for Lloyd to find (same-
+    * label and cross-label cosine are identically distributed). The
+    * conclusion the loop produces is therefore not "train harder" but
+    * "change shapes" — qe32 is that shape. */
+  def annRecallTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    recallRow(evalTruth(e),
+      Similarity.ivfKnnJoin(e, col("vec_id"), col("embedding"),
+        evalQueries(e), col("vec_id"), col("embedding"), k = 10,
+        nList = 16, nProbe = 4, refineIters = 2))
+  }
 
-  private def recallAt10(brute: DataFrame, approx: DataFrame): DataFrame =
-    brute.select(col("vec_id"))
-      .join(approx.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-      .select(lit(10L).as("k"), col("n_hit"),
-        round(col("n_hit") * lit(1.0) / lit(10), 4).as("recall"))
+  /** qe31: the recall-vs-scan-fraction CURVE — trained IVF recall@10
+    * over the 100-query batch at nProbe ∈ {1, 2, 4, 8} of 16 cells,
+    * with the average per-query candidate count alongside. One
+    * training pass and ONE corpus scan serve all four levels (probe
+    * frames carry an exploded level column; candidates fan out only
+    * into the tiny per-level top-k states). The curve is the
+    * evaluation instrument that SHOWS recall ≈ scanned fraction on
+    * isotropic embeddings — the measurement that justifies the qe32
+    * two-stage shape over raising nProbe forever. */
+  def annProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = Similarity.ivfCentroidsKMeans(e, col("vec_id"),
+      col("embedding"), nList = 16, iters = 2)
+    val q = evalQueries(e)
+    val levels = s.createDataFrame(Seq(1L, 2L, 4L, 8L).map(Tuple1(_)))
+      .toDF("n_probe")
+    val probes = Similarity.probeCellRanks(q, col("vec_id"),
+        col("embedding"), cents)
+      .filter(col("crk") <= 8)
+      .join(broadcast(levels), col("crk") <= col("n_probe"))
+      .select(col("n_probe"), col("query_id"), col("qv"), col("cell"))
+      .localCheckpoint(eager = false)
+    val indexed = e.select(col("vec_id"),
+        Similarity.l2Normalize(col("embedding")).as("v"))
+      .withColumn("cell", Similarity.nearestCell(col("v"), cents))
+      .localCheckpoint(eager = false)
+    val approx = indexed.join(broadcast(probes), Seq("cell"))
+      .select(col("n_probe"), col("query_id"), col("vec_id"),
+        round(Similarity.dot(col("v"), col("qv")), 4).as("cos"))
+      .groupBy(col("n_probe"), col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("cos"), col("vec_id"), 10).as("top"))
+      .select(col("n_probe"), col("query_id"),
+        posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("n_probe"), col("query_id"), col("p.id").as("vec_id"))
+    val hits = approx
+      .join(evalTruth(e), Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hit"))
+    val cellSizes = indexed.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_in_cell"))
+    val scanned = probes.join(cellSizes, Seq("cell"))
+      .groupBy(col("n_probe"))
+      .agg((sum(col("n_in_cell")) / countDistinct(col("query_id")))
+        .as("avg_cand"))
+    hits.join(scanned, Seq("n_probe"))
+      .select(col("n_probe"), col("n_hit"),
+        round(col("n_hit") * lit(1.0) / lit(1000), 4).as("recall"),
+        round(col("avg_cand"), 4).as("avg_cand"))
+      .orderBy(col("n_probe"))
+  }
+
+  /** qe32: the ≥ 0.9 OPERATING POINT — recall@10 of the int8 two-stage
+    * shape (compressed full scan → 50-candidate exact rerank,
+    * [[Similarity.quantizedKnnJoin]]) over the same 100-query batch.
+    * Measures ≥ 0.99: on isotropic embeddings the high-recall answer
+    * is not probing more cells (qe31's curve caps recall at the
+    * scanned fraction) but scanning EVERYTHING cheaply — 1 byte/dim in
+    * stage 1, 50 full-precision rows per query in stage 2 (a 2.5%
+    * full-precision read at sf0.1, shrinking with corpus size). The
+    * closing measurement of the qe28 → qe30 → qe31 evaluation loop. */
+  def annRerankRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    recallRow(evalTruth(e),
+      Similarity.quantizedKnnJoin(e, col("vec_id"), col("embedding"),
+        evalQueries(e), col("vec_id"), col("embedding"), k = 10,
+        rerank = 50))
+  }
+
+  /** Session-lifetime memo of the TRAINED persisted IVF index (16
+    * cells, 2 Lloyd rounds): built once by the qe33 build query,
+    * probed by qe34 — the trained centroids now reach the artifact a
+    * service actually probes, not only the ad-hoc qe29 derivation. */
+  private val ivfTrainedIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfTrainedIndexPath(s: SparkSession, dir: String): String =
+    ivfTrainedIndexPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+      graft.ops.AnnIndex.writeIvfIndex(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), path, nList = 16, refineIters = 2)
+      path
+    })
+
+  /** qe33: the honest BUILD side of the TRAINED persisted IVF index —
+    * 2 spherical Lloyd rounds (qe29's machinery) refine the md5-seeded
+    * centroids, every vector is assigned partition-locally (centroids
+    * are plan literals — the corpus never shuffles), and the index is
+    * written partitioned by cell. The STORED table is read back and
+    * profiled per cell, so the oracle pins the persisted assignment —
+    * cell populations re-derived symbolically from the same 1e-6-
+    * rounded Lloyd arithmetic. Exactly one query prices the build;
+    * qe34 probes the published path. */
+  def ivfTrainedIndexBuild(s: SparkSession, dir: String): DataFrame = {
+    val path = ivfTrainedIndexPath(s, dir)
+    s.read.parquet(s"$path/index")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("cell"))
+  }
+
+  /** qe34: recall@10 of the STORED trained index ([[graft.ops.AnnIndex
+    * .ivfKnnJoinIndexed]]: stored centroids ranked per query, probed
+    * cells a static partition filter on the stored table) over the
+    * same 100-query batch — byte-identical to qe30's in-memory trained
+    * derivation (same oracle verbatim), proving the persisted artifact
+    * serves exactly what the evaluation loop measured. */
+  def ivfTrainedIndexRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    recallRow(evalTruth(e),
+      graft.ops.AnnIndex.ivfKnnJoinIndexed(s, ivfTrainedIndexPath(s, dir),
+        evalQueries(e), col("vec_id"), col("embedding"), k = 10,
+        nProbe = 4))
+  }
 
   /** Shared probe/exact report over a CMS sketch frame (qd66/qd69). */
   private def cmsProbeReport(s: SparkSession, dir: String,

@@ -382,6 +382,84 @@ class OpsSpec extends AnyFunSuite {
     assert(partial.length == 10)
   }
 
+  test("multi-query ANN joins agree with their single-query twins") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q3 = e.filter(col("vec_id") < 3)
+    // ivfKnnJoin per-query slices == ivfTopK with the same parameters
+    val multi = Similarity.ivfKnnJoin(e, col("vec_id"), col("embedding"),
+        q3, col("vec_id"), col("embedding"), k = 5, nList = 8, nProbe = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    for (qid <- 0L until 3L) {
+      val q1 = e.filter(col("vec_id") === qid)
+        .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+      val single = Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+          q1, k = 5, nList = 8, nProbe = 3)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
+      assert(multi(qid).sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
+        == single.toSeq, s"query $qid")
+    }
+    // quantizedKnnJoin per-query slice == quantizedTopK (same rerank)
+    val multiQ = Similarity.quantizedKnnJoin(e, col("vec_id"),
+        col("embedding"), q3, col("vec_id"), col("embedding"),
+        k = 5, rerank = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    for (qid <- 0L until 3L) {
+      val q1 = e.filter(col("vec_id") === qid)
+        .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+      val single = Similarity.quantizedTopK(e, col("vec_id"),
+          col("embedding"), q1, k = 5, rerank = 20)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
+      assert(multiQ(qid).sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq
+        == single.toSeq, s"quantized query $qid")
+    }
+    // hammingKnnJoin with an oversampled shortlist: top-k after rerank
+    // is a (weak) superset-quality improvement — recall vs brute never
+    // drops when the shortlist grows
+    val truth = Similarity.knnJoin(e, col("vec_id"), col("embedding"),
+        q3, col("vec_id"), col("embedding"), k = 5)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hamHits(shortlist: Int) = Similarity.hammingKnnJoin(e,
+        col("vec_id"), col("embedding"), q3, col("vec_id"),
+        col("embedding"), k = 5, shortlist)
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(truth).size
+    assert(hamHits(100) >= hamHits(5))
+  }
+
+  test("trained persisted IVF index: stored probe equals in-memory trained join") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_tr").toString
+    AnnIndex.writeIvfIndex(e, col("vec_id"), col("embedding"), dir,
+      nList = 8, refineIters = 2)
+    val stored = AnnIndex.ivfKnnJoinIndexed(spark, dir, q, col("vec_id"),
+        col("embedding"), k = 5, nProbe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val cents = Similarity.ivfCentroidsKMeans(e, col("vec_id"),
+      col("embedding"), nList = 8, iters = 2)
+    val mem = Similarity.ivfKnnJoinWith(e, col("vec_id"), col("embedding"),
+        q, col("vec_id"), col("embedding"), k = 5, cents, nProbe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(stored.toSeq == mem.toSeq)
+    // the stored probe prunes to the probed cells at the scan
+    val plan = AnnIndex.ivfKnnJoinIndexed(spark, dir, q, col("vec_id"),
+        col("embedding"), k = 5, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[.*cell.*"),
+      plan.take(3000))
+  }
+
   test("winnowing fingerprints: identical docs share, short docs covered") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
