@@ -46,10 +46,25 @@ object Dedup {
     * is a lower bound, and a stopword shared by >maxDocFreq docs
     * contributes almost nothing to a >= 0.8 similarity anyway. The
     * default (`Int.MaxValue`) disables the cap and skips the
-    * document-frequency pass entirely. */
+    * document-frequency pass entirely.
+    *
+    * `hotBlockPostings` is the hot-block defense for the capped
+    * (group-pairs) path: the in-partition expansion is block-granular,
+    * so one dominant block — the degenerate constant blocking key —
+    * would serialize it. A block whose posting mass (Σ expandable-list
+    * lengths) exceeds the bound splits into `ceil(mass / bound)`
+    * token-hash sub-blocks (capped at the shuffle parallelism): each
+    * sub-block expands independently, a pair's shared tokens span at
+    * most that many sub-blocks, so the final exchange still carries
+    * pair-bounded rows (≤ salts per pair, never token-share-bounded),
+    * and the pair-count sum across sub-blocks reassembles the EXACT
+    * intersection — output identical to the unsalted plan, spec-pinned.
+    * Only the repartition key changes; cold blocks keep salt 0 and the
+    * single-row-per-pair complete combine. */
   def ngramJaccardPairs(docs: DataFrame, id: Column, block: Column,
       text: Column, threshold: Double,
-      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxDocFreq: Int = Int.MaxValue,
+      hotBlockPostings: Long = 1L << 22): DataFrame = {
     val words = wordSet(docs, id, block, text)
     val sizes = words.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"))
@@ -100,10 +115,24 @@ object Dedup {
       } else {
         val nParts =
           docs.sparkSession.sessionState.conf.numShufflePartitions
-        val plists = posting.groupBy(col("block"), col("w"))
+        val plists0 = posting.groupBy(col("block"), col("w"))
           .agg(collect_list(col("doc_id")).as("ds"))
           .filter(size(col("ds")) > 1)
-          .repartition(nParts, col("block"))
+          .localCheckpoint(eager = false) // mass pass + join share one agg
+        // hot-block salt: mass per block over the LIST frame (one row
+        // per (block, token) — cheap), blocks over the bound get a
+        // token-hash sub-block key; everything else keeps salt 0
+        val hotBlocks = plists0.groupBy(col("block"))
+          .agg(sum(size(col("ds"))).as("m"))
+          .filter(col("m") > hotBlockPostings)
+          .select(col("block"),
+            least(ceil(col("m") / lit(hotBlockPostings.toDouble)),
+              lit(nParts.toLong)).cast("long").as("salts"))
+        val plists = plists0
+          .join(broadcast(hotBlocks), Seq("block"), "left")
+          .withColumn("salt", when(col("salts").isNull, lit(0L))
+            .otherwise(pmod(xxhash64(col("w")), col("salts"))))
+          .repartition(nParts, col("block"), col("salt"))
         plists
           .select(col("ds"), explode(col("ds")).as("da"))
           .select(col("da"), explode(col("ds")).as("db"))

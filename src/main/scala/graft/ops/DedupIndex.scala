@@ -69,10 +69,60 @@ object DedupIndex {
     val b = withFp(batch, id, text).localCheckpoint(eager = false)
     val pfxs = b.select(col("pfx")).distinct().collect()
       .map(_.getString(0)).toSeq
-    val idx = spark.read.parquet(s"$path/exact")
-      .filter(col("pfx").isin(pfxs: _*))
+    val idx = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/exact")
+        .filter(col("pfx").isin(pfxs: _*)))
     b.join(idx.select(col("pfx"), col("fp")), Seq("pfx", "fp"), "left_anti")
       .select(col("doc_id"), col("fp"))
+  }
+
+  /** Tombstone-delete documents from the index: the ids land in a
+    * sidecar every probe anti-joins, so a deleted doc immediately stops
+    * blocking new arrivals (exact) and stops surfacing as a near-dup
+    * partner (minhash) — identical probe results to an index rebuilt
+    * without the docs (StoreSpec pins both). The fingerprint/lane/band
+    * rows stay on disk until [[compact]] drops them physically.
+    * Idempotent by construction (re-deleting appends duplicate
+    * tombstone ids; anti-joins don't care). */
+  def deleteDocs(spark: SparkSession, path: String, ids: DataFrame,
+      id: Column): Unit =
+    ids.select(id.as("doc_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def dropTombstoned(spark: SparkSession, path: String,
+      rows: DataFrame): DataFrame =
+    if (!StoreFiles.exists(spark, s"$path/tombstones")) rows
+    else rows.join(spark.read.parquet(s"$path/tombstones"),
+      Seq("doc_id"), "left_anti")
+
+  /** Compact the index: physically drop tombstoned rows from every
+    * sub-table that exists (exact fingerprints, minhash lanes, banded
+    * buckets), collapse the per-batch small files the appends left in
+    * each partition directory, and clear the tombstone sidecar. Probe
+    * results are unchanged; probe cost drops (fewer files opened per
+    * pruned partition, no anti-join). The cluster map is NOT touched —
+    * its lifecycle is [[refreshClusterMap]]'s coverage contract.
+    * Contract: writers quiesced during the rename swaps. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    def sub(name: String, partition: Option[String]): Unit =
+      if (StoreFiles.exists(spark, s"$path/$name"))
+        StoreFiles.replaceDir(spark, s"$path/$name") { tmp =>
+          val live = dropTombstoned(spark, path,
+            spark.read.parquet(s"$path/$name"))
+          partition match {
+            case Some(p) => live.repartition(col(p))
+              .write.partitionBy(p).parquet(tmp)
+            // unpartitioned sub-table (lanes): doc-count-sized, so
+            // rewrite at the session's shuffle parallelism — never 1
+            case None => live.repartition(
+                spark.sessionState.conf.numShufflePartitions)
+              .write.parquet(tmp)
+          }
+        }
+    sub("exact", Some("pfx"))
+    sub("lanes", None)
+    sub("bands", Some("band"))
+    StoreFiles.delete(spark, s"$path/tombstones")
   }
 
   /** Build + persist the near-dup (MinHash band) index: portable lanes
@@ -246,7 +296,10 @@ object DedupIndex {
     val iL = spark.read.parquet(s"$path/lanes")
       .select(col("doc_id").as("index_doc") +:
         lanes.map(l => col(l).as(s"i_$l")): _*)
-    val iBands = spark.read.parquet(s"$path/bands")
+    // tombstoned docs drop at the band (candidate) source — one
+    // anti-join before the bucket join, so deleted docs can't pair
+    val iBands = dropTombstoned(spark, path,
+        spark.read.parquet(s"$path/bands"))
       .select(col("doc_id").as("index_doc"), col("band"), col("bucket"))
       .join(iL, "index_doc")
     val agree = lanes.map(l =>

@@ -77,7 +77,9 @@ object LexIndex {
 
   /** Merged global stats over all appended partials: `(n_docs, avgdl)`.
     * Both partial fields are exact longs, so the one division equals a
-    * whole-corpus `avg(dl)` bit-for-bit. */
+    * whole-corpus `avg(dl)` bit-for-bit — including across the NEGATIVE
+    * partials [[deleteFromBm25Index]] appends (sums are associative in
+    * both directions). */
   def readStats(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("n_docs"),
@@ -85,6 +87,73 @@ object LexIndex {
       .select(col("n_docs"),
         (col("total_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
+
+  /** Tombstone-delete documents from the index. Two sidecar writes, no
+    * posting rewrite: the doc ids land in `<path>/tombstones/` (probes
+    * anti-join it) and the global stats SUBTRACT via a negative partial
+    * — `(−n_deleted, −Σdl)` appended to the stats table, exact because
+    * both fields are associative long sums. Each deleted doc's `dl`
+    * comes from the stored postings themselves (every posting row of a
+    * doc carries its denormalized dl), so no original text is needed;
+    * that derivation is the lifecycle's one unpruned postings read, and
+    * it reads two pruned COLUMNS (doc_id, dl), never the term lists.
+    * Ids already tombstoned (or never indexed) are ignored, so the call
+    * is idempotent — a re-delete can't double-subtract. Probe results
+    * after a delete equal a from-scratch build without the docs
+    * (StoreSpec pins this); the dead rows leave disk at [[compact]]. */
+  def deleteFromBm25Index(spark: SparkSession, path: String,
+      ids: DataFrame, id: Column): Unit = {
+    val del0 = ids.select(id.as("doc_id")).distinct()
+    val del = (if (StoreFiles.exists(spark, s"$path/tombstones"))
+        del0.join(spark.read.parquet(s"$path/tombstones"),
+          Seq("doc_id"), "left_anti")
+      else del0).localCheckpoint()
+    val perDoc = spark.read.parquet(s"$path/postings")
+      .select(col("doc_id"), col("dl"))
+      .join(del, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .localCheckpoint() // one postings read serves both writes below
+    // tombstones FIRST: a crash between the two writes then leaves
+    // probes already correct (docs excluded) with stats merely stale —
+    // and the retry is a no-op (anti-join above), so it can't
+    // double-subtract. The reverse order would subtract on every retry.
+    // The tombstone row-set is the semi-joined set, not the request, so
+    // it covers exactly the docs whose stats get subtracted.
+    perDoc.select(col("doc_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+    perDoc
+      .agg((count(lit(1)) * lit(-1L)).as("n_docs"),
+        coalesce(sum(col("dl")) * lit(-1L), lit(0L)).as("total_dl"))
+      .write.mode("append").parquet(s"$path/stats")
+  }
+
+  /** Compact the index: physically drop tombstoned postings, collapse
+    * the per-batch small files each append left in every term-prefix
+    * directory (one file per prefix after the repartition), fold the
+    * stats partials — positives and negatives — into one canonical row,
+    * and clear the tombstone sidecar. Probe results are unchanged
+    * (StoreSpec pre/post equality); probe COST drops because the
+    * pruned read opens one file per prefix and skips the anti-join.
+    * Contract: writers quiesced during the rename swaps
+    * ([[StoreFiles.replaceDir]]). */
+  def compactBm25Index(spark: SparkSession, path: String): Unit = {
+    val hasTombs = StoreFiles.exists(spark, s"$path/tombstones")
+    StoreFiles.replaceDir(spark, s"$path/postings") { tmp =>
+      val live0 = spark.read.parquet(s"$path/postings")
+      val live = if (!hasTombs) live0
+        else live0.join(spark.read.parquet(s"$path/tombstones"),
+          Seq("doc_id"), "left_anti")
+      live.repartition(col("tpfx"))
+        .write.partitionBy("tpfx").parquet(tmp)
+    }
+    StoreFiles.replaceDir(spark, s"$path/stats") { tmp =>
+      spark.read.parquet(s"$path/stats")
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("total_dl")).as("total_dl"))
+        .coalesce(1).write.parquet(tmp)
+    }
+    StoreFiles.delete(spark, s"$path/tombstones")
+  }
 
   /** BM25 (Okapi, `ln(1 + (N - df + 0.5)/(df + 0.5))` idf) top-k against
     * the PERSISTED index, with query terms AS A TABLE — the
@@ -112,9 +181,14 @@ object LexIndex {
       .localCheckpoint(eager = false)
     val pfxs = tq.select(col("tpfx")).distinct().collect()
       .map(_.getString(0)).toSeq
-    val post = spark.read.parquet(s"$path/postings")
+    val post0 = spark.read.parquet(s"$path/postings")
       .filter(col("tpfx").isin(pfxs: _*))
       .join(broadcast(tq.select(col("term"))), Seq("term"))
+    // tombstoned docs drop BEFORE the df window, so both df and the
+    // scored set equal a from-scratch build without the deleted docs
+    val post = if (!StoreFiles.exists(spark, s"$path/tombstones")) post0
+      else post0.join(spark.read.parquet(s"$path/tombstones"),
+        Seq("doc_id"), "left_anti")
     // df = the term's posting-list length, derived as a window over the
     // SAME pruned rows the scoring consumes — one parquet read feeds
     // both (the earlier separate groupBy + join-back executed the scan

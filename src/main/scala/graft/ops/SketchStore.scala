@@ -58,10 +58,30 @@ object SketchStore {
   /** Merged per-group cardinality profile over ALL stored partials:
     * `grp, present_registers, zero_registers, est_distinct` — byte
     * identical to sketching the union corpus directly
-    * ([[Sketches.hllDistinctFast]]), without rescanning any of it. */
+    * ([[Sketches.hllDistinctFast]]), without rescanning any of it.
+    * Groups tombstoned by [[deleteHllGroups]] are excluded. */
   def readHllProfile(spark: SparkSession, path: String): DataFrame =
-    Sketches.hllMergeRegisters(spark.read.parquet(s"$path/hll"),
-      col("grp"), col("regs"))
+    Sketches.hllMergeRegisters(
+      liveHllPartials(spark, path), col("grp"), col("regs"))
+
+  private def liveHllPartials(spark: SparkSession,
+      path: String): DataFrame = {
+    val all = spark.read.parquet(s"$path/hll")
+    if (!StoreFiles.exists(spark, s"$path/hll_tombstones")) all
+    else all.join(spark.read.parquet(s"$path/hll_tombstones"),
+      Seq("grp"), "left_anti")
+  }
+
+  /** Tombstone-delete whole GROUPS from the HLL half: register arrays
+    * merge by max, so value-level deletion is mathematically impossible
+    * (a max can't be un-taken — rebuild the store for that), but a
+    * group's entire sketch CAN be dropped. The group keys land in a
+    * tombstone sidecar that [[readHllProfile]] anti-joins; the partial
+    * rows stay on disk until [[compact]] drops them physically. */
+  def deleteHllGroups(spark: SparkSession, path: String,
+      groups: DataFrame, group: Column): Unit =
+    groups.select(group.as("grp")).distinct()
+      .write.mode("append").parquet(s"$path/hll_tombstones")
 
   /** Initialize (overwrite) the CMS half: depth-4 × `width` md5-lane
     * counters of one batch's values, plus the width sidecar. */
@@ -124,4 +144,150 @@ object SketchStore {
   def readHistProfile(spark: SparkSession, path: String,
       quantiles: Seq[Double]): DataFrame =
     Sketches.histQuantiles(readHist(spark, path), quantiles)
+
+  /** Delete a batch of VALUES from the CMS half by appending the
+    * batch's counter sketch NEGATED: counters are linear, so
+    * `sketch(A) − sketch(B) = sketch(A \ B)` counter-for-counter when
+    * B is a sub-multiset of what the store has absorbed — the merged
+    * read then equals a store built without the batch, exactly (the
+    * tombstone path for subtractable sketches; HLL, a max-merge, gets
+    * group tombstones instead). Caller contract: only delete values
+    * the store actually counted, or counters go negative and probe
+    * estimates (a min over lanes) turn meaningless. */
+  def deleteCms(batch: DataFrame, value: Column, path: String): Unit =
+    Sketches.cmsSketch(batch, value, cmsWidth(batch.sparkSession, path))
+      .withColumn("cnt", -col("cnt"))
+      .write.mode("append").parquet(s"$path/cms")
+
+  /** Delete a batch of measures from the HISTOGRAM half via the same
+    * negative-partial algebra as [[deleteCms]] (bucket counters are
+    * linear too). Same sub-multiset contract. */
+  def deleteHist(batch: DataFrame, group: Column, measure: Column,
+      path: String): Unit =
+    Sketches.histSketch(batch, group, measure)
+      .withColumn("cnt", -col("cnt"))
+      .write.mode("append").parquet(s"$path/hist")
+
+  /** Element-wise max-merge of per-group register partials back into
+    * ONE `(grp, regs)` row per group — the canonical partial a single
+    * whole-corpus sketch would have produced. Every partial carries all
+    * 256 registers, so the per-register regroup reassembles exactly
+    * 256-long arrays. */
+  private def hllFold(partials: DataFrame): DataFrame =
+    partials
+      .select(col("grp"), posexplode(col("regs")).as(Seq("reg", "rank")))
+      .groupBy(col("grp"), col("reg"))
+      .agg(max(col("rank")).as("mrank"))
+      .groupBy(col("grp"))
+      .agg(array_sort(collect_list(struct(col("reg"), col("mrank"))))
+        .as("ps"))
+      .select(col("grp"),
+        transform(col("ps"), p => p.getField("mrank")).as("regs"))
+
+  /** Fold every appended partial into ONE canonical row-set per
+    * sub-store and atomically replace its directory (the
+    * [[StoreFiles.replaceDir]] rename swap). Merged reads are unchanged
+    * — all three merges are associative, the pre/post equality
+    * StoreSpec pins — but a profile read now scans `groups` rows
+    * instead of `groups × n_batches`, and the per-batch small files the
+    * blind appends accumulate collapse into one. HLL group tombstones
+    * and CMS/histogram negative partials are applied physically (folded
+    * counters absorb the negatives; tombstoned groups are dropped) and
+    * the tombstone sidecar is cleared.
+    *
+    * Trigger policy: appends are deliberately blind (no history read),
+    * so compaction is the periodic half of the lifecycle — run it when
+    * partials-per-group exceed a few dozen (the streaming sink's
+    * `compactEvery` counts batches for exactly this), or on a schedule.
+    * Contract: writers quiesced during the call (rename swap). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    def sub(name: String)(fold: DataFrame => DataFrame): Unit =
+      if (StoreFiles.exists(spark, s"$path/$name"))
+        StoreFiles.replaceDir(spark, s"$path/$name") { tmp =>
+          fold(spark.read.parquet(s"$path/$name"))
+            .coalesce(1).write.parquet(tmp)
+        }
+    if (StoreFiles.exists(spark, s"$path/hll"))
+      StoreFiles.replaceDir(spark, s"$path/hll") { tmp =>
+        hllFold(liveHllPartials(spark, path))
+          .coalesce(1).write.parquet(tmp)
+      }
+    StoreFiles.delete(spark, s"$path/hll_tombstones")
+    sub("cms")(Sketches.cmsMergeSketches)
+    sub("hist")(Sketches.histMergeSketches)
+  }
+
+  // ---- batch-keyed writes: the exactly-once streaming layout ----
+  //
+  // The streaming profile sink can't use the blind appends above: a
+  // replayed micro-batch would re-append its partials and over-count
+  // every linear counter. Keying each batch's partials by a `batch_id`
+  // PARTITION and writing with dynamic partition overwrite makes the
+  // write idempotent — a replay rewrites its own partition byte-for-byte
+  // instead of duplicating it, and batch 0 after a checkpoint reset
+  // overwrites only partition 0, never a pre-existing store. A store is
+  // either batch-keyed (every write through these) or plain (the
+  // appends above) — the two layouts don't mix under one path.
+
+  private def writeBatchPartial(partial: DataFrame, batchId: Long,
+      dir: String): Unit =
+    partial.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
+  /** Idempotently (re)write one batch's per-group HLL partial under its
+    * `batch_id` partition. */
+  def putHllBatch(batch: DataFrame, group: Column, value: Column,
+      path: String, batchId: Long): Unit =
+    writeBatchPartial(hllPartials(batch, group, value), batchId,
+      s"$path/hll")
+
+  /** Idempotently (re)write one batch's CMS counter partial. Creates
+    * the width sidecar on first use; later calls read it back, so every
+    * batch of a store shares one shape even across restarts. */
+  def putCmsBatch(batch: DataFrame, value: Column, path: String,
+      batchId: Long, width: Int): Unit = {
+    val spark = batch.sparkSession
+    if (!StoreFiles.exists(spark, s"$path/cms_meta"))
+      spark.createDataFrame(Seq(Tuple1(width))).toDF("width")
+        .write.mode("overwrite").parquet(s"$path/cms_meta")
+    writeBatchPartial(
+      Sketches.cmsSketch(batch, value, cmsWidth(spark, path)), batchId,
+      s"$path/cms")
+  }
+
+  /** Idempotently (re)write one batch's histogram counter partial. */
+  def putHistBatch(batch: DataFrame, group: Column, measure: Column,
+      path: String, batchId: Long): Unit =
+    writeBatchPartial(Sketches.histSketch(batch, group, measure), batchId,
+      s"$path/hist")
+
+  /** Compact a BATCH-KEYED store: fold every partition with
+    * `batch_id < keepFrom` (including earlier folds at −1) into one
+    * canonical partial under `batch_id = −1`, leaving partitions ≥
+    * `keepFrom` untouched. Called from the streaming sink with
+    * `keepFrom` = the batch it just wrote: under foreachBatch's
+    * at-least-once contract the ONLY replayable batch is the one whose
+    * commit hasn't landed yet, and batches before it have committed —
+    * so folding them can never race a replay, and a replay of
+    * `keepFrom` itself still dynamic-overwrites its own live
+    * partition. Merged reads are unchanged (same associativity as
+    * [[compact]]). */
+  def compactBatches(spark: SparkSession, path: String,
+      keepFrom: Long): Unit = {
+    def sub(name: String)(fold: DataFrame => DataFrame): Unit =
+      if (StoreFiles.exists(spark, s"$path/$name"))
+        StoreFiles.replaceDir(spark, s"$path/$name") { tmp =>
+          val all = spark.read.parquet(s"$path/$name")
+          fold(all.filter(col("batch_id") < keepFrom).drop("batch_id"))
+            .withColumn("batch_id", lit(-1L))
+            .unionByName(all.filter(col("batch_id") >= keepFrom))
+            .coalesce(1)
+            .write.partitionBy("batch_id").parquet(tmp)
+        }
+    sub("hll")(hllFold)
+    sub("cms")(Sketches.cmsMergeSketches)
+    sub("hist")(Sketches.histMergeSketches)
+  }
 }

@@ -147,32 +147,41 @@ object StreamingIngest {
     * .SketchStore]]: each micro-batch is sketched once — per-group HLL
     * registers (distinct tokens), CMS counters (token frequency) and
     * histogram buckets (token-count distribution) — and the partials
-    * APPEND blindly (all three merge associatively at read time), so
-    * the store's profile always covers everything that has streamed
-    * through while the stream itself is never retained. This is the
-    * production telemetry shape: profile reads cost `groups ×
-    * sketch-size × n_batches`, never the corpus, and a replayed batch
-    * only widens estimates (HLL max is idempotent; CMS/histogram
-    * over-count by one batch — the usual at-least-once sketch trade,
-    * disclosed here rather than hidden).
+    * land as that batch's OWN `batch_id` partition via dynamic
+    * partition overwrite, so the sink is EXACTLY-once under
+    * foreachBatch's at-least-once contract: a replayed batch rewrites
+    * its own partition byte-for-byte instead of re-appending (linear
+    * counters never over-count), and batch 0 after a checkpoint reset
+    * overwrites only partition 0, never a pre-existing store. Reads
+    * merge all partitions associatively, so the store's profile always
+    * covers everything that has streamed through while the stream
+    * itself is never retained — profile reads cost `groups ×
+    * sketch-size × n_batches`, never the corpus.
+    *
+    * `compactEvery` > 0 folds history into one canonical partial
+    * (partition −1) every that-many batches, bounding n_batches:
+    * [[graft.ops.SketchStore.compactBatches]] folds only COMMITTED
+    * batches (everything before the one just written), which replays
+    * can no longer touch, so compaction and exactly-once compose.
     *
     * `group`/`value`/`measure` are column-expression parameters so the
     * same sink profiles any feed: by source, language, day, shard. */
   def profileIngestTo(docs: DataFrame, group: Column, value: Column,
       measure: Column, storePath: String, cmsWidth: Int,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.localCheckpoint() // sketch thrice, scan once
-        if (batchId == 0) {
-          graft.ops.SketchStore.writeHll(b, group, value, storePath)
-          graft.ops.SketchStore.writeCms(b, value, cmsWidth, storePath)
-          graft.ops.SketchStore.writeHist(b, group, measure, storePath)
-        } else {
-          graft.ops.SketchStore.appendHll(b, group, value, storePath)
-          graft.ops.SketchStore.appendCms(b, value, storePath)
-          graft.ops.SketchStore.appendHist(b, group, measure, storePath)
-        }
+        graft.ops.SketchStore.putHllBatch(b, group, value, storePath,
+          batchId)
+        graft.ops.SketchStore.putCmsBatch(b, value, storePath, batchId,
+          cmsWidth)
+        graft.ops.SketchStore.putHistBatch(b, group, measure, storePath,
+          batchId)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.ops.SketchStore.compactBatches(b.sparkSession, storePath,
+            keepFrom = batchId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

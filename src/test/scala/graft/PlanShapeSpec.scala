@@ -251,6 +251,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("REPARTITION_BY_NUM"), p.take(3000))
   }
 
+  test("hot-block pair stage: a constant block salts into sub-blocks, output unchanged") {
+    // The degenerate blocking key (every doc in ONE block) must not
+    // serialize the expansion: with the posting-mass bound forced low,
+    // the repartition key carries the token-hash salt, and the pair
+    // output is identical to the unsalted plan (intersection counts
+    // reassemble across sub-blocks exactly).
+    val docs = Tables.load(spark, sf, "documents")
+    // df cap above the corpus size: with every doc in ONE block even
+    // mid-frequency tokens exceed a small cap and the fixture would
+    // test an empty pair set
+    def pairs(bound: Long) = ops.Dedup.ngramJaccardPairs(docs,
+      col("doc_id"), lit("one"), col("text"), threshold = 0.5,
+      maxDocFreq = 100000, hotBlockPostings = bound)
+    val salted = pairs(100L)
+    val p = plan(salted)
+    assert(p.contains("salt"), p.take(3000))
+    assert(!p.contains("ShuffledHashJoin"), p.take(3000))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(salted) == rows(pairs(Long.MaxValue)))
+    assert(rows(salted).nonEmpty) // the fixture actually exercises pairs
+  }
+
   test("histogram sketch aggregates map-side; quantile window runs over the sketch") {
     val p = plan(SparkEntry.queries("qd77_hist_quantiles")(spark, sf))
     // one hash agg pair for the bucket counts (partial + final) and a

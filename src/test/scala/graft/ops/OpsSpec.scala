@@ -1661,7 +1661,8 @@ class OpsSpec extends AnyFunSuite {
     def run() = StreamingIngest.profileIngestTo(
       StreamingIngest.watchParquetDir(spark, s"$in/*", docs.schema),
       col("source"), col("text"), length(col("text")).cast("long"),
-      store, cmsWidth = 256, s"$root/ckpt").awaitTermination()
+      store, cmsWidth = 256, s"$root/ckpt", compactEvery = 1)
+      .awaitTermination()
     run()
     docs.filter(nib >= 8).write.parquet(s"$in/f2")
     run()

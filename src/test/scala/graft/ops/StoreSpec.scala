@@ -401,4 +401,169 @@ class StoreSpec extends AnyFunSuite {
     assert(Multimodal.mkvHeader(mp4Fixture).isEmpty)
     assert(Multimodal.mkvHeader("garbage".getBytes("US-ASCII")).isEmpty)
   }
+
+  // ---- round-7 lifecycle specs: compaction / tombstones / replay ----
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  private def srcToks(lo: Boolean) = half(lo)
+    .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+
+  private val docLen = length(col("text")).cast("long")
+
+  test("sketch store compact: merged profiles unchanged, partials fold to one row-set") {
+    val path = tmp("st_cmp")
+    SketchStore.writeHll(srcToks(true), col("source"), col("w"), path)
+    SketchStore.appendHll(srcToks(false), col("source"), col("w"), path)
+    SketchStore.writeCms(srcToks(true), col("w"), 128, path)
+    SketchStore.appendCms(srcToks(false), col("w"), path)
+    SketchStore.writeHist(half(true), col("source"), docLen, path)
+    SketchStore.appendHist(half(false), col("source"), docLen, path)
+    val qs = Seq(0.5, 0.9)
+    val before = (rows(SketchStore.readHllProfile(spark, path)),
+      rows(SketchStore.readCms(spark, path)),
+      rows(SketchStore.readHistProfile(spark, path, qs)))
+    SketchStore.compact(spark, path)
+    assert(rows(SketchStore.readHllProfile(spark, path)) == before._1)
+    assert(rows(SketchStore.readCms(spark, path)) == before._2)
+    assert(rows(SketchStore.readHistProfile(spark, path, qs)) == before._3)
+    // folded: exactly one partial row per group / counter cell
+    assert(spark.read.parquet(s"$path/hll").groupBy("grp").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(spark.read.parquet(s"$path/cms").groupBy("row", "bucket")
+      .count().filter(col("count") > 1).count() == 0)
+    assert(spark.read.parquet(s"$path/hist").groupBy("grp", "bucket")
+      .count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("sketch store tombstones: HLL group drop; CMS/hist negative partials subtract exactly") {
+    val path = tmp("st_del")
+    val allToks = docs.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    SketchStore.writeHll(allToks, col("source"), col("w"), path)
+    SketchStore.writeCms(allToks, col("w"), 128, path)
+    SketchStore.writeHist(docs, col("source"), docLen, path)
+    // delete half(false)'s contribution: merged counters must equal a
+    // store built from half(true) alone (linear-sketch subtraction)
+    SketchStore.deleteCms(srcToks(false), col("w"), path)
+    SketchStore.deleteHist(half(false), col("source"), docLen, path)
+    val ref = tmp("st_delref")
+    SketchStore.writeCms(srcToks(true), col("w"), 128, ref)
+    SketchStore.writeHist(half(true), col("source"), docLen, ref)
+    def nonZero(df: org.apache.spark.sql.DataFrame) =
+      rows(df.filter(col("cnt") =!= 0))
+    assert(nonZero(SketchStore.readCms(spark, path)) ==
+      nonZero(SketchStore.readCms(spark, ref)))
+    val qs = Seq(0.5, 0.9)
+    assert(rows(SketchStore.readHistProfile(spark, path, qs)) ==
+      rows(SketchStore.readHistProfile(spark, ref, qs)))
+    // HLL: group tombstone hides the group; compact makes it physical
+    val g = docs.select(col("source")).distinct()
+      .orderBy(col("source")).head().getString(0)
+    val keep = rows(SketchStore.readHllProfile(spark, path)
+      .filter(col("grp") =!= g))
+    SketchStore.deleteHllGroups(spark, path,
+      spark.createDataFrame(Seq(Tuple1(g))).toDF("g"), col("g"))
+    assert(rows(SketchStore.readHllProfile(spark, path)) == keep)
+    SketchStore.compact(spark, path)
+    assert(rows(SketchStore.readHllProfile(spark, path)) == keep)
+    assert(spark.read.parquet(s"$path/hll")
+      .filter(col("grp") === g).count() == 0)
+    assert(!StoreFiles.exists(spark, s"$path/hll_tombstones"))
+    assert(nonZero(SketchStore.readCms(spark, path)) ==
+      nonZero(SketchStore.readCms(spark, ref)))
+  }
+
+  test("BM25 tombstone delete: probe equals a from-scratch build without the docs; compact preserves") {
+    val full = tmp("st_bmdel")
+    LexIndex.writeBm25Index(docs, col("doc_id"), col("text"), full)
+    val nib = conv(substring(md5(col("doc_id").cast("string")), 1, 1),
+      16, 10).cast("int")
+    val delIds = docs.filter(nib >= 12).select(col("doc_id"))
+    LexIndex.deleteFromBm25Index(spark, full, delIds, col("doc_id"))
+    val ref = tmp("st_bmdelref")
+    LexIndex.writeBm25Index(docs.filter(nib < 12), col("doc_id"),
+      col("text"), ref)
+    def stats(p: String) = LexIndex.readStats(spark, p).collect().toSeq
+    assert(stats(full) == stats(ref))
+    val termsDf = spark.createDataFrame(
+      Seq("spark", "merge", "window", "dup").map(Tuple1(_))).toDF("term")
+    def top(p: String) = LexIndex
+      .bm25TopKIndexed(spark, p, termsDf, col("term"), k = 10)
+      .orderBy(col("score_e4").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(top(full) == top(ref))
+    // idempotent: re-deleting the same ids changes nothing
+    LexIndex.deleteFromBm25Index(spark, full, delIds, col("doc_id"))
+    assert(stats(full) == stats(ref))
+    // compact: physical drop, one canonical stats row, probe unchanged
+    LexIndex.compactBm25Index(spark, full)
+    assert(top(full) == top(ref))
+    assert(stats(full) == stats(ref))
+    assert(spark.read.parquet(s"$full/stats").count() == 1)
+    assert(!StoreFiles.exists(spark, s"$full/tombstones"))
+    assert(spark.read.parquet(s"$full/postings")
+      .join(delIds, Seq("doc_id"), "left_semi").count() == 0)
+  }
+
+  test("dedup index tombstones: deleted docs stop blocking probes; compact drops their rows") {
+    import spark.implicits._
+    val path = tmp("st_dxdel")
+    val corpus = Seq((1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta"),
+      (3L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    DedupIndex.writeExactIndex(corpus, col("doc_id"), col("text"), path)
+    DedupIndex.writeMinhashIndex(corpus, col("doc_id"), col("text"), path)
+    val batch = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    def fresh() = DedupIndex.newOnly(spark, batch, col("doc_id"),
+      col("text"), path).count()
+    def nearHits() = DedupIndex.nearDupAgainstIndex(spark, batch,
+      col("doc_id"), col("text"), path, minEstimate = 0.8)
+      .filter(col("index_doc") === 1L).count()
+    assert(fresh() == 0 && nearHits() == 1) // doc 1 blocks its twin
+    DedupIndex.deleteDocs(spark, path,
+      Seq(Tuple1(1L)).toDF("doc_id"), col("doc_id"))
+    assert(fresh() == 1 && nearHits() == 0) // tombstone unblocks it
+    DedupIndex.compact(spark, path)
+    assert(fresh() == 1 && nearHits() == 0) // physical drop, same answer
+    for (sub <- Seq("exact", "lanes", "bands"))
+      assert(spark.read.parquet(s"$path/$sub")
+        .filter(col("doc_id") === 1L).count() == 0, sub)
+    assert(!StoreFiles.exists(spark, s"$path/tombstones"))
+  }
+
+  test("batch-keyed sketch store: replays rewrite (not re-append); committed history folds") {
+    val path = tmp("st_bk")
+    def put(lo: Boolean, b: Long): Unit = {
+      SketchStore.putHllBatch(srcToks(lo), col("source"), col("w"), path, b)
+      SketchStore.putCmsBatch(srcToks(lo), col("w"), path, b, 128)
+      SketchStore.putHistBatch(half(lo), col("source"), docLen, path, b)
+    }
+    put(lo = true, 0L); put(lo = false, 1L)
+    val qs = Seq(0.5, 0.9)
+    def profile() = (rows(SketchStore.readHllProfile(spark, path)),
+      rows(SketchStore.readCms(spark, path)),
+      rows(SketchStore.readHistProfile(spark, path, qs)))
+    val before = profile()
+    // the whole point: a replayed batch leaves the store unchanged
+    put(lo = false, 1L)
+    assert(profile() == before)
+    // and the merged profile equals the direct whole-corpus derivation
+    val allToks = docs.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("w"))
+    assert(before._1 ==
+      rows(Sketches.hllDistinctFast(allToks, col("source"), col("w"))))
+    assert(before._2 ==
+      rows(Sketches.cmsSketch(allToks, col("w"), width = 128)))
+    // fold committed history (batch 0) under -1; batch 1 stays live
+    SketchStore.compactBatches(spark, path, keepFrom = 1L)
+    assert(profile() == before)
+    import spark.implicits._
+    assert(spark.read.parquet(s"$path/hll").select("batch_id")
+      .distinct().as[Long].collect().sorted.toSeq == Seq(-1L, 1L))
+    // a replay of the still-uncommitted batch stays idempotent
+    put(lo = false, 1L)
+    assert(profile() == before)
+  }
 }
