@@ -184,6 +184,9 @@ object SparkEntry {
     "qe34_ivf_index_trained_recall" ->
       (PipelineQueries.ivfTrainedIndexRecall _),
     "qd81_bm25_index_append" -> (PipelineQueries.bm25IndexAppendTopDocs _),
+    "qd82_bm25_index_delete" -> (PipelineQueries.bm25IndexDeleteTopDocs _),
+    "qd83_exact_index_delete" ->
+      (PipelineQueries.incrementalNewAfterDelete _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1576,6 +1579,18 @@ object SparkEntry {
          b AS (SELECT doc_id, fp FROM f WHERE doc_id % 2 = 1)
          SELECT doc_id, fp FROM b ANTI JOIN idx USING (fp)
          ORDER BY doc_id""",
+    // qd83: qd29's probe after tombstone-deleting the index's high
+    // md5-nibble half — the live index is the surviving even docs
+    // alone, so the batch anti-joins only their fingerprints.
+    "qd83_exact_index_delete" ->
+      """WITH f AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         idx AS (SELECT fp FROM f WHERE doc_id % 2 = 0
+           AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+         b AS (SELECT doc_id, fp FROM f WHERE doc_id % 2 = 1)
+         SELECT doc_id, fp FROM b ANTI JOIN idx USING (fp)
+         ORDER BY doc_id""",
     // Incremental near-dup against the persisted MinHash index: md5
     // lanes (qd24 form), banded candidates batch-vs-index, similarity
     // estimated from lane agreement, est >= 0.5.
@@ -1834,6 +1849,14 @@ object SparkEntry {
     // whole-corpus build (same posting rows, associative stats sums),
     // so qd76's whole-corpus oracle applies verbatim.
     "qd81_bm25_index_append" -> (bm25IndexedCtes + """
+         SELECT doc_id, score_e4 FROM isc
+         ORDER BY score_e4 DESC, doc_id LIMIT 10"""),
+    // qd82: the tombstone-deleted index probes exactly like an index
+    // built from the surviving md5-nibble half alone — same CTEs over
+    // the filtered corpus (stats subtract via the negative partial, df
+    // derives from the anti-joined posting rows).
+    "qd82_bm25_index_delete" -> (bm25IndexedCtes(
+      "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'") + """
          SELECT doc_id, score_e4 FROM isc
          ORDER BY score_e4 DESC, doc_id LIMIT 10"""),
     // qd70: three HLL estimate derivations (even docs, odd docs, all
@@ -2332,12 +2355,18 @@ object SparkEntry {
     * [[graft.ops.LexIndex.bm25TopKIndexed]]; interpolated Scala doubles
     * round-trip to identical DuckDB doubles and every arithmetic step
     * is order-matched with the Spark expression tree. */
-  private def bm25IndexedCtes: String = {
+  private def bm25IndexedCtes: String = bm25IndexedCtes("")
+
+  /** The same CTE chain over a FILTERED corpus — the qd82 oracle: a
+    * tombstone-deleted index must probe exactly like an index built
+    * from the surviving docs alone. */
+  private def bm25IndexedCtes(docFilter: String): String = {
     val termList = PipelineQueries.bm25QueryTerms
       .map(t => s"'$t'").mkString(", ")
     val k1 = 1.2; val b = 0.75
     s"""WITH it AS (SELECT doc_id,
-           regexp_extract_all(lower(text), '\\S+') AS ws FROM documents),
+           regexp_extract_all(lower(text), '\\S+') AS ws
+           FROM documents $docFilter),
          ist AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
            avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM it),
          itok AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,

@@ -1777,6 +1777,51 @@ object PipelineQueries {
       .orderBy(col("score_e4").desc, col("doc_id"))
   }
 
+  /** qd82: the BM25 index DELETE lifecycle — build the whole-corpus
+    * index fresh, tombstone-delete one md5-split half
+    * ([[graft.ops.LexIndex.deleteFromBm25Index]]: tombstone sidecar +
+    * a NEGATIVE stats partial, dl recovered from the stored postings —
+    * no posting rewrite, no original text), then probe with qd76's
+    * terms. The tombstoned probe must score exactly like an index
+    * built from the surviving half alone (df derives from the
+    * anti-joined posting rows; N/avgdl from the subtracted sums) —
+    * that equivalence IS the oracle. Physical removal is `compact`'s
+    * job, StoreSpec-pinned. */
+  def bm25IndexDeleteTopDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_bm25del").toString
+    graft.ops.LexIndex.writeBm25Index(d, col("doc_id"), col("text"), path)
+    graft.ops.LexIndex.deleteFromBm25Index(s, path,
+      docHalf(d, lo = false).select(col("doc_id")), col("doc_id"))
+    val terms = s.createDataFrame(bm25QueryTerms.map(Tuple1(_))).toDF("term")
+    graft.ops.LexIndex.bm25TopKIndexed(s, path, terms, col("term"), k = 10)
+      .orderBy(col("score_e4").desc, col("doc_id"))
+  }
+
+  /** qd83: the exact-index DELETE lifecycle — build qd71's even-doc
+    * fingerprint index fresh, tombstone-delete its high md5-nibble
+    * half ([[graft.ops.DedupIndex.deleteDocs]]), and probe with qd29's
+    * odd-doc batch: a deleted doc stops blocking arrivals IMMEDIATELY
+    * (the probe anti-joins the tombstone sidecar before the
+    * fingerprint anti-join), so the result equals a probe of an index
+    * built without the deleted docs — that equivalence is the oracle.
+    * Content semantics stay fingerprint-level: an odd doc whose text
+    * also survives in the live half is still blocked. */
+  def incrementalNewAfterDelete(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val even = d.filter(col("doc_id") % 2 === 0)
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_exdel").toString
+    graft.ops.DedupIndex.writeExactIndex(even, col("doc_id"), col("text"),
+      path)
+    graft.ops.DedupIndex.deleteDocs(s, path,
+      docHalf(even, lo = false).select(col("doc_id")), col("doc_id"))
+    graft.ops.DedupIndex.newOnly(s, d.filter(col("doc_id") % 2 === 1),
+      col("doc_id"), col("text"), path)
+      .orderBy(col("doc_id"))
+  }
+
   /** qd76: PROBE side of the BM25 index — query terms arrive AS A TABLE
     * and join the stored postings (partition-pruned to the terms' own
     * prefixes); per-(doc, term) contributions floor to 1e-4 units before

@@ -525,6 +525,11 @@ class StoreSpec extends AnyFunSuite {
     DedupIndex.deleteDocs(spark, path,
       Seq(Tuple1(1L)).toDF("doc_id"), col("doc_id"))
     assert(fresh() == 1 && nearHits() == 0) // tombstone unblocks it
+    // the tombstone anti-join must not cost the probe its partition
+    // pruning: the scan still prunes to the batch's own fp prefixes
+    val p = DedupIndex.newOnly(spark, batch, col("doc_id"), col("text"),
+      path).queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[.*pfx.*"), p.take(3000))
     DedupIndex.compact(spark, path)
     assert(fresh() == 1 && nearHits() == 0) // physical drop, same answer
     for (sub <- Seq("exact", "lanes", "bands"))
