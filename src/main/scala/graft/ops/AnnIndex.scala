@@ -52,6 +52,66 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Append a batch of vectors to a persisted LSH index: the stored
+    * meta sidecar re-derives the SAME hyperplanes (they are
+    * deterministic in (num_planes, dim)), so appended rows land in
+    * exactly the buckets a whole-corpus rebuild would assign — probe
+    * results over the appended index are byte-identical to a fresh
+    * build (spec-pinned). One batch scan, no corpus re-read. `attrs`
+    * must match the build's attribute columns. */
+  def appendLshIndex(batch: DataFrame, id: Column, vec: Column,
+      path: String, attrs: Seq[Column] = Nil): Unit = {
+    val meta = batch.sparkSession.read.parquet(s"$path/meta").head()
+    val planes = Similarity.planeVectors(meta.getInt(0), meta.getInt(1))
+    batch.select(id.as("vec_id") +: Similarity.l2Normalize(vec).as("v") +:
+        Similarity.lshBucket(vec, planes).as("bucket") +: attrs: _*)
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/index")
+  }
+
+  /** Tombstone-delete vectors from a persisted ANN index (any kind at
+    * this path — the sidecar is shared): every probe anti-joins the
+    * tombstoned ids, so a deleted vector stops surfacing as a
+    * neighbor immediately; its index rows leave disk at
+    * [[compactAnnIndex]]. The [[DedupIndex]]/[[LexIndex]] lifecycle
+    * discipline applied to the vector side. */
+  def deleteVecs(spark: SparkSession, path: String, ids: DataFrame,
+      id: Column): Unit =
+    ids.select(id.as("vec_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def dropTombstoned(spark: SparkSession, path: String,
+      rows: DataFrame): DataFrame =
+    if (!StoreFiles.exists(spark, s"$path/tombstones")) rows
+    else rows.join(spark.read.parquet(s"$path/tombstones"),
+      Seq("vec_id"), "left_anti")
+
+  /** Compact a persisted ANN index: physically drop tombstoned rows
+    * from every sub-table present (partition-pruned `index/` for
+    * LSH/IVF, flat `codes/` / `bits/` / `vectors/` for PQ / int8 /
+    * binary), collapse the per-batch small files appends left behind,
+    * and clear the tombstone sidecar — probe results unchanged,
+    * probe cost back to one file per partition. Contract: writers
+    * quiesced during the rename swaps ([[StoreFiles.replaceDir]]). */
+  def compactAnnIndex(spark: SparkSession, path: String): Unit = {
+    def sub(name: String): Unit =
+      if (StoreFiles.exists(spark, s"$path/$name"))
+        StoreFiles.replaceDir(spark, s"$path/$name") { tmp =>
+          val live = dropTombstoned(spark, path,
+            spark.read.parquet(s"$path/$name"))
+          val pcol = Seq("bucket", "cell").find(live.columns.contains)
+          pcol match {
+            case Some(p) => live.repartition(col(p))
+              .write.partitionBy(p).parquet(tmp)
+            case None => live.repartition(
+                spark.sessionState.conf.numShufflePartitions)
+              .write.parquet(tmp)
+          }
+        }
+    Seq("index", "codes", "bits", "vectors").foreach(sub)
+    StoreFiles.delete(spark, s"$path/tombstones")
+  }
+
   /** Top-k against a persisted LSH index. The query vector is collected
     * (one row), its bucket and the `probeFlips`-adjacent buckets are
     * computed driver-side, and the scan filters `bucket IN (...)` — a
@@ -81,8 +141,8 @@ object AnnIndex {
       attrFilter: Option[Column] = None): Option[DataFrame] = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (numPlanes, dim) = (meta.getInt(0), meta.getInt(1))
-    val index = attrFilter.foldLeft(
-      spark.read.parquet(s"$path/index"))(_.filter(_))
+    val index = dropTombstoned(spark, path, attrFilter.foldLeft(
+      spark.read.parquet(s"$path/index"))(_.filter(_)))
     val qRows = query.select(col(query.columns.head).as("qv")).head(1)
     if (qRows.isEmpty) return None
     val qv = qRows(0).getSeq[Double](0).toArray
@@ -142,9 +202,10 @@ object AnnIndex {
       .head().getSeq[Double](0).toArray
     val qTable = Similarity.pqAdcTable(q4Row, cb)
     Similarity.pqRank(
-      spark.read.parquet(s"$path/codes").select(col("vec_id"),
-        Similarity.pqScoreFromCodes(col("codes"), qTable)
-          .cast("long").as("adc_score")), k)
+      dropTombstoned(spark, path, spark.read.parquet(s"$path/codes"))
+        .select(col("vec_id"),
+          Similarity.pqScoreFromCodes(col("codes"), qTable)
+            .cast("long").as("adc_score")), k)
   }
 
   /** Build + persist the int8-quantized codes index (the ADC storage
@@ -192,7 +253,8 @@ object AnnIndex {
     * `vectors/` (vec_id IN — row-group pruned) and rescores exactly. */
   def queryQuantizedIndex(spark: SparkSession, path: String,
       query: DataFrame, k: Int, rerank: Int): DataFrame = {
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/codes"))
     val qRows = query.select(col(query.columns.head).as("qv")).head(1)
     if (qRows.isEmpty)
       return codes.select(col("vec_id"), lit(0.0d).as("cos"),
@@ -247,8 +309,13 @@ object AnnIndex {
       k: Int, shortlist: Int): DataFrame = {
     require(k >= 1 && shortlist >= k,
       s"need 1 <= k <= shortlist: k=$k shortlist=$shortlist")
-    val bits = spark.read.parquet(s"$path/bits")
-    val qRows = bits.filter(col("vec_id") === queryId).head(1)
+    // the signature/vector lookups for the query id itself read the
+    // RAW tables (querying by a deleted id is the caller's call);
+    // only the candidate scan excludes tombstoned vectors
+    val bits = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/bits"))
+    val qRows = spark.read.parquet(s"$path/bits")
+      .filter(col("vec_id") === queryId).head(1)
     if (qRows.isEmpty)
       return bits.select(col("vec_id"), lit(0.0d).as("cos"),
         lit(0).as("rank")).limit(0)
@@ -289,6 +356,25 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append a batch of vectors to a persisted IVF index: the STORED
+    * centroids assign the batch partition-locally (centroids are a
+    * frozen model under the IVF contract — no retraining, no corpus
+    * re-read; retrain via a fresh [[writeIvfIndex]] when drift
+    * warrants), and the rows land under their cell partitions. Probes
+    * over the appended index equal an assignment of the union corpus
+    * under the same centroids (spec-pinned). */
+  def appendIvfIndex(batch: DataFrame, id: Column, vec: Column,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy { case (cell, cv) => cell }
+    batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+      .withColumn("cell", Similarity.nearestCell(col("v"), cents))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/index")
+  }
+
   /** Multi-query top-k against a persisted IVF index: the stored
     * centroid table (nList rows) is collected, per-query probe cells
     * are ranked on the tiny |queries| × nList frame, the UNION of
@@ -311,8 +397,9 @@ object AnnIndex {
       .localCheckpoint(eager = false)
     val probedCells = probes.select(col("cell")).distinct().collect()
       .map(_.getInt(0)).toIndexedSeq // bounded by nList — driver-sized
-    val index = spark.read.parquet(s"$path/index")
-      .filter(col("cell").isin(probedCells: _*))
+    val index = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/index")
+        .filter(col("cell").isin(probedCells: _*)))
     index.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         round(Similarity.dot(col("v"), col("qv")), 4).as("cos"))
@@ -330,7 +417,8 @@ object AnnIndex {
     * an empty result. */
   def queryIvfIndex(spark: SparkSession, path: String, query: DataFrame,
       k: Int, nProbe: Int = 4): DataFrame = {
-    val index = spark.read.parquet(s"$path/index")
+    val index = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/index"))
     val qRows = query.select(col(query.columns.head).as("qv")).head(1)
     if (qRows.isEmpty)
       return index.select(col("vec_id"), lit(0.0d).as("cos"),

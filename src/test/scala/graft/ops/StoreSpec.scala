@@ -538,6 +538,62 @@ class StoreSpec extends AnyFunSuite {
     assert(!StoreFiles.exists(spark, s"$path/tombstones"))
   }
 
+  test("ANN index lifecycle: appends assign with the stored model; tombstones + compact") {
+    import spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+    val nib = conv(substring(md5(col("vec_id").cast("string")), 1, 1),
+      16, 10).cast("int")
+    val a = e.filter(nib < 8); val b = e.filter(nib >= 8)
+    // LSH: hyperplanes re-derive from the meta sidecar, so an appended
+    // index probes byte-identically to a whole-corpus build
+    val lshApp = tmp("st_lshapp"); val lshWhole = tmp("st_lshw")
+    AnnIndex.writeLshIndex(a, col("vec_id"), col("embedding"), lshApp,
+      numPlanes = 4)
+    AnnIndex.appendLshIndex(b, col("vec_id"), col("embedding"), lshApp)
+    AnnIndex.writeLshIndex(e, col("vec_id"), col("embedding"), lshWhole,
+      numPlanes = 4)
+    val q = e.filter(col("vec_id") === 0L)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    def lshTop(p: String) = AnnIndex
+      .queryLshIndex(spark, p, q, k = 5, probeFlips = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .toSeq
+    assert(lshTop(lshApp) == lshTop(lshWhole))
+    // IVF: the STORED centroids (a frozen model from the first build)
+    // assign appended vectors; probes equal an in-memory assignment of
+    // the union corpus under the same centroids
+    val ivf = tmp("st_ivfapp")
+    AnnIndex.writeIvfIndex(a, col("vec_id"), col("embedding"), ivf,
+      nList = 8)
+    AnnIndex.appendIvfIndex(b, col("vec_id"), col("embedding"), ivf)
+    val cents = Similarity.ivfCentroids(a, col("vec_id"),
+      col("embedding"), nList = 8)
+    val q5 = e.filter(col("vec_id") < 5)
+    def storedTop() = AnnIndex.ivfKnnJoinIndexed(spark, ivf, q5,
+        col("vec_id"), col("embedding"), k = 5, nProbe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    def memTop(corpus: org.apache.spark.sql.DataFrame) = Similarity
+      .ivfKnnJoinWith(corpus, col("vec_id"), col("embedding"), q5,
+        col("vec_id"), col("embedding"), k = 5, cents, nProbe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(storedTop() == memTop(e))
+    // tombstone: the deleted vector vanishes from every result set
+    AnnIndex.deleteVecs(spark, ivf,
+      Seq(Tuple1(0L)).toDF("vec_id"), col("vec_id"))
+    val without0 = memTop(e.filter(col("vec_id") =!= 0L))
+    assert(storedTop() == without0)
+    // compact: physical drop, probes unchanged, sidecar cleared
+    AnnIndex.compactAnnIndex(spark, ivf)
+    assert(storedTop() == without0)
+    assert(spark.read.parquet(s"$ivf/index")
+      .filter(col("vec_id") === 0L).count() == 0)
+    assert(!StoreFiles.exists(spark, s"$ivf/tombstones"))
+  }
+
   test("batch-keyed sketch store: replays rewrite (not re-append); committed history folds") {
     val path = tmp("st_bk")
     def put(lo: Boolean, b: Long): Unit = {
