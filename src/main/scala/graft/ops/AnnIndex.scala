@@ -103,8 +103,13 @@ object AnnIndex {
           pcol match {
             case Some(p) => live.repartition(col(p))
               .write.partitionBy(p).parquet(tmp)
-            case None => live.repartition(
-                spark.sessionState.conf.numShufflePartitions)
+            // flat tables re-cluster by vec_id (range + in-partition
+            // sort) so the rerank paths' `vec_id IN` lookups keep their
+            // row-group min/max pruning after compaction
+            case None => live.repartitionByRange(
+                spark.sessionState.conf.numShufflePartitions,
+                col("vec_id"))
+              .sortWithinPartitions(col("vec_id"))
               .write.parquet(tmp)
           }
         }

@@ -65,19 +65,25 @@ object SketchStore {
       liveHllPartials(spark, path), col("grp"), col("regs"))
 
   private def liveHllPartials(spark: SparkSession,
-      path: String): DataFrame = {
-    val all = spark.read.parquet(s"$path/hll")
+      path: String): DataFrame =
+    liveHllPartials(spark, path, spark.read.parquet(s"$path/hll"))
+
+  private def liveHllPartials(spark: SparkSession, path: String,
+      all: DataFrame): DataFrame =
     if (!StoreFiles.exists(spark, s"$path/hll_tombstones")) all
     else all.join(spark.read.parquet(s"$path/hll_tombstones"),
       Seq("grp"), "left_anti")
-  }
 
   /** Tombstone-delete whole GROUPS from the HLL half: register arrays
     * merge by max, so value-level deletion is mathematically impossible
     * (a max can't be un-taken — rebuild the store for that), but a
     * group's entire sketch CAN be dropped. The group keys land in a
     * tombstone sidecar that [[readHllProfile]] anti-joins; the partial
-    * rows stay on disk until [[compact]] drops them physically. */
+    * rows stay on disk until [[compact]] drops them physically. The
+    * tombstone hides the group NAME, not a row-set: partials appended
+    * for the same group before the next [[compact]] are hidden too —
+    * to re-admit a deleted group, compact first (which clears the
+    * sidecar), then append. */
   def deleteHllGroups(spark: SparkSession, path: String,
       groups: DataFrame, group: Column): Unit =
     groups.select(group.as("grp")).distinct()
@@ -201,20 +207,28 @@ object SketchStore {
     * `compactEvery` counts batches for exactly this), or on a schedule.
     * Contract: writers quiesced during the call (rename swap). */
   def compact(spark: SparkSession, path: String): Unit = {
-    def sub(name: String)(fold: DataFrame => DataFrame): Unit =
+    // batch-keyed stores (the streaming sink layout) keep their
+    // partitioned shape: the full fold lands as partition −1, so later
+    // per-batch dynamic overwrites still compose — a plain-layout
+    // rewrite here would corrupt the directory into a mixed layout
+    def write(folded: DataFrame, batchKeyed: Boolean, tmp: String): Unit =
+      if (batchKeyed)
+        folded.withColumn("batch_id", lit(-1L)).coalesce(1)
+          .write.partitionBy("batch_id").parquet(tmp)
+      else folded.coalesce(1).write.parquet(tmp)
+    def sub(name: String, pre: DataFrame => DataFrame)(
+        fold: DataFrame => DataFrame): Unit =
       if (StoreFiles.exists(spark, s"$path/$name"))
         StoreFiles.replaceDir(spark, s"$path/$name") { tmp =>
-          fold(spark.read.parquet(s"$path/$name"))
-            .coalesce(1).write.parquet(tmp)
+          val all = pre(spark.read.parquet(s"$path/$name"))
+          val keyed = all.columns.contains("batch_id")
+          write(fold(if (keyed) all.drop("batch_id") else all), keyed, tmp)
         }
-    if (StoreFiles.exists(spark, s"$path/hll"))
-      StoreFiles.replaceDir(spark, s"$path/hll") { tmp =>
-        hllFold(liveHllPartials(spark, path))
-          .coalesce(1).write.parquet(tmp)
-      }
+    sub("hll", partials => liveHllPartials(spark, path,
+      partials))(hllFold)
     StoreFiles.delete(spark, s"$path/hll_tombstones")
-    sub("cms")(Sketches.cmsMergeSketches)
-    sub("hist")(Sketches.histMergeSketches)
+    sub("cms", identity)(Sketches.cmsMergeSketches)
+    sub("hist", identity)(Sketches.histMergeSketches)
   }
 
   // ---- batch-keyed writes: the exactly-once streaming layout ----

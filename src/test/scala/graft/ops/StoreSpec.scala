@@ -626,5 +626,15 @@ class StoreSpec extends AnyFunSuite {
     // a replay of the still-uncommitted batch stays idempotent
     put(lo = false, 1L)
     assert(profile() == before)
+    // a FULL compact on a batch-keyed store keeps the partitioned
+    // layout (everything folds to partition -1), so later per-batch
+    // dynamic overwrites still compose
+    SketchStore.compact(spark, path)
+    assert(profile() == before)
+    assert(spark.read.parquet(s"$path/hll").select("batch_id")
+      .distinct().as[Long].collect().toSeq == Seq(-1L))
+    put(lo = false, 2L) // a later batch still lands cleanly
+    assert(spark.read.parquet(s"$path/hll").select("batch_id")
+      .distinct().as[Long].collect().sorted.toSeq == Seq(-1L, 2L))
   }
 }
