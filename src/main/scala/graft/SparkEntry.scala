@@ -187,6 +187,9 @@ object SparkEntry {
     "qd82_bm25_index_delete" -> (PipelineQueries.bm25IndexDeleteTopDocs _),
     "qd83_exact_index_delete" ->
       (PipelineQueries.incrementalNewAfterDelete _),
+    "qe35_ivfpq_adc" -> (PipelineQueries.ivfPqAdc _),
+    "qe36_ivfpq_index" -> (PipelineQueries.ivfPqIndexTopK _),
+    "qe37_ivfpq_recall" -> (PipelineQueries.ivfPqRecall _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1859,6 +1862,15 @@ object SparkEntry {
       "WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'") + """
          SELECT doc_id, score_e4 FROM isc
          ORDER BY score_e4 DESC, doc_id LIMIT 10"""),
+    // qe35/qe36: IVF-PQ — trained cells (qe29's Lloyd CTEs) + residual
+    // product quantization on the 1e-6 integer grid, exact-integer ADC
+    // over the probed cells. qe36 serves the same result from the
+    // PERSISTED index, so the oracle applies verbatim.
+    "qe35_ivfpq_adc" -> ivfPqAdcOracleSql,
+    "qe36_ivfpq_index" -> ivfPqAdcOracleSql,
+    // qe37: the persisted IVF-PQ two-stage probe's recall@10 over the
+    // 100-query batch (nProbe 8, 100-candidate exact rerank).
+    "qe37_ivfpq_recall" -> ivfPqRecallOracleSql,
     // qd70: three HLL estimate derivations (even docs, odd docs, all
     // docs — element-wise register max of the halves IS the union's
     // sketch) + inclusion–exclusion on the rounded estimates, generated
@@ -2184,6 +2196,111 @@ object SparkEntry {
        SELECT CAST(cell AS BIGINT) AS cell,
          CAST(count(*) AS BIGINT) AS n_vecs
        FROM cellof GROUP BY 1 ORDER BY cell"""
+
+  /** Shared IVF-PQ corpus-ENCODE CTEs (qe35/qe36/qe37): trained cells
+    * (the [[kmeansCtes]] Lloyd machinery with the IVF seed), per-vector
+    * residuals floored to the 1e-6 integer grid, the md5("pqr:")-
+    * ordered residual codebook sample (64 entries), per-subspace
+    * argmin codes over 16 subspaces of 4 dims (ties to the lower code
+    * index) — 96-bit codes, the resolution the qe37 rerank sweep
+    * showed recovers the cell ceiling. Yields `cellof`, `cvx`, `r6`,
+    * `cb`, `code` for the probe tails. All distances are exact
+    * integers carried in doubles — the [[pqAdcCtes]] discipline over
+    * residuals. */
+  private lazy val ivfPqEncodeCtes: String =
+    s"""${kmeansCtes(16, seedPrefix = "ivf:")},
+       cellof AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+       ev AS (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+           unnest(v) AS x FROM e),
+       cvx AS (SELECT cell, generate_subscripts(cv, 1) AS dim,
+           unnest(cv) AS c FROM c2),
+       r6 AS (SELECT ev.vec_id, cf.cell, ev.dim,
+           floor((ev.x - cvx.c) * 1000000.0) AS r
+         FROM ev JOIN cellof cf USING (vec_id)
+         JOIN cvx ON cvx.cell = cf.cell AND cvx.dim = ev.dim),
+       cbsel AS (SELECT vec_id, row_number() OVER (ORDER BY
+           md5('pqr:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+         FROM e QUALIFY cidx < 64),
+       cb AS (SELECT s.cidx, r6.dim, r6.r AS cx, (r6.dim - 1) // 4 AS m
+         FROM cbsel s JOIN r6 USING (vec_id)),
+       d_ AS (SELECT r6.vec_id, (r6.dim - 1) // 4 AS m, cb.cidx,
+           sum((r6.r - cb.cx) * (r6.r - cb.cx)) AS dist
+         FROM r6 JOIN cb ON cb.m = ((r6.dim - 1) // 4)
+           AND cb.dim = r6.dim
+         GROUP BY 1, 2, 3),
+       code AS (SELECT vec_id, m, cidx FROM (SELECT *, row_number()
+           OVER (PARTITION BY vec_id, m ORDER BY dist, cidx) AS crn
+           FROM d_) cd WHERE crn = 1)"""
+
+  /** Shared oracle for qe35/qe36 (the persisted index serves identical
+    * bytes): probe the 4 best trained cells for vec 0, score the probed
+    * cells' codes against the per-cell exact-integer residual tables. */
+  private lazy val ivfPqAdcOracleSql: String =
+    s"""$ivfPqEncodeCtes,
+       qv_ AS (SELECT v FROM e WHERE vec_id = 0),
+       probe AS (SELECT c.cell FROM c2 c, qv_
+         ORDER BY list_dot_product(c.cv, qv_.v) DESC, c.cell LIMIT 4),
+       qx AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         FROM qv_),
+       qr AS (SELECT p.cell, qx.dim,
+           floor((qx.x - cvx.c) * 1000000.0) AS r
+         FROM probe p JOIN cvx ON cvx.cell = p.cell
+         JOIN qx ON qx.dim = cvx.dim),
+       qd_ AS (SELECT qr.cell, (qr.dim - 1) // 4 AS m, cb.cidx,
+           sum((qr.r - cb.cx) * (qr.r - cb.cx)) AS qdist
+         FROM qr JOIN cb ON cb.m = ((qr.dim - 1) // 4)
+           AND cb.dim = qr.dim
+         GROUP BY 1, 2, 3),
+       sc AS (SELECT c.vec_id, CAST(sum(q.qdist) AS BIGINT) AS adc_score
+         FROM code c JOIN cellof cf USING (vec_id)
+         JOIN qd_ q ON q.cell = cf.cell AND q.m = c.m AND q.cidx = c.cidx
+         GROUP BY 1)
+       SELECT vec_id, adc_score, CAST(row_number() OVER (
+           ORDER BY adc_score, vec_id) AS BIGINT) AS rank
+       FROM sc QUALIFY rank <= 10 ORDER BY rank"""
+
+  /** qe37: recall@10 of the persisted IVF-PQ two-stage probe over the
+    * 100-query batch — per query, ADC over the 8 best trained cells'
+    * codes, a 50-candidate shortlist, exact-cosine rerank, then the
+    * standard recall row. */
+  private lazy val ivfPqRecallOracleSql: String =
+    s"""$ivfPqEncodeCtes,
+       $evalTruthCtes,
+       crks AS (SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.cv, q.qv) DESC, c.cell) AS crk
+         FROM c2 c, q),
+       probe AS (SELECT query_id, cell FROM crks WHERE crk <= 8),
+       qx AS (SELECT query_id, generate_subscripts(qv, 1) AS dim,
+           unnest(qv) AS x FROM q),
+       qr AS (SELECT p.query_id, p.cell, qx.dim,
+           floor((qx.x - cvx.c) * 1000000.0) AS r
+         FROM probe p JOIN cvx ON cvx.cell = p.cell
+         JOIN qx ON qx.query_id = p.query_id AND qx.dim = cvx.dim),
+       qd_ AS (SELECT qr.query_id, qr.cell, (qr.dim - 1) // 4 AS m,
+           cb.cidx, sum((qr.r - cb.cx) * (qr.r - cb.cx)) AS qdist
+         FROM qr JOIN cb ON cb.m = ((qr.dim - 1) // 4)
+           AND cb.dim = qr.dim
+         GROUP BY 1, 2, 3, 4),
+       adcs AS (SELECT qd_.query_id, c.vec_id,
+           sum(qd_.qdist) AS adc_score
+         FROM code c JOIN cellof cf USING (vec_id)
+         JOIN qd_ ON qd_.cell = cf.cell AND qd_.m = c.m
+           AND qd_.cidx = c.cidx
+         GROUP BY 1, 2),
+       short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_score, vec_id) AS srk FROM adcs) sh
+         WHERE srk <= 100),
+       rr AS (SELECT s.query_id, s.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM short s JOIN e ON e.vec_id = s.vec_id
+         JOIN q q2 ON q2.query_id = s.query_id),
+       approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM rr) ar
+         WHERE rk <= 10)
+       $recallRowSelect"""
 
   /** Shared oracle for qd65 (direct HLL) and qd68 (merged partial
     * sketches — register max-merge is associative, so both queries

@@ -101,6 +101,14 @@ object AnnIndex {
             spark.read.parquet(s"$path/$name"))
           val pcol = Seq("bucket", "cell").find(live.columns.contains)
           pcol match {
+            // batch-keyed stores keep their partitioned layout: the
+            // full fold lands under batch_id = -1 so later per-batch
+            // dynamic overwrites still compose — a plain-layout rewrite
+            // here would corrupt the directory into a mixed layout
+            case Some(p) if live.columns.contains("batch_id") =>
+              live.drop("batch_id").withColumn("batch_id", lit(-1L))
+                .repartition(col(p))
+                .write.partitionBy("batch_id", p).parquet(tmp)
             case Some(p) => live.repartition(col(p))
               .write.partitionBy(p).parquet(tmp)
             // flat tables re-cluster by vec_id (range + in-partition
@@ -344,22 +352,78 @@ object AnnIndex {
   /** Build + persist the IVF index: centroids sampled deterministically
     * (optionally Lloyd-refined with `refineIters` spherical k-means
     * passes), every vector assigned partition-locally (centroids are
-    * literals in the plan — no shuffle), stored partitioned by cell. */
+    * literals in the plan — no shuffle), stored partitioned by cell.
+    *
+    * `batchKeyed = true` writes the base build under
+    * (batch_id = −1, cell) instead — the [[SketchStore]] batch-keyed
+    * discipline applied to the vector index, so the streaming ingest's
+    * per-batch dynamic overwrites ([[putIvfBatch]]) compose with the
+    * base. A store is either batch-keyed (this + [[putIvfBatch]]) or
+    * plain (default + [[appendIvfIndex]]); the layouts don't mix under
+    * one path. Probes are layout-agnostic: they select their columns
+    * explicitly and `cell` prunes partitions at either nesting depth. */
   def writeIvfIndex(corpus: DataFrame, id: Column, vec: Column,
-      path: String, nList: Int, refineIters: Int = 0): Unit = {
+      path: String, nList: Int, refineIters: Int = 0,
+      batchKeyed: Boolean = false): Unit = {
     val cents =
       if (refineIters > 0)
         Similarity.ivfCentroidsKMeans(corpus, id, vec, nList, refineIters)
       else Similarity.ivfCentroids(corpus, id, vec, nList)
-    corpus.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+    val assigned = corpus
+      .select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
       .withColumn("cell", Similarity.nearestCell(col("v"), cents))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+    val (out, pcols) =
+      if (batchKeyed) (assigned.withColumn("batch_id", lit(-1L)),
+        Seq("batch_id", "cell"))
+      else (assigned, Seq("cell"))
+    out.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy(pcols: _*)
+      .parquet(s"$path/index")
     corpus.sparkSession.createDataFrame(
         cents.map { case (cell, cv) => (cell, cv) }.toSeq)
       .toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
+
+  /** Idempotently (re)write one micro-batch's vectors under their own
+    * (batch_id, cell) partitions of a BATCH-KEYED IVF index: the
+    * STORED centroids assign the batch (frozen model — deterministic,
+    * so a replay reproduces its rows byte-for-byte), and dynamic
+    * partition overwrite makes the write EXACTLY-once under
+    * foreachBatch's at-least-once contract — a replayed batch rewrites
+    * its own partitions instead of duplicating them, and batch 0 after
+    * a checkpoint reset overwrites only partition 0, never the base
+    * build at −1. */
+  def putIvfBatch(batch: DataFrame, id: Column, vec: Column,
+      path: String, batchId: Long): Unit = {
+    val cents = readCentroids(batch.sparkSession, path)
+    batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+      .withColumn("cell", Similarity.nearestCell(col("v"), cents))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cell").parquet(s"$path/index")
+  }
+
+  /** Fold a batch-keyed IVF index's COMMITTED batches
+    * (batch_id < keepFrom, including earlier folds at −1) into the
+    * base partition −1, collapsing the per-batch small files;
+    * partitions ≥ keepFrom are untouched, so a replay of the one
+    * in-flight batch still overwrites only its own partitions —
+    * [[SketchStore.compactBatches]]' streaming-safe contract for the
+    * vector index. Probe results unchanged (index rows just
+    * concatenate; batch identity carries no probe semantics). */
+  def compactIvfBatches(spark: SparkSession, path: String,
+      keepFrom: Long): Unit =
+    StoreFiles.replaceDir(spark, s"$path/index") { tmp =>
+      val all = spark.read.parquet(s"$path/index")
+      all.filter(col("batch_id") < keepFrom).drop("batch_id")
+        .withColumn("batch_id", lit(-1L))
+        .unionByName(all.filter(col("batch_id") >= keepFrom))
+        .repartition(col("cell"))
+        .write.partitionBy("batch_id", "cell").parquet(tmp)
+    }
 
   /** Append a batch of vectors to a persisted IVF index: the STORED
     * centroids assign the batch partition-locally (centroids are a
@@ -439,5 +503,130 @@ object AnnIndex {
         .select(col("vec_id"),
           round(Similarity.dot(col("v"), lit(qv)), 4).as("cos")),
       k)
+  }
+
+  /** Build + persist the IVF-PQ (IVFADC) index — the composed 100 TB
+    * layout: `codes/` holds `numSub` small residual codes per vector
+    * PARTITIONED BY the trained coarse cell, so a probe reads
+    * nProbe/nList of the directories at ~1 byte/dim; `centroids/` the
+    * trained cells, `codebook/` the (m, cidx, dim, c6) residual
+    * dictionary, `vectors/` the full-precision normalized vectors
+    * (vec_id-sorted — row-group stats prune the rerank lookup). Cells
+    * train with `refineIters` spherical Lloyd rounds
+    * ([[Similarity.ivfCentroidsKMeans]]), so the service-shaped
+    * artifact gets the trained model, not the sample seed. */
+  def writeIvfPqIndex(corpus: DataFrame, id: Column, vec: Column,
+      path: String, nList: Int = 16, numSub: Int = 8,
+      codebookSize: Int = 16, refineIters: Int = 2): Unit = {
+    val (cents, cb, coded) = Similarity.ivfPqEncode(corpus, id, vec,
+      nList, numSub, codebookSize, refineIters)
+    coded.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    spark.createDataFrame(cents.map { case (cell, cv) => (cell, cv) }.toSeq)
+      .toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    import spark.implicits._
+    (for { m <- cb.indices; c <- cb(m).indices; d <- cb(m)(c).indices }
+      yield (m, c, d, cb(m)(c)(d)))
+      .toDF("m", "cidx", "dim", "c6")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    corpus.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+  }
+
+  private def readCodebook(spark: SparkSession,
+      dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val cb = Array.ofDim[Double](rows.map(_._1).max + 1,
+      rows.map(_._2).max + 1, rows.map(_._3).max + 1)
+    rows.foreach { case (m, c, d, x) => cb(m)(c)(d) = x }
+    cb
+  }
+
+  private def readCentroids(spark: SparkSession,
+      path: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy { case (cell, _) => cell }
+
+  /** ADC top-k against a persisted IVF-PQ index: centroids + codebook
+    * are bounded driver reads, the probed cells become a static
+    * partition-pruning `cell IN (...)` filter on `codes/`, and scoring
+    * is a when-chain of exact-integer table lookups — the scan touches
+    * nProbe/nList of the stored code directories and nothing else. */
+  def queryIvfPqIndex(spark: SparkSession, path: String,
+      query: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val cb = readCodebook(spark, s"$path/codebook")
+    val qv = query
+      .select(Similarity.l2Normalize(col(query.columns.head)).as("qv"))
+      .head().getSeq[Double](0).toArray
+    val tabs = Similarity.ivfPqQueryTabs(qv, cents, cb, nProbe)
+    val codes = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/codes")
+        .filter(col("cell").isin(tabs.map(_._1).toIndexedSeq: _*)))
+    Similarity.pqRank(codes.select(col("vec_id"),
+      Similarity.ivfPqScoreExpr(col("codes"), tabs).cast("long")
+        .as("adc_score")), k)
+  }
+
+  /** Multi-query two-stage top-k against a persisted IVF-PQ index: per
+    * query, the `nProbe` best stored cells' codes are ADC-scanned (the
+    * probed-cell union is a static partition filter; per-(query, cell)
+    * distance tables ride the broadcast probe frame as flattened
+    * arrays, looked up by `element_at` — no shuffle of the codes), a
+    * `rerank`-sized shortlist survives per query (bounded `topk_agg`
+    * on the NEGATED integer distance), and only those
+    * |queries| × rerank rows are read at full precision for the exact
+    * cosine rerank. Stage-1 IO is nProbe/nList of the corpus at code
+    * width — qe32's compressed full scan, pruned. */
+  def ivfPqKnnJoinIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      nProbe: Int = 8, rerank: Int = 50): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val cb = readCodebook(spark, s"$path/codebook")
+    val numSub = cb.length; val cbSize = cb(0).length
+    // bounded collect: a query batch is evaluation-sized by contract
+    // (the knnJoin broadcast assumption, materialized driver-side)
+    val qRows = queries.select(qid.cast("long").as("query_id"),
+        Similarity.l2Normalize(qvec).as("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows = qRows.flatMap { case (q, qv) =>
+      Similarity.ivfPqQueryTabs(qv, cents, cb, nProbe).map {
+        case (cell, tab) => (q, cell, tab.flatten.toSeq)
+      }
+    }.toSeq
+    import spark.implicits._
+    val probes = probeRows.toDF("query_id", "cell", "qtab")
+    val probedCells = probeRows.map(_._2).distinct.toIndexedSeq
+    val codes = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/codes")
+        .filter(col("cell").isin(probedCells: _*)))
+    val adc = (0 until numSub).map(m =>
+        element_at(col("qtab"),
+          lit(m * cbSize) + element_at(col("codes"), m + 1) + lit(1)))
+      .reduce(_ + _)
+    val short = codes.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"), (-adc).as("nadc"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("nadc"), col("vec_id"), rerank).as("top"))
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p.id").as("vec_id"))
+    val qvDf = qRows.toSeq.toDF("query_id", "qv")
+    spark.read.parquet(s"$path/vectors")
+      .join(broadcast(short), Seq("vec_id"))
+      .join(broadcast(qvDf), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.dot(col("v"), col("qv")), 4).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"),
+        col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
   }
 }

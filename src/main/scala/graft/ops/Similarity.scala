@@ -294,6 +294,135 @@ object Similarity {
     bruteForceTopK(sub, id, vec, q, k)
   }
 
+  /** IVF-PQ (IVFADC — Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search"): the composed 100 TB retrieval layout. The two
+    * approximations the engine already trusts separately are STACKED —
+    * trained coarse cells PRUNE the scan (only `nProbe` of `nList`
+    * cell partitions are touched, the [[ivfTopK]] contract) and
+    * product-quantization of the RESIDUAL v − centroid(cell)
+    * compresses what remains to `numSub` small codes (the [[pqTopK]]
+    * contract, but over residuals — residuals are what PQ encodes
+    * well, since the coarse cell already absorbed the vector's
+    * direction). A query therefore scans nProbe/nList of the corpus at
+    * ~code width instead of full precision; qe32's full-corpus
+    * compressed scan becomes a PRUNED compressed scan.
+    *
+    * Determinism discipline (what makes the composition oracle-exact):
+    * centroids are the 1e-6-rounded spherical-Lloyd cells of
+    * [[ivfCentroidsKMeans]]; residuals floor to 1e-6 integer-valued
+    * doubles BEFORE encoding, so every ADC distance is an exact
+    * integer (values ≤ ~1e15 < 2^53 — no float rounding, engine-
+    * portable); the residual codebook is the md5("pqr:")-ordered
+    * sample's subspace slices; argmin ties break on the code index;
+    * per-cell query tables are exact-integer driver arithmetic. */
+  def ivfPqTopK(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, k: Int, nList: Int = 16, nProbe: Int = 4,
+      numSub: Int = 8, codebookSize: Int = 16,
+      refineIters: Int = 2): DataFrame = {
+    val (cents, cb, coded) = ivfPqEncode(corpus, id, vec, nList, numSub,
+      codebookSize, refineIters)
+    val qv = query.select(l2Normalize(col(query.columns.head)).as("qv"))
+      .head().getSeq[Double](0).toArray
+    val tabs = ivfPqQueryTabs(qv, cents, cb, nProbe)
+    pqRank(coded.filter(col("cell").isin(tabs.map(_._1).toIndexedSeq: _*))
+      .select(col("vec_id"),
+        ivfPqScoreExpr(col("codes"), tabs).cast("long").as("adc_score")),
+      k)
+  }
+
+  /** The shared IVF-PQ ENCODE pass behind [[ivfPqTopK]] and the
+    * persisted [[AnnIndex.writeIvfPqIndex]]: train cells (spherical
+    * Lloyd over md5-seeded starts), assign every vector partition-
+    * locally (centroids are plan literals — no corpus shuffle),
+    * quantize the residual to the 1e-6 integer grid and encode it with
+    * one codegen'd argmin map. Returns (cell-sorted centroids, residual
+    * codebook, (vec_id, cell, codes) frame). */
+  private[ops] def ivfPqEncode(corpus: DataFrame, id: Column, vec: Column,
+      nList: Int, numSub: Int, codebookSize: Int, refineIters: Int)
+      : (Array[(Int, Array[Double])], Array[Array[Array[Double]]],
+         DataFrame) = {
+    val cents = (if (refineIters > 0)
+        ivfCentroidsKMeans(corpus, id, vec, nList, refineIters)
+      else ivfCentroids(corpus, id, vec, nList)).sortBy(_._1)
+    // Three projection steps for the same reason as pqTopK: each alias
+    // is multiply-referenced by the next, so CollapseProject keeps the
+    // residual lambda and the argmin tree single-occurrence in the plan.
+    val resid = corpus
+      .select(id.as("vec_id"), l2Normalize(vec).as("v"))
+      .withColumn("cell", nearestCell(col("v"), cents))
+      .select(col("vec_id"), col("cell"),
+        residualE6(col("v"), col("cell"), cents).as("q"))
+    val cb = pqCodebookFrom(resid, numSub, codebookSize, "pqr:")
+    (cents, cb, resid.select(col("vec_id"), col("cell"),
+      pqCodesExprWide(col("q"), cb).as("codes")))
+  }
+
+  /** Residual of a normalized vector from its cell's centroid, floored
+    * to 1e-6 integer-valued doubles (|residual| ≤ 2 on the unit sphere,
+    * so elements stay ≤ 2e6 and squared-distance sums ≤ ~1e15 — exact
+    * in doubles AND in any other engine's). The centroid lookup is one
+    * `element_at` into a literal array-of-arrays indexed by cell — a
+    * narrow map, no join. `cents` must be cell-sorted 0..nList-1. */
+  private[ops] def residualE6(v: Column, cell: Column,
+      cents: Array[(Int, Array[Double])]): Column = {
+    val centArr = array(cents.map { case (_, cv) => lit(cv) }: _*)
+    zip_with(v, element_at(centArr, cell.cast("int") + lit(1)),
+      (a, b) => floor((a - b) * lit(1000000.0)).cast("double"))
+  }
+
+  /** Codebook over an ALREADY-QUANTIZED (vec_id, q) frame: the
+    * md5(seed)-ordered sample's subspace slices — [[pqCodebook]]'s
+    * seam generalized so residual frames can feed it. */
+  private[ops] def pqCodebookFrom(quant: DataFrame, numSub: Int,
+      codebookSize: Int, seed: String): Array[Array[Array[Double]]] = {
+    val sample = quant
+      .orderBy(md5(concat(lit(seed), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(codebookSize)
+      .select(col("q")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dim = sample(0).length
+    require(dim % numSub == 0, s"dim $dim not divisible by $numSub")
+    val subDim = dim / numSub
+    Array.tabulate(numSub, codebookSize) { (m, c) =>
+      sample(c).slice(m * subDim, (m + 1) * subDim)
+    }
+  }
+
+  /** Per-probed-cell exact-integer ADC tables for one query: cells
+    * ranked by query·centroid (ties to the lower cell — the probe
+    * convention), the query's residual from EACH probed cell's centroid
+    * floored to the same 1e-6 grid, one [[pqAdcTable]] each. */
+  private[ops] def ivfPqQueryTabs(qv: Array[Double],
+      cents: Array[(Int, Array[Double])],
+      cb: Array[Array[Array[Double]]], nProbe: Int)
+      : Array[(Int, Array[Array[Double]])] =
+    cents.map { case (cell, cv) => (cell, cv, dotArr(cv, qv)) }
+      .sortBy { case (cell, _, s) => (-s, cell) }
+      .take(nProbe)
+      .map { case (cell, cv, _) =>
+        val qr = Array.tabulate(qv.length)(i =>
+          math.floor((qv(i) - cv(i)) * 1000000.0))
+        (cell, pqAdcTable(qr, cb))
+      }
+
+  /** ADC score of a stored codes column under the probed cell's own
+    * table: a when-chain on the (partition) cell column — each branch a
+    * [[pqScoreFromCodes]] lookup against that cell's literal table. */
+  private[ops] def ivfPqScoreExpr(codes: Column,
+      tabs: Array[(Int, Array[Array[Double]])]): Column =
+    tabs.tail.foldLeft(when(col("cell") === tabs.head._1,
+        pqScoreFromCodes(codes, tabs.head._2))) {
+      case (acc, (c, tab)) =>
+        acc.when(col("cell") === c, pqScoreFromCodes(codes, tab))
+    }
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   /** Sign bits of vector elements `from+1 .. from+32` packed into one
     * long (bit j set when element from+j+1 is >= 0). Out-of-range
     * elements contribute 0 bits: `try_element_at` yields NULL past the
@@ -437,7 +566,10 @@ object Similarity {
 
   /** Per-subspace argmin codes of a quantized vector as `array<int>` —
     * one codegen'd expression (native dots against literals), ties to
-    * the lower code index. */
+    * the lower code index. Right for SMALL codebooks (qe20's 8×16 =
+    * 128 branches); for wide ones use [[pqCodesExprWide]] — this form
+    * unrolls numSub × codebookSize literal struct branches and its
+    * generated code grows past what janino compiles quickly. */
   private[ops] def pqCodesExpr(v4: Column,
       codebook: Array[Array[Array[Double]]]): Column = {
     val subDim = codebook(0)(0).length
@@ -450,6 +582,30 @@ object Similarity {
           lit(cb.map(x => x * x).sum)
         struct(dist.as("d"), lit(c).as("i"))
       }: _*)
+      array_min(cands).getField("i")
+    }: _*)
+  }
+
+  /** [[pqCodesExpr]] for WIDE codebooks: the candidate loop moves from
+    * unrolled literal branches into a higher-order `transform` over a
+    * literal array-of-arrays, so the plan stays O(numSub) nodes no
+    * matter the codebook width (16×64 as a when-chain is ~1024 struct
+    * branches — a janino compile measured in seconds per query). The
+    * lambda evaluates interpreted, but the encode is one build-time
+    * scan of numSub × codebookSize × subDim multiplies per row —
+    * data cost is unchanged; only the pathological codegen goes. Same
+    * exact integer math, same lower-code tiebreak (array_min on
+    * (dist, idx) structs). */
+  private[ops] def pqCodesExprWide(v4: Column,
+      codebook: Array[Array[Array[Double]]]): Column = {
+    val subDim = codebook(0)(0).length
+    array(codebook.indices.map { m =>
+      val sub = slice(v4, m * subDim + 1, subDim)
+      val cbm = array(codebook(m).map(cb => lit(cb)): _*)
+      val cands = transform(cbm, (cb, i) => struct(
+        aggregate(zip_with(sub, cb, (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).as("d"),
+        i.as("i")))
       array_min(cands).getField("i")
     }: _*)
   }

@@ -1697,6 +1697,74 @@ object PipelineQueries {
         nProbe = 4))
   }
 
+  /** qe35: IVF-PQ (IVFADC) top-10 — trained coarse cells prune the
+    * scan to nProbe 4 of 16 cell partitions, residual product-
+    * quantization (16 subspaces × 64 codes on the 1e-6 integer grid —
+    * 96-bit codes) compresses what remains, exact-integer ADC ranks
+    * it. The two approximations the engine already trusts separately
+    * (qe29's trained cells, qe20's PQ codes), composed — stage-1 IO
+    * becomes nProbe/nList of the corpus at code width. */
+  def ivfPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+    Similarity.ivfPqTopK(e, col("vec_id"), col("embedding"), q, k = 10,
+      nList = 16, nProbe = 4, numSub = 16, codebookSize = 64,
+      refineIters = 2)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+  }
+
+  /** Session-lifetime memo of the persisted IVF-PQ index (16 trained
+    * cells, 16×64 residual codebook): built once by qe36, probed by
+    * qe36 and qe37. */
+  private val ivfPqIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfPqIndexPath(s: SparkSession, dir: String): String =
+    ivfPqIndexPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      graft.ops.AnnIndex.writeIvfPqIndex(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), path, nList = 16, numSub = 16,
+        codebookSize = 64, refineIters = 2)
+      path
+    })
+
+  /** qe36: ADC top-10 served from the PERSISTED IVF-PQ index —
+    * identical results to qe35 (same oracle verbatim): stored
+    * centroids rank the probe cells, the probed cells become a
+    * partition-pruning filter on the stored `codes/`, and the scan
+    * reads nothing else. The build is priced here (memoized path,
+    * like qe33). */
+  def ivfPqIndexTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+    graft.ops.AnnIndex.queryIvfPqIndex(s, ivfPqIndexPath(s, dir), q,
+      k = 10, nProbe = 4)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy(col("rank"))
+  }
+
+  /** qe37: recall@10 of the persisted IVF-PQ TWO-STAGE probe over the
+    * 100-query batch — per query, nProbe 8 of 16 stored cell
+    * partitions are ADC-scanned at code width and a 100-candidate
+    * shortlist is reranked with exact cosine. The operating point is
+    * MEASURED (shortlist × code-resolution sweep over the oracle):
+    * 8×16 codes at rerank 50 recover only 0.486 of the nProbe-8 cell
+    * ceiling (0.810, qe31's curve) because 32-bit codes mis-rank true
+    * neighbors out of the shortlist; 16×64 codes (96 bits) at rerank
+    * 100 measure 0.802 ≈ the ceiling. Stage-1 reads 16 small codes
+    * per vector instead of 64 doubles, stage-2 reads 100 full rows
+    * per query — qe32's two-stage operating point with the compressed
+    * scan PRUNED to nProbe/nList of the corpus. */
+  def ivfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    recallRow(evalTruth(e),
+      graft.ops.AnnIndex.ivfPqKnnJoinIndexed(s, ivfPqIndexPath(s, dir),
+        evalQueries(e), col("vec_id"), col("embedding"), k = 10,
+        nProbe = 8, rerank = 100))
+  }
+
   /** Shared probe/exact report over a CMS sketch frame (qd66/qd69). */
   private def cmsProbeReport(s: SparkSession, dir: String,
       sketchIn: DataFrame): DataFrame = {

@@ -187,6 +187,40 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming VECTOR ingest into a persisted BATCH-KEYED IVF index
+    * ([[graft.ops.AnnIndex.writeIvfIndex]] with `batchKeyed = true`):
+    * each micro-batch's embeddings are assigned with the STORED
+    * centroids (a frozen model — no retraining, no corpus re-read;
+    * retrain via a fresh build when drift warrants) and land under
+    * their own (batch_id, cell) partitions via dynamic partition
+    * overwrite — EXACTLY-once under foreachBatch's at-least-once
+    * contract: a replayed batch rewrites its own partitions
+    * byte-for-byte instead of appending duplicate vector rows (which
+    * would surface twice in every probe ranking), and batch 0 after a
+    * checkpoint reset overwrites only partition 0, never the base
+    * build at −1. Every probe path reads base + batches transparently
+    * and keeps its `cell` partition pruning.
+    *
+    * `compactEvery` > 0 folds COMMITTED batches (everything before the
+    * one just written — the only replayable partition is untouched)
+    * into the base partition every that-many batches
+    * ([[graft.ops.AnnIndex.compactIvfBatches]]), bounding the
+    * small-file count the per-trigger cadence would otherwise grow. */
+  def vectorIngestTo(vecs: DataFrame, indexPath: String,
+      checkpoint: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.AnnIndex.putIvfBatch(batch, col("vec_id"),
+          col("embedding"), indexPath, batchId)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.ops.AnnIndex.compactIvfBatches(batch.sparkSession,
+            indexPath, keepFrom = batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def dedupIngestTo(docs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream

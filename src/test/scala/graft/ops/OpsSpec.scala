@@ -1681,6 +1681,43 @@ class OpsSpec extends AnyFunSuite {
         length(col("text")).cast("long")), qs)))
   }
 
+  test("streaming vector ingest: stored index equals whole-corpus assignment under the frozen model") {
+    val root = java.nio.file.Files.createTempDirectory("vecingest").toString
+    val idx = s"$root/idx"; val in = s"$root/in"
+    val e = Tables.load(spark, sf, "embeddings")
+    val nib = conv(substring(md5(col("vec_id").cast("string")), 1, 1),
+      16, 10).cast("int")
+    // bootstrap: the base build trains on the first half (batch-keyed
+    // layout so the streamed batches' dynamic overwrites compose)
+    AnnIndex.writeIvfIndex(e.filter(nib < 8), col("vec_id"),
+      col("embedding"), idx, nList = 8, refineIters = 1,
+      batchKeyed = true)
+    // the second half arrives as two streamed files
+    e.filter(nib >= 8 && nib < 12).write.parquet(s"$in/f1")
+    def run() = StreamingIngest.vectorIngestTo(
+      StreamingIngest.watchParquetDir(spark, s"$in/*", e.schema),
+      idx, s"$root/ckpt", compactEvery = 1).awaitTermination()
+    run()
+    e.filter(nib >= 12).write.parquet(s"$in/f2")
+    run()
+    // probes over the streamed index equal an in-memory assignment of
+    // the whole corpus under the stored (frozen) model
+    val cents = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy { case (cell, _) => cell }
+    val q5 = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+    assert(rows(AnnIndex.ivfKnnJoinIndexed(spark, idx, q5,
+        col("vec_id"), col("embedding"), k = 5, nProbe = 3)) ==
+      rows(Similarity.ivfKnnJoinWith(e, col("vec_id"), col("embedding"),
+        q5, col("vec_id"), col("embedding"), k = 5, cents, nProbe = 3)))
+    // no duplicate vector rows across base + streamed batches
+    assert(spark.read.parquet(s"$idx/index").count() == e.count())
+  }
+
   test("streaming NEAR-dup ingest: index rejects, in-batch twins resolve, replay idempotent") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("neardupingest").toString

@@ -594,6 +594,103 @@ class StoreSpec extends AnyFunSuite {
     assert(!StoreFiles.exists(spark, s"$ivf/tombstones"))
   }
 
+  test("IVF-PQ index: stored probe == in-memory; pruning; all-cells rerank == truth; tombstones") {
+    import spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+    val path = tmp("st_ivfpq")
+    AnnIndex.writeIvfPqIndex(e, col("vec_id"), col("embedding"), path,
+      nList = 8, numSub = 8, codebookSize = 8, refineIters = 1)
+    val q = e.filter(col("vec_id") === 0L).select(col("embedding"))
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq
+    // the stored artifact serves the in-memory derivation byte-for-byte
+    assert(top(AnnIndex.queryIvfPqIndex(spark, path, q, k = 5,
+        nProbe = 3)) ==
+      top(Similarity.ivfPqTopK(e, col("vec_id"), col("embedding"), q,
+        k = 5, nList = 8, nProbe = 3, numSub = 8, codebookSize = 8,
+        refineIters = 1)))
+    // the probe prunes the stored codes to the probed cell partitions
+    val p = AnnIndex.queryIvfPqIndex(spark, path, q, k = 5, nProbe = 3)
+      .queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[.*cell.*"), p.take(3000))
+    // probing ALL cells with a corpus-sized rerank makes the two-stage
+    // shape EXACT: every vector is shortlisted, the rerank is the true
+    // cosine — must equal brute-force knnJoin truth
+    val q5 = e.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+    assert(rows(AnnIndex.ivfPqKnnJoinIndexed(spark, path, q5,
+        col("vec_id"), col("embedding"), k = 5, nProbe = 8,
+        rerank = 1000)) ==
+      rows(Similarity.knnJoin(e, col("vec_id"), col("embedding"), q5,
+        col("vec_id"), col("embedding"), k = 5)))
+    // tombstone: the deleted vector vanishes from the ADC ranking
+    AnnIndex.deleteVecs(spark, path,
+      Seq(Tuple1(1L)).toDF("vec_id"), col("vec_id"))
+    val ranked = AnnIndex.queryIvfPqIndex(spark, path, q, k = 1000,
+      nProbe = 8).collect().map(_.getLong(0))
+    assert(!ranked.contains(1L) && ranked.length > 1)
+    // compact: physical drop, sidecar cleared, probe unchanged
+    val before = top(AnnIndex.queryIvfPqIndex(spark, path, q, k = 5,
+      nProbe = 3))
+    AnnIndex.compactAnnIndex(spark, path)
+    assert(top(AnnIndex.queryIvfPqIndex(spark, path, q, k = 5,
+      nProbe = 3)) == before)
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") === 1L).count() == 0)
+    assert(!StoreFiles.exists(spark, s"$path/tombstones"))
+  }
+
+  test("batch-keyed IVF index: replayed batches rewrite; compaction keeps the layout") {
+    import spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+    val nib = conv(substring(md5(col("vec_id").cast("string")), 1, 1),
+      16, 10).cast("int")
+    val base = e.filter(nib < 8)
+    val b1 = e.filter(nib >= 8 && nib < 12)
+    val b2 = e.filter(nib >= 12)
+    val path = tmp("st_ivfbk")
+    AnnIndex.writeIvfIndex(base, col("vec_id"), col("embedding"), path,
+      nList = 8, refineIters = 1, batchKeyed = true)
+    AnnIndex.putIvfBatch(b1, col("vec_id"), col("embedding"), path, 1L)
+    AnnIndex.putIvfBatch(b2, col("vec_id"), col("embedding"), path, 2L)
+    val q5 = e.filter(col("vec_id") < 5)
+    def stored() = AnnIndex.ivfKnnJoinIndexed(spark, path, q5,
+        col("vec_id"), col("embedding"), k = 5, nProbe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val full = stored()
+    // base + batches probe like an in-memory assignment of the union
+    // corpus under the same stored (frozen) model
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy { case (cell, _) => cell }
+    assert(full == Similarity
+      .ivfKnnJoinWith(e, col("vec_id"), col("embedding"), q5,
+        col("vec_id"), col("embedding"), k = 5, cents, nProbe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq)
+    // a replay REWRITES batch 2's partitions — no duplicate vector rows
+    AnnIndex.putIvfBatch(b2, col("vec_id"), col("embedding"), path, 2L)
+    assert(stored() == full)
+    assert(spark.read.parquet(s"$path/index").count() == e.count())
+    // folding committed batches keeps probes and the keyed layout
+    AnnIndex.compactIvfBatches(spark, path, keepFrom = 2L)
+    assert(stored() == full)
+    assert(spark.read.parquet(s"$path/index").select("batch_id")
+      .distinct().as[Long].collect().sorted.toSeq == Seq(-1L, 2L))
+    // the full tombstone compact also preserves the keyed layout
+    AnnIndex.compactAnnIndex(spark, path)
+    assert(stored() == full)
+    assert(spark.read.parquet(s"$path/index").select("batch_id")
+      .distinct().as[Long].collect().toSeq == Seq(-1L))
+  }
+
   test("batch-keyed sketch store: replays rewrite (not re-append); committed history folds") {
     val path = tmp("st_bk")
     def put(lo: Boolean, b: Long): Unit = {
