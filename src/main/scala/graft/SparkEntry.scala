@@ -190,6 +190,7 @@ object SparkEntry {
     "qe35_ivfpq_adc" -> (PipelineQueries.ivfPqAdc _),
     "qe36_ivfpq_index" -> (PipelineQueries.ivfPqIndexTopK _),
     "qe37_ivfpq_recall" -> (PipelineQueries.ivfPqRecall _),
+    "qd84_phrase_search" -> (PipelineQueries.phraseSearch _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1871,6 +1872,10 @@ object SparkEntry {
     // qe37: the persisted IVF-PQ two-stage probe's recall@10 over the
     // 100-query batch (nProbe 8, 100-candidate exact rerank).
     "qe37_ivfpq_recall" -> ivfPqRecallOracleSql,
+    // qd84: exact-phrase search over the positional index — the oracle
+    // re-derives token positions from the text and intersects the
+    // shifted position sets exactly as the stored probe does.
+    "qd84_phrase_search" -> phraseSearchOracleSql,
     // qd70: three HLL estimate derivations (even docs, odd docs, all
     // docs — element-wise register max of the halves IS the union's
     // sketch) + inclusion–exclusion on the rounded estimates, generated
@@ -2196,6 +2201,31 @@ object SparkEntry {
        SELECT CAST(cell AS BIGINT) AS cell,
          CAST(count(*) AS BIGINT) AS n_vecs
        FROM cellof GROUP BY 1 ORDER BY cell"""
+
+  /** qd84: exact-phrase occurrence counts — token positions re-derived
+    * from the text (`\S+` over lower, 0-based), each phrase word's
+    * positions shifted to the start they witness, a start covered by
+    * all distinct offsets is a match. Mirrors the stored positional
+    * probe exactly. */
+  private lazy val phraseSearchOracleSql: String = {
+    val words = PipelineQueries.phraseQuery
+    val wl = words.map(w => s"'$w'").mkString(", ")
+    val ol = words.indices.map(i => s"CAST($i AS BIGINT)").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '\\S+')) AS term,
+           CAST(generate_subscripts(
+             regexp_extract_all(lower(text), '\\S+'), 1) - 1 AS BIGINT)
+             AS pos
+         FROM documents),
+       ph AS (SELECT unnest([$wl]) AS term, unnest([$ol]) AS off),
+       cand AS (SELECT t.doc_id, t.pos - p.off AS start, p.off
+         FROM toks t JOIN ph p USING (term)),
+       hits AS (SELECT doc_id, start FROM cand
+         GROUP BY 1, 2 HAVING count(DISTINCT off) = ${words.length})
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+       FROM hits GROUP BY 1
+       ORDER BY n_matches DESC, doc_id LIMIT 10"""
+  }
 
   /** Shared IVF-PQ corpus-ENCODE CTEs (qe35/qe36/qe37): trained cells
     * (the [[kmeansCtes]] Lloyd machinery with the IVF seed), per-vector

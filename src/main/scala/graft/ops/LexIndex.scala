@@ -44,23 +44,30 @@ object LexIndex {
   /** Build + persist the index: ONE corpus tokenization feeds both the
     * postings table and the stats sidecar. The pre-write
     * `repartition(tpfx)` clusters each prefix into one file per shuffle
-    * partition (without it a wide scan writes tasks × 256 tiny files). */
+    * partition (without it a wide scan writes tasks × 256 tiny files).
+    *
+    * `positions = true` additionally writes `<path>/positions/`
+    * (term, doc_id, pos — the 0-based token index), term-prefix
+    * partitioned like the postings, enabling exact-PHRASE probes
+    * ([[phraseTopKIndexed]]). BM25 probes never read it; the setting
+    * must be consistent across a store's builds and appends. */
   def writeBm25Index(docs: DataFrame, id: Column, text: Column,
-      path: String): Unit =
-    writeBatch(docs, id, text, path, mode = "overwrite")
+      path: String, positions: Boolean = false): Unit =
+    writeBatch(docs, id, text, path, mode = "overwrite", positions)
 
   /** Append a new batch: postings rows land in their term-prefix
     * directories, the stats partial appends blindly — no history read,
     * no rebuild. Identical probe results to a fresh whole-corpus build
     * because postings(A ∪ B) IS postings(A) ∪ postings(B) row-for-row
     * (doc_ids are disjoint across batches) and the stats sums are
-    * associative. */
+    * associative. Position rows (when the store carries them) append
+    * under the same argument. */
   def appendBm25Index(batch: DataFrame, id: Column, text: Column,
-      path: String): Unit =
-    writeBatch(batch, id, text, path, mode = "append")
+      path: String, positions: Boolean = false): Unit =
+    writeBatch(batch, id, text, path, mode = "append", positions)
 
   private def writeBatch(docs: DataFrame, id: Column, text: Column,
-      path: String, mode: String): Unit = {
+      path: String, mode: String, positions: Boolean): Unit = {
     val toks = docs
       .select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
@@ -71,6 +78,13 @@ object LexIndex {
       .withColumn("tpfx", tpfx(col("term")))
       .repartition(col("tpfx"))
       .write.mode(mode).partitionBy("tpfx").parquet(s"$path/postings")
+    if (positions)
+      toks.select(col("doc_id"),
+          posexplode(col("toks")).as(Seq("pos", "term")))
+        .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+        .withColumn("tpfx", tpfx(col("term")))
+        .repartition(col("tpfx"))
+        .write.mode(mode).partitionBy("tpfx").parquet(s"$path/positions")
     toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
       .write.mode(mode).parquet(s"$path/stats")
   }
@@ -138,14 +152,18 @@ object LexIndex {
     * ([[StoreFiles.replaceDir]]). */
   def compactBm25Index(spark: SparkSession, path: String): Unit = {
     val hasTombs = StoreFiles.exists(spark, s"$path/tombstones")
-    StoreFiles.replaceDir(spark, s"$path/postings") { tmp =>
-      val live0 = spark.read.parquet(s"$path/postings")
-      val live = if (!hasTombs) live0
-        else live0.join(spark.read.parquet(s"$path/tombstones"),
-          Seq("doc_id"), "left_anti")
-      live.repartition(col("tpfx"))
-        .write.partitionBy("tpfx").parquet(tmp)
-    }
+    def prefixSub(name: String): Unit =
+      if (StoreFiles.exists(spark, s"$path/$name"))
+        StoreFiles.replaceDir(spark, s"$path/$name") { tmp =>
+          val live0 = spark.read.parquet(s"$path/$name")
+          val live = if (!hasTombs) live0
+            else live0.join(spark.read.parquet(s"$path/tombstones"),
+              Seq("doc_id"), "left_anti")
+          live.repartition(col("tpfx"))
+            .write.partitionBy("tpfx").parquet(tmp)
+        }
+    prefixSub("postings")
+    prefixSub("positions")
     StoreFiles.replaceDir(spark, s"$path/stats") { tmp =>
       spark.read.parquet(s"$path/stats")
         .agg(sum(col("n_docs")).as("n_docs"),
@@ -211,6 +229,48 @@ object LexIndex {
       .groupBy(col("doc_id"))
       .agg(sum(col("c_e4")).as("score_e4"))
       .orderBy(col("score_e4").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Exact-PHRASE search against the positional index: documents
+    * containing the token sequence `phrase` verbatim, ranked by
+    * occurrence count (ties to the lower doc_id). The classic
+    * positional-postings algorithm as one aggregation: each term's
+    * stored (doc_id, pos) rows shift to the phrase start they would
+    * witness (`start = pos − offset`), and a start where ALL
+    * `phrase.length` distinct offsets appear is a match — repeated
+    * phrase words work because the count is per DISTINCT offset.
+    *
+    * Scale shape: the phrase's term prefixes prune the positions read
+    * to the directories its own words name (the [[bm25TopKIndexed]]
+    * discipline); every later stage is bounded by those terms' position
+    * lists, never the corpus; the final rank is a TakeOrdered over
+    * match-bearing docs only. Tombstoned docs drop before grouping, so
+    * a probe equals one over an index built without them. */
+  def phraseTopKIndexed(spark: SparkSession, path: String,
+      phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    import spark.implicits._
+    val ph = phrase.zipWithIndex.map { case (w, i) => (w, i.toLong) }
+      .toDF("term", "off")
+      .withColumn("tpfx", tpfx(col("term")))
+      .localCheckpoint(eager = false)
+    val pfxs = ph.select(col("tpfx")).distinct().collect()
+      .map(_.getString(0)).toIndexedSeq
+    val pos0 = spark.read.parquet(s"$path/positions")
+      .filter(col("tpfx").isin(pfxs: _*))
+      .join(broadcast(ph.select(col("term"), col("off"))), Seq("term"))
+    val pos = if (!StoreFiles.exists(spark, s"$path/tombstones")) pos0
+      else pos0.join(spark.read.parquet(s"$path/tombstones"),
+        Seq("doc_id"), "left_anti")
+    pos.select(col("doc_id"), (col("pos") - col("off")).as("start"),
+        col("off"))
+      .groupBy(col("doc_id"), col("start"))
+      .agg(countDistinct(col("off")).as("n_off"))
+      .filter(col("n_off") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
       .limit(k)
   }
 }

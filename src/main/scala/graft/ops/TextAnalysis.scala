@@ -29,6 +29,29 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "des", "et", "est", "que", "pour", "dans", "une"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"))
 
+  /** Exact-phrase occurrence count per document — the in-memory twin
+    * of [[LexIndex.phraseTopKIndexed]] (same shift-to-start
+    * set-intersection over token positions, derived from the text
+    * instead of stored position lists). Emits only matching docs. */
+  def phraseMatches(docs: DataFrame, id: Column, text: Column,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = phrase.zipWithIndex.map { case (w, i) => (w, i.toLong) }
+      .toDF("term", "off")
+    docs.select(id.as("doc_id"),
+        posexplode(tokens(text)).as(Seq("pos", "term")))
+      .join(broadcast(ph), Seq("term"))
+      .select(col("doc_id"), (col("pos") - col("off")).as("start"),
+        col("off"))
+      .groupBy(col("doc_id"), col("start"))
+      .agg(countDistinct(col("off")).as("n_off"))
+      .filter(col("n_off") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Count of tokens belonging to `words` — a codegen'd array filter,
     * no explode, no shuffle. */
   def stopwordHits(toks: Column, words: Seq[String]): Column = {

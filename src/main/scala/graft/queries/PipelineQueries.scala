@@ -1903,6 +1903,37 @@ object PipelineQueries {
       .orderBy(col("score_e4").desc, col("doc_id"))
   }
 
+  /** Session memo of the POSITIONAL index (postings + per-term token
+    * positions, both term-prefix partitioned). A separate path from
+    * the qd75 build so qd75/qd76's pricing is untouched. */
+  private val posIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def posIndexPath(s: SparkSession, dir: String): String =
+    posIndexPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_posidx").toString
+      graft.ops.LexIndex.writeBm25Index(t(s, dir, "documents"),
+        col("doc_id"), col("text"), path, positions = true)
+      path
+    })
+
+  /** The literal phrase probed by qd84 — a token trigram that occurs
+    * verbatim in the corpus. */
+  val phraseQuery: Seq[String] = Seq("row", "column", "sort")
+
+  /** qd84: exact-PHRASE search over the PERSISTED positional index —
+    * docs containing the query trigram verbatim, ranked by occurrence
+    * count. The probe reads only the phrase's own term-prefix
+    * directories and shifts each term's stored positions to the phrase
+    * start they witness; a start covered by all three offsets is a
+    * match (the classic positional-postings intersection as one
+    * aggregation). The build (one extra posexplode pass alongside the
+    * postings) is priced here via the memoized path. */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LexIndex.phraseTopKIndexed(s, posIndexPath(s, dir),
+      phraseQuery, k = 10)
+
   /** qd67: BM25 top-10 documents for the literal query terms. */
   def bm25TopDocs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

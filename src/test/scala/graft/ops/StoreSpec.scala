@@ -507,6 +507,34 @@ class StoreSpec extends AnyFunSuite {
       .join(delIds, Seq("doc_id"), "left_semi").count() == 0)
   }
 
+  test("positional index: phrase probe == in-memory twin; prunes; tombstones + compact") {
+    val path = tmp("st_phrase")
+    LexIndex.writeBm25Index(docs, col("doc_id"), col("text"), path,
+      positions = true)
+    val phrase = Seq("row", "column", "sort")
+    def probe() = LexIndex.phraseTopKIndexed(spark, path, phrase, k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def twin(dd: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.phraseMatches(dd, col("doc_id"), col("text"), phrase)
+        .orderBy(col("n_matches").desc, col("doc_id")).limit(100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe().nonEmpty && probe() == twin(docs))
+    // the probe prunes the positions read to the phrase's own prefixes
+    val p = LexIndex.phraseTopKIndexed(spark, path, phrase, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.matches("(?s).*PartitionFilters: \\[.*tpfx.*"), p.take(3000))
+    // tombstoned docs drop from phrase results; compact preserves and
+    // physically removes their position rows
+    LexIndex.deleteFromBm25Index(spark, path,
+      half(lo = true).select(col("doc_id")), col("doc_id"))
+    assert(probe() == twin(half(lo = false)))
+    LexIndex.compactBm25Index(spark, path)
+    assert(probe() == twin(half(lo = false)))
+    assert(spark.read.parquet(s"$path/positions")
+      .join(half(lo = true).select(col("doc_id")), Seq("doc_id"),
+        "left_semi").count() == 0)
+  }
+
   test("dedup index tombstones: deleted docs stop blocking probes; compact drops their rows") {
     import spark.implicits._
     val path = tmp("st_dxdel")
