@@ -66,27 +66,125 @@ object LexIndex {
       path: String, positions: Boolean = false): Unit =
     writeBatch(batch, id, text, path, mode = "append", positions)
 
-  private def writeBatch(docs: DataFrame, id: Column, text: Column,
-      path: String, mode: String, positions: Boolean): Unit = {
-    val toks = docs
-      .select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+  private def tokenized(docs: DataFrame, id: Column,
+      text: Column): DataFrame =
+    docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
       .localCheckpoint(eager = false)
+
+  private def postingsOf(toks: DataFrame): DataFrame =
     toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("tpfx", tpfx(col("term")))
-      .repartition(col("tpfx"))
+
+  private def positionsOf(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+      .withColumn("tpfx", tpfx(col("term")))
+
+  private def statsOf(toks: DataFrame): DataFrame =
+    toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+
+  private def writeBatch(docs: DataFrame, id: Column, text: Column,
+      path: String, mode: String, positions: Boolean): Unit = {
+    val toks = tokenized(docs, id, text)
+    postingsOf(toks).repartition(col("tpfx"))
       .write.mode(mode).partitionBy("tpfx").parquet(s"$path/postings")
     if (positions)
-      toks.select(col("doc_id"),
-          posexplode(col("toks")).as(Seq("pos", "term")))
-        .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
-        .withColumn("tpfx", tpfx(col("term")))
-        .repartition(col("tpfx"))
+      positionsOf(toks).repartition(col("tpfx"))
         .write.mode(mode).partitionBy("tpfx").parquet(s"$path/positions")
-    toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-      .write.mode(mode).parquet(s"$path/stats")
+    statsOf(toks).write.mode(mode).parquet(s"$path/stats")
+  }
+
+  // ---- batch-keyed writes: the exactly-once streaming layout ----
+  //
+  // [[appendBm25Index]] is append-only rows + blind stats partials, so
+  // a replayed micro-batch would DOUBLE its docs' posting rows (they'd
+  // score twice) and over-count the stats sums. Keying every batch's
+  // rows by a leading `batch_id` partition and writing with dynamic
+  // partition overwrite makes the write idempotent — the [[SketchStore]]
+  // / [[AnnIndex.putIvfBatch]] discipline for the lexical index. A
+  // store is either batch-keyed (built by [[writeBm25IndexBatchKeyed]],
+  // grown by [[putBm25Batch]]) or plain; the layouts don't mix under
+  // one path. Probes are layout-agnostic: they name their columns and
+  // `tpfx` prunes partitions at either nesting depth.
+
+  /** Base build of a BATCH-KEYED index: everything lands under
+    * batch_id = −1 so streamed batches' dynamic overwrites compose. */
+  def writeBm25IndexBatchKeyed(docs: DataFrame, id: Column, text: Column,
+      path: String, positions: Boolean = false): Unit = {
+    val toks = tokenized(docs, id, text)
+    postingsOf(toks).withColumn("batch_id", lit(-1L))
+      .repartition(col("tpfx"))
+      .write.mode("overwrite").partitionBy("batch_id", "tpfx")
+      .parquet(s"$path/postings")
+    if (positions)
+      positionsOf(toks).withColumn("batch_id", lit(-1L))
+        .repartition(col("tpfx"))
+        .write.mode("overwrite").partitionBy("batch_id", "tpfx")
+        .parquet(s"$path/positions")
+    statsOf(toks).withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(s"$path/stats")
+  }
+
+  /** Idempotently (re)write one micro-batch's postings/positions/stats
+    * under its own batch_id partitions: a replay rewrites byte-for-byte
+    * (the tokenization is deterministic) instead of doubling posting
+    * rows and stats sums, and batch 0 after a checkpoint reset
+    * overwrites only partition 0, never the base build at −1. Writes
+    * the positional half exactly when the store carries one. */
+  def putBm25Batch(batch: DataFrame, id: Column, text: Column,
+      path: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val toks = tokenized(batch, id, text)
+    def put(df: DataFrame, dir: String, pcols: Seq[String]): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(pcols: _*).parquet(dir)
+    put(postingsOf(toks).repartition(col("tpfx")),
+      s"$path/postings", Seq("batch_id", "tpfx"))
+    if (StoreFiles.exists(spark, s"$path/positions"))
+      put(positionsOf(toks).repartition(col("tpfx")),
+        s"$path/positions", Seq("batch_id", "tpfx"))
+    put(statsOf(toks), s"$path/stats", Seq("batch_id"))
+  }
+
+  /** Fold a batch-keyed index's COMMITTED batches (batch_id < keepFrom,
+    * including earlier folds at −1) into the base partition −1;
+    * partitions ≥ keepFrom stay untouched so a replay of the one
+    * in-flight batch still overwrites only its own partitions —
+    * [[SketchStore.compactBatches]]' streaming-safe contract. Posting/
+    * position rows concatenate; the stats partials SUM (associative). */
+  def compactBm25Batches(spark: SparkSession, path: String,
+      keepFrom: Long): Unit = {
+    def sub(name: String, pcols: Seq[String],
+        fold: DataFrame => DataFrame): Unit =
+      if (StoreFiles.exists(spark, s"$path/$name"))
+        StoreFiles.replaceDir(spark, s"$path/$name") { tmp =>
+          val all = spark.read.parquet(s"$path/$name")
+          fold(all.filter(col("batch_id") < keepFrom).drop("batch_id"))
+            .withColumn("batch_id", lit(-1L))
+            .unionByName(all.filter(col("batch_id") >= keepFrom))
+            .repartition(col(pcols.last))
+            .write.partitionBy(pcols: _*).parquet(tmp)
+        }
+    sub("postings", Seq("batch_id", "tpfx"), identity)
+    sub("positions", Seq("batch_id", "tpfx"), identity)
+    if (StoreFiles.exists(spark, s"$path/stats"))
+      StoreFiles.replaceDir(spark, s"$path/stats") { tmp =>
+        val all = spark.read.parquet(s"$path/stats")
+        all.filter(col("batch_id") < keepFrom)
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("total_dl")).as("total_dl"))
+          .withColumn("batch_id", lit(-1L))
+          .unionByName(all.filter(col("batch_id") >= keepFrom))
+          .coalesce(1)
+          .write.partitionBy("batch_id").parquet(tmp)
+      }
   }
 
   /** Merged global stats over all appended partials: `(n_docs, avgdl)`.
@@ -135,10 +233,17 @@ object LexIndex {
     // it covers exactly the docs whose stats get subtracted.
     perDoc.select(col("doc_id"))
       .write.mode("append").parquet(s"$path/tombstones")
-    perDoc
+    val neg = perDoc
       .agg((count(lit(1)) * lit(-1L)).as("n_docs"),
         coalesce(sum(col("dl")) * lit(-1L), lit(0L)).as("total_dl"))
-      .write.mode("append").parquet(s"$path/stats")
+    // batch-keyed stats keep their layout: negative partials append
+    // under the reserved batch_id = -2 partition (never a batch id, so
+    // replays and folds can't collide with it)
+    if (spark.read.parquet(s"$path/stats").columns.contains("batch_id"))
+      neg.withColumn("batch_id", lit(-2L))
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(s"$path/stats")
+    else neg.write.mode("append").parquet(s"$path/stats")
   }
 
   /** Compact the index: physically drop tombstoned postings, collapse
@@ -159,16 +264,26 @@ object LexIndex {
           val live = if (!hasTombs) live0
             else live0.join(spark.read.parquet(s"$path/tombstones"),
               Seq("doc_id"), "left_anti")
-          live.repartition(col("tpfx"))
+          // batch-keyed stores keep their layout (everything folds to
+          // partition -1) so later per-batch overwrites still compose
+          if (live.columns.contains("batch_id"))
+            live.drop("batch_id").withColumn("batch_id", lit(-1L))
+              .repartition(col("tpfx"))
+              .write.partitionBy("batch_id", "tpfx").parquet(tmp)
+          else live.repartition(col("tpfx"))
             .write.partitionBy("tpfx").parquet(tmp)
         }
     prefixSub("postings")
     prefixSub("positions")
     StoreFiles.replaceDir(spark, s"$path/stats") { tmp =>
-      spark.read.parquet(s"$path/stats")
+      val all = spark.read.parquet(s"$path/stats")
+      val folded = all
         .agg(sum(col("n_docs")).as("n_docs"),
           sum(col("total_dl")).as("total_dl"))
-        .coalesce(1).write.parquet(tmp)
+      if (all.columns.contains("batch_id"))
+        folded.withColumn("batch_id", lit(-1L)).coalesce(1)
+          .write.partitionBy("batch_id").parquet(tmp)
+      else folded.coalesce(1).write.parquet(tmp)
     }
     StoreFiles.delete(spark, s"$path/tombstones")
   }

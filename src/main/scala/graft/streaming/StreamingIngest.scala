@@ -221,6 +221,33 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming LEXICAL ingest into a persisted BATCH-KEYED BM25 index
+    * ([[graft.ops.LexIndex.writeBm25IndexBatchKeyed]]): each
+    * micro-batch is tokenized once and its postings (+ positions, when
+    * the store carries them) and stats partial land under their own
+    * batch_id partitions via dynamic partition overwrite — EXACTLY-once
+    * under foreachBatch's at-least-once contract, where a blind
+    * [[graft.ops.LexIndex.appendBm25Index]] replay would DOUBLE the
+    * batch's posting rows (its docs would score twice) and over-count
+    * the stats sums. BM25 and phrase probes read base + batches
+    * transparently and keep their term-prefix pruning. `compactEvery`
+    * folds committed batches into the base partition every that-many
+    * batches ([[graft.ops.LexIndex.compactBm25Batches]]). */
+  def lexIngestTo(docs: DataFrame, indexPath: String, checkpoint: String,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.LexIndex.putBm25Batch(batch, col("doc_id"),
+          col("text"), indexPath, batchId)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+          graft.ops.LexIndex.compactBm25Batches(batch.sparkSession,
+            indexPath, keepFrom = batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def dedupIngestTo(docs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream

@@ -1681,6 +1681,36 @@ class OpsSpec extends AnyFunSuite {
         length(col("text")).cast("long")), qs)))
   }
 
+  test("streaming lexical ingest: probes equal a whole-corpus build") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("lexingest").toString
+    val idx = s"$root/idx"; val in = s"$root/in"
+    val d = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val nib = conv(substring(md5(col("doc_id").cast("string")), 1, 1),
+      16, 10).cast("int")
+    LexIndex.writeBm25IndexBatchKeyed(d.filter(nib < 8), col("doc_id"),
+      col("text"), idx, positions = true)
+    d.filter(nib >= 8 && nib < 12).write.parquet(s"$in/f1")
+    def run() = StreamingIngest.lexIngestTo(
+      StreamingIngest.watchParquetDir(spark, s"$in/*", d.schema),
+      idx, s"$root/ckpt", compactEvery = 1).awaitTermination()
+    run()
+    d.filter(nib >= 12).write.parquet(s"$in/f2")
+    run()
+    val ref = s"$root/ref"
+    LexIndex.writeBm25Index(d, col("doc_id"), col("text"), ref,
+      positions = true)
+    val terms = Seq("table", "hash", "merge").map(Tuple1(_)).toDF("term")
+    def bm(p: String) = LexIndex.bm25TopKIndexed(spark, p, terms,
+        col("term"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def ph(p: String) = LexIndex.phraseTopKIndexed(spark, p,
+        Seq("row", "column", "sort"), k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bm(idx) == bm(ref) && ph(idx) == ph(ref))
+  }
+
   test("streaming vector ingest: stored index equals whole-corpus assignment under the frozen model") {
     val root = java.nio.file.Files.createTempDirectory("vecingest").toString
     val idx = s"$root/idx"; val in = s"$root/in"

@@ -535,6 +535,51 @@ class StoreSpec extends AnyFunSuite {
         "left_semi").count() == 0)
   }
 
+  test("batch-keyed BM25 index: replays rewrite; probes match a whole-corpus build; folds keep layout") {
+    import spark.implicits._
+    val path = tmp("st_bm25bk"); val ref = tmp("st_bm25ref")
+    val base = half(lo = true); val batch = half(lo = false)
+    val b1 = batch.filter(col("doc_id") % 2 === 0)
+    val b2 = batch.filter(col("doc_id") % 2 =!= 0)
+    LexIndex.writeBm25IndexBatchKeyed(base, col("doc_id"), col("text"),
+      path, positions = true)
+    LexIndex.putBm25Batch(b1, col("doc_id"), col("text"), path, 0L)
+    LexIndex.putBm25Batch(b2, col("doc_id"), col("text"), path, 1L)
+    LexIndex.writeBm25Index(docs, col("doc_id"), col("text"), ref,
+      positions = true)
+    val terms = Seq("table", "hash", "merge").map(Tuple1(_)).toDF("term")
+    def bm(p: String) = LexIndex.bm25TopKIndexed(spark, p, terms,
+        col("term"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def ph(p: String) = LexIndex.phraseTopKIndexed(spark, p,
+        Seq("row", "column", "sort"), k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // base + streamed batches probe exactly like one whole-corpus build
+    assert(bm(path) == bm(ref) && ph(path) == ph(ref))
+    // a REPLAY of the last batch rewrites its partitions — posting rows
+    // and stats sums stay single-counted
+    LexIndex.putBm25Batch(b2, col("doc_id"), col("text"), path, 1L)
+    assert(bm(path) == bm(ref) && ph(path) == ph(ref))
+    assert(LexIndex.readStats(spark, path).head().getLong(0) ==
+      LexIndex.readStats(spark, ref).head().getLong(0))
+    // folding committed batches keeps probes and the keyed layout
+    LexIndex.compactBm25Batches(spark, path, keepFrom = 1L)
+    assert(bm(path) == bm(ref) && ph(path) == ph(ref))
+    assert(spark.read.parquet(s"$path/postings").select("batch_id")
+      .distinct().as[Long].collect().sorted.toSeq == Seq(-1L, 1L))
+    // tombstone delete + FULL compact: equals a plain build without the
+    // deleted docs, layout still batch-keyed
+    LexIndex.deleteFromBm25Index(spark, path, b2.select(col("doc_id")),
+      col("doc_id"))
+    LexIndex.compactBm25Index(spark, path)
+    val ref2 = tmp("st_bm25ref2")
+    LexIndex.writeBm25Index(base.unionByName(b1), col("doc_id"),
+      col("text"), ref2, positions = true)
+    assert(bm(path) == bm(ref2) && ph(path) == ph(ref2))
+    assert(spark.read.parquet(s"$path/postings").select("batch_id")
+      .distinct().as[Long].collect().toSeq == Seq(-1L))
+  }
+
   test("dedup index tombstones: deleted docs stop blocking probes; compact drops their rows") {
     import spark.implicits._
     val path = tmp("st_dxdel")
