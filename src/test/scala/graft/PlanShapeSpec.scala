@@ -85,6 +85,26 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastExchange"), p.take(3000))
   }
 
+  test("IVF-PQ multi-query probe: pruned codes broadcast-join the tables, bounded top-k, no window") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("ivfpqplan").toString
+    graft.ops.AnnIndex.writeIvfPqIndex(e, col("vec_id"),
+      col("embedding"), path, nList = 8, numSub = 8, codebookSize = 8,
+      refineIters = 0)
+    val p = plan(graft.ops.AnnIndex.ivfPqKnnJoinIndexed(spark, path,
+      e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+      k = 5, nProbe = 3, rerank = 10))
+    // stage 1: the stored codes prune to the probed cells and join the
+    // per-(query, cell) distance tables by BROADCAST — the codes never
+    // shuffle; both top-k stages are bounded map-side aggregates
+    assert(p.matches("(?s).*PartitionFilters: \\[.*cell.*"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(p.contains("partial_topk_agg"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
+  }
+
   test("dedup-index probe prunes to the batch's fingerprint partitions") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")
