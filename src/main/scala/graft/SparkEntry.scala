@@ -1903,22 +1903,45 @@ object SparkEntry {
     // CTEs with qd76 — the lexical list is served from the persisted
     // postings index, so only term-matched docs rank) and the qe01-style
     // brute-force cosine top-50, k=60, on doc_id = vec_id.
+    // qe27: both fusion halves serve from PERSISTED indexes — the
+    // lexical list from the postings index, the vector list from the
+    // stored int8 codes via qe09/qe10's two-stage decode chain
+    // (stage-1 affine-decoded ranking, 50-candidate exact rerank).
     "qe27_hybrid_rrf" -> (bm25IndexedCtes + """,
          lex AS (SELECT doc_id AS id,
            CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id)
              AS BIGINT) AS rank_lex
            FROM isc QUALIFY rank_lex <= 50),
-         z AS (SELECT e.vec_id, CAST(unnest(e.embedding) AS DOUBLE) AS a,
-           CAST(unnest((SELECT embedding FROM embeddings WHERE vec_id = 0))
-             AS DOUBLE) AS b2
-           FROM embeddings e),
-         s AS (SELECT vec_id, sum(a*b2) AS ab, sum(a*a) AS aa,
-           sum(b2*b2) AS bb FROM z GROUP BY 1),
+         vraw AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+           FROM embeddings),
+         ve AS (SELECT vec_id,
+           list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+           FROM vraw),
+         vex AS (SELECT vec_id, unnest(range(64)) AS dim,
+             floor(unnest(v) * 10000.0) AS x_e4 FROM ve),
+         vstats AS (SELECT dim, min(x_e4) AS mn, max(x_e4) AS mx
+           FROM vex GROUP BY 1),
+         vqv AS (SELECT unnest(range(64)) AS dim, unnest(v) AS qx
+           FROM ve WHERE vec_id = 0),
+         vdec AS (SELECT vex.vec_id, vex.dim,
+             (s.mn + (CASE WHEN s.mx = s.mn THEN 0.0
+               ELSE least(floor((vex.x_e4 - s.mn) * 255
+                 / CAST(s.mx - s.mn AS DOUBLE)), 255.0) END)
+               * (s.mx - s.mn) / 255.0) / 10000.0 AS c
+           FROM vex JOIN vstats s USING (dim)),
+         vasc AS (SELECT d.vec_id, sum(d.c * q.qx) AS ascore
+           FROM vdec d JOIN vqv q USING (dim) GROUP BY 1),
+         vcand AS (SELECT vec_id FROM vasc ORDER BY ascore DESC, vec_id
+           LIMIT 50),
+         vz AS (SELECT ve.vec_id, unnest(ve.v) AS a,
+             unnest((SELECT v FROM ve WHERE vec_id = 0)) AS b2
+           FROM ve JOIN vcand USING (vec_id)),
+         vs2 AS (SELECT vec_id, sum(a*b2) AS ab FROM vz GROUP BY 1),
          vec AS (SELECT vec_id AS id,
-           CAST(row_number() OVER (ORDER BY
-               round(ab / (sqrt(aa) * sqrt(bb)), 4) DESC, vec_id) AS BIGINT)
-             AS rank_vec
-           FROM s QUALIFY rank_vec <= 50),
+           CAST(row_number() OVER (ORDER BY round(ab, 4) DESC, vec_id)
+             AS BIGINT) AS rank_vec
+           FROM vs2 QUALIFY rank_vec <= 50),
          f AS (SELECT coalesce(lex.id, vec.id) AS id, rank_lex, rank_vec,
            round(coalesce(1.0 / (60.0 + rank_lex), 0.0)
              + coalesce(1.0 / (60.0 + rank_vec), 0.0), 6) AS rrf

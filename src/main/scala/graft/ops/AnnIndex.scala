@@ -536,6 +536,32 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$path/vectors")
   }
 
+  /** Append a batch to a persisted IVF-PQ index under the STORED model:
+    * the frozen centroids assign cells, the frozen residual codebook
+    * encodes — no retraining, no corpus re-read (retrain via a fresh
+    * [[writeIvfPqIndex]] when drift warrants, the [[appendIvfIndex]]
+    * contract). Probing ALL cells with a corpus-sized rerank over the
+    * appended index still equals brute-force truth over the union —
+    * the two-stage exactness identity is model-independent
+    * (spec-pinned). */
+  def appendIvfPqIndex(batch: DataFrame, id: Column, vec: Column,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = readCentroids(spark, path)
+    val cb = readCodebook(spark, s"$path/codebook")
+    batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+      .withColumn("cell", Similarity.nearestCell(col("v"), cents))
+      .select(col("vec_id"), col("cell"),
+        Similarity.residualE6(col("v"), col("cell"), cents).as("q"))
+      .select(col("vec_id"), col("cell"),
+        Similarity.pqCodesExprWide(col("q"), cb).as("codes"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("append").parquet(s"$path/vectors")
+  }
+
   private def readCodebook(spark: SparkSession,
       dir: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(dir).collect()

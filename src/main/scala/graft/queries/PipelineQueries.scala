@@ -1957,12 +1957,28 @@ object PipelineQueries {
       .limit(20)
   }
 
+  /** Session memo of the persisted int8-quantized index probed by the
+    * hybrid query's vector half (qe10 deliberately keeps pricing its
+    * own fresh build — this memo serves the service-shaped fusion). */
+  private val quantIdxPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def quantIdxPath(s: SparkSession, dir: String): String =
+    quantIdxPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_q8idx").toString
+      graft.ops.AnnIndex.writeQuantizedIndex(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), path)
+      path
+    })
+
   /** qe27: hybrid retrieval — reciprocal-rank fusion (k=60) of the BM25
-    * top-50 lexical list (served from the PERSISTED postings index —
-    * the service shape: qd75 built it, this query probes it) and the
-    * brute-force cosine top-50 vector list over `embeddings` (vec_id 0
-    * as the query), fused on doc_id = vec_id. Both lists are
-    * TakeOrdered-shaped; the fusion is a tiny outer join of two
+    * top-50 lexical list and the vector top-50, fused on doc_id =
+    * vec_id. BOTH lists are served from PERSISTED indexes — the full
+    * service shape: the lexical half probes the qd75 postings index,
+    * the vector half probes the stored int8 codes (qe10's two-stage:
+    * compressed stage-1 scan, 50-candidate exact rerank). Both lists
+    * are TakeOrdered-shaped; the fusion is a tiny outer join of two
     * ≤50-row frames. */
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1975,8 +1991,8 @@ object PipelineQueries {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") === 0)
       .select(Similarity.l2Normalize(col("embedding")).as("qv"))
-    val vec = Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"),
-        q, k = 50)
+    val vec = graft.ops.AnnIndex.queryQuantizedIndex(s,
+        quantIdxPath(s, dir), q, k = 50, rerank = 50)
       .select(col("vec_id").as("id"), col("rank").cast("long").as("rank_vec"))
     val fused = lex.join(vec, Seq("id"), "full_outer")
       .select(col("id"), col("rank_lex"), col("rank_vec"),

@@ -700,6 +700,24 @@ class StoreSpec extends AnyFunSuite {
         rerank = 1000)) ==
       rows(Similarity.knnJoin(e, col("vec_id"), col("embedding"), q5,
         col("vec_id"), col("embedding"), k = 5)))
+    // append under the STORED (frozen) model: build on one half, append
+    // the other — the all-cells corpus-rerank identity must still hold
+    // over the union (it is model-independent, so it pins exactly that
+    // the appended rows landed complete and unduplicated)
+    val nib = conv(substring(md5(col("vec_id").cast("string")), 1, 1),
+      16, 10).cast("int")
+    val path2 = tmp("st_ivfpq2")
+    AnnIndex.writeIvfPqIndex(e.filter(nib < 8), col("vec_id"),
+      col("embedding"), path2, nList = 8, numSub = 8, codebookSize = 8,
+      refineIters = 1)
+    AnnIndex.appendIvfPqIndex(e.filter(nib >= 8), col("vec_id"),
+      col("embedding"), path2)
+    assert(rows(AnnIndex.ivfPqKnnJoinIndexed(spark, path2, q5,
+        col("vec_id"), col("embedding"), k = 5, nProbe = 8,
+        rerank = 1000)) ==
+      rows(Similarity.knnJoin(e, col("vec_id"), col("embedding"), q5,
+        col("vec_id"), col("embedding"), k = 5)))
+    assert(spark.read.parquet(s"$path2/codes").count() == e.count())
     // tombstone: the deleted vector vanishes from the ADC ranking
     AnnIndex.deleteVecs(spark, path,
       Seq(Tuple1(1L)).toDF("vec_id"), col("vec_id"))
