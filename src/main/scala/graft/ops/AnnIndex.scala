@@ -33,23 +33,57 @@ object AnnIndex {
     * `attrs` are extra (pre-aliased) attribute columns stored alongside
     * each vector — the filtered-vector-search layout, where a metadata
     * predicate prunes candidates IN the index scan instead of joining
-    * back to the corpus afterwards. */
+    * back to the corpus afterwards.
+    *
+    * `batchKeyed = true` writes the base build under
+    * (batch_id = −1, bucket) — the exactly-once streaming layout
+    * ([[putLshBatch]] composes with it); a store is either batch-keyed
+    * or plain, never both. Probes select their columns explicitly and
+    * `bucket` prunes partitions at either nesting depth. */
   def writeLshIndex(corpus: DataFrame, id: Column, vec: Column,
-      path: String, numPlanes: Int, attrs: Seq[Column] = Nil): Unit = {
+      path: String, numPlanes: Int, attrs: Seq[Column] = Nil,
+      batchKeyed: Boolean = false): Unit = {
     val dim = corpus.select(size(vec)).head().getInt(0)
     val planes = Similarity.planeVectors(numPlanes, dim)
     // cluster by bucket before the partitioned write: one file per
     // bucket per shuffle partition instead of one per (task x bucket) —
     // without it a 1000-task corpus scan writes 1000 x 2^planes tiny
     // files and the write dominates
-    corpus.select(id.as("vec_id") +: Similarity.l2Normalize(vec).as("v") +:
+    val rows = corpus.select(
+      id.as("vec_id") +: Similarity.l2Normalize(vec).as("v") +:
         Similarity.lshBucket(vec, planes).as("bucket") +: attrs: _*)
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/index")
+    val (out, pcols) =
+      if (batchKeyed) (rows.withColumn("batch_id", lit(-1L)),
+        Seq("batch_id", "bucket"))
+      else (rows, Seq("bucket"))
+    out.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy(pcols: _*)
+      .parquet(s"$path/index")
     // tiny sidecar so the reader needs no out-of-band parameters
     corpus.sparkSession.createDataFrame(Seq((numPlanes, dim)))
       .toDF("num_planes", "dim")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Idempotently (re)write one micro-batch's vectors under their own
+    * (batch_id, bucket) partitions of a BATCH-KEYED LSH index: the
+    * stored meta sidecar re-derives the SAME hyperplanes (frozen by
+    * construction — deterministic in (num_planes, dim)), so a replay
+    * reproduces its rows byte-for-byte and the dynamic partition
+    * overwrite makes the write EXACTLY-once under foreachBatch's
+    * at-least-once contract — the [[putIvfBatch]] discipline for the
+    * LSH layout. */
+  def putLshBatch(batch: DataFrame, id: Column, vec: Column,
+      path: String, batchId: Long, attrs: Seq[Column] = Nil): Unit = {
+    val meta = batch.sparkSession.read.parquet(s"$path/meta").head()
+    val planes = Similarity.planeVectors(meta.getInt(0), meta.getInt(1))
+    batch.select(id.as("vec_id") +: Similarity.l2Normalize(vec).as("v") +:
+        Similarity.lshBucket(vec, planes).as("bucket") +: attrs: _*)
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "bucket").parquet(s"$path/index")
   }
 
   /** Append a batch of vectors to a persisted LSH index: the stored
@@ -113,7 +147,16 @@ object AnnIndex {
               .write.partitionBy(p).parquet(tmp)
             // flat tables re-cluster by vec_id (range + in-partition
             // sort) so the rerank paths' `vec_id IN` lookups keep their
-            // row-group min/max pruning after compaction
+            // row-group min/max pruning after compaction; a batch-keyed
+            // flat table (the IVF-PQ vectors/) folds to partition −1
+            // instead of losing its layout
+            case None if live.columns.contains("batch_id") =>
+              live.drop("batch_id").withColumn("batch_id", lit(-1L))
+                .repartitionByRange(
+                  spark.sessionState.conf.numShufflePartitions,
+                  col("vec_id"))
+                .sortWithinPartitions(col("vec_id"))
+                .write.partitionBy("batch_id").parquet(tmp)
             case None => live.repartitionByRange(
                 spark.sessionState.conf.numShufflePartitions,
                 col("vec_id"))
@@ -406,24 +449,54 @@ object AnnIndex {
       .partitionBy("batch_id", "cell").parquet(s"$path/index")
   }
 
-  /** Fold a batch-keyed IVF index's COMMITTED batches
-    * (batch_id < keepFrom, including earlier folds at −1) into the
-    * base partition −1, collapsing the per-batch small files;
-    * partitions ≥ keepFrom are untouched, so a replay of the one
-    * in-flight batch still overwrites only its own partitions —
-    * [[SketchStore.compactBatches]]' streaming-safe contract for the
-    * vector index. Probe results unchanged (index rows just
-    * concatenate; batch identity carries no probe semantics). */
-  def compactIvfBatches(spark: SparkSession, path: String,
-      keepFrom: Long): Unit =
-    StoreFiles.replaceDir(spark, s"$path/index") { tmp =>
-      val all = spark.read.parquet(s"$path/index")
-      all.filter(col("batch_id") < keepFrom).drop("batch_id")
+  /** Fold one batch-keyed sub-table's COMMITTED batches
+    * (batch_id < keepFrom, including earlier folds at −1) into the base
+    * partition −1, collapsing the per-batch small files; partitions ≥
+    * keepFrom are untouched, so a replay of the one in-flight batch
+    * still overwrites only its own partitions —
+    * [[SketchStore.compactBatches]]' streaming-safe contract. `pcol` is
+    * the inner partition column (bucket / cell); a FLAT sub-table
+    * (None — the IVF-PQ `vectors/`) re-clusters by vec_id within the
+    * fold so the rerank paths' literal `IN` lookups keep their
+    * row-group min/max pruning. */
+  private def foldBatches(spark: SparkSession, dir: String,
+      pcol: Option[String], keepFrom: Long): Unit =
+    StoreFiles.replaceDir(spark, dir) { tmp =>
+      val all = spark.read.parquet(dir)
+      val out = all.filter(col("batch_id") < keepFrom).drop("batch_id")
         .withColumn("batch_id", lit(-1L))
         .unionByName(all.filter(col("batch_id") >= keepFrom))
-        .repartition(col("cell"))
-        .write.partitionBy("batch_id", "cell").parquet(tmp)
+      pcol match {
+        case Some(p) => out.repartition(col(p))
+          .write.partitionBy("batch_id", p).parquet(tmp)
+        case None => out.repartitionByRange(
+            spark.sessionState.conf.numShufflePartitions, col("vec_id"))
+          .sortWithinPartitions(col("batch_id"), col("vec_id"))
+          .write.partitionBy("batch_id").parquet(tmp)
+      }
     }
+
+  /** Fold a batch-keyed IVF index's committed batches into the base
+    * partition ([[foldBatches]] on `index/`). Probe results unchanged
+    * (index rows just concatenate; batch identity carries no probe
+    * semantics). */
+  def compactIvfBatches(spark: SparkSession, path: String,
+      keepFrom: Long): Unit =
+    foldBatches(spark, s"$path/index", Some("cell"), keepFrom)
+
+  /** [[compactIvfBatches]] for the batch-keyed LSH layout. */
+  def compactLshBatches(spark: SparkSession, path: String,
+      keepFrom: Long): Unit =
+    foldBatches(spark, s"$path/index", Some("bucket"), keepFrom)
+
+  /** [[compactIvfBatches]] for the batch-keyed IVF-PQ layout: the
+    * cell-partitioned `codes/` fold plus the flat `vectors/` fold
+    * (re-clustered by vec_id for the stage-2 literal-IN pruning). */
+  def compactIvfPqBatches(spark: SparkSession, path: String,
+      keepFrom: Long): Unit = {
+    foldBatches(spark, s"$path/codes", Some("cell"), keepFrom)
+    foldBatches(spark, s"$path/vectors", None, keepFrom)
+  }
 
   /** Append a batch of vectors to a persisted IVF index: the STORED
     * centroids assign the batch partition-locally (centroids are a
@@ -517,11 +590,17 @@ object AnnIndex {
     * artifact gets the trained model, not the sample seed. */
   def writeIvfPqIndex(corpus: DataFrame, id: Column, vec: Column,
       path: String, nList: Int = 16, numSub: Int = 8,
-      codebookSize: Int = 16, refineIters: Int = 2): Unit = {
+      codebookSize: Int = 16, refineIters: Int = 2,
+      batchKeyed: Boolean = false): Unit = {
     val (cents, cb, coded) = Similarity.ivfPqEncode(corpus, id, vec,
       nList, numSub, codebookSize, refineIters)
-    coded.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val (codesOut, codesP) =
+      if (batchKeyed) (coded.withColumn("batch_id", lit(-1L)),
+        Seq("batch_id", "cell"))
+      else (coded, Seq("cell"))
+    codesOut.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy(codesP: _*)
+      .parquet(s"$path/codes")
     val spark = corpus.sparkSession
     spark.createDataFrame(cents.map { case (cell, cv) => (cell, cv) }.toSeq)
       .toDF("cell", "cv")
@@ -531,8 +610,14 @@ object AnnIndex {
       yield (m, c, d, cb(m)(c)(d)))
       .toDF("m", "cidx", "dim", "c6")
       .write.mode("overwrite").parquet(s"$path/codebook")
-    corpus.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
-      .sortWithinPartitions(col("vec_id"))
+    val vecs = corpus.select(id.as("vec_id"),
+      Similarity.l2Normalize(vec).as("v"))
+    if (batchKeyed)
+      vecs.withColumn("batch_id", lit(-1L))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$path/vectors")
+    else vecs.sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").parquet(s"$path/vectors")
   }
 
@@ -546,6 +631,20 @@ object AnnIndex {
     * (spec-pinned). */
   def appendIvfPqIndex(batch: DataFrame, id: Column, vec: Column,
       path: String): Unit = {
+    ivfPqEncodeStored(batch, id, vec, path)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("append").parquet(s"$path/vectors")
+  }
+
+  /** Encode a batch under a stored IVF-PQ index's FROZEN model:
+    * (vec_id, cell, codes) — stored centroids assign, the stored
+    * residual codebook encodes; deterministic, so a streaming replay
+    * reproduces its rows byte-for-byte. */
+  private def ivfPqEncodeStored(batch: DataFrame, id: Column,
+      vec: Column, path: String): DataFrame = {
     val spark = batch.sparkSession
     val cents = readCentroids(spark, path)
     val cb = readCodebook(spark, s"$path/codebook")
@@ -555,11 +654,33 @@ object AnnIndex {
         Similarity.residualE6(col("v"), col("cell"), cents).as("q"))
       .select(col("vec_id"), col("cell"),
         Similarity.pqCodesExprWide(col("q"), cb).as("codes"))
+  }
+
+  /** Idempotently (re)write one micro-batch into a BATCH-KEYED IVF-PQ
+    * index: the frozen stored model encodes ([[ivfPqEncodeStored]] —
+    * deterministic), and BOTH halves of the layout land under the
+    * batch's own partitions via dynamic partition overwrite — codes
+    * under (batch_id, cell), full-precision vectors under (batch_id),
+    * vec_id-sorted within files so the stage-2 literal-IN rerank keeps
+    * its row-group pruning. EXACTLY-once under foreachBatch's
+    * at-least-once contract: a replay rewrites its own partitions
+    * instead of appending duplicate code/vector rows (which would
+    * surface twice in every ADC ranking — the failure mode the plain
+    * [[appendIvfPqIndex]] has under replay). */
+  def putIvfPqBatch(batch: DataFrame, id: Column, vec: Column,
+      path: String, batchId: Long): Unit = {
+    ivfPqEncodeStored(batch, id, vec, path)
+      .withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cell").parquet(s"$path/codes")
     batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+      .withColumn("batch_id", lit(batchId))
       .sortWithinPartitions(col("vec_id"))
-      .write.mode("append").parquet(s"$path/vectors")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$path/vectors")
   }
 
   private def readCodebook(spark: SparkSession,
@@ -605,21 +726,74 @@ object AnnIndex {
     * distance tables ride the broadcast probe frame as flattened
     * arrays, looked up by `element_at` — no shuffle of the codes), a
     * `rerank`-sized shortlist survives per query (bounded `topk_agg`
-    * on the NEGATED integer distance), and only those
-    * |queries| × rerank rows are read at full precision for the exact
-    * cosine rerank. Stage-1 IO is nProbe/nList of the corpus at code
-    * width — qe32's compressed full scan, pruned. */
+    * on the NEGATED integer distance), and stage 2 reads only the
+    * shortlisted rows from `vectors/` — the collected ids are pushed
+    * as a literal `vec_id IN (...)`, so row-group min/max pruning
+    * fires on the vec_id-sorted table (plan-pinned in PlanShapeSpec).
+    * Stage-1 IO is nProbe/nList of the corpus at code width — qe32's
+    * compressed full scan, pruned. */
   def ivfPqKnnJoinIndexed(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
       nProbe: Int = 8, rerank: Int = 50): DataFrame = {
-    val cents = readCentroids(spark, path)
-    val cb = readCodebook(spark, s"$path/codebook")
-    val numSub = cb.length; val cbSize = cb(0).length
     // bounded collect: a query batch is evaluation-sized by contract
     // (the knnJoin broadcast assumption, materialized driver-side)
     val qRows = queries.select(qid.cast("long").as("query_id"),
         Similarity.l2Normalize(qvec).as("qv")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    ivfPqRerankedFrame(spark, path, qRows, nProbe, rerank)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"),
+        col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
+  }
+
+  /** Stage 2 of [[ivfPqKnnJoinIndexed]] as a frame: the shortlisted
+    * rows at full precision — (query_id, vec_id, srk, cos) with `srk`
+    * the 1-based ADC shortlist rank (so an operating-point sweep can
+    * re-cut the same frame at several shortlist sizes; qe39). The
+    * per-query shortlists COLLECT (bounded by contract:
+    * |queries| × rerank ids — the same driver-sizing that collected
+    * qRows) so the full-precision read is a LITERAL `vec_id IN (...)`
+    * pushed into the vectors/ scan. A broadcast join here would still
+    * open every row group of the full corpus table — min/max row-group
+    * pruning only fires on literal predicates (the
+    * queryQuantizedIndex/queryBinaryIndex discipline); with the
+    * literal, stage 2 reads only the row groups holding shortlisted
+    * ids (vectors/ is vec_id-sorted). */
+  private[graft] def ivfPqRerankedFrame(spark: SparkSession,
+      path: String, qRows: Array[(Long, Array[Double])], nProbe: Int,
+      rerank: Int): DataFrame = {
+    val shortTriples = ivfPqShortlistFrame(spark, path, qRows, nProbe,
+        rerank)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val shortIds = shortTriples.map(_._2).distinct.toIndexedSeq
+    import spark.implicits._
+    val pairsDf = shortTriples.toSeq.toDF("query_id", "vec_id", "srk")
+    val qvDf = qRows.toSeq.toDF("query_id", "qv")
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("vec_id").isin(shortIds: _*))
+      .join(broadcast(pairsDf), Seq("vec_id"))
+      .join(broadcast(qvDf), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("srk"),
+        round(Similarity.dot(col("v"), col("qv")), 4).as("cos"))
+  }
+
+  /** Stage 1 of [[ivfPqKnnJoinIndexed]] as a frame: the per-query
+    * `rerank`-sized ADC shortlists (query_id, vec_id, srk — the
+    * 1-based ADC rank) over the probed cells — the probed-cell union a
+    * static partition filter, the per-(query, cell) distance tables
+    * riding the broadcast probe frame, the shortlist a bounded
+    * `topk_agg`. Exposed (like [[lshCandidates]]) so the pruning +
+    * broadcast shape is plan-testable despite the public method
+    * collecting it. */
+  private[graft] def ivfPqShortlistFrame(spark: SparkSession,
+      path: String, qRows: Array[(Long, Array[Double])], nProbe: Int,
+      rerank: Int): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val cb = readCodebook(spark, s"$path/codebook")
+    val numSub = cb.length; val cbSize = cb(0).length
     val probeRows = qRows.flatMap { case (q, qv) =>
       Similarity.ivfPqQueryTabs(qv, cents, cb, nProbe).map {
         case (cell, tab) => (q, cell, tab.flatten.toSeq)
@@ -635,24 +809,13 @@ object AnnIndex {
         element_at(col("qtab"),
           lit(m * cbSize) + element_at(col("codes"), m + 1) + lit(1)))
       .reduce(_ + _)
-    val short = codes.join(broadcast(probes), Seq("cell"))
+    codes.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("vec_id"), (-adc).as("nadc"))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAggregate
         .topk(col("nadc"), col("vec_id"), rerank).as("top"))
-      .select(col("query_id"), explode(col("top")).as("p"))
-      .select(col("query_id"), col("p.id").as("vec_id"))
-    val qvDf = qRows.toSeq.toDF("query_id", "qv")
-    spark.read.parquet(s"$path/vectors")
-      .join(broadcast(short), Seq("vec_id"))
-      .join(broadcast(qvDf), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(Similarity.dot(col("v"), col("qv")), 4).as("cos"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKAggregate
-        .topk(col("cos"), col("vec_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
       .select(col("query_id"), col("p.id").as("vec_id"),
-        col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
+        (col("r") + 1).cast("long").as("srk"))
   }
 }

@@ -347,6 +347,73 @@ object LexIndex {
       .limit(k)
   }
 
+  /** MULTI-query BM25 top-k against the persisted index: queries
+    * arrive as a (query_id, term) TABLE and every query's top-k is
+    * answered in ONE probe — the batch-serving twin of
+    * [[bm25TopKIndexed]] (one query's terms) and the lexical twin of
+    * [[AnnIndex.ivfKnnJoinIndexed]]'s multi-query vector probe.
+    *
+    * Scale shape: the UNION of all queries' term prefixes (driver-
+    * sized — a query batch is bounded by contract, like the vector
+    * side's collected qRows) becomes one static partition filter, so
+    * the postings read is pruned once for the whole batch and each
+    * stored row is read ONCE no matter how many queries share a term.
+    * df derives from the pruned lists over DISTINCT terms (computed
+    * BEFORE the per-query fan-out, so a term shared by many queries
+    * is not over-counted), the query fan-out is a broadcast join of
+    * the tiny (query_id, term) frame, and the per-query top-k is a
+    * bounded `topk_agg` — no corpus-sized shuffle, no Window over the
+    * fanned-out rows.
+    *
+    * Scoring is [[bm25TopKIndexed]]'s exact-integer math verbatim
+    * (per-(doc, term) contributions floored to 1e-4 units before the
+    * per-(query, doc) sum). Output: (query_id, doc_id, score_e4,
+    * rank), rank 1-based per query (score desc, doc_id asc). */
+  def bm25KnnJoinIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, qid: Column, term: Column, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = queries.select(qid.cast("long").as("query_id"),
+        term.as("term")).distinct()
+      .localCheckpoint() // read once, serve prefixes + fan-out
+    val tq = qt.select(col("term")).distinct()
+      .withColumn("tpfx", tpfx(col("term")))
+      .localCheckpoint(eager = false)
+    val pfxs = tq.select(col("tpfx")).distinct().collect()
+      .map(_.getString(0)).toSeq
+    val post0 = spark.read.parquet(s"$path/postings")
+      .filter(col("tpfx").isin(pfxs: _*))
+      .join(broadcast(tq.select(col("term"))), Seq("term"))
+    val post = if (!StoreFiles.exists(spark, s"$path/tombstones")) post0
+      else post0.join(spark.read.parquet(s"$path/tombstones"),
+        Seq("doc_id"), "left_anti")
+    val stats = readStats(spark, path)
+    // df over the DISTINCT pruned posting rows — the window runs
+    // before the query fan-out, so its input is each term's posting
+    // list exactly once (the bm25TopKIndexed derivation, unchanged)
+    val df_ = count(lit(1)).over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))).cast("double")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val contrib = idf * col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    post.withColumn("df", df_)
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        floor(contrib * lit(10000.0)).cast("long").as("c_e4"))
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c_e4")).as("score_e4"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("score_e4").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("doc_id"),
+        col("p.score").cast("long").as("score_e4"),
+        (col("r") + 1).cast("long").as("rank"))
+  }
+
   /** Exact-PHRASE search against the positional index: documents
     * containing the token sequence `phrase` verbatim, ranked by
     * occurrence count (ties to the lower doc_id). The classic
@@ -358,10 +425,23 @@ object LexIndex {
     *
     * Scale shape: the phrase's term prefixes prune the positions read
     * to the directories its own words name (the [[bm25TopKIndexed]]
-    * discipline); every later stage is bounded by those terms' position
-    * lists, never the corpus; the final rank is a TakeOrdered over
-    * match-bearing docs only. Tombstoned docs drop before grouping, so
-    * a probe equals one over an index built without them. */
+    * discipline), and the intersection runs RAREST-term-first: the
+    * phrase term with the smallest stored df (read from the postings
+    * half — a pruned, ≤ |phrase|-row aggregate) anchors the candidate
+    * (doc_id, start) set, and every other term's shifted positions
+    * semi-join that broadcast set BEFORE the offset-counting
+    * aggregation. A full match must witness the rare term at its
+    * offset, so the semi-join loses nothing — but a phrase containing
+    * a near-ubiquitous token no longer shuffles that token's
+    * corpus-scale position list into the group-by: only rows landing
+    * on a rare-anchored start survive the (broadcast) semi-join. The
+    * candidate set is bounded by the MINIMUM df over the phrase's
+    * terms — the broadcast contract; a phrase whose rarest term is
+    * still corpus-scale has no selective plan in any engine, and the
+    * absent-term case (df 0) short-circuits to an empty result. The
+    * final rank is a TakeOrdered over match-bearing docs only.
+    * Tombstoned docs drop before grouping, so a probe equals one over
+    * an index built without them. */
   def phraseTopKIndexed(spark: SparkSession, path: String,
       phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
@@ -372,14 +452,34 @@ object LexIndex {
       .localCheckpoint(eager = false)
     val pfxs = ph.select(col("tpfx")).distinct().collect()
       .map(_.getString(0)).toIndexedSeq
+    // rarest term from the postings half: per-term posting-list length
+    // over the SAME pruned prefixes (a ≤ |phrase|-row collect). Terms
+    // absent from the corpus get df 0 — and win, correctly: the
+    // anchor set is then empty and so is the result.
+    val dfByTerm = spark.read.parquet(s"$path/postings")
+      .filter(col("tpfx").isin(pfxs: _*))
+      .join(broadcast(ph.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val (rareTerm, rareOff) = phrase.zipWithIndex
+      .map { case (w, i) => (w, i.toLong) }
+      .minBy { case (w, i) => (dfByTerm.getOrElse(w, 0L), i) }
     val pos0 = spark.read.parquet(s"$path/positions")
       .filter(col("tpfx").isin(pfxs: _*))
       .join(broadcast(ph.select(col("term"), col("off"))), Seq("term"))
     val pos = if (!StoreFiles.exists(spark, s"$path/tombstones")) pos0
       else pos0.join(spark.read.parquet(s"$path/tombstones"),
         Seq("doc_id"), "left_anti")
-    pos.select(col("doc_id"), (col("pos") - col("off")).as("start"),
-        col("off"))
+    val shifted = pos.select(col("doc_id"),
+      (col("pos") - col("off")).as("start"), col("off"))
+    // the rare term IS the off === rareOff row set: ph maps each
+    // offset to exactly one (term, off) pair, so filtering the shifted
+    // frame by the rare offset selects exactly the rare term's
+    // occurrences (rareTerm documents WHICH term that is)
+    val anchors = shifted.filter(col("off") === lit(rareOff))
+      .select(col("doc_id"), col("start")).distinct()
+    shifted
+      .join(broadcast(anchors), Seq("doc_id", "start"), "left_semi")
       .groupBy(col("doc_id"), col("start"))
       .agg(countDistinct(col("off")).as("n_off"))
       .filter(col("n_off") === phrase.length)

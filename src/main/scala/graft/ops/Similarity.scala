@@ -75,6 +75,14 @@ object Similarity {
     corpus.select(id.as("vec_id"), lit(0.0d).as("cos"),
       lit(0).as("rank")).limit(0)
 
+  /** 0-row (query_id, vec_id, cos, rank) frame matching the multi-query
+    * kNN-join result schema — the empty-corpus/empty-stats short-circuit
+    * for the join-shaped operators (their schema must match the normal
+    * path's, unlike the single-query [[emptyTopK]]). */
+  private def emptyKnnJoin(corpus: DataFrame, id: Column): DataFrame =
+    corpus.select(lit(0L).as("query_id"), id.as("vec_id"),
+      lit(0.0d).as("cos"), lit(0L).as("rank")).limit(0)
+
   /** Deterministic pseudo-random hyperplanes — splitmix64 of
     * (plane, dim, fixed seed) mapped to [-1, 1], materialized driver-side
     * (numPlanes × dim doubles, trivially small) so bucketing compiles to
@@ -1037,7 +1045,7 @@ object Similarity {
       rerank: Int): DataFrame = {
     val normed = corpus.select(id.as("vec_id"), l2Normalize(vec).as("v"))
     val (mn, mx) = int8Stats(normed)
-    if (mn.isEmpty) return emptyTopK(corpus, id)
+    if (mn.isEmpty) return emptyKnnJoin(corpus, id)
     // decode is query-INDEPENDENT: one narrow map attaches the decoded
     // vector, and every query's approximate score is a plain dot
     // against it (sequential fold — the oracle's dim-ordered sum)

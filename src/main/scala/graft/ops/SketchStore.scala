@@ -44,11 +44,32 @@ object SketchStore {
 
   /** Append a new batch's per-group partial sketches — history is never
     * re-read; the merge happens at read time (register max is
-    * associative, so append order does not matter). */
+    * associative, so append order does not matter).
+    *
+    * Guard: appending a group that is currently TOMBSTONED
+    * ([[deleteHllGroups]]) fails loudly instead of silently vanishing —
+    * the tombstone hides the group NAME, so the new partial would be
+    * invisible until the next [[compact]] and then resurrect part of
+    * the deleted history with it. Re-admitting a deleted group requires
+    * compact-first (which drops the dead partials and clears the
+    * sidecar); the error says so. */
   def appendHll(batch: DataFrame, group: Column, value: Column,
-      path: String): Unit =
-    hllPartials(batch, group, value)
-      .write.mode("append").parquet(s"$path/hll")
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val partials = hllPartials(batch, group, value).localCheckpoint()
+    if (StoreFiles.exists(spark, s"$path/hll_tombstones")) {
+      val clash = partials
+        .join(spark.read.parquet(s"$path/hll_tombstones"), Seq("grp"),
+          "left_semi")
+        .select(col("grp")).limit(1).collect()
+      require(clash.isEmpty,
+        s"appendHll: group '${clash.headOption.map(_.get(0)).orNull}' is tombstoned " +
+          s"at $path — run SketchStore.compact first to re-admit it " +
+          "(appending now would hide the partial until compact, then " +
+          "resurrect deleted history)")
+    }
+    partials.write.mode("append").parquet(s"$path/hll")
+  }
 
   private def hllPartials(df: DataFrame, group: Column,
       value: Column): DataFrame =
@@ -161,18 +182,32 @@ object SketchStore {
     * the store actually counted, or counters go negative and probe
     * estimates (a min over lanes) turn meaningless. */
   def deleteCms(batch: DataFrame, value: Column, path: String): Unit =
-    Sketches.cmsSketch(batch, value, cmsWidth(batch.sparkSession, path))
-      .withColumn("cnt", -col("cnt"))
-      .write.mode("append").parquet(s"$path/cms")
+    appendNegPartial(
+      Sketches.cmsSketch(batch, value, cmsWidth(batch.sparkSession, path)),
+      s"$path/cms")
 
   /** Delete a batch of measures from the HISTOGRAM half via the same
     * negative-partial algebra as [[deleteCms]] (bucket counters are
     * linear too). Same sub-multiset contract. */
   def deleteHist(batch: DataFrame, group: Column, measure: Column,
       path: String): Unit =
-    Sketches.histSketch(batch, group, measure)
-      .withColumn("cnt", -col("cnt"))
-      .write.mode("append").parquet(s"$path/hist")
+    appendNegPartial(Sketches.histSketch(batch, group, measure),
+      s"$path/hist")
+
+  /** Append a negated counter partial, layout-aware: a BATCH-KEYED
+    * store (the streaming sink layout) gets the negative rows under
+    * the reserved `batch_id = −2` partition — never a real batch id,
+    * so replays and [[compactBatches]] folds can't collide with it
+    * (the [[LexIndex.deleteFromBm25Index]] discipline) — while a plain
+    * store keeps the flat append. Writing unpartitioned files into a
+    * partitioned directory would corrupt it into a mixed layout. */
+  private def appendNegPartial(sketch: DataFrame, dir: String): Unit = {
+    val neg = sketch.withColumn("cnt", -col("cnt"))
+    if (sketch.sparkSession.read.parquet(dir).columns.contains("batch_id"))
+      neg.withColumn("batch_id", lit(-2L))
+        .write.mode("append").partitionBy("batch_id").parquet(dir)
+    else neg.write.mode("append").parquet(dir)
+  }
 
   /** Element-wise max-merge of per-group register partials back into
     * ONE `(grp, regs)` row per group — the canonical partial a single

@@ -1622,13 +1622,21 @@ object PipelineQueries {
       .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hit"))
     val cellSizes = indexed.groupBy(col("cell"))
       .agg(count(lit(1)).as("n_in_cell"))
+    // anchor the output on the scanned side (every declared level has
+    // probe rows by construction) with a LEFT join to hits, so a level
+    // with zero hits still reports its row; the recall denominator is
+    // k × the measured query count, not a hardcoded batch size (the
+    // recallRow discipline — robust to a resized eval batch).
     val scanned = probes.join(cellSizes, Seq("cell"))
       .groupBy(col("n_probe"))
       .agg((sum(col("n_in_cell")) / countDistinct(col("query_id")))
-        .as("avg_cand"))
-    hits.join(scanned, Seq("n_probe"))
-      .select(col("n_probe"), col("n_hit"),
-        round(col("n_hit") * lit(1.0) / lit(1000), 4).as("recall"),
+          .as("avg_cand"),
+        countDistinct(col("query_id")).as("n_queries"))
+    scanned.join(hits, Seq("n_probe"), "left")
+      .select(col("n_probe"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) * lit(1.0) /
+          (col("n_queries") * lit(10)), 4).as("recall"),
         round(col("avg_cand"), 4).as("avg_cand"))
       .orderBy(col("n_probe"))
   }

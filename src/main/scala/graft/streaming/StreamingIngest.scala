@@ -143,6 +143,22 @@ object StreamingIngest {
     * appended yields zero new docs, so the corpus sink sees no
     * duplicates (the classic dedup-sink answer to at-least-once
     * delivery). */
+  /** The store sinks' compaction trigger: fold committed history when
+    * the blind every-N cadence trips, OR when `maxBatchParts` > 0 and
+    * the store's PHYSICAL batch-partition count exceeds it
+    * ([[graft.ops.StoreFiles.needsBatchCompaction]] — a metadata-only
+    * listing, cheap per micro-batch). The introspection form is the
+    * mechanized policy: it reflects what actually accumulated (robust
+    * to checkpoint resets and manual folds, which a modulo cadence
+    * drifts from). Both compose with exactly-once: only COMMITTED
+    * batches (before the one just written) ever fold. */
+  private def shouldCompact(spark: SparkSession, path: String,
+      batchId: Long, compactEvery: Int, maxBatchParts: Int): Boolean =
+    (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) ||
+      (maxBatchParts > 0 &&
+        graft.ops.StoreFiles.needsBatchCompaction(spark, path,
+          maxBatchParts))
+
   /** Streaming corpus PROFILING into the persisted [[graft.ops
     * .SketchStore]]: each micro-batch is sketched once — per-group HLL
     * registers (distinct tokens), CMS counters (token frequency) and
@@ -168,7 +184,7 @@ object StreamingIngest {
     * same sink profiles any feed: by source, language, day, shard. */
   def profileIngestTo(docs: DataFrame, group: Column, value: Column,
       measure: Column, storePath: String, cmsWidth: Int,
-      checkpoint: String, compactEvery: Int = 0)
+      checkpoint: String, compactEvery: Int = 0, maxBatchParts: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -179,7 +195,8 @@ object StreamingIngest {
           cmsWidth)
         graft.ops.SketchStore.putHistBatch(b, group, measure, storePath,
           batchId)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        if (shouldCompact(b.sparkSession, storePath, batchId,
+            compactEvery, maxBatchParts))
           graft.ops.SketchStore.compactBatches(b.sparkSession, storePath,
             keepFrom = batchId)
       }
@@ -207,14 +224,66 @@ object StreamingIngest {
     * ([[graft.ops.AnnIndex.compactIvfBatches]]), bounding the
     * small-file count the per-trigger cadence would otherwise grow. */
   def vectorIngestTo(vecs: DataFrame, indexPath: String,
-      checkpoint: String, compactEvery: Int = 0)
+      checkpoint: String, compactEvery: Int = 0, maxBatchParts: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.AnnIndex.putIvfBatch(batch, col("vec_id"),
           col("embedding"), indexPath, batchId)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        if (shouldCompact(batch.sparkSession, indexPath, batchId,
+            compactEvery, maxBatchParts))
           graft.ops.AnnIndex.compactIvfBatches(batch.sparkSession,
+            indexPath, keepFrom = batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming vector ingest into a persisted BATCH-KEYED LSH index
+    * ([[graft.ops.AnnIndex.writeLshIndex]] with `batchKeyed = true`):
+    * the stored meta sidecar re-derives the frozen hyperplanes per
+    * batch and each batch's rows land under their own
+    * (batch_id, bucket) partitions via dynamic partition overwrite —
+    * EXACTLY-once under foreachBatch's at-least-once contract (the
+    * [[vectorIngestTo]] argument, bucket for cell). Probes keep their
+    * `bucket` partition pruning at the deeper nesting. */
+  def lshIngestTo(vecs: DataFrame, indexPath: String, checkpoint: String,
+      compactEvery: Int = 0, maxBatchParts: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.AnnIndex.putLshBatch(batch, col("vec_id"),
+          col("embedding"), indexPath, batchId)
+        if (shouldCompact(batch.sparkSession, indexPath, batchId,
+            compactEvery, maxBatchParts))
+          graft.ops.AnnIndex.compactLshBatches(batch.sparkSession,
+            indexPath, keepFrom = batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Streaming vector ingest into a persisted BATCH-KEYED IVF-PQ index
+    * ([[graft.ops.AnnIndex.writeIvfPqIndex]] with `batchKeyed = true`):
+    * the frozen stored model (centroids + residual codebook) encodes
+    * each batch deterministically and BOTH layout halves — codes under
+    * (batch_id, cell), full-precision rerank vectors under (batch_id) —
+    * land via dynamic partition overwrite, EXACTLY-once under
+    * foreachBatch's at-least-once contract: a replayed batch rewrites
+    * its own partitions instead of appending duplicate code/vector
+    * rows into every ADC ranking. ADC probes keep their `cell`
+    * partition pruning; the stage-2 literal-IN rerank keeps its
+    * row-group pruning (vectors sort by vec_id within files). */
+  def ivfPqIngestTo(vecs: DataFrame, indexPath: String,
+      checkpoint: String, compactEvery: Int = 0, maxBatchParts: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.AnnIndex.putIvfPqBatch(batch, col("vec_id"),
+          col("embedding"), indexPath, batchId)
+        if (shouldCompact(batch.sparkSession, indexPath, batchId,
+            compactEvery, maxBatchParts))
+          graft.ops.AnnIndex.compactIvfPqBatches(batch.sparkSession,
             indexPath, keepFrom = batchId)
       }
       .option("checkpointLocation", checkpoint)
@@ -234,13 +303,14 @@ object StreamingIngest {
     * folds committed batches into the base partition every that-many
     * batches ([[graft.ops.LexIndex.compactBm25Batches]]). */
   def lexIngestTo(docs: DataFrame, indexPath: String, checkpoint: String,
-      compactEvery: Int = 0)
+      compactEvery: Int = 0, maxBatchParts: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.LexIndex.putBm25Batch(batch, col("doc_id"),
           col("text"), indexPath, batchId)
-        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+        if (shouldCompact(batch.sparkSession, indexPath, batchId,
+            compactEvery, maxBatchParts))
           graft.ops.LexIndex.compactBm25Batches(batch.sparkSession,
             indexPath, keepFrom = batchId)
       }

@@ -91,18 +91,33 @@ class PlanShapeSpec extends AnyFunSuite {
     graft.ops.AnnIndex.writeIvfPqIndex(e, col("vec_id"),
       col("embedding"), path, nList = 8, numSub = 8, codebookSize = 8,
       refineIters = 0)
-    val p = plan(graft.ops.AnnIndex.ivfPqKnnJoinIndexed(spark, path,
-      e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
-      k = 5, nProbe = 3, rerank = 10))
+    val queries = e.filter(col("vec_id") < 3)
+    val qRows = queries.select(col("vec_id").cast("long"),
+        Similarity.l2Normalize(col("embedding"))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     // stage 1: the stored codes prune to the probed cells and join the
     // per-(query, cell) distance tables by BROADCAST — the codes never
-    // shuffle; both top-k stages are bounded map-side aggregates
+    // shuffle; the shortlist top-k is a bounded map-side aggregate
+    val p = plan(graft.ops.AnnIndex.ivfPqShortlistFrame(spark, path,
+      qRows, nProbe = 3, rerank = 10))
     assert(p.matches("(?s).*PartitionFilters: \\[.*cell.*"), p.take(3000))
     assert(p.contains("BroadcastExchange"), p.take(3000))
     assert(p.contains("partial_topk_agg"), p.take(3000))
     assert(!p.contains("Window"), p.take(3000))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       p.take(3000))
+    // stage 2: the collected shortlist must reach the full-precision
+    // vectors/ scan as a LITERAL pushed filter (row-group min/max
+    // pruning fires only on literals — a broadcast join would read
+    // every row group of the corpus table at float width)
+    val p2 = plan(graft.ops.AnnIndex.ivfPqKnnJoinIndexed(spark, path,
+      queries, col("vec_id"), col("embedding"), k = 5, nProbe = 3,
+      rerank = 10))
+    assert(p2.matches("(?s).*PushedFilters: \\[In\\(vec_id.*"), p2.take(4000))
+    assert(p2.contains("partial_topk_agg"), p2.take(4000))
+    assert(!p2.contains("Window"), p2.take(4000))
+    assert(!p2.contains("SortMergeJoin") && !p2.contains("ShuffledHashJoin"),
+      p2.take(4000))
   }
 
   test("dedup-index probe prunes to the batch's fingerprint partitions") {
