@@ -191,6 +191,9 @@ object SparkEntry {
     "qe36_ivfpq_index" -> (PipelineQueries.ivfPqIndexTopK _),
     "qe37_ivfpq_recall" -> (PipelineQueries.ivfPqRecall _),
     "qd84_phrase_search" -> (PipelineQueries.phraseSearch _),
+    "qd85_bm25_batch_topk" -> (PipelineQueries.bm25BatchTopDocs _),
+    "qe38_hybrid_rrf_batch" -> (PipelineQueries.hybridRrfJoin _),
+    "qe39_ivfpq_grid" -> (PipelineQueries.ivfPqOperatingGrid _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1876,6 +1879,17 @@ object SparkEntry {
     // re-derives token positions from the text and intersects the
     // shifted position sets exactly as the stored probe does.
     "qd84_phrase_search" -> phraseSearchOracleSql,
+    // qd85: the MULTI-query BM25 probe (20 queries, one partition-
+    // pruned probe, per-query top-5) re-derived over the corpus.
+    "qd85_bm25_batch_topk" -> bm25BatchOracleSql,
+    // qe38: per-query RRF of the batch BM25 top-50 and the trained-IVF
+    // top-50 over the same 20 query ids — both halves served from
+    // persisted indexes on the Spark side.
+    "qe38_hybrid_rrf_batch" -> hybridRrfBatchOracleSql,
+    // qe39: the IVF-PQ operating-point grid — recall@10 at
+    // {8x16, 16x64 codes} x {rerank 25, 50, 100}, nProbe 8; pins the
+    // measurement that justifies qe37's 16x64@100 operating point.
+    "qe39_ivfpq_grid" -> ivfPqGridOracleSql,
     // qd70: three HLL estimate derivations (even docs, odd docs, all
     // docs — element-wise register max of the halves IS the union's
     // sketch) + inclusion–exclusion on the rounded estimates, generated
@@ -2250,6 +2264,158 @@ object SparkEntry {
        ORDER BY n_matches DESC, doc_id LIMIT 10"""
   }
 
+  /** Shared multi-query indexed-BM25 CTE generator (qd85/qe38): the
+    * 20-query batch probe re-derived — queries are the first 20 docs'
+    * first-3-token sets; tf/dl over the docs containing any batch term
+    * and df per term are computed ONCE over DISTINCT terms (exactly
+    * the one-read-per-posting-row shape of the batch probe, BEFORE
+    * the per-query fan-out); each (doc, term) contribution floors to
+    * 1e-4 units before the per-(query, doc) sum. Ends in
+    * `bqsc(query_id, doc_id, score_e4)`. Same k1/b constants as
+    * [[graft.ops.LexIndex.bm25KnnJoinIndexed]], arithmetic
+    * order-matched with the Spark expression tree. */
+  private lazy val bm25BatchCtes: String = {
+    val k1 = 1.2; val b = 0.75
+    s"""bit AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '\\S+') AS ws FROM documents),
+         bist AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           avg(CAST(len(ws) AS DOUBLE)) AS avgdl FROM bit),
+         bitok AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+           unnest(ws) AS w FROM bit),
+         bqt AS (SELECT DISTINCT query_id, term FROM (SELECT doc_id AS
+             query_id, unnest(ws[1:3]) AS term FROM bit
+             WHERE doc_id < 20) z),
+         biq AS (SELECT DISTINCT term FROM bqt),
+         bip AS (SELECT doc_id, dl, w AS term,
+             CAST(count(*) AS DOUBLE) AS tf
+           FROM bitok JOIN biq ON bitok.w = biq.term GROUP BY 1, 2, 3),
+         bidf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+           FROM bip GROUP BY 1),
+         bic AS (SELECT doc_id, term,
+             CAST(floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * ${k1 + 1.0}
+               / (tf + $k1 * (${1.0 - b} + $b * dl / avgdl))
+               * 10000.0) AS BIGINT) AS c_e4
+           FROM bip JOIN bidf USING (term) CROSS JOIN bist),
+         bqsc AS (SELECT q.query_id, bic.doc_id,
+             CAST(sum(bic.c_e4) AS BIGINT) AS score_e4
+           FROM bic JOIN bqt q USING (term) GROUP BY 1, 2)"""
+  }
+
+  /** qd85: the multi-query BM25 probe's per-query top-5. */
+  private lazy val bm25BatchOracleSql: String =
+    s"""WITH $bm25BatchCtes
+       SELECT query_id, doc_id, score_e4,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rank
+       FROM bqsc QUALIFY rank <= 5 ORDER BY query_id, rank"""
+
+  /** qe38: multi-query hybrid RRF — per-query fusion of the batch
+    * BM25 top-50 ([[bm25BatchCtes]]) and the trained-IVF top-50 over
+    * the same 20 query ids (the qe30/qe34 trained-cell machinery at
+    * nProbe 4, rank kept to 50), k = 60, fused on doc_id = vec_id. */
+  private lazy val hybridRrfBatchOracleSql: String =
+    s"""${kmeansCtes(16, seedPrefix = "ivf:")},
+       $bm25BatchCtes,
+       blex AS (SELECT query_id, doc_id AS id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rank_lex
+         FROM bqsc QUALIFY rank_lex <= 50),
+       vcellof AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
+       vq AS (SELECT vec_id AS query_id, v AS qv FROM e
+         WHERE vec_id < 20),
+       vcrk AS (SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.cv, q.qv) DESC, c.cell) AS crk
+         FROM c2 c, vq q),
+       vprobe AS (SELECT query_id, cell FROM vcrk WHERE crk <= 4),
+       vcand AS (SELECT p.query_id, e.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM e JOIN vcellof cf USING (vec_id)
+           JOIN vprobe p ON cf.cell = p.cell
+           JOIN vq q2 ON q2.query_id = p.query_id),
+       vrank AS (SELECT query_id, vec_id AS id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS BIGINT) AS rank_vec
+         FROM vcand QUALIFY rank_vec <= 50),
+       f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+           coalesce(l.id, v.id) AS id, l.rank_lex, v.rank_vec,
+           round(coalesce(1.0 / (60.0 + l.rank_lex), 0.0)
+             + coalesce(1.0 / (60.0 + v.rank_vec), 0.0), 6) AS rrf
+         FROM blex l FULL OUTER JOIN vrank v
+           ON l.query_id = v.query_id AND l.id = v.id)
+       SELECT query_id, id, rank_lex, rank_vec, rrf,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf DESC, id) AS BIGINT) AS rank
+       FROM f QUALIFY rank <= 10 ORDER BY query_id, rank"""
+
+  /** qe39: the IVF-PQ operating-point grid — recall@10 at
+    * {8×16, 16×64 codes} × {rerank 25, 50, 100}, nProbe 8. Two
+    * resolutions of [[pqResolutionCtes]] share one residual grid and
+    * one query-residual table; each resolution's 100-deep ADC
+    * shortlist (with its rank) serves all three rerank levels. */
+  private lazy val ivfPqGridOracleSql: String = {
+    def tail(p: String, dps: Int): String =
+      s"""${p}qd AS (SELECT qr.query_id, qr.cell,
+           (qr.dim - 1) // $dps AS m, ${p}cb.cidx,
+           sum((qr.r - ${p}cb.cx) * (qr.r - ${p}cb.cx)) AS qdist
+         FROM qr JOIN ${p}cb ON ${p}cb.m = ((qr.dim - 1) // $dps)
+           AND ${p}cb.dim = qr.dim
+         GROUP BY 1, 2, 3, 4),
+       ${p}adcs AS (SELECT ${p}qd.query_id, c.vec_id,
+           sum(${p}qd.qdist) AS adc_score
+         FROM ${p}code c JOIN cellof cf USING (vec_id)
+         JOIN ${p}qd ON ${p}qd.cell = cf.cell AND ${p}qd.m = c.m
+           AND ${p}qd.cidx = c.cidx
+         GROUP BY 1, 2),
+       ${p}short AS (SELECT query_id, vec_id, srk FROM (SELECT query_id,
+           vec_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_score, vec_id) AS srk FROM ${p}adcs) sh
+         WHERE srk <= 100),
+       ${p}rr AS (SELECT s.query_id, s.vec_id, s.srk,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM ${p}short s JOIN e ON e.vec_id = s.vec_id
+         JOIN q q2 ON q2.query_id = s.query_id),
+       ${p}apx AS (SELECT rerank, query_id, vec_id FROM (
+           SELECT l.rerank, r.query_id, r.vec_id,
+             row_number() OVER (PARTITION BY l.rerank, r.query_id
+               ORDER BY r.cos DESC, r.vec_id) AS rk
+           FROM ${p}rr r JOIN lv l ON r.srk <= l.rerank) a
+         WHERE rk <= 10),
+       ${p}hits AS (SELECT rerank, CAST(count(*) AS BIGINT) AS n_hit
+         FROM ${p}apx JOIN truth USING (query_id, vec_id) GROUP BY 1)"""
+    def half(p: String, numSub: Int, cbSize: Int): String =
+      s"""SELECT CAST($numSub AS BIGINT) AS num_sub,
+           CAST($cbSize AS BIGINT) AS cb_size, l.rerank,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(h.n_hit, 0) * 1.0 /
+             ((SELECT count(DISTINCT query_id) FROM truth) * 10), 4)
+             AS recall
+         FROM lv l LEFT JOIN ${p}hits h USING (rerank)"""
+    s"""$ivfPqSharedCtes,
+       ${pqResolutionCtes(8, 16, "s")},
+       ${pqResolutionCtes(16, 64, "")},
+       $evalTruthCtes,
+       crks AS (SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.cv, q.qv) DESC, c.cell) AS crk
+         FROM c2 c, q),
+       probe AS (SELECT query_id, cell FROM crks WHERE crk <= 8),
+       qx AS (SELECT query_id, generate_subscripts(qv, 1) AS dim,
+           unnest(qv) AS x FROM q),
+       qr AS (SELECT p.query_id, p.cell, qx.dim,
+           floor((qx.x - cvx.c) * 1000000.0) AS r
+         FROM probe p JOIN cvx ON cvx.cell = p.cell
+         JOIN qx ON qx.query_id = p.query_id AND qx.dim = cvx.dim),
+       lv AS (SELECT CAST(unnest([25, 50, 100]) AS BIGINT) AS rerank),
+       ${tail("s", 8)},
+       ${tail("", 4)}
+       ${half("s", 8, 16)}
+       UNION ALL
+       ${half("", 16, 64)}
+       ORDER BY num_sub, rerank"""
+  }
+
   /** Shared IVF-PQ corpus-ENCODE CTEs (qe35/qe36/qe37): trained cells
     * (the [[kmeansCtes]] Lloyd machinery with the IVF seed), per-vector
     * residuals floored to the 1e-6 integer grid, the md5("pqr:")-
@@ -2260,7 +2426,7 @@ object SparkEntry {
     * `cb`, `code` for the probe tails. All distances are exact
     * integers carried in doubles — the [[pqAdcCtes]] discipline over
     * residuals. */
-  private lazy val ivfPqEncodeCtes: String =
+  private lazy val ivfPqSharedCtes: String =
     s"""${kmeansCtes(16, seedPrefix = "ivf:")},
        cellof AS (SELECT vec_id, cell FROM afin WHERE rn = 1),
        ev AS (SELECT vec_id, generate_subscripts(v, 1) AS dim,
@@ -2270,20 +2436,37 @@ object SparkEntry {
        r6 AS (SELECT ev.vec_id, cf.cell, ev.dim,
            floor((ev.x - cvx.c) * 1000000.0) AS r
          FROM ev JOIN cellof cf USING (vec_id)
-         JOIN cvx ON cvx.cell = cf.cell AND cvx.dim = ev.dim),
-       cbsel AS (SELECT vec_id, row_number() OVER (ORDER BY
+         JOIN cvx ON cvx.cell = cf.cell AND cvx.dim = ev.dim)"""
+
+  /** One code RESOLUTION's encode CTEs over [[ivfPqSharedCtes]]'
+    * residual grid: the md5("pqr:")-ordered `cbSize`-entry residual
+    * codebook sample and per-subspace argmin codes over `numSub`
+    * subspaces of 64/numSub dims. `p` prefixes the CTE names so two
+    * resolutions coexist in one oracle (qe39's grid); the empty prefix
+    * reproduces the qe35/36/37 names verbatim. */
+  private def pqResolutionCtes(numSub: Int, cbSize: Int,
+      p: String): String = {
+    val dps = 64 / numSub
+    s"""${p}cbsel AS (SELECT vec_id, row_number() OVER (ORDER BY
            md5('pqr:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
-         FROM e QUALIFY cidx < 64),
-       cb AS (SELECT s.cidx, r6.dim, r6.r AS cx, (r6.dim - 1) // 4 AS m
-         FROM cbsel s JOIN r6 USING (vec_id)),
-       d_ AS (SELECT r6.vec_id, (r6.dim - 1) // 4 AS m, cb.cidx,
-           sum((r6.r - cb.cx) * (r6.r - cb.cx)) AS dist
-         FROM r6 JOIN cb ON cb.m = ((r6.dim - 1) // 4)
-           AND cb.dim = r6.dim
+         FROM e QUALIFY cidx < $cbSize),
+       ${p}cb AS (SELECT s.cidx, r6.dim, r6.r AS cx,
+           (r6.dim - 1) // $dps AS m
+         FROM ${p}cbsel s JOIN r6 USING (vec_id)),
+       ${p}d_ AS (SELECT r6.vec_id, (r6.dim - 1) // $dps AS m,
+           ${p}cb.cidx,
+           sum((r6.r - ${p}cb.cx) * (r6.r - ${p}cb.cx)) AS dist
+         FROM r6 JOIN ${p}cb ON ${p}cb.m = ((r6.dim - 1) // $dps)
+           AND ${p}cb.dim = r6.dim
          GROUP BY 1, 2, 3),
-       code AS (SELECT vec_id, m, cidx FROM (SELECT *, row_number()
+       ${p}code AS (SELECT vec_id, m, cidx FROM (SELECT *, row_number()
            OVER (PARTITION BY vec_id, m ORDER BY dist, cidx) AS crn
-           FROM d_) cd WHERE crn = 1)"""
+           FROM ${p}d_) cd WHERE crn = 1)"""
+  }
+
+  private lazy val ivfPqEncodeCtes: String =
+    s"""$ivfPqSharedCtes,
+       ${pqResolutionCtes(16, 64, "")}"""
 
   /** Shared oracle for qe35/qe36 (the persisted index serves identical
     * bytes): probe the 4 best trained cells for vec 0, score the probed

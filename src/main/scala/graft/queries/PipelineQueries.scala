@@ -2013,4 +2013,126 @@ object PipelineQueries {
       .filter(col("rank") <= 10)
       .orderBy(col("rank"))
   }
+
+  /** The multi-query retrieval batch shared by qd85/qe38: the first 20
+    * documents become queries, each query's terms its doc's first 3
+    * tokens — a deterministic, oracle-expressible stand-in for a
+    * service's query feed (20 queries with overlapping vocabularies,
+    * so the shared-postings dedup in the batch probe actually fires). */
+  private def lexQueryBatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
+
+  /** qd85: MULTI-query BM25 probe of the persisted postings index —
+    * 20 queries' term tables answered in ONE partition-pruned probe
+    * ([[graft.ops.LexIndex.bm25KnnJoinIndexed]]): the union of the
+    * batch's term prefixes is a single static partition filter, each
+    * stored posting row is read once however many queries share its
+    * term, df derives before the query fan-out, and the per-query
+    * top-5 is a bounded `topk_agg` — the batch-serving shape the
+    * vector side has had since qe34, now on the lexical index. */
+  def bm25BatchTopDocs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LexIndex.bm25KnnJoinIndexed(s, bm25IndexPath(s, dir),
+        lexQueryBatch(s, dir), col("query_id"), col("term"), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** qe38: MULTI-query hybrid retrieval — per-query reciprocal-rank
+    * fusion (k=60) of the batch BM25 top-50 (qd85's one-probe shape)
+    * and the trained-IVF top-50 ([[graft.ops.AnnIndex
+    * .ivfKnnJoinIndexed]] over the same 20 query ids), fused on
+    * doc_id = vec_id. Both halves serve a WHOLE query batch from
+    * persisted indexes in one probe each; the fusion is a tiny
+    * (≤ 20 × 100-row) outer join — qe27's service shape, batched. */
+  def hybridRrfJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.ops.LexIndex.bm25KnnJoinIndexed(s,
+        bm25IndexPath(s, dir), lexQueryBatch(s, dir), col("query_id"),
+        col("term"), k = 50)
+      .select(col("query_id"), col("doc_id").as("id"),
+        col("rank").as("rank_lex"))
+    val e = t(s, dir, "embeddings")
+    val vec = graft.ops.AnnIndex.ivfKnnJoinIndexed(s,
+        ivfTrainedIndexPath(s, dir), e.filter(col("vec_id") < 20),
+        col("vec_id"), col("embedding"), k = 50, nProbe = 4)
+      .select(col("query_id"), col("vec_id").as("id"),
+        col("rank").as("rank_vec"))
+    val fused = lex.join(vec, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"), col("rank_lex"),
+        col("rank_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_vec")), lit(0.0)),
+          6).as("rrf"))
+    fused.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Session memo of the LOW-resolution persisted IVF-PQ index (8
+    * subspaces × 16 codes — 32-bit codes, the resolution qe39's grid
+    * shows mis-ranks true neighbors out of the shortlist). Its build
+    * is priced inside qe39, the grid query itself. */
+  private val ivfPqSmallIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfPqSmallIndexPath(s: SparkSession, dir: String): String =
+    ivfPqSmallIndexPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_ivfpqs").toString
+      graft.ops.AnnIndex.writeIvfPqIndex(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), path, nList = 16, numSub = 8,
+        codebookSize = 16, refineIters = 2)
+      path
+    })
+
+  /** qe39: the IVF-PQ OPERATING-POINT GRID — recall@10 of the
+    * persisted two-stage probe at every (code resolution × shortlist
+    * size) point: {8×16 = 32-bit, 16×64 = 96-bit codes} ×
+    * {rerank 25, 50, 100}, nProbe 8 throughout. The measurement that
+    * JUSTIFIES qe37's operating point (16×64 @ 100 ≈ the 0.810
+    * nProbe-8 cell ceiling; 8×16 @ 50 recovers barely half of it) —
+    * previously narrated in ARCHITECTURE.md from an offline sweep,
+    * now a declared query the oracle re-derives end-to-end (the qe31
+    * curve pattern). One ADC scan + ONE pruned full-precision read
+    * per resolution serves all three shortlist levels: the reranked
+    * frame carries the ADC rank (`srk`), each level is a filter over
+    * it, and the per-(level, query) top-10 is a bounded `topk_agg`. */
+  def ivfPqOperatingGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    val truth = evalTruth(e).localCheckpoint(eager = false)
+    val qRows = evalQueries(e).select(col("vec_id").cast("long"),
+        Similarity.l2Normalize(col("embedding"))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val levels = Seq(25L, 50L, 100L).toDF("rerank")
+      .localCheckpoint(eager = false)
+    def gridHalf(path: String, numSub: Int, cbSize: Int): DataFrame = {
+      val hits = graft.ops.AnnIndex.ivfPqRerankedFrame(s, path, qRows,
+          nProbe = 8, rerank = 100)
+        .join(broadcast(levels), col("srk") <= col("rerank"))
+        .groupBy(col("rerank"), col("query_id"))
+        .agg(graft.functions.TopKAggregate
+          .topk(col("cos"), col("vec_id"), 10).as("top"))
+        .select(col("rerank"), col("query_id"),
+          explode(col("top")).as("p"))
+        .select(col("rerank"), col("query_id"), col("p.id").as("vec_id"))
+        .join(truth, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("rerank")).agg(count(lit(1)).as("n_hit"))
+      // anchor on the declared levels so a zero-hit grid point still
+      // reports its row (the annProbeSweep discipline)
+      levels.join(hits, Seq("rerank"), "left")
+        .select(lit(numSub.toLong).as("num_sub"),
+          lit(cbSize.toLong).as("cb_size"), col("rerank"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    }
+    gridHalf(ivfPqSmallIndexPath(s, dir), 8, 16)
+      .unionByName(gridHalf(ivfPqIndexPath(s, dir), 16, 64))
+      .select(col("num_sub"), col("cb_size"), col("rerank"), col("n_hit"),
+        round(col("n_hit") * lit(1.0) / lit(qRows.length * 10L), 4)
+          .as("recall"))
+      .orderBy(col("num_sub"), col("rerank"))
+  }
 }

@@ -309,6 +309,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(rows(salted).nonEmpty) // the fixture actually exercises pairs
   }
 
+  test("batch BM25 probe: one pruned postings scan serves the whole query batch") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+    val path = java.nio.file.Files.createTempDirectory("bm25plan").toString
+    graft.ops.LexIndex.writeBm25Index(docs, col("doc_id"), col("text"),
+      path)
+    val queries = Seq((0L, "table"), (0L, "hash"), (1L, "hash"),
+      (1L, "merge"), (2L, "table")).toDF("query_id", "term")
+    val p = plan(graft.ops.LexIndex.bm25KnnJoinIndexed(spark, path,
+      queries, col("query_id"), col("term"), k = 5))
+    // the batch's term-prefix union is ONE static partition filter and
+    // the postings table is scanned exactly once for all queries
+    assert(p.matches("(?s).*PartitionFilters: \\[.*tpfx.*"), p.take(3000))
+    assert("/postings".r.findAllIn(p).size == 1, p.take(3000))
+    // query fan-out rides a broadcast; per-query top-k is a bounded
+    // map-side aggregate — never a corpus-sized shuffle or sort-merge
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(p.contains("partial_topk_agg"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("phrase probe: rare-term anchors broadcast-semi-join the common terms' positions") {
+    import spark.implicits._
+    // skewed fixture: 'the' is near-ubiquitous, 'zebra' rare — the
+    // intersection must anchor on the rare term's starts, not shuffle
+    // the ubiquitous term's whole position list into the group-by
+    val docs = (0L until 200L).map { i =>
+      val filler = Seq.fill(20)("the").mkString(" ")
+      if (i % 50 == 0) (i, s"$filler the zebra runs $filler")
+      else (i, s"$filler word$i $filler")
+    }.toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("phraseplan").toString
+    graft.ops.LexIndex.writeBm25Index(docs, col("doc_id"), col("text"),
+      path, positions = true)
+    val probe = graft.ops.LexIndex.phraseTopKIndexed(spark, path,
+      Seq("the", "zebra", "runs"), k = 50)
+    val p = plan(probe)
+    assert(p.contains("BroadcastExchange"), p.take(4000))
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      p.take(4000))
+    assert(p.matches("(?s).*PartitionFilters: \\[.*tpfx.*"), p.take(4000))
+    // and the pruned intersection is still exactly right
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = graft.ops.TextAnalysis.phraseMatches(docs, col("doc_id"),
+        col("text"), Seq("the", "zebra", "runs"))
+      .orderBy(col("n_matches").desc, col("doc_id")).limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("histogram sketch aggregates map-side; quantile window runs over the sketch") {
     val p = plan(SparkEntry.queries("qd77_hist_quantiles")(spark, sf))
     // one hash agg pair for the bucket counts (partial + final) and a

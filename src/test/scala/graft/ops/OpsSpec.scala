@@ -1748,6 +1748,76 @@ class OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/index").count() == e.count())
   }
 
+  test("streaming LSH ingest: frozen planes make the streamed index equal a whole-corpus build") {
+    val root = java.nio.file.Files.createTempDirectory("lshingest").toString
+    val idx = s"$root/idx"; val in = s"$root/in"
+    val e = Tables.load(spark, sf, "embeddings")
+    val nib = conv(substring(md5(col("vec_id").cast("string")), 1, 1),
+      16, 10).cast("int")
+    AnnIndex.writeLshIndex(e.filter(nib < 8), col("vec_id"),
+      col("embedding"), idx, numPlanes = 6, batchKeyed = true)
+    e.filter(nib >= 8 && nib < 12).write.parquet(s"$in/f1")
+    def run() = StreamingIngest.lshIngestTo(
+      StreamingIngest.watchParquetDir(spark, s"$in/*", e.schema),
+      idx, s"$root/ckpt", compactEvery = 1).awaitTermination()
+    run()
+    e.filter(nib >= 12).write.parquet(s"$in/f2")
+    run()
+    // hyperplanes are deterministic in (num_planes, dim), so the
+    // streamed index probes exactly like one whole-corpus build
+    val ref = s"$root/ref"
+    AnnIndex.writeLshIndex(e, col("vec_id"), col("embedding"), ref,
+      numPlanes = 6)
+    val q = e.filter(col("vec_id") === 3).select(
+      Similarity.l2Normalize(col("embedding")).as("qv"))
+    def probe(p: String) = AnnIndex.queryLshIndex(spark, p, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(idx) == probe(ref) && probe(idx).nonEmpty)
+    assert(spark.read.parquet(s"$idx/index").count() == e.count())
+  }
+
+  test("streaming IVF-PQ ingest: frozen model encodes batches; introspection triggers the fold") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pqingest").toString
+    val idx = s"$root/idx"; val in = s"$root/in"
+    val e = Tables.load(spark, sf, "embeddings")
+    val nib = conv(substring(md5(col("vec_id").cast("string")), 1, 1),
+      16, 10).cast("int")
+    AnnIndex.writeIvfPqIndex(e.filter(nib < 8), col("vec_id"),
+      col("embedding"), idx, nList = 8, numSub = 8, codebookSize = 8,
+      refineIters = 1, batchKeyed = true)
+    e.filter(nib >= 8 && nib < 12).write.parquet(s"$in/f1")
+    // no blind cadence here: the PHYSICAL batch-partition count drives
+    // the fold (StoreFiles.needsBatchCompaction via maxBatchParts)
+    def run() = StreamingIngest.ivfPqIngestTo(
+      StreamingIngest.watchParquetDir(spark, s"$in/*", e.schema),
+      idx, s"$root/ckpt", maxBatchParts = 1).awaitTermination()
+    run()
+    e.filter(nib >= 12).write.parquet(s"$in/f2")
+    run()
+    // probes equal the same frozen model grown by the plain append path
+    val ref = s"$root/ref"
+    AnnIndex.writeIvfPqIndex(e.filter(nib < 8), col("vec_id"),
+      col("embedding"), ref, nList = 8, numSub = 8, codebookSize = 8,
+      refineIters = 1)
+    AnnIndex.appendIvfPqIndex(e.filter(nib >= 8), col("vec_id"),
+      col("embedding"), ref)
+    val q5 = e.filter(col("vec_id") < 5)
+    def probe(p: String) = AnnIndex.ivfPqKnnJoinIndexed(spark, p, q5,
+        col("vec_id"), col("embedding"), k = 5, nProbe = 3, rerank = 20)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(probe(idx) == probe(ref) && probe(idx).nonEmpty)
+    assert(spark.read.parquet(s"$idx/codes").count() == e.count())
+    assert(spark.read.parquet(s"$idx/vectors").count() == e.count())
+    // the introspection-driven fold actually fired: committed history
+    // sits under -1 with at most the in-flight batch still keyed
+    val live = spark.read.parquet(s"$idx/codes").select("batch_id")
+      .distinct().as[Long].collect().sorted.toSeq
+    assert(live.head == -1L && live.size <= 2, live.toString)
+  }
+
   test("streaming NEAR-dup ingest: index rejects, in-batch twins resolve, replay idempotent") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("neardupingest").toString

@@ -825,4 +825,172 @@ class StoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/hll").select("batch_id")
       .distinct().as[Long].collect().sorted.toSeq == Seq(-1L, 2L))
   }
+
+  test("batch-keyed LSH index: replays rewrite; probes match a whole-corpus build; folds keep layout") {
+    import spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+    val nib = conv(substring(md5(col("vec_id").cast("string")), 1, 1),
+      16, 10).cast("int")
+    val base = e.filter(nib < 8)
+    val b1 = e.filter(nib >= 8 && nib < 12)
+    val b2 = e.filter(nib >= 12)
+    val path = tmp("st_lshbk"); val ref = tmp("st_lshref")
+    AnnIndex.writeLshIndex(base, col("vec_id"), col("embedding"), path,
+      numPlanes = 6, batchKeyed = true)
+    AnnIndex.putLshBatch(b1, col("vec_id"), col("embedding"), path, 0L)
+    AnnIndex.putLshBatch(b2, col("vec_id"), col("embedding"), path, 1L)
+    // hyperplanes are frozen by construction (deterministic in
+    // (num_planes, dim)), so a plain whole-corpus build IS the
+    // reference — no model drift between base and batches
+    AnnIndex.writeLshIndex(e, col("vec_id"), col("embedding"), ref,
+      numPlanes = 6)
+    val q = e.filter(col("vec_id") === 3).select(
+      Similarity.l2Normalize(col("embedding")).as("qv"))
+    def probe(p: String) = AnnIndex.queryLshIndex(spark, p, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = probe(ref)
+    assert(want.nonEmpty && probe(path) == want)
+    // a replay REWRITES batch 1's partitions — no duplicate vectors
+    AnnIndex.putLshBatch(b2, col("vec_id"), col("embedding"), path, 1L)
+    assert(probe(path) == want)
+    assert(spark.read.parquet(s"$path/index").count() == e.count())
+    // folding committed batches keeps probes and the keyed layout
+    AnnIndex.compactLshBatches(spark, path, keepFrom = 1L)
+    assert(probe(path) == want)
+    assert(spark.read.parquet(s"$path/index").select("batch_id")
+      .distinct().as[Long].collect().sorted.toSeq == Seq(-1L, 1L))
+    // the full tombstone compact also preserves the keyed layout
+    AnnIndex.compactAnnIndex(spark, path)
+    assert(probe(path) == want)
+    assert(spark.read.parquet(s"$path/index").select("batch_id")
+      .distinct().as[Long].collect().toSeq == Seq(-1L))
+  }
+
+  test("batch-keyed IVF-PQ index: replays rewrite both halves; folds keep layout and rerank pruning") {
+    import spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+    val nib = conv(substring(md5(col("vec_id").cast("string")), 1, 1),
+      16, 10).cast("int")
+    val base = e.filter(nib < 8)
+    val b1 = e.filter(nib >= 8 && nib < 12)
+    val b2 = e.filter(nib >= 12)
+    val path = tmp("st_pqbk"); val ref = tmp("st_pqref")
+    AnnIndex.writeIvfPqIndex(base, col("vec_id"), col("embedding"), path,
+      nList = 8, numSub = 8, codebookSize = 8, refineIters = 1,
+      batchKeyed = true)
+    AnnIndex.putIvfPqBatch(b1, col("vec_id"), col("embedding"), path, 0L)
+    AnnIndex.putIvfPqBatch(b2, col("vec_id"), col("embedding"), path, 1L)
+    // reference: the SAME frozen model grown by the plain append path
+    // (already spec-pinned) — base + batches must probe identically
+    AnnIndex.writeIvfPqIndex(base, col("vec_id"), col("embedding"), ref,
+      nList = 8, numSub = 8, codebookSize = 8, refineIters = 1)
+    AnnIndex.appendIvfPqIndex(b1, col("vec_id"), col("embedding"), ref)
+    AnnIndex.appendIvfPqIndex(b2, col("vec_id"), col("embedding"), ref)
+    val q5 = e.filter(col("vec_id") < 5)
+    def probe(p: String) = AnnIndex.ivfPqKnnJoinIndexed(spark, p, q5,
+        col("vec_id"), col("embedding"), k = 5, nProbe = 3, rerank = 20)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val want = probe(ref)
+    assert(want.nonEmpty && probe(path) == want)
+    // a replay REWRITES batch 1's partitions in BOTH halves — no
+    // duplicate code rows (ADC) and no duplicate rerank vectors
+    AnnIndex.putIvfPqBatch(b2, col("vec_id"), col("embedding"), path, 1L)
+    assert(probe(path) == want)
+    assert(spark.read.parquet(s"$path/codes").count() == e.count())
+    assert(spark.read.parquet(s"$path/vectors").count() == e.count())
+    // folding committed batches keeps probes and BOTH keyed layouts
+    AnnIndex.compactIvfPqBatches(spark, path, keepFrom = 1L)
+    assert(probe(path) == want)
+    assert(spark.read.parquet(s"$path/codes").select("batch_id")
+      .distinct().as[Long].collect().sorted.toSeq == Seq(-1L, 1L))
+    assert(spark.read.parquet(s"$path/vectors").select("batch_id")
+      .distinct().as[Long].collect().sorted.toSeq == Seq(-1L, 1L))
+  }
+
+  test("storeStats: listing-only batch counts drive the compaction predicate") {
+    val path = tmp("st_stats")
+    SketchStore.putCmsBatch(half(lo = true)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w")),
+      col("w"), path, 0L, 128)
+    SketchStore.putCmsBatch(half(lo = false)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w")),
+      col("w"), path, 1L, 128)
+    val stats = StoreFiles.storeStats(spark, path)
+    val cms = stats.find(_.subStore == "cms").get
+    assert(cms.nBatches == 2 && cms.nFiles >= 2)
+    assert(StoreFiles.needsBatchCompaction(spark, path, maxBatches = 1))
+    assert(!StoreFiles.needsBatchCompaction(spark, path, maxBatches = 2))
+    SketchStore.compactBatches(spark, path, keepFrom = 2L)
+    val after = StoreFiles.storeStats(spark, path)
+      .find(_.subStore == "cms").get
+    assert(after.nBatches == 1) // everything folded under -1
+    assert(!StoreFiles.needsBatchCompaction(spark, path, maxBatches = 1))
+    // a missing store reports empty, not an error
+    assert(StoreFiles.storeStats(spark, path + "_nope").isEmpty)
+  }
+
+  test("HLL append to a tombstoned group fails loudly until compact re-admits it") {
+    def toks(lo: Boolean) = half(lo)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val path = tmp("st_hllguard")
+    SketchStore.writeHll(toks(lo = true), col("source"), col("w"), path)
+    val victim = toks(lo = true).select(col("source")).distinct()
+      .orderBy(col("source")).limit(1)
+    SketchStore.deleteHllGroups(spark, path, victim, col("source"))
+    // appending the tombstoned group now would hide the partial until
+    // compact and then resurrect deleted history with it — rejected
+    val err = intercept[IllegalArgumentException] {
+      SketchStore.appendHll(toks(lo = false), col("source"), col("w"), path)
+    }
+    assert(err.getMessage.contains("tombstoned"))
+    // compact drops the dead partials and clears the sidecar; the same
+    // append then succeeds and the store profiles exactly the re-added
+    // rows (the deleted history stays gone)
+    SketchStore.compact(spark, path)
+    SketchStore.appendHll(toks(lo = false), col("source"), col("w"), path)
+    val vic = victim.collect().map(_.getString(0)).toSeq
+    val want = Sketches.hllDistinctFast(
+        toks(lo = true).filter(!col("source").isin(vic: _*))
+          .unionByName(toks(lo = false)),
+        col("source"), col("w"))
+      .orderBy("grp").collect().toSeq
+    assert(SketchStore.readHllProfile(spark, path)
+      .orderBy("grp").collect().toSeq == want)
+  }
+
+  test("CMS/hist deletes on a batch-keyed store land under the reserved -2 partition") {
+    import spark.implicits._
+    def words(lo: Boolean) = half(lo)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val path = tmp("st_negbk")
+    SketchStore.putCmsBatch(words(lo = true), col("w"), path, 0L, 128)
+    SketchStore.putCmsBatch(words(lo = false), col("w"), path, 1L, 128)
+    SketchStore.putHistBatch(half(lo = true), col("source"), docLen,
+      path, 0L)
+    SketchStore.putHistBatch(half(lo = false), col("source"), docLen,
+      path, 1L)
+    SketchStore.deleteCms(words(lo = false), col("w"), path)
+    SketchStore.deleteHist(half(lo = false), col("source"), docLen, path)
+    // the negative partials keep the partitioned layout (reserved -2,
+    // never a real batch id) instead of corrupting it with flat files
+    assert(spark.read.parquet(s"$path/cms").select("batch_id")
+      .distinct().as[Long].collect().sorted.toSeq == Seq(-2L, 0L, 1L))
+    assert(spark.read.parquet(s"$path/hist").select("batch_id")
+      .distinct().as[Long].collect().sorted.toSeq == Seq(-2L, 0L, 1L))
+    // merged reads subtract exactly: only the lo half remains
+    assert(rows(SketchStore.readCms(spark, path)) ==
+      rows(Sketches.cmsSketch(words(lo = true), col("w"), width = 128)))
+    val refHist = tmp("st_negbk_ref") // direct twin over the lo half
+    SketchStore.writeHist(half(lo = true), col("source"), docLen, refHist)
+    assert(rows(SketchStore.readHistProfile(spark, path, Seq(0.5))) ==
+      rows(SketchStore.readHistProfile(spark, refHist, Seq(0.5))))
+    // a later fold collapses the negatives with everything committed
+    SketchStore.compactBatches(spark, path, keepFrom = 2L)
+    assert(rows(SketchStore.readCms(spark, path)) ==
+      rows(Sketches.cmsSketch(words(lo = true), col("w"), width = 128)))
+    assert(spark.read.parquet(s"$path/cms").select("batch_id")
+      .distinct().as[Long].collect().toSeq == Seq(-1L))
+  }
 }
