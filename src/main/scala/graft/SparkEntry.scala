@@ -194,6 +194,9 @@ object SparkEntry {
     "qd85_bm25_batch_topk" -> (PipelineQueries.bm25BatchTopDocs _),
     "qe38_hybrid_rrf_batch" -> (PipelineQueries.hybridRrfJoin _),
     "qe39_ivfpq_grid" -> (PipelineQueries.ivfPqOperatingGrid _),
+    "qd86_phrase_batch" -> (PipelineQueries.phraseBatchSearch _),
+    "qe40_hybrid_rrf_pq" -> (PipelineQueries.hybridRrfPqJoin _),
+    "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1890,6 +1893,19 @@ object SparkEntry {
     // {8x16, 16x64 codes} x {rerank 25, 50, 100}, nProbe 8; pins the
     // measurement that justifies qe37's 16x64@100 operating point.
     "qe39_ivfpq_grid" -> ivfPqGridOracleSql,
+    // qd86: the MULTI-query phrase probe (10 trigram phrases, one
+    // pruned positions scan, per-query top-5) re-derived by shifting
+    // every phrase's token positions over the corpus.
+    "qd86_phrase_batch" -> phraseBatchOracleSql,
+    // qe40: per-query RRF of the batch BM25 top-50 and the IVF-PQ
+    // TWO-STAGE top-50 (16x64 codes, nProbe 8, rerank 100 — the best
+    // persisted probe per qe39's grid) over the same 20 query ids.
+    "qe40_hybrid_rrf_pq" -> hybridRrfPqOracleSql,
+    // qm01: multimodal decode — Spark synthesizes REAL container bytes
+    // per doc id and decodes them with the real parsers; the oracle
+    // re-derives every field from the same integer arithmetic, so the
+    // byte walks are cross-checked end-to-end.
+    "qm01_media_decode" -> mediaDecodeOracleSql,
     // qd70: three HLL estimate derivations (even docs, odd docs, all
     // docs — element-wise register max of the halves IS the union's
     // sketch) + inclusion–exclusion on the rounded estimates, generated
@@ -2348,6 +2364,134 @@ object SparkEntry {
          CAST(row_number() OVER (PARTITION BY query_id
            ORDER BY rrf DESC, id) AS BIGINT) AS rank
        FROM f QUALIFY rank <= 10 ORDER BY query_id, rank"""
+
+  /** qd86: the multi-query phrase probe — [[phraseSearchOracleSql]]
+    * generalized to a phrase TABLE: queries are the first 10 docs'
+    * leading token trigrams; every phrase's words shift their corpus
+    * positions to the start they witness, a start covered by all of a
+    * query's DISTINCT offsets is a match, per-query top-5 by
+    * occurrence count (ties to the lower doc_id). */
+  private lazy val phraseBatchOracleSql: String =
+    s"""WITH bit AS (SELECT doc_id,
+           regexp_extract_all(lower(text), '\\S+') AS ws FROM documents),
+       ptoks AS (SELECT doc_id, unnest(ws) AS term,
+           CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos
+         FROM bit),
+       pq AS (SELECT DISTINCT query_id, term, off FROM (
+           SELECT doc_id AS query_id, unnest(ws[1:3]) AS term,
+             CAST(generate_subscripts(ws[1:3], 1) - 1 AS BIGINT) AS off
+           FROM bit WHERE doc_id < 10) z),
+       plen AS (SELECT query_id, count(DISTINCT off) AS phlen
+         FROM pq GROUP BY 1),
+       pcand AS (SELECT p.query_id, t.doc_id, t.pos - p.off AS start,
+           p.off
+         FROM ptoks t JOIN pq p USING (term)),
+       phits AS (SELECT c.query_id, c.doc_id, c.start
+         FROM pcand c JOIN plen l USING (query_id)
+         GROUP BY c.query_id, c.doc_id, c.start, l.phlen
+         HAVING count(DISTINCT c.off) = l.phlen),
+       pnm AS (SELECT query_id, doc_id,
+           CAST(count(*) AS BIGINT) AS n_matches
+         FROM phits GROUP BY 1, 2)
+       SELECT query_id, doc_id, n_matches,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY n_matches DESC, doc_id) AS BIGINT) AS rank
+       FROM pnm QUALIFY rank <= 5 ORDER BY query_id, rank"""
+
+  /** qe40: hybrid RRF over the IVF-PQ two-stage — the
+    * [[hybridRrfBatchOracleSql]] fusion with its vector half replaced
+    * by the [[ivfPqEncodeCtes]] machinery probed for the 20 hybrid
+    * query ids at nProbe 8 / shortlist 100 (the qe37/qe39 operating
+    * point), exact-cosine reranked to rank ≤ 50. */
+  private lazy val hybridRrfPqOracleSql: String =
+    s"""$ivfPqEncodeCtes,
+       $bm25BatchCtes,
+       blex AS (SELECT query_id, doc_id AS id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rank_lex
+         FROM bqsc QUALIFY rank_lex <= 50),
+       hq AS (SELECT vec_id AS query_id, v AS qv FROM e
+         WHERE vec_id < 20),
+       hcrk AS (SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.cv, q.qv) DESC, c.cell) AS crk
+         FROM c2 c, hq q),
+       hprobe AS (SELECT query_id, cell FROM hcrk WHERE crk <= 8),
+       hqx AS (SELECT query_id, generate_subscripts(qv, 1) AS dim,
+           unnest(qv) AS x FROM hq),
+       hqr AS (SELECT p.query_id, p.cell, hqx.dim,
+           floor((hqx.x - cvx.c) * 1000000.0) AS r
+         FROM hprobe p JOIN cvx ON cvx.cell = p.cell
+         JOIN hqx ON hqx.query_id = p.query_id AND hqx.dim = cvx.dim),
+       hqd AS (SELECT qr.query_id, qr.cell, (qr.dim - 1) // 4 AS m,
+           cb.cidx, sum((qr.r - cb.cx) * (qr.r - cb.cx)) AS qdist
+         FROM hqr qr JOIN cb ON cb.m = ((qr.dim - 1) // 4)
+           AND cb.dim = qr.dim
+         GROUP BY 1, 2, 3, 4),
+       hadcs AS (SELECT hqd.query_id, c.vec_id,
+           sum(hqd.qdist) AS adc_score
+         FROM code c JOIN cellof cf USING (vec_id)
+         JOIN hqd ON hqd.cell = cf.cell AND hqd.m = c.m
+           AND hqd.cidx = c.cidx
+         GROUP BY 1, 2),
+       hshort AS (SELECT query_id, vec_id FROM (SELECT query_id,
+           vec_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_score, vec_id) AS srk FROM hadcs) sh
+         WHERE srk <= 100),
+       hrr AS (SELECT s.query_id, s.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM hshort s JOIN e ON e.vec_id = s.vec_id
+         JOIN hq q2 ON q2.query_id = s.query_id),
+       vrank AS (SELECT query_id, vec_id AS id,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS BIGINT) AS rank_vec
+         FROM hrr QUALIFY rank_vec <= 50),
+       f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+           coalesce(l.id, v.id) AS id, l.rank_lex, v.rank_vec,
+           round(coalesce(1.0 / (60.0 + l.rank_lex), 0.0)
+             + coalesce(1.0 / (60.0 + v.rank_vec), 0.0), 6) AS rrf
+         FROM blex l FULL OUTER JOIN vrank v
+           ON l.query_id = v.query_id AND l.id = v.id)
+       SELECT query_id, id, rank_lex, rank_vec, rrf,
+         CAST(row_number() OVER (PARTITION BY query_id
+           ORDER BY rrf DESC, id) AS BIGINT) AS rank
+       FROM f QUALIFY rank <= 10 ORDER BY query_id, rank"""
+
+  /** qm01: the multimodal decode truth — every field of the decoded
+    * profile re-derived from the SAME integer arithmetic that
+    * parameterized the synthesized container bytes
+    * (graft.ops.Multimodal.synthParams): kind = id % 5 →
+    * bmp / wav / mp4 / avi / mkv. */
+  private lazy val mediaDecodeOracleSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CASE doc_id % 5
+         WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' WHEN 2 THEN 'mp4:avc1'
+         WHEN 3 THEN 'avi:mjpg' ELSE 'mkv:V_VP9' END AS format,
+       CAST(CASE doc_id % 5
+         WHEN 0 THEN 16 + doc_id % 317
+         WHEN 1 THEN 1 + doc_id % 2
+         WHEN 2 THEN 160 + doc_id % 160
+         WHEN 3 THEN 320 + doc_id % 320
+         ELSE 640 + doc_id % 128 END AS INTEGER) AS width,
+       CAST(CASE doc_id % 5
+         WHEN 0 THEN 16 + (doc_id // 5) % 211
+         WHEN 1 THEN 16
+         WHEN 2 THEN 120 + doc_id % 120
+         WHEN 3 THEN 240 + doc_id % 240
+         ELSE 360 + doc_id % 72 END AS INTEGER) AS height,
+       CAST(CASE doc_id % 5
+         WHEN 0 THEN 1
+         WHEN 1 THEN 8000 * (1 + doc_id % 9)
+         WHEN 2 THEN 24 + doc_id % 240
+         WHEN 3 THEN 25 + doc_id % 250
+         ELSE 1 END AS INTEGER) AS n_frames,
+       CAST(CASE doc_id % 5
+         WHEN 0 THEN 0
+         WHEN 1 THEN 1000 * (1 + doc_id % 9)
+         WHEN 2 THEN 1000 + doc_id % 5000
+         WHEN 3 THEN (25 + doc_id % 250) * 40
+         ELSE 2000 + doc_id % 3000 END AS BIGINT) AS duration_ms
+       FROM documents ORDER BY media_id"""
 
   /** qe39: the IVF-PQ operating-point grid — recall@10 at
     * {8×16, 16×64 codes} × {rerank 25, 50, 100}, nProbe 8. Two

@@ -92,16 +92,33 @@ object AnnIndex {
     * exactly the buckets a whole-corpus rebuild would assign — probe
     * results over the appended index are byte-identical to a fresh
     * build (spec-pinned). One batch scan, no corpus re-read. `attrs`
-    * must match the build's attribute columns. */
+    * must match the build's attribute columns.
+    *
+    * `maxFilesPerSub` > 0 enforces the small-file policy at append
+    * time: each blind append leaves one more file per touched bucket,
+    * and when any sub-store's file count exceeds the threshold
+    * ([[StoreFiles.needsFileCompaction]] — a short-circuited listing)
+    * the store compacts in place ([[compactAnnIndex]]; the appender is
+    * the store's single writer, so the quiesce contract holds). */
   def appendLshIndex(batch: DataFrame, id: Column, vec: Column,
-      path: String, attrs: Seq[Column] = Nil): Unit = {
+      path: String, attrs: Seq[Column] = Nil,
+      maxFilesPerSub: Int = 0): Unit = {
     val meta = batch.sparkSession.read.parquet(s"$path/meta").head()
     val planes = Similarity.planeVectors(meta.getInt(0), meta.getInt(1))
     batch.select(id.as("vec_id") +: Similarity.l2Normalize(vec).as("v") +:
         Similarity.lshBucket(vec, planes).as("bucket") +: attrs: _*)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/index")
+    maybeCompactFiles(batch.sparkSession, path, maxFilesPerSub)
   }
+
+  /** The [[appendLshIndex]] `maxFilesPerSub` policy, shared by every
+    * plain-append entry point of the vector store family. */
+  private def maybeCompactFiles(spark: SparkSession, path: String,
+      maxFilesPerSub: Int): Unit =
+    if (maxFilesPerSub > 0 &&
+        StoreFiles.needsFileCompaction(spark, path, maxFilesPerSub))
+      compactAnnIndex(spark, path)
 
   /** Tombstone-delete vectors from a persisted ANN index (any kind at
     * this path — the sidecar is shared): every probe anti-joins the
@@ -504,9 +521,11 @@ object AnnIndex {
     * re-read; retrain via a fresh [[writeIvfIndex]] when drift
     * warrants), and the rows land under their cell partitions. Probes
     * over the appended index equal an assignment of the union corpus
-    * under the same centroids (spec-pinned). */
+    * under the same centroids (spec-pinned). `maxFilesPerSub` > 0
+    * compacts in place when blind appends have accumulated too many
+    * small files (the [[appendLshIndex]] policy). */
   def appendIvfIndex(batch: DataFrame, id: Column, vec: Column,
-      path: String): Unit = {
+      path: String, maxFilesPerSub: Int = 0): Unit = {
     val spark = batch.sparkSession
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
@@ -515,6 +534,7 @@ object AnnIndex {
       .withColumn("cell", Similarity.nearestCell(col("v"), cents))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/index")
+    maybeCompactFiles(spark, path, maxFilesPerSub)
   }
 
   /** Multi-query top-k against a persisted IVF index: the stored
@@ -628,15 +648,20 @@ object AnnIndex {
     * contract). Probing ALL cells with a corpus-sized rerank over the
     * appended index still equals brute-force truth over the union —
     * the two-stage exactness identity is model-independent
-    * (spec-pinned). */
+    * (spec-pinned). `maxFilesPerSub` > 0 compacts in place when blind
+    * appends have accumulated too many small files (the
+    * [[appendLshIndex]] policy — doubly valuable here because the
+    * compact also restores the flat `vectors/` table's global vec_id
+    * clustering that per-append sorts cannot provide). */
   def appendIvfPqIndex(batch: DataFrame, id: Column, vec: Column,
-      path: String): Unit = {
+      path: String, maxFilesPerSub: Int = 0): Unit = {
     ivfPqEncodeStored(batch, id, vec, path)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
       .sortWithinPartitions(col("vec_id"))
       .write.mode("append").parquet(s"$path/vectors")
+    maybeCompactFiles(batch.sparkSession, path, maxFilesPerSub)
   }
 
   /** Encode a batch under a stored IVF-PQ index's FROZEN model:
@@ -731,7 +756,14 @@ object AnnIndex {
     * as a literal `vec_id IN (...)`, so row-group min/max pruning
     * fires on the vec_id-sorted table (plan-pinned in PlanShapeSpec).
     * Stage-1 IO is nProbe/nList of the corpus at code width — qe32's
-    * compressed full scan, pruned. */
+    * compressed full scan, pruned.
+    *
+    * EAGER by contract: materializing the literal-IN shortlist runs
+    * the stage-1 Spark jobs AT CALL TIME (not when the returned frame
+    * is first consumed), and the result is frozen against index
+    * mutations that land after the call — the price of the row-group
+    * pruning a lazy broadcast-join plan cannot get. |queries| × rerank
+    * must stay serving-sized (guarded by [[MaxShortlistIds]]). */
   def ivfPqKnnJoinIndexed(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
       nProbe: Int = 8, rerank: Int = 50): DataFrame = {
@@ -762,9 +794,20 @@ object AnnIndex {
     * queryQuantizedIndex/queryBinaryIndex discipline); with the
     * literal, stage 2 reads only the row groups holding shortlisted
     * ids (vectors/ is vec_id-sorted). */
+  /** Ceiling on the driver-collected shortlist (|queries| × rerank ids)
+    * of the two-stage probe — the serving-batch contract as a loud,
+    * named failure instead of a driver OOM when someone feeds a
+    * corpus-scale query batch. */
+  val MaxShortlistIds: Long = 1L << 20
+
   private[graft] def ivfPqRerankedFrame(spark: SparkSession,
       path: String, qRows: Array[(Long, Array[Double])], nProbe: Int,
       rerank: Int): DataFrame = {
+    require(qRows.length.toLong * rerank <= MaxShortlistIds,
+      s"two-stage shortlist is ${qRows.length} queries x $rerank ids — " +
+        s"over the $MaxShortlistIds serving-batch ceiling; split the " +
+        "query batch into smaller probe calls instead of one " +
+        "driver-sized collect")
     val shortTriples = ivfPqShortlistFrame(spark, path, qRows, nProbe,
         rerank)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

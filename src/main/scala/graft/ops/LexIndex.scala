@@ -18,21 +18,31 @@ import org.apache.spark.sql.functions._
   *                       directories its own terms name; `dl` (the
   *                       document token count) is denormalized onto the
   *                       posting row so scoring needs NO doc-side join
+  *   `<path>/df/`        term, df — per-term document frequency as
+  *                       PARTIAL rows (one per build/append batch,
+  *                       NEGATIVE partials on delete), `tpfx`
+  *                       partitioned like the postings; partials sum
+  *                       associatively so a probe reads only its own
+  *                       terms' rows and NEVER re-counts posting lists
+  *                       (df is a property of the INDEX, maintained by
+  *                       the lifecycle — not recomputed at probe time,
+  *                       which would put a skew-prone per-term shuffle
+  *                       in the serving path)
   *   `<path>/stats/`     n_docs, total_dl — one PARTIAL row per
   *                       appended batch; both fields sum associatively,
   *                       so `avgdl = Σtotal_dl / Σn_docs` at read time
   *                       and appends never read history (the
   *                       [[SketchStore]] merge-on-read discipline)
   *
-  * A term's full posting list lives inside its own partition, so
-  * per-term document frequency is computable from the pruned read alone
-  * — probes never touch global state beyond the tiny stats sidecar.
-  * [[appendBm25Index]] makes the lifecycle incremental: a new batch's
-  * postings land in their prefix directories and its stats partial
-  * appends blindly; a probe over the appended index is byte-identical
-  * to one over a single whole-corpus build (df derives from the pruned
-  * posting lists themselves, which are the same rows either way —
-  * spec-pinned, and qd81 shares qd76's oracle verbatim). */
+  * A term's full posting list (and its df partials) live inside its own
+  * partition, so probes never touch global state beyond the tiny stats
+  * sidecar. [[appendBm25Index]] makes the lifecycle incremental: a new
+  * batch's postings and df partials land in their prefix directories
+  * and its stats partial appends blindly; a probe over the appended
+  * index is byte-identical to one over a single whole-corpus build
+  * (posting rows are the same rows either way and the df partials sum
+  * to the same counts — spec-pinned, and qd81 shares qd76's oracle
+  * verbatim). */
 object LexIndex {
 
   /** Prefix partition key: "x" + first 2 term-md5 hex chars (the letter
@@ -55,16 +65,28 @@ object LexIndex {
       path: String, positions: Boolean = false): Unit =
     writeBatch(docs, id, text, path, mode = "overwrite", positions)
 
-  /** Append a new batch: postings rows land in their term-prefix
-    * directories, the stats partial appends blindly — no history read,
-    * no rebuild. Identical probe results to a fresh whole-corpus build
-    * because postings(A ∪ B) IS postings(A) ∪ postings(B) row-for-row
-    * (doc_ids are disjoint across batches) and the stats sums are
-    * associative. Position rows (when the store carries them) append
-    * under the same argument. */
+  /** Append a new batch: postings rows and df partials land in their
+    * term-prefix directories, the stats partial appends blindly — no
+    * history read, no rebuild. Identical probe results to a fresh
+    * whole-corpus build because postings(A ∪ B) IS postings(A) ∪
+    * postings(B) row-for-row (doc_ids are disjoint across batches) and
+    * the df/stats sums are associative. Position rows (when the store
+    * carries them) append under the same argument.
+    *
+    * `maxFilesPerSub` > 0 enforces the small-file policy at append
+    * time: when any sub-store's file count exceeds the threshold
+    * ([[StoreFiles.needsFileCompaction]] — a short-circuited listing)
+    * the index compacts in place ([[compactBm25Index]]; the appender
+    * is the store's single writer, so the quiesce contract holds). */
   def appendBm25Index(batch: DataFrame, id: Column, text: Column,
-      path: String, positions: Boolean = false): Unit =
+      path: String, positions: Boolean = false,
+      maxFilesPerSub: Int = 0): Unit = {
     writeBatch(batch, id, text, path, mode = "append", positions)
+    val spark = batch.sparkSession
+    if (maxFilesPerSub > 0 &&
+        StoreFiles.needsFileCompaction(spark, path, maxFilesPerSub))
+      compactBm25Index(spark, path)
+  }
 
   private def tokenized(docs: DataFrame, id: Column,
       text: Column): DataFrame =
@@ -87,11 +109,24 @@ object LexIndex {
   private def statsOf(toks: DataFrame): DataFrame =
     toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
 
+  /** One df PARTIAL per term in this batch: the batch's posting-list
+    * lengths (postings are one row per (term, doc), so a count IS a
+    * document frequency). Partials sum associatively across appends
+    * and the negative rows [[deleteFromBm25Index]] writes. */
+  private def dfOf(postings: DataFrame): DataFrame =
+    postings.groupBy(col("term"), col("tpfx"))
+      .agg(count(lit(1)).as("df"))
+
   private def writeBatch(docs: DataFrame, id: Column, text: Column,
       path: String, mode: String, positions: Boolean): Unit = {
     val toks = tokenized(docs, id, text)
-    postingsOf(toks).repartition(col("tpfx"))
+    // the postings frame feeds two writes (rows + df partial): the lazy
+    // checkpoint materializes it once at the first write
+    val post = postingsOf(toks).localCheckpoint(eager = false)
+    post.repartition(col("tpfx"))
       .write.mode(mode).partitionBy("tpfx").parquet(s"$path/postings")
+    dfOf(post).repartition(col("tpfx"))
+      .write.mode(mode).partitionBy("tpfx").parquet(s"$path/df")
     if (positions)
       positionsOf(toks).repartition(col("tpfx"))
         .write.mode(mode).partitionBy("tpfx").parquet(s"$path/positions")
@@ -116,10 +151,15 @@ object LexIndex {
   def writeBm25IndexBatchKeyed(docs: DataFrame, id: Column, text: Column,
       path: String, positions: Boolean = false): Unit = {
     val toks = tokenized(docs, id, text)
-    postingsOf(toks).withColumn("batch_id", lit(-1L))
+    val post = postingsOf(toks).localCheckpoint(eager = false)
+    post.withColumn("batch_id", lit(-1L))
       .repartition(col("tpfx"))
       .write.mode("overwrite").partitionBy("batch_id", "tpfx")
       .parquet(s"$path/postings")
+    dfOf(post).withColumn("batch_id", lit(-1L))
+      .repartition(col("tpfx"))
+      .write.mode("overwrite").partitionBy("batch_id", "tpfx")
+      .parquet(s"$path/df")
     if (positions)
       positionsOf(toks).withColumn("batch_id", lit(-1L))
         .repartition(col("tpfx"))
@@ -145,8 +185,11 @@ object LexIndex {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(pcols: _*).parquet(dir)
-    put(postingsOf(toks).repartition(col("tpfx")),
+    val post = postingsOf(toks).localCheckpoint(eager = false)
+    put(post.repartition(col("tpfx")),
       s"$path/postings", Seq("batch_id", "tpfx"))
+    put(dfOf(post).repartition(col("tpfx")),
+      s"$path/df", Seq("batch_id", "tpfx"))
     if (StoreFiles.exists(spark, s"$path/positions"))
       put(positionsOf(toks).repartition(col("tpfx")),
         s"$path/positions", Seq("batch_id", "tpfx"))
@@ -173,6 +216,9 @@ object LexIndex {
             .write.partitionBy(pcols: _*).parquet(tmp)
         }
     sub("postings", Seq("batch_id", "tpfx"), identity)
+    // df partials of folded batches collapse to one row per term
+    sub("df", Seq("batch_id", "tpfx"), d =>
+      d.groupBy(col("term"), col("tpfx")).agg(sum(col("df")).as("df")))
     sub("positions", Seq("batch_id", "tpfx"), identity)
     if (StoreFiles.exists(spark, s"$path/stats"))
       StoreFiles.replaceDir(spark, s"$path/stats") { tmp =>
@@ -187,6 +233,51 @@ object LexIndex {
       }
   }
 
+  /** Posting rows with a `df` column attached. The stored sidecar's
+    * live per-term sums collect driver-side ([[dfSnapshot]] — ≤
+    * |terms| rows, the anchor-choice discipline) and broadcast-join in
+    * as a LOCAL relation, so neither the posting rows nor any sidecar
+    * aggregation ever exchanges by term: df is maintained by the index
+    * lifecycle, NEVER recomputed at probe time. The pre-sidecar window
+    * derivation (`count over partition by term`) forced every pruned
+    * posting row of a term onto one reducer, so a query containing a
+    * near-ubiquitous term made that one task corpus-scale. Stores
+    * built before the sidecar existed (no `df/` directory) fall back
+    * to that legacy window — correct, but carrying the skew hazard;
+    * rebuild or [[compactBm25Index]]+append to upgrade. */
+  private def withDf(spark: SparkSession, path: String, post: DataFrame,
+      terms: DataFrame, pfxs: Seq[String]): DataFrame =
+    if (StoreFiles.exists(spark, s"$path/df")) {
+      import spark.implicits._
+      val dfLocal = dfSnapshot(spark, path, terms, pfxs).toSeq
+        .map { case (t, n) => (t, n.toDouble) }.toDF("term", "df")
+      post.join(broadcast(dfLocal), Seq("term"))
+    } else post.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term"))).cast("double"))
+
+  /** Driver snapshot of the probe terms' LIVE df — (term → df) over the
+    * pruned sidecar partials, ≤ |terms| rows collected. Used by the
+    * phrase probes to pick the rarest anchor term. Pre-sidecar stores
+    * fall back to counting pruned, tombstone-filtered posting lists. */
+  private def dfSnapshot(spark: SparkSession, path: String,
+      terms: DataFrame, pfxs: Seq[String]): Map[String, Long] =
+    (if (StoreFiles.exists(spark, s"$path/df"))
+       spark.read.parquet(s"$path/df")
+         .filter(col("tpfx").isin(pfxs: _*))
+         .join(broadcast(terms.distinct()), Seq("term"))
+         .groupBy(col("term")).agg(sum(col("df")).as("df"))
+     else {
+       val p0 = spark.read.parquet(s"$path/postings")
+         .filter(col("tpfx").isin(pfxs: _*))
+         .join(broadcast(terms.distinct()), Seq("term"))
+       val p = if (!StoreFiles.exists(spark, s"$path/tombstones")) p0
+         else p0.join(spark.read.parquet(s"$path/tombstones"),
+           Seq("doc_id"), "left_anti")
+       p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+     })
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
   /** Merged global stats over all appended partials: `(n_docs, avgdl)`.
     * Both partial fields are exact longs, so the one division equals a
     * whole-corpus `avg(dl)` bit-for-bit — including across the NEGATIVE
@@ -200,19 +291,22 @@ object LexIndex {
         (col("total_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
 
-  /** Tombstone-delete documents from the index. Two sidecar writes, no
-    * posting rewrite: the doc ids land in `<path>/tombstones/` (probes
-    * anti-join it) and the global stats SUBTRACT via a negative partial
-    * — `(−n_deleted, −Σdl)` appended to the stats table, exact because
-    * both fields are associative long sums. Each deleted doc's `dl`
-    * comes from the stored postings themselves (every posting row of a
-    * doc carries its denormalized dl), so no original text is needed;
-    * that derivation is the lifecycle's one unpruned postings read, and
-    * it reads two pruned COLUMNS (doc_id, dl), never the term lists.
-    * Ids already tombstoned (or never indexed) are ignored, so the call
-    * is idempotent — a re-delete can't double-subtract. Probe results
-    * after a delete equal a from-scratch build without the docs
-    * (StoreSpec pins this); the dead rows leave disk at [[compact]]. */
+  /** Tombstone-delete documents from the index. Three sidecar writes,
+    * no posting rewrite: the doc ids land in `<path>/tombstones/`
+    * (probes anti-join it), the global stats SUBTRACT via a negative
+    * partial — `(−n_deleted, −Σdl)` appended to the stats table — and
+    * the per-term df sidecar subtracts via negative `(term, −count)`
+    * partials (one per term the deleted docs contain), all exact
+    * because the fields are associative long sums. Each deleted doc's
+    * `dl` and terms come from the stored postings themselves, so no
+    * original text is needed; that derivation is the lifecycle's one
+    * unpruned postings read (doc_id is not the partition key), and it
+    * reads pruned COLUMNS (term, tpfx, doc_id, dl) — a delete-time
+    * cost, never a probe-time one. Ids already tombstoned (or never
+    * indexed) are ignored, so the call is idempotent — a re-delete
+    * can't double-subtract. Probe results after a delete equal a
+    * from-scratch build without the docs (StoreSpec pins this); the
+    * dead rows leave disk at [[compactBm25Index]]. */
   def deleteFromBm25Index(spark: SparkSession, path: String,
       ids: DataFrame, id: Column): Unit = {
     val del0 = ids.select(id.as("doc_id")).distinct()
@@ -220,26 +314,39 @@ object LexIndex {
         del0.join(spark.read.parquet(s"$path/tombstones"),
           Seq("doc_id"), "left_anti")
       else del0).localCheckpoint()
-    val perDoc = spark.read.parquet(s"$path/postings")
-      .select(col("doc_id"), col("dl"))
+    // one postings read serves all three writes below
+    val deadPost = spark.read.parquet(s"$path/postings")
+      .select(col("term"), col("tpfx"), col("doc_id"), col("dl"))
       .join(del, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val perDoc = deadPost
       .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
-      .localCheckpoint() // one postings read serves both writes below
-    // tombstones FIRST: a crash between the two writes then leaves
-    // probes already correct (docs excluded) with stats merely stale —
-    // and the retry is a no-op (anti-join above), so it can't
+      .localCheckpoint()
+    // tombstones FIRST: a crash between the writes then leaves probes
+    // already correct (docs excluded) with stats/df merely stale — and
+    // the retry is a no-op (anti-join above), so it can't
     // double-subtract. The reverse order would subtract on every retry.
     // The tombstone row-set is the semi-joined set, not the request, so
     // it covers exactly the docs whose stats get subtracted.
     perDoc.select(col("doc_id"))
       .write.mode("append").parquet(s"$path/tombstones")
+    // batch-keyed sidecars keep their layout: negative partials append
+    // under the reserved batch_id = -2 partition (never a batch id, so
+    // replays and folds can't collide with it)
+    val batchKeyed =
+      spark.read.parquet(s"$path/stats").columns.contains("batch_id")
+    val negDf = deadPost.groupBy(col("term"), col("tpfx"))
+      .agg((count(lit(1)) * lit(-1L)).as("df"))
+    if (batchKeyed)
+      negDf.withColumn("batch_id", lit(-2L))
+        .write.mode("append").partitionBy("batch_id", "tpfx")
+        .parquet(s"$path/df")
+    else negDf.write.mode("append").partitionBy("tpfx")
+      .parquet(s"$path/df")
     val neg = perDoc
       .agg((count(lit(1)) * lit(-1L)).as("n_docs"),
         coalesce(sum(col("dl")) * lit(-1L), lit(0L)).as("total_dl"))
-    // batch-keyed stats keep their layout: negative partials append
-    // under the reserved batch_id = -2 partition (never a batch id, so
-    // replays and folds can't collide with it)
-    if (spark.read.parquet(s"$path/stats").columns.contains("batch_id"))
+    if (batchKeyed)
       neg.withColumn("batch_id", lit(-2L))
         .write.mode("append").partitionBy("batch_id")
         .parquet(s"$path/stats")
@@ -275,6 +382,22 @@ object LexIndex {
         }
     prefixSub("postings")
     prefixSub("positions")
+    // df partials (positives from builds/appends, negatives from
+    // deletes) fold to one canonical row per live term; terms whose
+    // live count reached zero leave the sidecar entirely
+    if (StoreFiles.exists(spark, s"$path/df"))
+      StoreFiles.replaceDir(spark, s"$path/df") { tmp =>
+        val all = spark.read.parquet(s"$path/df")
+        val folded = all.groupBy(col("term"), col("tpfx"))
+          .agg(sum(col("df")).as("df"))
+          .filter(col("df") =!= 0L)
+        if (all.columns.contains("batch_id"))
+          folded.withColumn("batch_id", lit(-1L))
+            .repartition(col("tpfx"))
+            .write.partitionBy("batch_id", "tpfx").parquet(tmp)
+        else folded.repartition(col("tpfx"))
+          .write.partitionBy("tpfx").parquet(tmp)
+      }
     StoreFiles.replaceDir(spark, s"$path/stats") { tmp =>
       val all = spark.read.parquet(s"$path/stats")
       val folded = all
@@ -296,9 +419,11 @@ object LexIndex {
     * Scale shape: the terms' distinct prefixes (≤ |terms|, a
     * driver-sized set by construction) become a static partition filter
     * on the postings read, so a probe touches only the directories its
-    * own terms name; df comes from the pruned lists themselves, the
-    * one-row stats sidecar broadcasts, and the top-k is a TakeOrdered
-    * over match-bounded rows. Nothing corpus-sized is read or shuffled.
+    * own terms name; df broadcast-joins in from the lifecycle-maintained
+    * `df/` sidecar (never recomputed — see [[withDf]]), the one-row
+    * stats sidecar broadcasts, and the top-k is a TakeOrdered over
+    * match-bounded rows. Nothing corpus-sized is read or shuffled, and
+    * no per-term shuffle exists for a skewed term to serialize.
     *
     * Scoring: each (doc, term) contribution floors to 1e-4 units (long)
     * BEFORE the per-doc sum, so the score is exact integer math —
@@ -322,22 +447,14 @@ object LexIndex {
     val post = if (!StoreFiles.exists(spark, s"$path/tombstones")) post0
       else post0.join(spark.read.parquet(s"$path/tombstones"),
         Seq("doc_id"), "left_anti")
-    // df = the term's posting-list length, derived as a window over the
-    // SAME pruned rows the scoring consumes — one parquet read feeds
-    // both (the earlier separate groupBy + join-back executed the scan
-    // and broadcast join twice). The window shuffles by term, but probe
-    // rows are bounded by the query terms' own posting lists, never the
-    // corpus.
     val stats = readStats(spark, path)
-    val df_ = count(lit(1)).over(org.apache.spark.sql.expressions.Window
-      .partitionBy(col("term"))).cast("double")
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)))
     val contrib = idf * col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") + lit(k1) *
         (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
-    post.withColumn("df", df_)
+    withDf(spark, path, post, tq.select(col("term")), pfxs)
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         floor(contrib * lit(10000.0)).cast("long").as("c_e4"))
@@ -358,12 +475,11 @@ object LexIndex {
     * side's collected qRows) becomes one static partition filter, so
     * the postings read is pruned once for the whole batch and each
     * stored row is read ONCE no matter how many queries share a term.
-    * df derives from the pruned lists over DISTINCT terms (computed
-    * BEFORE the per-query fan-out, so a term shared by many queries
-    * is not over-counted), the query fan-out is a broadcast join of
-    * the tiny (query_id, term) frame, and the per-query top-k is a
-    * bounded `topk_agg` — no corpus-sized shuffle, no Window over the
-    * fanned-out rows.
+    * df broadcast-joins in from the lifecycle-maintained `df/` sidecar
+    * (over DISTINCT terms, BEFORE the per-query fan-out — see
+    * [[withDf]]), the query fan-out is a broadcast join of the tiny
+    * (query_id, term) frame, and the per-query top-k is a bounded
+    * `topk_agg` — no corpus-sized shuffle, no Window anywhere.
     *
     * Scoring is [[bm25TopKIndexed]]'s exact-integer math verbatim
     * (per-(doc, term) contributions floored to 1e-4 units before the
@@ -387,18 +503,13 @@ object LexIndex {
       else post0.join(spark.read.parquet(s"$path/tombstones"),
         Seq("doc_id"), "left_anti")
     val stats = readStats(spark, path)
-    // df over the DISTINCT pruned posting rows — the window runs
-    // before the query fan-out, so its input is each term's posting
-    // list exactly once (the bm25TopKIndexed derivation, unchanged)
-    val df_ = count(lit(1)).over(org.apache.spark.sql.expressions.Window
-      .partitionBy(col("term"))).cast("double")
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)))
     val contrib = idf * col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") + lit(k1) *
         (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
-    post.withColumn("df", df_)
+    withDf(spark, path, post, tq.select(col("term")), pfxs)
       .crossJoin(broadcast(stats))
       .select(col("term"), col("doc_id"),
         floor(contrib * lit(10000.0)).cast("long").as("c_e4"))
@@ -452,15 +563,14 @@ object LexIndex {
       .localCheckpoint(eager = false)
     val pfxs = ph.select(col("tpfx")).distinct().collect()
       .map(_.getString(0)).toIndexedSeq
-    // rarest term from the postings half: per-term posting-list length
-    // over the SAME pruned prefixes (a ≤ |phrase|-row collect). Terms
-    // absent from the corpus get df 0 — and win, correctly: the
-    // anchor set is then empty and so is the result.
-    val dfByTerm = spark.read.parquet(s"$path/postings")
-      .filter(col("tpfx").isin(pfxs: _*))
-      .join(broadcast(ph.select(col("term")).distinct()), Seq("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // rarest term from the df sidecar: LIVE per-term frequency over the
+    // SAME pruned prefixes (a ≤ |phrase|-row collect) — the sidecar
+    // folds delete negatives, so heavily-deleted terms can't anchor
+    // with a stale inflated df. Terms absent from the corpus get df 0
+    // — and win, correctly: the anchor set is then empty and so is the
+    // result. Pre-sidecar stores fall back to counting the pruned,
+    // tombstone-filtered posting lists.
+    val dfByTerm = dfSnapshot(spark, path, ph.select(col("term")), pfxs)
     val (rareTerm, rareOff) = phrase.zipWithIndex
       .map { case (w, i) => (w, i.toLong) }
       .minBy { case (w, i) => (dfByTerm.getOrElse(w, 0L), i) }
@@ -487,5 +597,101 @@ object LexIndex {
       .agg(count(lit(1)).as("n_matches"))
       .orderBy(col("n_matches").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Ceiling on the driver-collected (query, term, off) rows of a
+    * phrase batch — the serving-batch contract as a loud failure
+    * instead of a driver OOM. */
+  val MaxPhraseBatchRows: Int = 1 << 20
+
+  /** MULTI-query exact-PHRASE search against the positional index:
+    * phrases arrive as a (query_id, off, term) TABLE — `off` the
+    * 0-based position of `term` inside its query's phrase — and every
+    * query's top-k match counts are answered in ONE probe: the
+    * [[bm25KnnJoinIndexed]] batch-serving shape for
+    * [[phraseTopKIndexed]]'s intersection.
+    *
+    * Scale shape: the batch's term-prefix union is a single static
+    * partition filter on the positions read (each stored position row
+    * is read once however many phrases share its term), the phrase
+    * fan-out rides a broadcast of the tiny batch frame, and the
+    * intersection runs per-query RAREST-term-first — each query's
+    * smallest-df term (from the `df/` sidecar, so anchors reflect live
+    * documents) anchors its candidate (doc_id, start) set, and all
+    * shifted positions semi-join the broadcast anchor union BEFORE the
+    * offset-counting aggregation. The anchor set is bounded by
+    * Σ_queries min-df — the broadcast contract, same as the
+    * single-phrase probe per query. Per-query top-k is a bounded
+    * `topk_agg`; a query whose rarest term is absent (df 0) simply
+    * yields no rows. The phrase batch itself is collected driver-side
+    * (serving-sized by contract — guarded by [[MaxPhraseBatchRows]]).
+    * Output: (query_id, doc_id, n_matches, rank), rank 1-based per
+    * query (n_matches desc, doc_id asc). */
+  def phraseKnnJoinIndexed(spark: SparkSession, path: String,
+      phrases: DataFrame, qid: Column, term: Column, off: Column,
+      k: Int, maxBatchRows: Int = MaxPhraseBatchRows): DataFrame = {
+    import spark.implicits._
+    // bounded collect: the per-query anchor choice and phrase lengths
+    // are driver decisions, like the vector side's collected qRows —
+    // the limit caps the transfer BEFORE the guard, so an over-sized
+    // batch fails loudly instead of as a driver OOM
+    val phRows = phrases.select(qid.cast("long").as("query_id"),
+        term.as("term"), off.cast("long").as("off")).distinct()
+      .limit(maxBatchRows + 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    require(phRows.nonEmpty, "empty phrase batch")
+    require(phRows.length <= maxBatchRows,
+      s"phrase batch holds over $maxBatchRows (query, term, off) rows " +
+        "— over the serving-batch ceiling; split the batch into " +
+        "smaller probe calls instead of one driver-sized one")
+    val ph = phRows.toSeq.toDF("query_id", "term", "off")
+      .withColumn("tpfx", tpfx(col("term")))
+      .localCheckpoint(eager = false)
+    val pfxs = ph.select(col("tpfx")).distinct().collect()
+      .map(_.getString(0)).toIndexedSeq
+    val dfByTerm = dfSnapshot(spark, path, ph.select(col("term")), pfxs)
+    // per-query rare anchor: the (term, off) with the smallest live df
+    // (ties to the earlier offset — deterministic); per-query length =
+    // DISTINCT offsets (repeated phrase words contribute one offset
+    // each, so the countDistinct match test stays exact)
+    val anchorOff = phRows.groupBy(_._1).view.mapValues(rows =>
+      rows.minBy { case (_, t, o) =>
+        (dfByTerm.getOrElse(t, 0L), o) }._3).toMap
+    val anchorDf = anchorOff.toSeq.toDF("query_id", "off")
+      .localCheckpoint(eager = false)
+    val lenDf = phRows.groupBy(_._1).view
+      .mapValues(_.map(_._3).distinct.length.toLong).toSeq
+      .toDF("query_id", "phlen")
+      .localCheckpoint(eager = false)
+    val pos0 = spark.read.parquet(s"$path/positions")
+      .filter(col("tpfx").isin(pfxs: _*))
+      .join(broadcast(ph.select(col("query_id"), col("term"),
+        col("off"))), Seq("term"))
+    val pos = if (!StoreFiles.exists(spark, s"$path/tombstones")) pos0
+      else pos0.join(spark.read.parquet(s"$path/tombstones"),
+        Seq("doc_id"), "left_anti")
+    val shifted = pos.select(col("query_id"), col("doc_id"),
+      (col("pos") - col("off")).as("start"), col("off"))
+    // each (query, off) names exactly one term, so filtering by the
+    // rare offset selects exactly that query's rare-term occurrences
+    val anchors = shifted
+      .join(broadcast(anchorDf), Seq("query_id", "off"))
+      .select(col("query_id"), col("doc_id"), col("start")).distinct()
+    shifted
+      .join(broadcast(anchors), Seq("query_id", "doc_id", "start"),
+        "left_semi")
+      .groupBy(col("query_id"), col("doc_id"), col("start"))
+      .agg(countDistinct(col("off")).as("n_off"))
+      .join(broadcast(lenDf), Seq("query_id"))
+      .filter(col("n_off") === col("phlen"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("n_matches").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("doc_id"),
+        col("p.score").cast("long").as("n_matches"),
+        (col("r") + 1).cast("long").as("rank"))
   }
 }

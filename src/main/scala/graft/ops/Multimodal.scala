@@ -408,6 +408,174 @@ object Multimodal {
       .orElse(safe(mkvHeader)).getOrElse(stubDecoder(bytes))
   }
 
+  // ---- synthetic REAL container bytes: the decoder walks in reverse ----
+  //
+  // [[synthBytes]] assembles genuine BMP / WAV / MP4 / AVI / MKV
+  // container headers whose parameters derive from the id by PLAIN
+  // integer arithmetic ([[synthParams]] — re-derivable in external
+  // SQL), so a pipeline that synthesizes bytes, decodes them with
+  // [[jdkDecoder]], and compares against the arithmetic truth
+  // cross-checks the byte walks end-to-end (qm01's oracle does exactly
+  // that). Every field the decoders read is written; durations are
+  // chosen so the decode-side arithmetic is EXACT (whole seconds for
+  // WAV so frames/rate*1000 has no float rounding; timescale 1000 for
+  // MP4; integer µs/frame for AVI; whole-ms doubles for MKV).
+
+  /** The arithmetic TRUTH for [[synthBytes]]: what [[jdkDecoder]] must
+    * report for id's payload. kind = id % 5 → bmp, wav, mp4, avi, mkv. */
+  def synthParams(id: Long): MediaMeta = (id % 5) match {
+    case 0 => MediaMeta("bmp", (16 + id % 317).toInt,
+      (16 + (id / 5) % 211).toInt, 1, 0L)
+    case 1 =>
+      val secs = 1 + id % 9
+      MediaMeta("wav", (1 + id % 2).toInt, 16, (8000 * secs).toInt,
+        1000L * secs)
+    case 2 => MediaMeta("mp4:avc1", (160 + id % 160).toInt,
+      (120 + id % 120).toInt, (24 + id % 240).toInt, 1000 + id % 5000)
+    case 3 =>
+      val frames = 25 + id % 250
+      MediaMeta("avi:mjpg", (320 + id % 320).toInt,
+        (240 + id % 240).toInt, frames.toInt, frames * 40)
+    case _ => MediaMeta("mkv:V_VP9", (640 + id % 128).toInt,
+      (360 + id % 72).toInt, 1, 2000 + id % 3000)
+  }
+
+  private def ascii(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** BMP: 14-byte file header + 40-byte BITMAPINFOHEADER, 24-bit,
+    * uncompressed, header-only (ImageIO reads dimensions from the
+    * header without touching pixel data — but its BI_RGB validation
+    * cross-checks the DECLARED image/file sizes against the
+    * dimensions, so those fields must be consistent even though no
+    * pixel bytes follow). */
+  private def bmpBytes(w: Int, h: Int): Array[Byte] = {
+    val rowSize = (w * 24L + 31) / 32 * 4
+    val imageSize = rowSize * h
+    ascii("BM") ++ le32(54 + imageSize) ++ le16(0) ++ le16(0) ++
+      le32(54) ++
+      le32(40) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++
+      le16(24) ++ le32(0) ++ le32(imageSize) ++ le32(2835) ++
+      le32(2835) ++ le32(0) ++ le32(0)
+  }
+
+  /** WAV: RIFF/WAVE with a PCM fmt chunk and a declared (empty) data
+    * chunk — `javax.sound.sampled` derives the frame count from the
+    * declared data size / block align without reading samples. */
+  private def wavBytes(channels: Int, frames: Int): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataSize = frames.toLong * blockAlign
+    ascii("RIFF") ++ le32(36 + dataSize) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(8000) ++ le32(8000L * blockAlign) ++ le16(blockAlign) ++
+      le16(16) ++ ascii("data") ++ le32(dataSize)
+  }
+
+  /** ISO BMFF: ftyp + moov(mvhd v0, trak(tkhd v0 with 16.16 pixel
+    * dims, mdia/minf/stbl(stsd 'avc1', stsz frame count))) — exactly
+    * the boxes and fixed offsets [[videoHeader]] walks. */
+  private def mp4Bytes(w: Int, h: Int, frames: Int,
+      durMs: Long): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ ascii(typ) ++ payload
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(durMs)) // timescale 1000 → duration IS ms
+    val tkhd = box("tkhd", Array.fill[Byte](76)(0) ++
+      be16(w) ++ be16(0) ++ be16(h) ++ be16(0))
+    val stsd = box("stsd", be32(0) ++ be32(1) ++ be32(8) ++ ascii("avc1"))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(frames.toLong))
+    val stbl = box("stbl", stsd ++ stsz)
+    val trak = box("trak", tkhd ++
+      box("mdia", box("minf", stbl)))
+    box("ftyp", ascii("isom") ++ be32(0) ++ ascii("isom")) ++
+      box("moov", mvhd ++ trak)
+  }
+
+  /** RIFF/AVI: LIST hdrl carrying the avih main header (µs/frame,
+    * total frames, pixel dims) and one LIST strl whose strh names a
+    * 'vids' stream with handler 'mjpg' — the chunks [[aviHeader]]
+    * walks, 40 000 µs/frame so durationMs = frames · 40 exactly. */
+  private def aviBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      ascii(id) ++ le32(payload.length.toLong) ++ payload
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      ascii("LIST") ++ le32(payload.length + 4L) ++ ascii(typ) ++ payload
+    val avih = chunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(frames.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ Array.fill[Byte](16)(0))
+    val strh = chunk("strh", ascii("vids") ++ ascii("mjpg") ++
+      Array.fill[Byte](48)(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh))
+    ascii("RIFF") ++ le32(hdrl.length + 4L) ++ ascii("AVI ") ++ hdrl
+  }
+
+  /** EBML/Matroska: EBML header + Segment(Info(TimestampScale 10⁶ ns,
+    * Duration as a whole-ms float64) + Tracks(one video TrackEntry:
+    * TrackType 1, CodecID, Video(PixelWidth/PixelHeight))) — the
+    * elements [[mkvHeader]] walks; every payload < 127 bytes so
+    * one-byte size varints suffice. */
+  private def mkvBytes(w: Int, h: Int, durMs: Long): Array[Byte] = {
+    def idBytes(id: Long): Array[Byte] = {
+      val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+      (n - 1 to 0 by -1).map(i => ((id >> (8 * i)) & 0xff).toByte).toArray
+    }
+    def elem(id: Long, payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127, "one-byte size varint overflow")
+      idBytes(id) ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def uintBytes(v: Long): Array[Byte] = {
+      val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+      (n - 1 to 0 by -1).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    }
+    val dur = java.lang.Double.doubleToLongBits(durMs.toDouble)
+    val durBytes = (7 to 0 by -1)
+      .map(i => ((dur >> (8 * i)) & 0xff).toByte).toArray
+    val info = elem(0x1549A966L,
+      elem(0x2AD7B1L, uintBytes(1000000L)) ++ elem(0x4489L, durBytes))
+    val video = elem(0xE0L,
+      elem(0xB0L, uintBytes(w.toLong)) ++ elem(0xBAL, uintBytes(h.toLong)))
+    val trackEntry = elem(0xAEL,
+      elem(0x83L, uintBytes(1L)) ++ elem(0x86L, ascii("V_VP9")) ++ video)
+    elem(0x1A45DFA3L, Array.emptyByteArray) ++
+      elem(0x18538067L, info ++ elem(0x1654AE6BL, trackEntry))
+  }
+
+  /** Genuine container bytes for id — the payload [[jdkDecoder]] must
+    * decode back to [[synthParams]](id) exactly. */
+  def synthBytes(id: Long): Array[Byte] = {
+    val p = synthParams(id)
+    (id % 5) match {
+      case 0 => bmpBytes(p.width, p.height)
+      case 1 => wavBytes(p.width, p.nFrames)
+      case 2 => mp4Bytes(p.width, p.height, p.nFrames, p.durationMs)
+      case 3 => aviBytes(p.width, p.height, p.nFrames)
+      case _ => mkvBytes(p.width, p.height, p.durationMs)
+    }
+  }
+
+  /** Synthesize a media table from an id column: (media_id, content)
+    * with genuine container bytes per row — per-partition iterator
+    * batches (no driver collect, partitioning preserved), the
+    * distributed form of [[synthBytes]]. */
+  def synthMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, synthBytes(id))))
+      .toDF("media_id", "content")
+  }
+
   /** Attach deterministic fake binary payloads derived from an id column
     * — the test-data generator for the plumbing. */
   def withFakeMedia(df: DataFrame, idCol: String): DataFrame =

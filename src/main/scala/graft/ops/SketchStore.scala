@@ -52,9 +52,15 @@ object SketchStore {
     * invisible until the next [[compact]] and then resurrect part of
     * the deleted history with it. Re-admitting a deleted group requires
     * compact-first (which drops the dead partials and clears the
-    * sidecar); the error says so. */
+    * sidecar); the error says so.
+    *
+    * `maxFilesPerSub` > 0 enforces the small-file policy at append
+    * time: when any sub-store's file count exceeds the threshold
+    * ([[StoreFiles.needsFileCompaction]] — a short-circuited listing)
+    * the store compacts in place (the appender is the store's single
+    * writer, so the quiesce contract holds). */
   def appendHll(batch: DataFrame, group: Column, value: Column,
-      path: String): Unit = {
+      path: String, maxFilesPerSub: Int = 0): Unit = {
     val spark = batch.sparkSession
     val partials = hllPartials(batch, group, value).localCheckpoint()
     if (StoreFiles.exists(spark, s"$path/hll_tombstones")) {
@@ -69,6 +75,9 @@ object SketchStore {
           "resurrect deleted history)")
     }
     partials.write.mode("append").parquet(s"$path/hll")
+    if (maxFilesPerSub > 0 &&
+        StoreFiles.needsFileCompaction(spark, path, maxFilesPerSub))
+      compact(spark, path)
   }
 
   private def hllPartials(df: DataFrame, group: Column,

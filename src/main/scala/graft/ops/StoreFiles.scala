@@ -50,22 +50,29 @@ private[graft] object StoreFiles {
       s"rename $tmp -> $dir failed; folded rows remain at $tmp")
   }
 
+  /** The base-fold (−1) and reserved negative-partial (−2) partitions:
+    * permanent residents of a batch-keyed layout, never IN-FLIGHT
+    * batches — compaction policies must not count them, or the
+    * post-fold steady state (−1 plus one live batch) re-triggers a
+    * full-store rewrite on every micro-batch. */
+  private val ReservedBatchDirs = Set("batch_id=-1", "batch_id=-2")
+
   /** Physical stats of one sub-store directory. `nBatches` counts
-    * DISTINCT `batch_id=` partition directories holding data files
-    * (0 for a plain layout); `nFiles` counts data files. */
+    * DISTINCT UNFOLDED `batch_id=` partition directories — the base
+    * fold (−1) and the reserved negative-partial partition (−2) are
+    * excluded (0 for a plain layout); `nFiles` counts data files. */
   case class SubStoreStats(subStore: String, nFiles: Long,
       nBatches: Long)
 
   /** Per-sub-store physical introspection of a persisted store (sketch
     * store, ANN index, lexical index — anything laid out as
     * `<path>/<sub>/...parquet`): file and batch-partition counts from a
-    * pure metadata LISTING (no data read — cheap enough to run per
-    * micro-batch). This is what mechanizes the compaction trigger:
-    * appends and batch puts are deliberately blind, so the number of
-    * partials/batches a read must merge grows until someone compacts —
-    * run the store's compact when `nBatches` (or files-per-sub) exceeds
-    * a few dozen ([[needsBatchCompaction]] is that policy as a
-    * predicate). */
+    * pure metadata LISTING (no data read). NOTE the cost shape: this
+    * walks every FILE recursively — O(files), fine for an explicit
+    * operator call but NOT for a per-micro-batch trigger on an object
+    * store holding millions of files. The per-trigger predicates below
+    * ([[needsBatchCompaction]], [[needsFileCompaction]]) bound or
+    * short-circuit their listings instead of calling this. */
   def storeStats(spark: SparkSession, path: String): Seq[SubStoreStats] = {
     val f = fs(spark, path)
     val root = new Path(path)
@@ -82,7 +89,8 @@ private[graft] object StoreFiles {
           var p = st.getPath.getParent
           while (p != null && p.getName.nonEmpty &&
               p.toString != sub.getPath.toString) {
-            if (p.getName.startsWith("batch_id=")) batches += p.getName
+            if (p.getName.startsWith("batch_id=") &&
+                !ReservedBatchDirs.contains(p.getName)) batches += p.getName
             p = p.getParent
           }
         }
@@ -91,13 +99,59 @@ private[graft] object StoreFiles {
     }.sortBy(s => s.subStore)
   }
 
-  /** The documented threshold policy as a predicate: true when any
-    * sub-store holds more than `maxBatches` live batch partitions.
-    * The streaming sinks call this per micro-batch (listing-only cost)
-    * and fold committed history when it trips — the introspection-
-    * driven alternative to a blind every-N-batches cadence (which
-    * drifts from reality after checkpoint resets or manual folds). */
+  /** The batch-accumulation policy as a predicate: true when any
+    * sub-store holds more than `maxBatches` live UNFOLDED batch
+    * partitions (the −1 base fold and −2 reserved partition never
+    * count — they are the steady state AFTER a fold, not backlog).
+    * The streaming sinks call this per micro-batch, so the listing is
+    * depth-bounded and short-circuited: batch partitions are immediate
+    * children of each sub-store directory in every store family's
+    * layout, so the cost is O(sub-dirs + batch-dirs) directory
+    * listings — never a recursive walk of the data files — and the
+    * first sub-store over the threshold stops the scan. This is the
+    * introspection-driven alternative to a blind every-N-batches
+    * cadence (which drifts from reality after checkpoint resets or
+    * manual folds). */
   def needsBatchCompaction(spark: SparkSession, path: String,
-      maxBatches: Int): Boolean =
-    storeStats(spark, path).exists(_.nBatches > maxBatches)
+      maxBatches: Int): Boolean = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) return false
+    f.listStatus(root).iterator.filter(_.isDirectory).exists { sub =>
+      f.listStatus(sub.getPath).iterator.count { st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id=") &&
+          !ReservedBatchDirs.contains(st.getPath.getName)
+      } > maxBatches
+    }
+  }
+
+  /** The small-file-accumulation policy as a predicate: true when any
+    * sub-store holds more than `maxFilesPerSub` data files — the
+    * trigger for PLAIN-append stores (no batch partitions to count:
+    * every blind append leaves one more file per touched partition
+    * until a compact folds them). The listing short-circuits at the
+    * first sub-store over the threshold AND at the first file over it
+    * within a sub-store, so the cost is bounded by the threshold, not
+    * the store's total file count. Callers run it at append time (see
+    * the `maxFilesPerSub` parameter on the append entry points), not
+    * per micro-batch. */
+  def needsFileCompaction(spark: SparkSession, path: String,
+      maxFilesPerSub: Int): Boolean = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) return false
+    f.listStatus(root).iterator.filter(_.isDirectory).exists { sub =>
+      var nFiles = 0L
+      val it = f.listFiles(sub.getPath, true)
+      var over = false
+      while (!over && it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+          nFiles += 1
+        over = nFiles > maxFilesPerSub
+      }
+      over
+    }
+  }
 }

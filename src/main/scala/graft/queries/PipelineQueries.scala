@@ -2135,4 +2135,83 @@ object PipelineQueries {
           .as("recall"))
       .orderBy(col("num_sub"), col("rerank"))
   }
+
+  /** The multi-phrase batch shared by qd86: the first 10 documents'
+    * leading token trigrams become (query_id, off, term) phrase rows —
+    * each doc trivially contains its own opening trigram, so every
+    * query has ≥ 1 true match, and the 10 phrases share vocabulary
+    * (so the one-scan batch shape actually deduplicates reads). */
+  private def phraseQueryBatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        posexplode(slice(TextAnalysis.tokens(col("text")), 1, 3))
+          .as(Seq("off", "term")))
+
+  /** qd86: MULTI-query exact-phrase probe of the persisted positional
+    * index — 10 trigram phrases answered in ONE partition-pruned
+    * positions scan ([[graft.ops.LexIndex.phraseKnnJoinIndexed]]):
+    * per-query rarest-term anchors from the df sidecar, the anchor
+    * union broadcast-semi-joins all shifted positions before any
+    * aggregation, per-query top-5 a bounded `topk_agg` — qd85's
+    * batch-serving shape for qd84's intersection. */
+  def phraseBatchSearch(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LexIndex.phraseKnnJoinIndexed(s, posIndexPath(s, dir),
+        phraseQueryBatch(s, dir), col("query_id"), col("term"),
+        col("off"), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** qe40: MULTI-query hybrid retrieval fusing the BEST persisted
+    * vector probe — per-query reciprocal-rank fusion (k=60) of the
+    * batch BM25 top-50 (qd85's one-probe shape) and the IVF-PQ
+    * TWO-STAGE top-50 ([[graft.ops.AnnIndex.ivfPqKnnJoinIndexed]] at
+    * qe37's measured operating point: 16×64 codes, nProbe 8, rerank
+    * 100 — recall 0.802 per qe39's grid, vs the trained-IVF 0.593
+    * that qe38 fuses). Both halves serve the whole 20-query batch
+    * from persisted indexes in one probe each; the fusion is a tiny
+    * (≤ 20 × 100-row) outer join. */
+  def hybridRrfPqJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = graft.ops.LexIndex.bm25KnnJoinIndexed(s,
+        bm25IndexPath(s, dir), lexQueryBatch(s, dir), col("query_id"),
+        col("term"), k = 50)
+      .select(col("query_id"), col("doc_id").as("id"),
+        col("rank").as("rank_lex"))
+    val e = t(s, dir, "embeddings")
+    val vec = graft.ops.AnnIndex.ivfPqKnnJoinIndexed(s,
+        ivfPqIndexPath(s, dir), e.filter(col("vec_id") < 20),
+        col("vec_id"), col("embedding"), k = 50, nProbe = 8,
+        rerank = 100)
+      .select(col("query_id"), col("vec_id").as("id"),
+        col("rank").as("rank_vec"))
+    val fused = lex.join(vec, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"), col("rank_lex"),
+        col("rank_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rank_vec")), lit(0.0)),
+          6).as("rrf"))
+    fused.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("id"))).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** qm01: the MULTIMODAL decode surface, oracle-pinned — genuine
+    * BMP/WAV/MP4/AVI/MKV container bytes are synthesized per document
+    * id ([[graft.ops.Multimodal.synthBytes]] — the decoder walks in
+    * reverse, parameters pure integer arithmetic in the id), decoded
+    * back through the REAL parsers ([[graft.ops.Multimodal
+    * .jdkDecoder]]: javax.imageio, javax.sound.sampled, and the
+    * zero-dependency ISO-BMFF/RIFF/EBML walks) in one per-partition
+    * pass, and reported row-per-payload. The DuckDB oracle re-derives
+    * every field from the SAME arithmetic — so a wrong offset,
+    * endianness, or duration rounding in EITHER direction of the byte
+    * walks breaks the hash match. */
+  def mediaDecodeProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.decodeMeta(
+        graft.ops.Multimodal.synthMedia(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+        "media_id")
+      .orderBy(col("media_id"))
 }

@@ -328,6 +328,62 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p.take(3000))
     assert(p.contains("partial_topk_agg"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // df broadcast-joins in from the lifecycle-maintained sidecar: NO
+    // window and NO exchange keyed by term anywhere in the probe — the
+    // pre-sidecar derivation forced every posting row of a term onto
+    // one reducer, so a near-ubiquitous query term ("the") serialized
+    // the probe at corpus scale
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("hashpartitioning(term"), p.take(3000))
+    // ... and the single-query probe carries the same shape
+    val terms1 = Seq("table", "hash").map(Tuple1(_)).toDF("term")
+    val p1 = plan(graft.ops.LexIndex.bm25TopKIndexed(spark, path,
+      terms1, col("term"), k = 5))
+    assert(!p1.contains("Window"), p1.take(3000))
+    assert(!p1.contains("hashpartitioning(term"), p1.take(3000))
+    assert(p1.matches("(?s).*PartitionFilters: \\[.*tpfx.*"), p1.take(3000))
+  }
+
+  test("batch phrase probe: one pruned positions scan, broadcast anchors, bounded top-k") {
+    import spark.implicits._
+    // skewed fixture: 'the' near-ubiquitous, the anchor terms rare —
+    // the batch intersection must anchor per query on its rare term
+    val docs = (0L until 200L).map { i =>
+      val filler = Seq.fill(20)("the").mkString(" ")
+      if (i % 50 == 0) (i, s"$filler the zebra runs $filler")
+      else if (i % 50 == 1) (i, s"$filler gnu walks the $filler")
+      else (i, s"$filler word$i $filler")
+    }.toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("phbatch").toString
+    graft.ops.LexIndex.writeBm25Index(docs, col("doc_id"), col("text"),
+      path, positions = true)
+    val phrases = Seq(
+      (7L, 0L, "the"), (7L, 1L, "zebra"), (7L, 2L, "runs"),
+      (9L, 0L, "gnu"), (9L, 1L, "walks"), (9L, 2L, "the"))
+      .toDF("query_id", "off", "term")
+    val probe = graft.ops.LexIndex.phraseKnnJoinIndexed(spark, path,
+      phrases, col("query_id"), col("term"), col("off"), k = 50)
+    val p = plan(probe)
+    // one pruned positions read serves the whole batch; anchors and
+    // the phrase frame ride broadcasts; per-query top-k is a bounded
+    // map-side aggregate — no sort-merge join, no window
+    assert("/positions".r.findAllIn(p).size <= 2, p.take(4000))
+    assert(p.matches("(?s).*PartitionFilters: \\[.*tpfx.*"), p.take(4000))
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      p.take(4000))
+    assert(p.contains("partial_topk_agg"), p.take(4000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      p.take(4000))
+    // and each query's rows equal its single-phrase probe exactly
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Seq(
+      7L -> Seq("the", "zebra", "runs"),
+      9L -> Seq("gnu", "walks", "the")).flatMap { case (q, ws) =>
+      graft.ops.LexIndex.phraseTopKIndexed(spark, path, ws, k = 50)
+        .collect().map(r => (q, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(got == want && got.nonEmpty)
   }
 
   test("phrase probe: rare-term anchors broadcast-semi-join the common terms' positions") {

@@ -925,10 +925,130 @@ class StoreSpec extends AnyFunSuite {
     SketchStore.compactBatches(spark, path, keepFrom = 2L)
     val after = StoreFiles.storeStats(spark, path)
       .find(_.subStore == "cms").get
-    assert(after.nBatches == 1) // everything folded under -1
+    // everything folded under -1 — the base fold is steady state, not
+    // backlog, so it must NOT count toward the batch threshold
+    assert(after.nBatches == 0)
+    assert(!StoreFiles.needsBatchCompaction(spark, path, maxBatches = 1))
+    // post-fold steady state (-1 plus ONE in-flight batch) must not
+    // re-trigger a full-store rewrite on every micro-batch
+    SketchStore.putCmsBatch(half(lo = true)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w")),
+      col("w"), path, 2L, 128)
     assert(!StoreFiles.needsBatchCompaction(spark, path, maxBatches = 1))
     // a missing store reports empty, not an error
     assert(StoreFiles.storeStats(spark, path + "_nope").isEmpty)
+    assert(!StoreFiles.needsBatchCompaction(spark, path + "_nope", 1))
+  }
+
+  test("synthesized container bytes decode back to their arithmetic truth") {
+    // every kind × many ids: the byte walks in reverse must round-trip
+    // through the REAL decoders (imageio, sampled-audio, the ISO
+    // BMFF/RIFF/EBML walks) to the exact synthParams arithmetic — the
+    // in-process half of the qm01 oracle cross-check
+    (0L until 100L).foreach { id =>
+      val got = Multimodal.jdkDecoder(Multimodal.synthBytes(id))
+      assert(got == Multimodal.synthParams(id), s"id=$id got=$got")
+    }
+    // and the distributed form carries the same bytes
+    import spark.implicits._
+    val decoded = Multimodal.decodeMeta(
+      Multimodal.synthMedia(spark.range(0, 25).toDF("id"), "id"),
+      "media_id")
+      .collect().map(r => (r.getLong(0),
+        Multimodal.MediaMeta(r.getString(1), r.getInt(2), r.getInt(3),
+          r.getInt(4), r.getLong(5)))).toMap
+    (0L until 25L).foreach { id =>
+      assert(decoded(id) == Multimodal.synthParams(id), s"dist id=$id")
+    }
+  }
+
+  test("df sidecar tracks live frequencies through append + delete + compact") {
+    import spark.implicits._
+    val path = tmp("st_df")
+    LexIndex.writeBm25Index(half(lo = true), col("doc_id"), col("text"),
+      path)
+    LexIndex.appendBm25Index(half(lo = false), col("doc_id"), col("text"),
+      path)
+    // the sidecar's merged sums equal an independent recount of the
+    // stored posting lists (one row per (term, doc))
+    def sidecar() = spark.read.parquet(s"$path/df")
+      .groupBy("term").agg(sum("df").as("df"))
+      .filter(col("df") =!= 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    def recount() = {
+      val p0 = spark.read.parquet(s"$path/postings")
+      val p = if (!StoreFiles.exists(spark, s"$path/tombstones")) p0
+        else p0.join(spark.read.parquet(s"$path/tombstones"),
+          Seq("doc_id"), "left_anti")
+      p.groupBy("term").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    }
+    assert(sidecar() == recount() && sidecar().nonEmpty)
+    // delete writes per-term NEGATIVE partials: live df drops without
+    // touching the posting rows
+    val victims = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+    LexIndex.deleteFromBm25Index(spark, path, victims, col("doc_id"))
+    assert(sidecar() == recount())
+    // compact folds the partials to one canonical row per LIVE term
+    LexIndex.compactBm25Index(spark, path)
+    assert(sidecar() == recount())
+    val partialsPerTerm = spark.read.parquet(s"$path/df")
+      .groupBy("term").count().agg(max("count")).head().getLong(0)
+    assert(partialsPerTerm == 1L)
+  }
+
+  test("needsFileCompaction: plain appends accumulate; the append-time policy folds them") {
+    val path = tmp("st_files")
+    LexIndex.writeBm25Index(half(lo = true), col("doc_id"), col("text"),
+      path)
+    // blind plain appends leave one more file per touched prefix
+    LexIndex.appendBm25Index(half(lo = false), col("doc_id"), col("text"),
+      path)
+    assert(StoreFiles.needsFileCompaction(spark, path, maxFilesPerSub = 1))
+    assert(!StoreFiles.needsFileCompaction(spark, path,
+      maxFilesPerSub = 1000000))
+    assert(!StoreFiles.needsFileCompaction(spark, path + "_nope", 1))
+    import spark.implicits._
+    val terms = Seq("the", "scan").map(Tuple1(_)).toDF("term")
+    val want = LexIndex.bm25TopKIndexed(spark, path, terms, col("term"),
+      k = 10).collect().toSeq
+    // an append carrying the policy compacts in place once over the
+    // threshold: files fold to one per prefix, probe results unchanged
+    val extra = docs.filter(col("doc_id") === -1L) // empty batch
+    LexIndex.appendBm25Index(extra, col("doc_id"), col("text"), path,
+      maxFilesPerSub = 1)
+    assert(!StoreFiles.needsFileCompaction(spark, path,
+      maxFilesPerSub = 300))
+    assert(LexIndex.bm25TopKIndexed(spark, path, terms, col("term"),
+      k = 10).collect().toSeq == want)
+  }
+
+  test("serving-batch guards fail loudly, naming the ceiling") {
+    import spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+    val path = tmp("st_guard")
+    AnnIndex.writeIvfPqIndex(e, col("vec_id"), col("embedding"), path,
+      nList = 4, numSub = 8, codebookSize = 8, refineIters = 0)
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.ivfPqKnnJoinIndexed(spark, path,
+        e.filter(col("vec_id") < 2), col("vec_id"), col("embedding"),
+        k = 5, nProbe = 2, rerank = (AnnIndex.MaxShortlistIds / 2).toInt + 1)
+    }
+    assert(err.getMessage.contains("serving-batch ceiling")
+      && err.getMessage.contains("split the query batch"))
+    val lexPath = tmp("st_guard_lex")
+    LexIndex.writeBm25Index(half(lo = true), col("doc_id"), col("text"),
+      lexPath, positions = true)
+    val bigBatch = spark.range(0, 10)
+      .select((col("id") / 3).cast("long").as("query_id"),
+        lit("the").as("term"), (col("id") % 3).as("off"))
+    val err2 = intercept[IllegalArgumentException] {
+      LexIndex.phraseKnnJoinIndexed(spark, lexPath, bigBatch,
+        col("query_id"), col("term"), col("off"), k = 5, maxBatchRows = 4)
+    }
+    assert(err2.getMessage.contains("serving-batch ceiling")
+      && err2.getMessage.contains("split the batch"))
   }
 
   test("HLL append to a tombstoned group fails loudly until compact re-admits it") {
