@@ -145,13 +145,18 @@ object StreamingIngest {
     * delivery). */
   /** The store sinks' compaction trigger: fold committed history when
     * the blind every-N cadence trips, OR when `maxBatchParts` > 0 and
-    * the store's PHYSICAL batch-partition count exceeds it
-    * ([[graft.ops.StoreFiles.needsBatchCompaction]] — a metadata-only
-    * listing, cheap per micro-batch). The introspection form is the
-    * mechanized policy: it reflects what actually accumulated (robust
-    * to checkpoint resets and manual folds, which a modulo cadence
-    * drifts from). Both compose with exactly-once: only COMMITTED
-    * batches (before the one just written) ever fold. */
+    * the store's PHYSICAL count of UNFOLDED batch partitions exceeds
+    * it ([[graft.ops.StoreFiles.needsBatchCompaction]] — a
+    * depth-bounded directory listing, O(sub-dirs + batch-dirs) and
+    * short-circuited, never a recursive walk of the data files, so
+    * the per-micro-batch cost stays flat on an object store holding
+    * millions of files; the −1 base fold and −2 reserved partitions
+    * never count, so the post-fold steady state cannot re-trigger).
+    * The introspection form is the mechanized policy: it reflects
+    * what actually accumulated (robust to checkpoint resets and
+    * manual folds, which a modulo cadence drifts from). Both compose
+    * with exactly-once: only COMMITTED batches (before the one just
+    * written) ever fold. */
   private def shouldCompact(spark: SparkSession, path: String,
       batchId: Long, compactEvery: Int, maxBatchParts: Int): Boolean =
     (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) ||
