@@ -197,6 +197,8 @@ object SparkEntry {
     "qd86_phrase_batch" -> (PipelineQueries.phraseBatchSearch _),
     "qe40_hybrid_rrf_pq" -> (PipelineQueries.hybridRrfPqJoin _),
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
+    "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
+    "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1906,6 +1908,13 @@ object SparkEntry {
     // re-derives every field from the same integer arithmetic, so the
     // byte walks are cross-checked end-to-end.
     "qm01_media_decode" -> mediaDecodeOracleSql,
+    // qm02: aspect-preserving resize targets computed from the DECODED
+    // dimensions; the oracle applies the same double arithmetic to the
+    // media truth, cross-checking decode + plan together.
+    "qm02_media_resize_plan" -> mediaResizeOracleSql,
+    // qm03: frame-sampling plan (every 250th index below the decoded
+    // frame count) as a generator over the decode output.
+    "qm03_media_frame_sample" -> mediaFrameSampleOracleSql,
     // qd70: three HLL estimate derivations (even docs, odd docs, all
     // docs — element-wise register max of the halves IS the union's
     // sketch) + inclusion–exclusion on the rounded estimates, generated
@@ -2457,13 +2466,13 @@ object SparkEntry {
            ORDER BY rrf DESC, id) AS BIGINT) AS rank
        FROM f QUALIFY rank <= 10 ORDER BY query_id, rank"""
 
-  /** qm01: the multimodal decode truth — every field of the decoded
-    * profile re-derived from the SAME integer arithmetic that
+  /** The multimodal decode truth as a shared CTE (qm01/qm02/qm03) —
+    * every field re-derived from the SAME integer arithmetic that
     * parameterized the synthesized container bytes
     * (graft.ops.Multimodal.synthParams): kind = id % 5 →
     * bmp / wav / mp4 / avi / mkv. */
-  private lazy val mediaDecodeOracleSql: String =
-    """SELECT CAST(doc_id AS BIGINT) AS media_id,
+  private lazy val mediaTruthCtes: String =
+    """mt AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
        CASE doc_id % 5
          WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' WHEN 2 THEN 'mp4:avc1'
          WHEN 3 THEN 'avi:mjpg' ELSE 'mkv:V_VP9' END AS format,
@@ -2491,7 +2500,35 @@ object SparkEntry {
          WHEN 2 THEN 1000 + doc_id % 5000
          WHEN 3 THEN (25 + doc_id % 250) * 40
          ELSE 2000 + doc_id % 3000 END AS BIGINT) AS duration_ms
-       FROM documents ORDER BY media_id"""
+       FROM documents)"""
+
+  private lazy val mediaDecodeOracleSql: String =
+    s"""WITH $mediaTruthCtes
+       SELECT media_id, format, width, height, n_frames, duration_ms
+       FROM mt ORDER BY media_id"""
+
+  /** qm02: the aspect-preserving resize targets over the media truth
+    * — identical double arithmetic to graft.ops.Multimodal.resizePlan
+    * (least of the two bounding-box ratios and 1.0, floor, min 1). */
+  private lazy val mediaResizeOracleSql: String =
+    s"""WITH $mediaTruthCtes
+       SELECT media_id, width, height,
+         CAST(greatest(floor(width *
+           least(256.0 / width, 256.0 / height, 1.0)), 1) AS INTEGER)
+           AS target_width,
+         CAST(greatest(floor(height *
+           least(256.0 / width, 256.0 / height, 1.0)), 1) AS INTEGER)
+           AS target_height
+       FROM mt ORDER BY media_id"""
+
+  /** qm03: the frame-sampling plan over the media truth — every 250th
+    * frame index below the decoded frame count (Spark's inclusive
+    * sequence(0, n-1, 250) ≡ DuckDB's exclusive range(0, n, 250)). */
+  private lazy val mediaFrameSampleOracleSql: String =
+    s"""WITH $mediaTruthCtes
+       SELECT media_id,
+         CAST(unnest(range(0, n_frames, 250)) AS INTEGER) AS frame_idx
+       FROM mt WHERE n_frames > 0 ORDER BY media_id, frame_idx"""
 
   /** qe39: the IVF-PQ operating-point grid — recall@10 at
     * {8×16, 16×64 codes} × {rerank 25, 50, 100}, nProbe 8. Two

@@ -119,14 +119,24 @@ object LexIndex {
 
   private def writeBatch(docs: DataFrame, id: Column, text: Column,
       path: String, mode: String, positions: Boolean): Unit = {
+    val spark = docs.sparkSession
+    // a store either carries df from birth or not at all: appending a
+    // df partial to a LEGACY store (built before the sidecar existed)
+    // would create a partial-history df/ that probes would then trust
+    // — so appends write df only when the store already has it (or is
+    // brand new); legacy stores keep the documented window fallback
+    val fresh = !StoreFiles.exists(spark, s"$path/postings")
+    val writeDf = mode == "overwrite" || fresh ||
+      StoreFiles.exists(spark, s"$path/df")
     val toks = tokenized(docs, id, text)
     // the postings frame feeds two writes (rows + df partial): the lazy
     // checkpoint materializes it once at the first write
     val post = postingsOf(toks).localCheckpoint(eager = false)
     post.repartition(col("tpfx"))
       .write.mode(mode).partitionBy("tpfx").parquet(s"$path/postings")
-    dfOf(post).repartition(col("tpfx"))
-      .write.mode(mode).partitionBy("tpfx").parquet(s"$path/df")
+    if (writeDf)
+      dfOf(post).repartition(col("tpfx"))
+        .write.mode(mode).partitionBy("tpfx").parquet(s"$path/df")
     if (positions)
       positionsOf(toks).repartition(col("tpfx"))
         .write.mode(mode).partitionBy("tpfx").parquet(s"$path/positions")
@@ -179,6 +189,11 @@ object LexIndex {
   def putBm25Batch(batch: DataFrame, id: Column, text: Column,
       path: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // same birth rule as the plain append: a legacy batch-keyed store
+    // (no df/) never grows a partial-history sidecar — a brand-new
+    // stream-only store creates it with its first batch
+    val fresh = !StoreFiles.exists(spark, s"$path/postings")
+    val writeDf = fresh || StoreFiles.exists(spark, s"$path/df")
     val toks = tokenized(batch, id, text)
     def put(df: DataFrame, dir: String, pcols: Seq[String]): Unit =
       df.withColumn("batch_id", lit(batchId))
@@ -188,8 +203,9 @@ object LexIndex {
     val post = postingsOf(toks).localCheckpoint(eager = false)
     put(post.repartition(col("tpfx")),
       s"$path/postings", Seq("batch_id", "tpfx"))
-    put(dfOf(post).repartition(col("tpfx")),
-      s"$path/df", Seq("batch_id", "tpfx"))
+    if (writeDf)
+      put(dfOf(post).repartition(col("tpfx")),
+        s"$path/df", Seq("batch_id", "tpfx"))
     if (StoreFiles.exists(spark, s"$path/positions"))
       put(positionsOf(toks).repartition(col("tpfx")),
         s"$path/positions", Seq("batch_id", "tpfx"))
@@ -335,14 +351,20 @@ object LexIndex {
     // replays and folds can't collide with it)
     val batchKeyed =
       spark.read.parquet(s"$path/stats").columns.contains("batch_id")
-    val negDf = deadPost.groupBy(col("term"), col("tpfx"))
-      .agg((count(lit(1)) * lit(-1L)).as("df"))
-    if (batchKeyed)
-      negDf.withColumn("batch_id", lit(-2L))
-        .write.mode("append").partitionBy("batch_id", "tpfx")
+    // repartition by tpfx so the partitioned write lands one file per
+    // touched prefix, not one per (task × prefix); a legacy store
+    // without df/ never grows one (negatives alone would be nonsense)
+    if (StoreFiles.exists(spark, s"$path/df")) {
+      val negDf = deadPost.groupBy(col("term"), col("tpfx"))
+        .agg((count(lit(1)) * lit(-1L)).as("df"))
+        .repartition(col("tpfx"))
+      if (batchKeyed)
+        negDf.withColumn("batch_id", lit(-2L))
+          .write.mode("append").partitionBy("batch_id", "tpfx")
+          .parquet(s"$path/df")
+      else negDf.write.mode("append").partitionBy("tpfx")
         .parquet(s"$path/df")
-    else negDf.write.mode("append").partitionBy("tpfx")
-      .parquet(s"$path/df")
+    }
     val neg = perDoc
       .agg((count(lit(1)) * lit(-1L)).as("n_docs"),
         coalesce(sum(col("dl")) * lit(-1L), lit(0L)).as("total_dl"))

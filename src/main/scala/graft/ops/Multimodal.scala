@@ -392,20 +392,46 @@ object Multimodal {
   }
 
   /** Default production decoder: real IMAGE headers (`javax.imageio`),
-    * then real AUDIO headers (`javax.sound.sampled`), then real VIDEO
+    * real AUDIO headers (`javax.sound.sampled`), and real VIDEO
     * container headers (the pure-JVM MP4/QuickTime, RIFF/AVI and
-    * EBML/Matroska walks), then the deterministic stub only for
-    * payloads no parser recognizes. */
+    * EBML/Matroska walks), with the deterministic stub only for
+    * payloads no parser recognizes.
+    *
+    * Dispatch is magic-byte FIRST: a recognized leading signature
+    * routes straight to its parser, so the per-row cost at scan scale
+    * is one parse — not five attempted parses per payload (ImageIO's
+    * reader probe alone allocates a stream + walks the plugin
+    * registry; paying it for every WAV/MP4 row dominated the decode
+    * profile). A payload whose magic matches but whose parse fails —
+    * and anything unrecognized — falls through to the full chain, so
+    * dispatch is an optimization, never a semantics change: each walk
+    * still guards its own reads, and a parser that throws falls to
+    * the next instead of failing the task. */
   val jdkDecoder: Decoder = { bytes =>
-    // Each walk guards its own reads, but a 100 TB binary scan WILL
-    // contain corrupt shapes no guard anticipated — any parser that
-    // throws falls through to the next instead of failing the task
-    // (the decoder twin of the walks' "malformed sizes stop" contract).
     def safe(p: Array[Byte] => Option[MediaMeta]): Option[MediaMeta] =
       try p(bytes) catch { case scala.util.control.NonFatal(_) => None }
-    safe(imageHeader).orElse(safe(audioHeader))
-      .orElse(safe(videoHeader)).orElse(safe(aviHeader))
-      .orElse(safe(mkvHeader)).getOrElse(stubDecoder(bytes))
+    def at(o: Int, s: String): Boolean =
+      bytes != null && bytes.length >= o + s.length &&
+        s.indices.forall(i => bytes(o + i) == s.charAt(i).toByte)
+    val dispatched: Option[MediaMeta] =
+      if (bytes == null || bytes.length < 12) None
+      else if (at(0, "BM") || at(0, "GIF8") ||
+          (bytes(0) == 0x89.toByte && at(1, "PNG")) ||
+          (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte))
+        safe(imageHeader)
+      else if (at(0, "RIFF") && at(8, "WAVE")) safe(audioHeader)
+      else if (at(0, "FORM") || at(0, ".snd")) safe(audioHeader)
+      else if (at(4, "ftyp")) safe(videoHeader)
+      else if (at(0, "RIFF") && at(8, "AVI ")) safe(aviHeader)
+      else if (bytes(0) == 0x1a.toByte && bytes(1) == 0x45.toByte &&
+          bytes(2) == 0xdf.toByte && bytes(3) == 0xa3.toByte)
+        safe(mkvHeader)
+      else None
+    dispatched.getOrElse {
+      safe(imageHeader).orElse(safe(audioHeader))
+        .orElse(safe(videoHeader)).orElse(safe(aviHeader))
+        .orElse(safe(mkvHeader)).getOrElse(stubDecoder(bytes))
+    }
   }
 
   // ---- synthetic REAL container bytes: the decoder walks in reverse ----

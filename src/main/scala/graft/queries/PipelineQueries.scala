@@ -2214,4 +2214,30 @@ object PipelineQueries {
           t(s, dir, "documents").select(col("doc_id")), "doc_id"),
         "media_id")
       .orderBy(col("media_id"))
+
+  private def decodedMedia(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.decodeMeta(
+      graft.ops.Multimodal.synthMedia(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id"),
+      "media_id")
+
+  /** qm02: resize planning over the DECODED media profile —
+    * aspect-preserving bounding-box targets ([[graft.ops.Multimodal
+    * .resizePlan]], pure column math, no UDF) computed from
+    * dimensions that came out of the REAL byte decode, so the oracle
+    * (same arithmetic over the synth parameters) cross-checks decode
+    * + plan together. */
+  def mediaResizePlan(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.resizePlan(decodedMedia(s, dir), 256, 256)
+      .select(col("media_id"), col("width"), col("height"),
+        col("target_width"), col("target_height"))
+      .orderBy(col("media_id"))
+
+  /** qm03: frame-sampling plan over the decoded media profile — one
+    * row per sampled frame index (every 250th), a generator over the
+    * DECODED frame count ([[graft.ops.Multimodal.frameSample]]);
+    * downstream per-frame decode would stay distributed. */
+  def mediaFrameSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.frameSample(decodedMedia(s, dir), 250)
+      .orderBy(col("media_id"), col("frame_idx"))
 }

@@ -998,6 +998,38 @@ class StoreSpec extends AnyFunSuite {
     assert(partialsPerTerm == 1L)
   }
 
+  test("legacy stores (no df sidecar) never grow a partial-history df/") {
+    import spark.implicits._
+    val path = tmp("st_legacy")
+    LexIndex.writeBm25Index(half(lo = true), col("doc_id"), col("text"),
+      path)
+    // simulate a store built before the sidecar existed
+    StoreFiles.delete(spark, s"$path/df")
+    val terms = Seq("the", "scan").map(Tuple1(_)).toDF("term")
+    def probe() = LexIndex.bm25TopKIndexed(spark, path, terms,
+      col("term"), k = 10).collect().toSeq
+    val beforeAppend = probe()
+    // append + delete must NOT create df/ (a partial-history sidecar
+    // would silently corrupt every later probe's idf)
+    LexIndex.appendBm25Index(half(lo = false), col("doc_id"), col("text"),
+      path)
+    assert(!StoreFiles.exists(spark, s"$path/df"))
+    LexIndex.deleteFromBm25Index(spark, path,
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+      col("doc_id"))
+    assert(!StoreFiles.exists(spark, s"$path/df"))
+    // the window fallback keeps probes exactly right: equal to a
+    // sidecar-carrying rebuild of the same live corpus
+    val refPath = tmp("st_legacy_ref")
+    LexIndex.writeBm25Index(docs.filter(col("doc_id") % 7 =!= 0),
+      col("doc_id"), col("text"), refPath)
+    assert(StoreFiles.exists(spark, s"$refPath/df"))
+    val got = probe()
+    val want = LexIndex.bm25TopKIndexed(spark, refPath, terms,
+      col("term"), k = 10).collect().toSeq
+    assert(got == want && got.nonEmpty && beforeAppend != got)
+  }
+
   test("needsFileCompaction: plain appends accumulate; the append-time policy folds them") {
     val path = tmp("st_files")
     LexIndex.writeBm25Index(half(lo = true), col("doc_id"), col("text"),
