@@ -199,6 +199,7 @@ object SparkEntry {
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
+    "qe41_lsh_index_recall" -> (PipelineQueries.lshIndexRecall _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1915,6 +1916,10 @@ object SparkEntry {
     // qm03: frame-sampling plan (every 250th index below the decoded
     // frame count) as a generator over the decode output.
     "qm03_media_frame_sample" -> mediaFrameSampleOracleSql,
+    // qe41: recall@10 of the multi-query persisted-LSH probe (7 of 64
+    // buckets per query) — the batch-serving shape for the bucketed
+    // family, quality-measured like qe34/qe37.
+    "qe41_lsh_index_recall" -> lshIndexRecallOracleSql,
     // qd70: three HLL estimate derivations (even docs, odd docs, all
     // docs — element-wise register max of the halves IS the union's
     // sketch) + inclusion–exclusion on the rounded estimates, generated
@@ -2465,6 +2470,47 @@ object SparkEntry {
          CAST(row_number() OVER (PARTITION BY query_id
            ORDER BY rrf DESC, id) AS BIGINT) AS rank
        FROM f QUALIFY rank <= 10 ORDER BY query_id, rank"""
+
+  /** qe41: recall@10 of the multi-query persisted-LSH probe — the
+    * qe03 splitmix64 plane geometry (6 planes, literal VALUES rows)
+    * re-derives every vector's bucket AND every eval query's bucket;
+    * each query probes its bucket plus the 6 one-bit flips, candidates
+    * are the vectors whose bucket lands in THAT query's probe set,
+    * per-query top-10 by exact cosine, then the standard recall row. */
+  private lazy val lshIndexRecallOracleSql: String = {
+    val planes = graft.ops.Similarity.planeVectors(6, 64)
+    val rows = planes.zipWithIndex.map { case (row, p) =>
+      s"($p, [${row.mkString(",")}])"
+    }.mkString(",")
+    val flips = (0 to 6).map(i => s"(${if (i == 0) 0L else 1L << (i - 1)})")
+      .mkString(",")
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       $evalTruthCtes,
+       pl(p, pv) AS (VALUES $rows),
+       d AS (SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.pv) AS dp
+         FROM e, pl),
+       b AS (SELECT vec_id,
+           CAST(sum(CASE WHEN dp >= 0 THEN 1<<p ELSE 0 END) AS BIGINT)
+           AS bucket FROM d GROUP BY 1),
+       qprobe AS (SELECT q.query_id, xor(bq.bucket, m.m) AS pb
+         FROM q JOIN b bq ON bq.vec_id = q.query_id,
+           (VALUES $flips) m(m)),
+       cand AS (SELECT p.query_id, e.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM e JOIN b USING (vec_id)
+           JOIN qprobe p ON b.bucket = p.pb
+           JOIN q q2 ON q2.query_id = p.query_id),
+       approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM cand) ar
+         WHERE rk <= 10)
+       $recallRowSelect"""
+  }
 
   /** The multimodal decode truth as a shared CTE (qm01/qm02/qm03) —
     * every field re-derived from the SAME integer arithmetic that

@@ -205,6 +205,66 @@ object AnnIndex {
       case Some(scored) => Similarity.topKRanked(scored, k)
     }
 
+  /** Multi-query top-k against a persisted LSH index — the
+    * batch-serving twin of [[queryLshIndex]] (the [[ivfKnnJoinIndexed]]
+    * shape for the bucketed family): every query's bucket and its
+    * `probeFlips`-adjacent buckets are computed driver-side from the
+    * stored meta (queries are serving-sized by contract — the same
+    * collected-batch assumption as the IVF/IVF-PQ joins), the UNION of
+    * all probed buckets becomes one static partition-pruning filter on
+    * the index read, the per-(query, bucket) probe pairs and query
+    * vectors ride broadcasts (a vector scores for a query only when
+    * its bucket is in THAT query's probe set), and the per-query top-k
+    * is a bounded `topk_agg` — the stored corpus is scanned once
+    * (pruned) and never shuffled. An optional `attrFilter` (over
+    * [[writeLshIndex]] `attrs` columns) is applied in the SAME scan —
+    * filtered vector search for the whole batch, the predicate pushed
+    * to parquet next to the bucket pruning ([[queryLshIndex]]'s
+    * contract). Output: (query_id, vec_id, cos, rank), rank 1-based
+    * per query (cos desc, vec_id asc). */
+  def lshKnnJoinIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      probeFlips: Int = 1, attrFilter: Option[Column] = None): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (numPlanes, dim) = (meta.getInt(0), meta.getInt(1))
+    val planes = Similarity.planeVectors(numPlanes, dim)
+    val qRows = queries.select(qid.cast("long").as("query_id"),
+        Similarity.l2Normalize(qvec).as("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    if (qRows.isEmpty)
+      return spark.read.parquet(s"$path/index")
+        .select(lit(0L).as("query_id"), col("vec_id"),
+          lit(0.0d).as("cos"), lit(0L).as("rank")).limit(0)
+    val masks = (0L until (1L << numPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= probeFlips)
+    val pairRows = qRows.map { case (q, qv) =>
+      val qbucket = planes.zipWithIndex.foldLeft(0L) {
+        case (acc, (pl, p)) =>
+          if (dotLocal(pl, qv) >= 0) acc | (1L << p) else acc
+      }
+      (q, masks.map(_ ^ qbucket))
+    }
+    val probedBuckets = pairRows.flatMap(_._2).distinct.toIndexedSeq
+    import spark.implicits._
+    val pairs = pairRows.toSeq
+      .flatMap { case (q, bs) => bs.map(b => (q, b)) }
+      .toDF("query_id", "bucket")
+    val qvDf = qRows.toSeq.toDF("query_id", "qv")
+    val index = dropTombstoned(spark, path,
+      attrFilter.foldLeft(spark.read.parquet(s"$path/index"))(_.filter(_))
+        .filter(col("bucket").isin(probedBuckets: _*)))
+    index.join(broadcast(pairs), Seq("bucket"))
+      .join(broadcast(qvDf), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.dot(col("v"), col("qv")), 4).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"),
+        col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
+  }
+
   /** The partition-pruned candidate scan behind [[queryLshIndex]]:
     * (vec_id, cos) over only the probed buckets, or None for an empty
     * query. Exposed so the pruning is testable (the top-k stage

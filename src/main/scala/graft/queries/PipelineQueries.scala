@@ -2215,6 +2215,37 @@ object PipelineQueries {
         "media_id")
       .orderBy(col("media_id"))
 
+  /** Session memo of the persisted 6-plane LSH index probed by qe41
+    * (build priced inside the query on first touch, the qe33/qe36
+    * discipline). Six planes = 64 bucket partitions — the qe03 oracle
+    * geometry, persisted. */
+  private val lshEvalIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lshEvalIndexPath(s: SparkSession, dir: String): String =
+    lshEvalIndexPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_lsheval").toString
+      graft.ops.AnnIndex.writeLshIndex(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), path, numPlanes = 6)
+      path
+    })
+
+  /** qe41: recall@10 of the MULTI-query persisted-LSH probe over the
+    * 100-query batch ([[graft.ops.AnnIndex.lshKnnJoinIndexed]],
+    * probeFlips 1 → 7 of 64 bucket partitions per query) — the
+    * batch-serving shape and its measured quality for the bucketed
+    * family, completing the per-family symmetry (IVF qe34, IVF-PQ
+    * qe37, BM25 qd85, phrases qd86). One pruned index scan serves all
+    * 100 queries. */
+  def lshIndexRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    recallRow(evalTruth(e),
+      graft.ops.AnnIndex.lshKnnJoinIndexed(s, lshEvalIndexPath(s, dir),
+        evalQueries(e), col("vec_id"), col("embedding"), k = 10,
+        probeFlips = 1))
+  }
+
   private def decodedMedia(s: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.decodeMeta(
       graft.ops.Multimodal.synthMedia(

@@ -120,6 +120,36 @@ class PlanShapeSpec extends AnyFunSuite {
       p2.take(4000))
   }
 
+  test("LSH multi-query probe: bucket-pruned scan, broadcast fan-out, bounded top-k, no window") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("lshplan").toString
+    graft.ops.AnnIndex.writeLshIndex(e, col("vec_id"), col("embedding"),
+      path, numPlanes = 6)
+    val queries = e.filter(col("vec_id") < 3)
+    val probe = graft.ops.AnnIndex.lshKnnJoinIndexed(spark, path,
+      queries, col("vec_id"), col("embedding"), k = 5, probeFlips = 1)
+    val p = plan(probe)
+    // the probed-bucket union is ONE static partition filter; the
+    // (query, bucket) pairs and query vectors ride broadcasts; the
+    // per-query top-k is a bounded map-side aggregate
+    assert(p.matches("(?s).*PartitionFilters: \\[.*bucket.*"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(p.contains("partial_topk_agg"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      p.take(3000))
+    // and every query's rows equal its single-query probe exactly
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = (0L until 3L).flatMap { qid =>
+      val q = e.filter(col("vec_id") === qid)
+        .select(graft.ops.Similarity.l2Normalize(col("embedding")))
+      graft.ops.AnnIndex.queryLshIndex(spark, path, q, k = 5,
+          probeFlips = 1)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("dedup-index probe prunes to the batch's fingerprint partitions") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")
