@@ -200,6 +200,8 @@ object SparkEntry {
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
     "qe41_lsh_index_recall" -> (PipelineQueries.lshIndexRecall _),
+    "qe42_quantized_batch_recall" -> (PipelineQueries.quantizedBatchRecall _),
+    "qe43_binary_batch_recall" -> (PipelineQueries.binaryBatchRecall _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1920,6 +1922,13 @@ object SparkEntry {
     // buckets per query) — the batch-serving shape for the bucketed
     // family, quality-measured like qe34/qe37.
     "qe41_lsh_index_recall" -> lshIndexRecallOracleSql,
+    // qe42: recall@10 of the multi-query int8 two-stage probe (exact-
+    // integer stage-1 scores, 50-candidate exact rerank) — the batch
+    // shape for the compressed-scan family.
+    "qe42_quantized_batch_recall" -> quantizedBatchRecallOracleSql,
+    // qe43: recall@10 of the multi-query binary two-stage probe
+    // (Hamming stage-1 over packed sign bits, exact rerank).
+    "qe43_binary_batch_recall" -> binaryBatchRecallOracleSql,
     // qd70: three HLL estimate derivations (even docs, odd docs, all
     // docs — element-wise register max of the halves IS the union's
     // sketch) + inclusion–exclusion on the rounded estimates, generated
@@ -2511,6 +2520,91 @@ object SparkEntry {
          WHERE rk <= 10)
        $recallRowSelect"""
   }
+
+  /** qe42: recall@10 of the multi-query int8 two-stage probe — the
+    * qe10 affine-code machinery generalized to the 100-query batch
+    * with an EXACT-INTEGER stage-1: the stored code decodes to the
+    * integer grid mn·255 + code·(mx−mn), the query to its
+    * 1e-4-floored integer vector, and the shortlist ranks by their
+    * exact integer dot (bit-identical across engines and aggregation
+    * orders), then the 50-candidate exact-cosine rerank and the
+    * standard recall row. */
+  private lazy val quantizedBatchRecallOracleSql: String =
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       $evalTruthCtes,
+       ex AS (SELECT vec_id, unnest(range(64)) AS dim,
+           floor(unnest(v) * 10000.0) AS x_e4 FROM e),
+       stats AS (SELECT dim, min(x_e4) AS mn, max(x_e4) AS mx
+         FROM ex GROUP BY 1),
+       qdec AS (SELECT ex.vec_id, ex.dim,
+           s.mn * 255.0 + (CASE WHEN s.mx = s.mn THEN 0.0
+             ELSE least(floor((ex.x_e4 - s.mn) * 255
+               / CAST(s.mx - s.mn AS DOUBLE)), 255.0) END)
+             * (s.mx - s.mn) AS dv
+         FROM ex JOIN stats s USING (dim)),
+       iq AS (SELECT query_id, unnest(range(64)) AS dim,
+           floor(unnest(qv) * 10000.0) AS qe4 FROM q),
+       isc AS (SELECT iq.query_id, d.vec_id, sum(d.dv * iq.qe4) AS iscore
+         FROM qdec d JOIN iq USING (dim) GROUP BY 1, 2),
+       shortq AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY iscore DESC, vec_id) AS srk FROM isc) sh
+         WHERE srk <= 50),
+       rrq AS (SELECT s.query_id, s.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM shortq s JOIN e ON e.vec_id = s.vec_id
+         JOIN q q2 ON q2.query_id = s.query_id),
+       approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM rrq) ar
+         WHERE rk <= 10)
+       $recallRowSelect"""
+
+  /** qe43: recall@10 of the multi-query binary two-stage probe — the
+    * qe23/qe25 sign-bit machinery generalized to the 100-query batch:
+    * per-vector packed sign bits, each query's signature looked up by
+    * id, per-query 50-deep Hamming shortlists (exact integer
+    * distance), exact-cosine rerank, the standard recall row. */
+  private lazy val binaryBatchRecallOracleSql: String =
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       $evalTruthCtes,
+       el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       bbits AS (SELECT vec_id,
+           CAST(sum(CASE WHEN d <= 32 AND x >= 0
+             THEN CAST(1 AS BIGINT) << (d - 1) ELSE 0 END)
+             AS BIGINT) AS lo,
+           CAST(sum(CASE WHEN d > 32 AND d <= 64 AND x >= 0
+             THEN CAST(1 AS BIGINT) << (d - 33) ELSE 0 END)
+             AS BIGINT) AS hi
+         FROM el GROUP BY 1),
+       qsig AS (SELECT q.query_id, b.lo AS qlo, b.hi AS qhi
+         FROM q JOIN bbits b ON b.vec_id = q.query_id),
+       shortq AS (SELECT query_id, vec_id FROM (SELECT s.query_id,
+           b.vec_id, row_number() OVER (PARTITION BY s.query_id
+             ORDER BY bit_count(xor(b.lo, s.qlo))
+               + bit_count(xor(b.hi, s.qhi)), b.vec_id) AS srk
+           FROM bbits b, qsig s) sh
+         WHERE srk <= 50),
+       rrq AS (SELECT s.query_id, s.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM shortq s JOIN e ON e.vec_id = s.vec_id
+         JOIN q q2 ON q2.query_id = s.query_id),
+       approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM rrq) ar
+         WHERE rk <= 10)
+       $recallRowSelect"""
 
   /** The multimodal decode truth as a shared CTE (qm01/qm02/qm03) —
     * every field re-derived from the SAME integer arithmetic that

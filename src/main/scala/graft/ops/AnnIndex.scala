@@ -415,6 +415,81 @@ object AnnIndex {
       k)
   }
 
+  /** Multi-query two-stage top-k against a persisted int8-quantized
+    * index — the batch-serving twin of [[queryQuantizedIndex]]. Stage 1
+    * scans `codes/` ONCE for the whole batch: each stored code row
+    * decodes to the integer grid `mn·255 + code·(mx−mn)` (a literal
+    * per-dimension affine, codegen'd — no join), every query rides a
+    * broadcast as its 1e-4-floored integer vector, and the per-query
+    * `rerank` shortlist is a bounded `topk_agg` over the EXACT integer
+    * score Σ decode·q_e4 (all intermediates integer-valued < 2⁵³, so
+    * the ranking is bit-identical in any engine and any aggregation
+    * order — the pqAdcCtes discipline; ranking by it ≡ ranking by the
+    * decoded dot against the quantized query). Stage 2 collects the
+    * shortlist (|queries| × rerank, guarded by [[MaxShortlistIds]])
+    * and reads ONLY those rows from the vec_id-sorted `vectors/` via a
+    * literal `vec_id IN` (row-group pruned), rescoring with exact
+    * cosine. Output: (query_id, vec_id, cos, rank). EAGER like
+    * [[ivfPqKnnJoinIndexed]]: stage 1 runs at call time. */
+  def quantizedKnnJoinIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      rerank: Int): DataFrame = {
+    val qRows = queries.select(qid.cast("long").as("query_id"),
+        Similarity.l2Normalize(qvec).as("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    if (qRows.isEmpty)
+      return spark.read.parquet(s"$path/codes")
+        .select(lit(0L).as("query_id"), col("vec_id"),
+          lit(0.0d).as("cos"), lit(0L).as("rank")).limit(0)
+    require(qRows.length.toLong * rerank <= MaxShortlistIds,
+      s"two-stage shortlist is ${qRows.length} queries x $rerank ids — " +
+        s"over the $MaxShortlistIds serving-batch ceiling; split the " +
+        "query batch into smaller probe calls")
+    val statRows = spark.read.parquet(s"$path/stats").collect()
+    val dim = statRows.length
+    val mn = new Array[Long](dim); val mx = new Array[Long](dim)
+    statRows.foreach { r =>
+      val d = r.getLong(0).toInt; mn(d) = r.getLong(1); mx(d) = r.getLong(2)
+    }
+    val decMul = lit(Array.tabulate(dim)(i => (mx(i) - mn(i)).toDouble))
+    val decAdd = lit(Array.tabulate(dim)(i => mn(i) * 255.0))
+    import spark.implicits._
+    val qDf = qRows.toSeq.map { case (q, qv) =>
+      (q, qv.map(x => math.floor(x * 10000.0)).toSeq)
+    }.toDF("query_id", "qe4")
+    val codes = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/codes"))
+    val decoded = transform(col("codes"), (c, i) =>
+      (c.cast("double") + lit(128.0)) * element_at(decMul, i + 1) +
+        element_at(decAdd, i + 1))
+    val shortTriples = codes
+      .select(col("vec_id"), decoded.as("dv"))
+      .crossJoin(broadcast(qDf))
+      .select(col("query_id"), col("vec_id"),
+        Similarity.dot(col("dv"), col("qe4")).as("iscore"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("iscore"), col("vec_id"), rerank).as("top"))
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p.id").as("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val shortIds = shortTriples.map(_._2).distinct.toIndexedSeq
+    val pairsDf = shortTriples.toSeq.toDF("query_id", "vec_id")
+    val qvDf = qRows.toSeq.toDF("query_id", "qv")
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("vec_id").isin(shortIds: _*))
+      .join(broadcast(pairsDf), Seq("vec_id"))
+      .join(broadcast(qvDf), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.dot(col("v"), col("qv")), 4).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"),
+        col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
+  }
+
   /** Build + persist the BINARY sign-bit index: `bits/` holds two
     * packed longs per vector — 16 bytes against 256 for float32, the
     * cheapest stored first-stage filter there is — plus `vectors/`
@@ -467,6 +542,73 @@ object AnnIndex {
         .select(col("vec_id"),
           round(Similarity.dot(col("v"), lit(qv)), 4).as("cos")),
       k)
+  }
+
+  /** Multi-query two-stage top-k against the persisted binary index —
+    * the batch-serving twin of [[queryBinaryIndex]]: queries are named
+    * BY ID (their signatures and rerank vectors come from the index
+    * itself — the corpus is never touched), the whole batch's Hamming
+    * stage-1 is ONE `bits/` scan (16 bytes per row) against the
+    * broadcast signature frame, per-query shortlists are bounded
+    * `topk_agg`s over the exact integer distance, and stage 2 reads
+    * only the collected shortlist rows from the vec_id-sorted
+    * `vectors/` via a literal `vec_id IN` (row-group pruned),
+    * rescoring with exact cosine. Guarded by [[MaxShortlistIds]];
+    * EAGER like [[ivfPqKnnJoinIndexed]]. Query ids absent from the
+    * index contribute no rows. Output: (query_id, vec_id, cos, rank). */
+  def binaryKnnJoinIndexed(spark: SparkSession, path: String,
+      queryIds: DataFrame, qid: Column, k: Int,
+      shortlist: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need 1 <= k <= shortlist: k=$k shortlist=$shortlist")
+    val qIds = queryIds.select(qid.cast("long").as("query_id"))
+      .distinct().collect().map(_.getLong(0))
+    if (qIds.isEmpty)
+      return spark.read.parquet(s"$path/bits")
+        .select(lit(0L).as("query_id"), col("vec_id"),
+          lit(0.0d).as("cos"), lit(0L).as("rank")).limit(0)
+    require(qIds.length.toLong * shortlist <= MaxShortlistIds,
+      s"two-stage shortlist is ${qIds.length} queries x $shortlist ids " +
+        s"— over the $MaxShortlistIds serving-batch ceiling; split the " +
+        "query batch into smaller probe calls")
+    // signature lookups read the RAW table (querying by a deleted id
+    // is the caller's call); only the candidate scan drops tombstones
+    val sigRows = spark.read.parquet(s"$path/bits")
+      .filter(col("vec_id").isin(qIds.toIndexedSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    import spark.implicits._
+    val qSig = sigRows.toSeq.toDF("query_id", "qlo", "qhi")
+    val bits = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/bits"))
+    val shortPairs = bits.crossJoin(broadcast(qSig))
+      .select(col("query_id"), col("vec_id"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi"))))
+          .cast("double").as("ham"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(-col("ham"), col("vec_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("p"))
+      .select(col("query_id"), col("p.id").as("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val shortIds = shortPairs.map(_._2).distinct.toIndexedSeq
+    val qvRows = spark.read.parquet(s"$path/vectors")
+      .filter(col("vec_id").isin(qIds.toIndexedSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val pairsDf = shortPairs.toSeq.toDF("query_id", "vec_id")
+    val qvDf = qvRows.toSeq.toDF("query_id", "qv")
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("vec_id").isin(shortIds: _*))
+      .join(broadcast(pairsDf), Seq("vec_id"))
+      .join(broadcast(qvDf), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.dot(col("v"), col("qv")), 4).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"),
+        col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
   }
 
   /** Build + persist the IVF index: centroids sampled deterministically

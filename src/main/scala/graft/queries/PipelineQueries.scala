@@ -2246,6 +2246,49 @@ object PipelineQueries {
         probeFlips = 1))
   }
 
+  /** qe42: recall@10 of the MULTI-query persisted int8 two-stage probe
+    * over the 100-query batch ([[graft.ops.AnnIndex
+    * .quantizedKnnJoinIndexed]], rerank 50): one codes scan serves all
+    * queries (exact-integer stage-1 scores, so the shortlist is
+    * engine-bit-identical), one literal-IN rerank read — the
+    * batch-serving shape for the unpartitioned compressed-scan family
+    * (qe10's two-stage, batched like qe34/qe37/qe41/qd85). */
+  def quantizedBatchRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    recallRow(evalTruth(e),
+      graft.ops.AnnIndex.quantizedKnnJoinIndexed(s, quantIdxPath(s, dir),
+        evalQueries(e), col("vec_id"), col("embedding"), k = 10,
+        rerank = 50))
+  }
+
+  /** Session memo of the persisted sign-bit index probed by qe43
+    * (build priced inside the query on first touch). */
+  private val binaryIdxPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def binaryIdxPath(s: SparkSession, dir: String): String =
+    binaryIdxPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_binidx").toString
+      graft.ops.AnnIndex.writeBinaryIndex(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), path)
+      path
+    })
+
+  /** qe43: recall@10 of the MULTI-query persisted binary two-stage
+    * probe over the 100-query batch ([[graft.ops.AnnIndex
+    * .binaryKnnJoinIndexed]], shortlist 50): the whole batch's Hamming
+    * stage-1 is one 16-byte-per-row `bits/` scan, stage 2 one
+    * literal-IN rerank read — the cheapest stored first-stage filter,
+    * batched and quality-measured like qe41/qe42. */
+  def binaryBatchRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    recallRow(evalTruth(e),
+      graft.ops.AnnIndex.binaryKnnJoinIndexed(s, binaryIdxPath(s, dir),
+        evalQueries(e).select(col("vec_id")), col("vec_id"), k = 10,
+        shortlist = 50))
+  }
+
   private def decodedMedia(s: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.decodeMeta(
       graft.ops.Multimodal.synthMedia(

@@ -150,6 +150,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("int8/binary multi-query indexed probes: literal-IN rerank; all-candidate probe == brute truth") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val n = e.count().toInt
+    val queries = e.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // two-stage exactness identity: a shortlist covering the corpus
+    // must reproduce brute-force truth exactly, through the stored
+    // artifact
+    val truth = rows(Similarity.knnJoin(e, col("vec_id"),
+      col("embedding"), queries, col("vec_id"), col("embedding"), k = 5))
+    val qpath = java.nio.file.Files.createTempDirectory("q8batch").toString
+    graft.ops.AnnIndex.writeQuantizedIndex(e, col("vec_id"),
+      col("embedding"), qpath)
+    val gotQ = graft.ops.AnnIndex.quantizedKnnJoinIndexed(spark, qpath,
+      queries, col("vec_id"), col("embedding"), k = 5, rerank = n)
+    val pq = plan(gotQ)
+    // stage 2 reads only the collected shortlist (literal pushed IN on
+    // the vec_id-sorted vectors table); per-query top-k stays bounded
+    assert(pq.matches("(?s).*PushedFilters: \\[In\\(vec_id.*"), pq.take(4000))
+    assert(pq.contains("partial_topk_agg"), pq.take(4000))
+    assert(!pq.contains("Window") && !pq.contains("SortMergeJoin"),
+      pq.take(4000))
+    assert(rows(gotQ) == truth && truth.nonEmpty)
+    val bpath = java.nio.file.Files.createTempDirectory("binbatch").toString
+    graft.ops.AnnIndex.writeBinaryIndex(e, col("vec_id"),
+      col("embedding"), bpath)
+    val gotB = graft.ops.AnnIndex.binaryKnnJoinIndexed(spark, bpath,
+      queries.select(col("vec_id")), col("vec_id"), k = 5, shortlist = n)
+    val pb = plan(gotB)
+    assert(pb.matches("(?s).*PushedFilters: \\[In\\(vec_id.*"), pb.take(4000))
+    assert(!pb.contains("Window") && !pb.contains("SortMergeJoin"),
+      pb.take(4000))
+    assert(rows(gotB) == truth)
+  }
+
   test("dedup-index probe prunes to the batch's fingerprint partitions") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")
