@@ -202,6 +202,7 @@ object SparkEntry {
     "qe41_lsh_index_recall" -> (PipelineQueries.lshIndexRecall _),
     "qe42_quantized_batch_recall" -> (PipelineQueries.quantizedBatchRecall _),
     "qe43_binary_batch_recall" -> (PipelineQueries.binaryBatchRecall _),
+    "qe44_pq_batch_adc" -> (PipelineQueries.pqBatchAdc _),
   )
 
   /** DuckDB-equivalent SQL per query key. Output column names and ORDER BY
@@ -1929,6 +1930,10 @@ object SparkEntry {
     // qe43: recall@10 of the multi-query binary two-stage probe
     // (Hamming stage-1 over packed sign bits, exact rerank).
     "qe43_binary_batch_recall" -> binaryBatchRecallOracleSql,
+    // qe44: multi-query PQ ADC top-10 — one codes scan serves the
+    // 20-query batch; exact-integer distance tables make the per-query
+    // rankings hash-exact.
+    "qe44_pq_batch_adc" -> pqBatchAdcOracleSql,
     // qd70: three HLL estimate derivations (even docs, odd docs, all
     // docs — element-wise register max of the halves IS the union's
     // sketch) + inclusion–exclusion on the rounded estimates, generated
@@ -3254,7 +3259,11 @@ object SparkEntry {
     * codes (ties to the lower code), ADC score = Σ_m qdist[m, code] —
     * no float rounding anywhere, so the in-memory operator and the
     * persisted-index read-back must both match it bit-for-bit. */
-  private lazy val pqAdcCtes: String =
+  /** The PQ ENCODE CTEs shared by qe20/21/22 (single-query tail) and
+    * qe44 (multi-query tail): 1e-4 integer grid, md5('pq:')-selected
+    * 16-entry codebook, per-subspace argmin codes over 8 subspaces —
+    * everything through `code`. */
+  private lazy val pqCodeCtes: String =
     """WITH v4 AS (SELECT vec_id,
            generate_subscripts(embedding, 1) AS dim,
            CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0)
@@ -3273,7 +3282,9 @@ object SparkEntry {
            GROUP BY 1, 2, 3),
          code AS (SELECT vec_id, m, cidx FROM (SELECT *, row_number()
              OVER (PARTITION BY vec_id, m ORDER BY dist, cidx) AS rn
-             FROM d) WHERE rn = 1),
+             FROM d) WHERE rn = 1)"""
+
+  private lazy val pqAdcCtes: String = pqCodeCtes + """,
          qd_ AS (SELECT cb.m, cb.cidx,
              sum((q.x - cb.cx) * (q.x - cb.cx)) AS qdist
            FROM (SELECT (dim - 1) // 8 AS m, dim, x FROM v4
@@ -3283,6 +3294,26 @@ object SparkEntry {
              AS adc_score
            FROM code c JOIN qd_ ON c.m = qd_.m AND c.cidx = qd_.cidx
            GROUP BY 1)"""
+
+  /** qe44: the multi-query PQ ADC probe — [[pqCodeCtes]] with a
+    * per-query distance-table tail over the 20-query batch; every
+    * distance is exact integer math, so the per-query ADC rankings
+    * are hash-exact. */
+  private lazy val pqBatchAdcOracleSql: String = pqCodeCtes + """,
+         bq AS (SELECT vec_id AS query_id, (dim - 1) // 8 AS m, dim, x
+           FROM v4 WHERE vec_id < 20),
+         bqd AS (SELECT q.query_id, cb.m, cb.cidx,
+             sum((q.x - cb.cx) * (q.x - cb.cx)) AS qdist
+           FROM bq q JOIN cb ON q.m = cb.m AND q.dim = cb.dim
+           GROUP BY 1, 2, 3),
+         bsc AS (SELECT b.query_id, c.vec_id,
+             CAST(sum(b.qdist) AS BIGINT) AS adc_score
+           FROM code c JOIN bqd b ON c.m = b.m AND c.cidx = b.cidx
+           GROUP BY 1, 2)
+         SELECT query_id, vec_id, adc_score,
+           CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_score, vec_id) AS BIGINT) AS rank
+         FROM bsc QUALIFY rank <= 10 ORDER BY query_id, rank"""
 
   private lazy val pqAdcOracleSql: String = pqAdcCtes + """
          SELECT vec_id, adc_score, row_number() OVER (

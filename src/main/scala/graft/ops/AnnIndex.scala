@@ -341,6 +341,55 @@ object AnnIndex {
             .cast("long").as("adc_score")), k)
   }
 
+  /** Multi-query ADC top-k against a persisted PQ index — the
+    * batch-serving twin of [[queryPqIndex]]: ONE `codes/` scan (two
+    * columns, nothing corpus-sized joined or shuffled) serves the
+    * whole batch. Each query's exact-integer distance table rides the
+    * broadcast as a flattened array looked up by `element_at` (the
+    * [[ivfPqShortlistFrame]] expression without the cell pruning —
+    * plain PQ has no partitioning to prune; it is the compressed FULL
+    * scan, amortized across the batch), and the per-query top-k is a
+    * bounded `topk_agg` on the negated integer score. Output:
+    * (query_id, vec_id, adc_score, rank), rank 1-based per query
+    * (adc_score asc, vec_id asc). */
+  def pqKnnJoinIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
+    val cbRows = spark.read.parquet(s"$path/codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val numSub = cbRows.map(_._1).max + 1
+    val cbSize = cbRows.map(_._2).max + 1
+    val subDim = cbRows.map(_._3).max + 1
+    val cb = Array.ofDim[Double](numSub, cbSize, subDim)
+    cbRows.foreach { case (m, c, d, x) => cb(m)(c)(d) = x }
+    val qRows = queries.select(qid.cast("long").as("query_id"),
+        Similarity.pqQ4(qvec).as("q4")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    if (qRows.isEmpty)
+      return spark.read.parquet(s"$path/codes")
+        .select(lit(0L).as("query_id"), col("vec_id"),
+          lit(0L).as("adc_score"), lit(0L).as("rank")).limit(0)
+    import spark.implicits._
+    val qDf = qRows.toSeq.map { case (q, q4) =>
+      (q, Similarity.pqAdcTable(q4, cb).flatten.toSeq)
+    }.toDF("query_id", "qtab")
+    val adc = (0 until numSub).map(m =>
+        element_at(col("qtab"),
+          lit(m * cbSize) + element_at(col("codes"), m + 1) + lit(1)))
+      .reduce(_ + _)
+    dropTombstoned(spark, path, spark.read.parquet(s"$path/codes"))
+      .crossJoin(broadcast(qDf))
+      .select(col("query_id"), col("vec_id"),
+        adc.cast("long").as("adc_score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(-col("adc_score").cast("double"), col("vec_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"),
+        (-col("p.score")).cast("long").as("adc_score"),
+        (col("r") + 1).cast("long").as("rank"))
+  }
+
   /** Build + persist the int8-quantized codes index (the ADC storage
     * layout): `codes/` holds one signed byte per element (code − 128 —
     * 4× smaller than float32, and parquet bit-packs it further),

@@ -2261,6 +2261,34 @@ object PipelineQueries {
         rerank = 50))
   }
 
+  /** Session memo of the persisted plain-PQ index probed by qe44
+    * (build priced inside the query on first touch; qe21 keeps pricing
+    * its own fresh build). */
+  private val pqIdxPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pqIdxPath(s: SparkSession, dir: String): String =
+    pqIdxPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+      graft.ops.AnnIndex.writePqIndex(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), path)
+      path
+    })
+
+  /** qe44: MULTI-query ADC top-10 from the persisted plain-PQ index
+    * ([[graft.ops.AnnIndex.pqKnnJoinIndexed]]) — 20 queries served by
+    * ONE two-column codes scan, each query's exact-integer distance
+    * table riding the broadcast; per-query ADC rankings are
+    * hash-exact against the oracle (no float anywhere in stage 1). */
+  def pqBatchAdc(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.ops.AnnIndex.pqKnnJoinIndexed(s, pqIdxPath(s, dir),
+        e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+        k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Session memo of the persisted sign-bit index probed by qe43
     * (build priced inside the query on first touch). */
   private val binaryIdxPaths =

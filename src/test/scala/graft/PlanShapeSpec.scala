@@ -186,6 +186,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(rows(gotB) == truth)
   }
 
+  test("PQ multi-query ADC: one codes scan, broadcast tables, bounded top-k, no window") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val path = java.nio.file.Files.createTempDirectory("pqbatch").toString
+    graft.ops.AnnIndex.writePqIndex(e, col("vec_id"), col("embedding"),
+      path)
+    val probe = graft.ops.AnnIndex.pqKnnJoinIndexed(spark, path,
+      e.filter(col("vec_id") < 3), col("vec_id"), col("embedding"), k = 5)
+    val p = plan(probe)
+    assert("/codes".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("partial_topk_agg"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"),
+      p.take(3000))
+    // per-query equality against the single-query ADC probe
+    val got = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (0L until 3L).flatMap { qid =>
+      graft.ops.AnnIndex.queryPqIndex(spark, path,
+          e.filter(col("vec_id") === qid).select(col("embedding")), k = 5)
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1)))
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("dedup-index probe prunes to the batch's fingerprint partitions") {
     import spark.implicits._
     val docs = Tables.load(spark, sf, "documents")
