@@ -94,30 +94,30 @@ object AnnIndex {
     * build (spec-pinned). One batch scan, no corpus re-read. `attrs`
     * must match the build's attribute columns.
     *
-    * `maxFilesPerSub` > 0 enforces the small-file policy at append
+    * `maxFilesPerDir` > 0 enforces the small-file policy at append
     * time: each blind append leaves one more file per touched bucket,
-    * and when any sub-store's file count exceeds the threshold
+    * and when any directory's file count exceeds the threshold
     * ([[StoreFiles.needsFileCompaction]] — a short-circuited listing)
     * the store compacts in place ([[compactAnnIndex]]; the appender is
     * the store's single writer, so the quiesce contract holds). */
   def appendLshIndex(batch: DataFrame, id: Column, vec: Column,
       path: String, attrs: Seq[Column] = Nil,
-      maxFilesPerSub: Int = 0): Unit = {
+      maxFilesPerDir: Int = 0): Unit = {
     val meta = batch.sparkSession.read.parquet(s"$path/meta").head()
     val planes = Similarity.planeVectors(meta.getInt(0), meta.getInt(1))
     batch.select(id.as("vec_id") +: Similarity.l2Normalize(vec).as("v") +:
         Similarity.lshBucket(vec, planes).as("bucket") +: attrs: _*)
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/index")
-    maybeCompactFiles(batch.sparkSession, path, maxFilesPerSub)
+    maybeCompactFiles(batch.sparkSession, path, maxFilesPerDir)
   }
 
-  /** The [[appendLshIndex]] `maxFilesPerSub` policy, shared by every
+  /** The [[appendLshIndex]] `maxFilesPerDir` policy, shared by every
     * plain-append entry point of the vector store family. */
   private def maybeCompactFiles(spark: SparkSession, path: String,
-      maxFilesPerSub: Int): Unit =
-    if (maxFilesPerSub > 0 &&
-        StoreFiles.needsFileCompaction(spark, path, maxFilesPerSub))
+      maxFilesPerDir: Int): Unit =
+    if (maxFilesPerDir > 0 &&
+        StoreFiles.needsFileCompaction(spark, path, maxFilesPerDir))
       compactAnnIndex(spark, path)
 
   /** Tombstone-delete vectors from a persisted ANN index (any kind at
@@ -130,6 +130,15 @@ object AnnIndex {
       id: Column): Unit =
     ids.select(id.as("vec_id")).distinct()
       .write.mode("append").parquet(s"$path/tombstones")
+
+  /** All bucket-XOR masks with ≤ `probeFlips` bits set, enumerated as
+    * C(numPlanes, ≤flips) combinations directly — never the full
+    * 2^numPlanes range (which is billions of driver iterations past 31
+    * planes and an empty, silently-zero-probing range at 63+). */
+  private def flipMasks(numPlanes: Int, probeFlips: Int): Seq[Long] =
+    (0 to math.min(probeFlips, numPlanes)).flatMap(r =>
+      (0 until numPlanes).combinations(r)
+        .map(_.foldLeft(0L)((acc, p) => acc | (1L << p))))
 
   private def dropTombstoned(spark: SparkSession, path: String,
       rows: DataFrame): DataFrame =
@@ -235,8 +244,7 @@ object AnnIndex {
       return spark.read.parquet(s"$path/index")
         .select(lit(0L).as("query_id"), col("vec_id"),
           lit(0.0d).as("cos"), lit(0L).as("rank")).limit(0)
-    val masks = (0L until (1L << numPlanes))
-      .filter(m => java.lang.Long.bitCount(m) <= probeFlips)
+    val masks = flipMasks(numPlanes, probeFlips)
     val pairRows = qRows.map { case (q, qv) =>
       val qbucket = planes.zipWithIndex.foldLeft(0L) {
         case (acc, (pl, p)) =>
@@ -283,9 +291,7 @@ object AnnIndex {
     val qbucket = planes.zipWithIndex.foldLeft(0L) { case (acc, (pl, p)) =>
       if (dotLocal(pl, qv) >= 0) acc | (1L << p) else acc
     }
-    val probes = (0L until (1L << numPlanes))
-      .filter(m => java.lang.Long.bitCount(m) <= probeFlips)
-      .map(_ ^ qbucket)
+    val probes = flipMasks(numPlanes, probeFlips).map(_ ^ qbucket)
     Some(index.filter(col("bucket").isin(probes: _*))
       .select(col("vec_id"),
         round(Similarity.dot(col("v"), lit(qv)), 4).as("cos")))
@@ -323,13 +329,7 @@ object AnnIndex {
     * integer math, and the scan touches `codes/` only. */
   def queryPqIndex(spark: SparkSession, path: String, query: DataFrame,
       k: Int): DataFrame = {
-    val cbRows = spark.read.parquet(s"$path/codebook").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
-    val numSub = cbRows.map(_._1).max + 1
-    val cbSize = cbRows.map(_._2).max + 1
-    val subDim = cbRows.map(_._3).max + 1
-    val cb = Array.ofDim[Double](numSub, cbSize, subDim)
-    cbRows.foreach { case (m, c, d, x) => cb(m)(c)(d) = x }
+    val cb = readCodebook(spark, s"$path/codebook")
     val q4Row = query
       .select(Similarity.pqQ4(col(query.columns.head)).as("v4"))
       .head().getSeq[Double](0).toArray
@@ -354,13 +354,9 @@ object AnnIndex {
     * (adc_score asc, vec_id asc). */
   def pqKnnJoinIndexed(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
-    val cbRows = spark.read.parquet(s"$path/codebook").collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
-    val numSub = cbRows.map(_._1).max + 1
-    val cbSize = cbRows.map(_._2).max + 1
-    val subDim = cbRows.map(_._3).max + 1
-    val cb = Array.ofDim[Double](numSub, cbSize, subDim)
-    cbRows.foreach { case (m, c, d, x) => cb(m)(c)(d) = x }
+    val cb = readCodebook(spark, s"$path/codebook")
+    val numSub = cb.length
+    val cbSize = cb(0).length
     val qRows = queries.select(qid.cast("long").as("query_id"),
         Similarity.pqQ4(qvec).as("q4")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
@@ -772,11 +768,11 @@ object AnnIndex {
     * re-read; retrain via a fresh [[writeIvfIndex]] when drift
     * warrants), and the rows land under their cell partitions. Probes
     * over the appended index equal an assignment of the union corpus
-    * under the same centroids (spec-pinned). `maxFilesPerSub` > 0
+    * under the same centroids (spec-pinned). `maxFilesPerDir` > 0
     * compacts in place when blind appends have accumulated too many
     * small files (the [[appendLshIndex]] policy). */
   def appendIvfIndex(batch: DataFrame, id: Column, vec: Column,
-      path: String, maxFilesPerSub: Int = 0): Unit = {
+      path: String, maxFilesPerDir: Int = 0): Unit = {
     val spark = batch.sparkSession
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
@@ -785,7 +781,7 @@ object AnnIndex {
       .withColumn("cell", Similarity.nearestCell(col("v"), cents))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/index")
-    maybeCompactFiles(spark, path, maxFilesPerSub)
+    maybeCompactFiles(spark, path, maxFilesPerDir)
   }
 
   /** Multi-query top-k against a persisted IVF index: the stored
@@ -899,20 +895,20 @@ object AnnIndex {
     * contract). Probing ALL cells with a corpus-sized rerank over the
     * appended index still equals brute-force truth over the union —
     * the two-stage exactness identity is model-independent
-    * (spec-pinned). `maxFilesPerSub` > 0 compacts in place when blind
+    * (spec-pinned). `maxFilesPerDir` > 0 compacts in place when blind
     * appends have accumulated too many small files (the
     * [[appendLshIndex]] policy — doubly valuable here because the
     * compact also restores the flat `vectors/` table's global vec_id
     * clustering that per-append sorts cannot provide). */
   def appendIvfPqIndex(batch: DataFrame, id: Column, vec: Column,
-      path: String, maxFilesPerSub: Int = 0): Unit = {
+      path: String, maxFilesPerDir: Int = 0): Unit = {
     ivfPqEncodeStored(batch, id, vec, path)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
       .sortWithinPartitions(col("vec_id"))
       .write.mode("append").parquet(s"$path/vectors")
-    maybeCompactFiles(batch.sparkSession, path, maxFilesPerSub)
+    maybeCompactFiles(batch.sparkSession, path, maxFilesPerDir)
   }
 
   /** Encode a batch under a stored IVF-PQ index's FROZEN model:
@@ -1032,6 +1028,12 @@ object AnnIndex {
         col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
   }
 
+  /** Ceiling on the driver-collected shortlist (|queries| × rerank ids)
+    * of the two-stage probes — the serving-batch contract as a loud,
+    * named failure instead of a driver OOM when someone feeds a
+    * corpus-scale query batch. */
+  val MaxShortlistIds: Long = 1L << 20
+
   /** Stage 2 of [[ivfPqKnnJoinIndexed]] as a frame: the shortlisted
     * rows at full precision — (query_id, vec_id, srk, cos) with `srk`
     * the 1-based ADC shortlist rank (so an operating-point sweep can
@@ -1045,12 +1047,6 @@ object AnnIndex {
     * queryQuantizedIndex/queryBinaryIndex discipline); with the
     * literal, stage 2 reads only the row groups holding shortlisted
     * ids (vectors/ is vec_id-sorted). */
-  /** Ceiling on the driver-collected shortlist (|queries| × rerank ids)
-    * of the two-stage probe — the serving-batch contract as a loud,
-    * named failure instead of a driver OOM when someone feeds a
-    * corpus-scale query batch. */
-  val MaxShortlistIds: Long = 1L << 20
-
   private[graft] def ivfPqRerankedFrame(spark: SparkSession,
       path: String, qRows: Array[(Long, Array[Double])], nProbe: Int,
       rerank: Int): DataFrame = {

@@ -73,18 +73,18 @@ object LexIndex {
     * the df/stats sums are associative. Position rows (when the store
     * carries them) append under the same argument.
     *
-    * `maxFilesPerSub` > 0 enforces the small-file policy at append
-    * time: when any sub-store's file count exceeds the threshold
+    * `maxFilesPerDir` > 0 enforces the small-file policy at append
+    * time: when any directory's file count exceeds the threshold
     * ([[StoreFiles.needsFileCompaction]] — a short-circuited listing)
     * the index compacts in place ([[compactBm25Index]]; the appender
     * is the store's single writer, so the quiesce contract holds). */
   def appendBm25Index(batch: DataFrame, id: Column, text: Column,
       path: String, positions: Boolean = false,
-      maxFilesPerSub: Int = 0): Unit = {
+      maxFilesPerDir: Int = 0): Unit = {
     writeBatch(batch, id, text, path, mode = "append", positions)
     val spark = batch.sparkSession
-    if (maxFilesPerSub > 0 &&
-        StoreFiles.needsFileCompaction(spark, path, maxFilesPerSub))
+    if (maxFilesPerDir > 0 &&
+        StoreFiles.needsFileCompaction(spark, path, maxFilesPerDir))
       compactBm25Index(spark, path)
   }
 
@@ -130,13 +130,19 @@ object LexIndex {
       StoreFiles.exists(spark, s"$path/df")
     val toks = tokenized(docs, id, text)
     // the postings frame feeds two writes (rows + df partial): the lazy
-    // checkpoint materializes it once at the first write
+    // checkpoint materializes it once at the first write. The df
+    // partial lands FIRST: a crash between the two writes then leaves
+    // df merely over-counted (idf slightly conservative for the
+    // batch's terms — benign staleness, repaired by the next
+    // [[compactBm25Index]] recount), whereas postings-first would
+    // leave terms whose rows exist but whose df is missing, and the
+    // probe's inner df join would silently drop those documents.
     val post = postingsOf(toks).localCheckpoint(eager = false)
-    post.repartition(col("tpfx"))
-      .write.mode(mode).partitionBy("tpfx").parquet(s"$path/postings")
     if (writeDf)
       dfOf(post).repartition(col("tpfx"))
         .write.mode(mode).partitionBy("tpfx").parquet(s"$path/df")
+    post.repartition(col("tpfx"))
+      .write.mode(mode).partitionBy("tpfx").parquet(s"$path/postings")
     if (positions)
       positionsOf(toks).repartition(col("tpfx"))
         .write.mode(mode).partitionBy("tpfx").parquet(s"$path/positions")
@@ -260,7 +266,8 @@ object LexIndex {
     * near-ubiquitous term made that one task corpus-scale. Stores
     * built before the sidecar existed (no `df/` directory) fall back
     * to that legacy window — correct, but carrying the skew hazard;
-    * rebuild or [[compactBm25Index]]+append to upgrade. */
+    * one [[compactBm25Index]] upgrades them (its df RECOUNT creates
+    * the sidecar from the live postings). */
   private def withDf(spark: SparkSession, path: String, post: DataFrame,
       terms: DataFrame, pfxs: Seq[String]): DataFrame =
     if (StoreFiles.exists(spark, s"$path/df")) {
@@ -404,22 +411,25 @@ object LexIndex {
         }
     prefixSub("postings")
     prefixSub("positions")
-    // df partials (positives from builds/appends, negatives from
-    // deletes) fold to one canonical row per live term; terms whose
-    // live count reached zero leave the sidecar entirely
-    if (StoreFiles.exists(spark, s"$path/df"))
-      StoreFiles.replaceDir(spark, s"$path/df") { tmp =>
-        val all = spark.read.parquet(s"$path/df")
-        val folded = all.groupBy(col("term"), col("tpfx"))
-          .agg(sum(col("df")).as("df"))
-          .filter(col("df") =!= 0L)
-        if (all.columns.contains("batch_id"))
-          folded.withColumn("batch_id", lit(-1L))
-            .repartition(col("tpfx"))
-            .write.partitionBy("batch_id", "tpfx").parquet(tmp)
-        else folded.repartition(col("tpfx"))
-          .write.partitionBy("tpfx").parquet(tmp)
-      }
+    // df is RECOUNTED from the just-compacted live postings, not
+    // folded from the partials: the recount equals the fold whenever
+    // the sidecar is in sync (spec-pinned), REPAIRS it when it is not
+    // (a crash between an append's two writes leaves drift that a
+    // fold would preserve forever — compaction is the repair path),
+    // and CREATES the sidecar on a legacy store, making
+    // compact-then-probe the real upgrade path off the window
+    // fallback. Costs one extra aggregation over postings compaction
+    // already rewrote.
+    StoreFiles.replaceDir(spark, s"$path/df") { tmp =>
+      val live = spark.read.parquet(s"$path/postings")
+      val fresh = dfOf(live.select(col("term"), col("tpfx")))
+      if (live.columns.contains("batch_id"))
+        fresh.withColumn("batch_id", lit(-1L))
+          .repartition(col("tpfx"))
+          .write.partitionBy("batch_id", "tpfx").parquet(tmp)
+      else fresh.repartition(col("tpfx"))
+        .write.partitionBy("tpfx").parquet(tmp)
+    }
     StoreFiles.replaceDir(spark, s"$path/stats") { tmp =>
       val all = spark.read.parquet(s"$path/stats")
       val folded = all
@@ -661,7 +671,13 @@ object LexIndex {
         term.as("term"), off.cast("long").as("off")).distinct()
       .limit(maxBatchRows + 1)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    require(phRows.nonEmpty, "empty phrase batch")
+    // an empty batch yields an empty typed frame, like every sibling
+    // batch probe — a service whose filtered feed came up empty gets
+    // zero rows, not an exception
+    if (phRows.isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("doc_id"), col("id").as("n_matches"),
+        col("id").as("rank"))
     require(phRows.length <= maxBatchRows,
       s"phrase batch holds over $maxBatchRows (query, term, off) rows " +
         "— over the serving-batch ceiling; split the batch into " +

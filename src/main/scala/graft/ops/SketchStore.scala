@@ -54,13 +54,13 @@ object SketchStore {
     * compact-first (which drops the dead partials and clears the
     * sidecar); the error says so.
     *
-    * `maxFilesPerSub` > 0 enforces the small-file policy at append
-    * time: when any sub-store's file count exceeds the threshold
+    * `maxFilesPerDir` > 0 enforces the small-file policy at append
+    * time: when any directory's file count exceeds the threshold
     * ([[StoreFiles.needsFileCompaction]] — a short-circuited listing)
     * the store compacts in place (the appender is the store's single
     * writer, so the quiesce contract holds). */
   def appendHll(batch: DataFrame, group: Column, value: Column,
-      path: String, maxFilesPerSub: Int = 0): Unit = {
+      path: String, maxFilesPerDir: Int = 0): Unit = {
     val spark = batch.sparkSession
     val partials = hllPartials(batch, group, value).localCheckpoint()
     if (StoreFiles.exists(spark, s"$path/hll_tombstones")) {
@@ -75,8 +75,8 @@ object SketchStore {
           "resurrect deleted history)")
     }
     partials.write.mode("append").parquet(s"$path/hll")
-    if (maxFilesPerSub > 0 &&
-        StoreFiles.needsFileCompaction(spark, path, maxFilesPerSub))
+    if (maxFilesPerDir > 0 &&
+        StoreFiles.needsFileCompaction(spark, path, maxFilesPerDir))
       compact(spark, path)
   }
 

@@ -126,32 +126,38 @@ private[graft] object StoreFiles {
   }
 
   /** The small-file-accumulation policy as a predicate: true when any
-    * sub-store holds more than `maxFilesPerSub` data files — the
-    * trigger for PLAIN-append stores (no batch partitions to count:
-    * every blind append leaves one more file per touched partition
-    * until a compact folds them). The listing short-circuits at the
-    * first sub-store over the threshold AND at the first file over it
-    * within a sub-store, so the cost is bounded by the threshold, not
-    * the store's total file count. Callers run it at append time (see
-    * the `maxFilesPerSub` parameter on the append entry points), not
-    * per micro-batch. */
+    * single DIRECTORY under the store holds more than `maxFilesPerDir`
+    * data files — the trigger for PLAIN-append stores (no batch
+    * partitions to count). Per-DIRECTORY, not per-sub-store total,
+    * because a directory is the unit appends grow (each blind append
+    * leaves one more file per touched partition directory) and
+    * because the post-compaction steady state is ONE file per
+    * directory — so any threshold ≥ 1 can never re-trigger right
+    * after a compact. (A total-per-sub threshold below the store's
+    * live partition count would storm: permanently true, every
+    * subsequent append paying a full-store rewrite.) The walk
+    * short-circuits at the first directory over the threshold.
+    * Callers run it at append time (see the `maxFilesPerDir`
+    * parameter on the append entry points), not per micro-batch. */
   def needsFileCompaction(spark: SparkSession, path: String,
-      maxFilesPerSub: Int): Boolean = {
+      maxFilesPerDir: Int): Boolean = {
     val f = fs(spark, path)
     val root = new Path(path)
     if (!f.exists(root)) return false
-    f.listStatus(root).iterator.filter(_.isDirectory).exists { sub =>
-      var nFiles = 0L
-      val it = f.listFiles(sub.getPath, true)
-      var over = false
-      while (!over && it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+    def over(dir: Path): Boolean = {
+      val st = f.listStatus(dir)
+      var nFiles = 0
+      var i = 0
+      while (i < st.length) {
+        val s = st(i)
+        val name = s.getPath.getName
+        if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
           nFiles += 1
-        over = nFiles > maxFilesPerSub
+        if (nFiles > maxFilesPerDir) return true
+        i += 1
       }
-      over
+      st.exists(s => s.isDirectory && over(s.getPath))
     }
+    over(root)
   }
 }

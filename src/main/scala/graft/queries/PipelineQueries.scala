@@ -2209,11 +2209,7 @@ object PipelineQueries {
     * endianness, or duration rounding in EITHER direction of the byte
     * walks breaks the hash match. */
   def mediaDecodeProfile(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Multimodal.decodeMeta(
-        graft.ops.Multimodal.synthMedia(
-          t(s, dir, "documents").select(col("doc_id")), "doc_id"),
-        "media_id")
-      .orderBy(col("media_id"))
+    decodedMedia(s, dir).orderBy(col("media_id"))
 
   /** Session memo of the persisted 6-plane LSH index probed by qe41
     * (build priced inside the query on first touch, the qe33/qe36

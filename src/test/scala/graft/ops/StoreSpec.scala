@@ -1028,6 +1028,12 @@ class StoreSpec extends AnyFunSuite {
     val want = LexIndex.bm25TopKIndexed(spark, refPath, terms,
       col("term"), k = 10).collect().toSeq
     assert(got == want && got.nonEmpty && beforeAppend != got)
+    // one compact UPGRADES the legacy store: the df recount creates
+    // the sidecar from the live postings, probes unchanged and now
+    // off the window fallback
+    LexIndex.compactBm25Index(spark, path)
+    assert(StoreFiles.exists(spark, s"$path/df"))
+    assert(probe() == want)
   }
 
   test("needsFileCompaction: plain appends accumulate; the append-time policy folds them") {
@@ -1037,9 +1043,9 @@ class StoreSpec extends AnyFunSuite {
     // blind plain appends leave one more file per touched prefix
     LexIndex.appendBm25Index(half(lo = false), col("doc_id"), col("text"),
       path)
-    assert(StoreFiles.needsFileCompaction(spark, path, maxFilesPerSub = 1))
+    assert(StoreFiles.needsFileCompaction(spark, path, maxFilesPerDir = 1))
     assert(!StoreFiles.needsFileCompaction(spark, path,
-      maxFilesPerSub = 1000000))
+      maxFilesPerDir = 1000000))
     assert(!StoreFiles.needsFileCompaction(spark, path + "_nope", 1))
     import spark.implicits._
     val terms = Seq("the", "scan").map(Tuple1(_)).toDF("term")
@@ -1049,9 +1055,9 @@ class StoreSpec extends AnyFunSuite {
     // threshold: files fold to one per prefix, probe results unchanged
     val extra = docs.filter(col("doc_id") === -1L) // empty batch
     LexIndex.appendBm25Index(extra, col("doc_id"), col("text"), path,
-      maxFilesPerSub = 1)
+      maxFilesPerDir = 1)
     assert(!StoreFiles.needsFileCompaction(spark, path,
-      maxFilesPerSub = 300))
+      maxFilesPerDir = 300))
     assert(LexIndex.bm25TopKIndexed(spark, path, terms, col("term"),
       k = 10).collect().toSeq == want)
   }
