@@ -2614,38 +2614,73 @@ object SparkEntry {
   /** The multimodal decode truth as a shared CTE (qm01/qm02/qm03) —
     * every field re-derived from the SAME integer arithmetic that
     * parameterized the synthesized container bytes
-    * (graft.ops.Multimodal.synthParams): kind = id % 5 →
-    * bmp / wav / mp4 / avi / mkv. */
+    * (graft.ops.Multimodal.synthParams): kind = id % 11 →
+    * bmp / wav / mp4 / avi / mkv / png / gif / jpeg / aiff / au /
+    * corrupt. The corrupt kind's truth is the STUB profile: `h`
+    * re-derives java.util.Arrays.hashCode of the 4 malformed bytes in
+    * closed form (31-polynomial over bytes that are plain arithmetic
+    * in the id — all intermediates small positive ints), so the
+    * fall-through contract is oracle-pinned, not just spec'd. */
   private lazy val mediaTruthCtes: String =
-    """mt AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
-       CASE doc_id % 5
+    """mth AS (SELECT CAST(doc_id AS BIGINT) AS media_id, doc_id,
+         923521 + 29791 * (1 + doc_id % 113)
+           + 961 * (1 + (doc_id // 7) % 109)
+           + 31 * (1 + (doc_id // 11) % 107)
+           + (1 + (doc_id // 13) % 103) AS h
+       FROM documents),
+       mt AS (SELECT media_id,
+       CASE doc_id % 11
          WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' WHEN 2 THEN 'mp4:avc1'
-         WHEN 3 THEN 'avi:mjpg' ELSE 'mkv:V_VP9' END AS format,
-       CAST(CASE doc_id % 5
+         WHEN 3 THEN 'avi:mjpg' WHEN 4 THEN 'mkv:V_VP9'
+         WHEN 5 THEN 'png' WHEN 6 THEN 'gif' WHEN 7 THEN 'jpeg'
+         WHEN 8 THEN 'aif' WHEN 9 THEN 'au'
+         ELSE (CASE h % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+           WHEN 2 THEN 'wav' ELSE 'mp4' END) END AS format,
+       CAST(CASE doc_id % 11
          WHEN 0 THEN 16 + doc_id % 317
          WHEN 1 THEN 1 + doc_id % 2
          WHEN 2 THEN 160 + doc_id % 160
          WHEN 3 THEN 320 + doc_id % 320
-         ELSE 640 + doc_id % 128 END AS INTEGER) AS width,
-       CAST(CASE doc_id % 5
+         WHEN 4 THEN 640 + doc_id % 128
+         WHEN 5 THEN 16 + doc_id % 509
+         WHEN 6 THEN 8 + doc_id % 251
+         WHEN 7 THEN 32 + doc_id % 441
+         WHEN 8 THEN 1 + doc_id % 2
+         WHEN 9 THEN 1 + doc_id % 2
+         ELSE 64 + h % 1024 END AS INTEGER) AS width,
+       CAST(CASE doc_id % 11
          WHEN 0 THEN 16 + (doc_id // 5) % 211
          WHEN 1 THEN 16
          WHEN 2 THEN 120 + doc_id % 120
          WHEN 3 THEN 240 + doc_id % 240
-         ELSE 360 + doc_id % 72 END AS INTEGER) AS height,
-       CAST(CASE doc_id % 5
+         WHEN 4 THEN 360 + doc_id % 72
+         WHEN 5 THEN 16 + (doc_id // 11) % 383
+         WHEN 6 THEN 8 + (doc_id // 3) % 199
+         WHEN 7 THEN 32 + (doc_id // 7) % 333
+         WHEN 8 THEN 16
+         WHEN 9 THEN 16
+         ELSE 64 + (h // 7) % 1024 END AS INTEGER) AS height,
+       CAST(CASE doc_id % 11
          WHEN 0 THEN 1
          WHEN 1 THEN 8000 * (1 + doc_id % 9)
          WHEN 2 THEN 24 + doc_id % 240
          WHEN 3 THEN 25 + doc_id % 250
-         ELSE 1 END AS INTEGER) AS n_frames,
-       CAST(CASE doc_id % 5
+         WHEN 4 THEN 1
+         WHEN 5 THEN 1 WHEN 6 THEN 1 WHEN 7 THEN 1
+         WHEN 8 THEN 8000 * (1 + doc_id % 7)
+         WHEN 9 THEN 8000 * (1 + doc_id % 6)
+         ELSE 1 + h % 240 END AS INTEGER) AS n_frames,
+       CAST(CASE doc_id % 11
          WHEN 0 THEN 0
          WHEN 1 THEN 1000 * (1 + doc_id % 9)
          WHEN 2 THEN 1000 + doc_id % 5000
          WHEN 3 THEN (25 + doc_id % 250) * 40
-         ELSE 2000 + doc_id % 3000 END AS BIGINT) AS duration_ms
-       FROM documents)"""
+         WHEN 4 THEN 2000 + doc_id % 3000
+         WHEN 5 THEN 0 WHEN 6 THEN 0 WHEN 7 THEN 0
+         WHEN 8 THEN 1000 * (1 + doc_id % 7)
+         WHEN 9 THEN 1000 * (1 + doc_id % 6)
+         ELSE 4 END AS BIGINT) AS duration_ms
+       FROM mth)"""
 
   private lazy val mediaDecodeOracleSql: String =
     s"""WITH $mediaTruthCtes

@@ -436,20 +436,30 @@ object Multimodal {
 
   // ---- synthetic REAL container bytes: the decoder walks in reverse ----
   //
-  // [[synthBytes]] assembles genuine BMP / WAV / MP4 / AVI / MKV
-  // container headers whose parameters derive from the id by PLAIN
-  // integer arithmetic ([[synthParams]] — re-derivable in external
-  // SQL), so a pipeline that synthesizes bytes, decodes them with
-  // [[jdkDecoder]], and compares against the arithmetic truth
-  // cross-checks the byte walks end-to-end (qm01's oracle does exactly
-  // that). Every field the decoders read is written; durations are
-  // chosen so the decode-side arithmetic is EXACT (whole seconds for
-  // WAV so frames/rate*1000 has no float rounding; timescale 1000 for
-  // MP4; integer µs/frame for AVI; whole-ms doubles for MKV).
+  // [[synthBytes]] assembles genuine BMP / WAV / MP4 / AVI / MKV /
+  // PNG / GIF / JPEG / AIFF / AU container headers whose parameters
+  // derive from the id by PLAIN integer arithmetic ([[synthParams]] —
+  // re-derivable in external SQL), so a pipeline that synthesizes
+  // bytes, decodes them with [[jdkDecoder]], and compares against the
+  // arithmetic truth cross-checks the byte walks end-to-end (qm01's
+  // oracle does exactly that). Every field the decoders read is
+  // written; durations are chosen so the decode-side arithmetic is
+  // EXACT (whole seconds for WAV/AIFF/AU so frames/rate*1000 has no
+  // float rounding; timescale 1000 for MP4; integer µs/frame for AVI;
+  // whole-ms doubles for MKV). One kind (id % 11 == 10) is
+  // DELIBERATELY MALFORMED bytes no parser recognizes, whose truth row
+  // is the [[stubDecoder]] profile — so the corrupt → stub
+  // fall-through contract (the scale-critical behavior on a dirty
+  // corpus) is oracle-pinned alongside the happy paths.
 
   /** The arithmetic TRUTH for [[synthBytes]]: what [[jdkDecoder]] must
-    * report for id's payload. kind = id % 5 → bmp, wav, mp4, avi, mkv. */
-  def synthParams(id: Long): MediaMeta = (id % 5) match {
+    * report for id's payload. kind = id % 11 → bmp, wav, mp4, avi,
+    * mkv, png, gif, jpeg, aiff ("aif" — the JDK type extension), au,
+    * corrupt (→ the stub profile over [[corruptBytes]], re-derived
+    * here by the same 31-polynomial `Arrays.hashCode` arithmetic the
+    * SQL oracle computes — 4 bytes < 128 keep every intermediate a
+    * small positive int, no overflow anywhere). */
+  def synthParams(id: Long): MediaMeta = (id % 11) match {
     case 0 => MediaMeta("bmp", (16 + id % 317).toInt,
       (16 + (id / 5) % 211).toInt, 1, 0L)
     case 1 =>
@@ -462,9 +472,42 @@ object Multimodal {
       val frames = 25 + id % 250
       MediaMeta("avi:mjpg", (320 + id % 320).toInt,
         (240 + id % 240).toInt, frames.toInt, frames * 40)
-    case _ => MediaMeta("mkv:V_VP9", (640 + id % 128).toInt,
+    case 4 => MediaMeta("mkv:V_VP9", (640 + id % 128).toInt,
       (360 + id % 72).toInt, 1, 2000 + id % 3000)
+    case 5 => MediaMeta("png", (16 + id % 509).toInt,
+      (16 + (id / 11) % 383).toInt, 1, 0L)
+    case 6 => MediaMeta("gif", (8 + id % 251).toInt,
+      (8 + (id / 3) % 199).toInt, 1, 0L)
+    case 7 => MediaMeta("jpeg", (32 + id % 441).toInt,
+      (32 + (id / 7) % 333).toInt, 1, 0L)
+    case 8 =>
+      val secs = 1 + id % 7
+      MediaMeta("aif", (1 + id % 2).toInt, 16, (8000 * secs).toInt,
+        1000L * secs)
+    case 9 =>
+      val secs = 1 + id % 6
+      MediaMeta("au", (1 + id % 2).toInt, 16, (8000 * secs).toInt,
+        1000L * secs)
+    case _ =>
+      // java.util.Arrays.hashCode of the 4 corrupt bytes, in closed
+      // form: h = 31⁴ + 31³b₀ + 31²b₁ + 31b₂ + b₃ (all bytes
+      // positive, h < 2³¹) — then the stub profile over h
+      val b = corruptBytes(id)
+      val h = 923521 + 29791 * b(0) + 961 * b(1) + 31 * b(2) + b(3)
+      MediaMeta(Seq("jpeg", "png", "wav", "mp4")(h % 4),
+        64 + h % 1024, 64 + (h / 7) % 1024, 1 + h % 240, 4L)
   }
+
+  /** 4 deliberately malformed bytes for the corrupt kind: plain
+    * arithmetic in the id, every byte in [1, 114) so no magic-byte
+    * signature can match and the `Arrays.hashCode` polynomial stays a
+    * small positive int ([[synthParams]] / the SQL oracle re-derive
+    * it). Too short for every container walk, unrecognizable to
+    * ImageIO and the sampled-audio readers — the whole decoder chain
+    * returns None and [[jdkDecoder]] falls through to the stub. */
+  private[ops] def corruptBytes(id: Long): Array[Byte] = Array(
+    (1 + id % 113).toByte, (1 + (id / 7) % 109).toByte,
+    (1 + (id / 11) % 107).toByte, (1 + (id / 13) % 103).toByte)
 
   private def ascii(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
@@ -576,16 +619,93 @@ object Multimodal {
       elem(0x18538067L, info ++ elem(0x1654AE6BL, trackEntry))
   }
 
+  /** PNG: 8-byte signature + IHDR (width/height u32 BE, bit depth 8,
+    * truecolor, standard compression/filter/interlace, REAL CRC32) +
+    * empty IEND — ImageIO's PNG reader parses dimensions from IHDR
+    * without needing pixel data. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32
+      crc.update(ascii(typ)); crc.update(payload)
+      be32(payload.length.toLong) ++ ascii(typ) ++ payload ++
+        be32(crc.getValue)
+    }
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++
+      chunk("IHDR", be32(w.toLong) ++ be32(h.toLong) ++
+        Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** GIF89a: header + logical screen descriptor (u16 LE dims, no
+    * global color table) + one image descriptor with the SAME
+    * dimensions (ImageIO reports image 0's descriptor size) + a
+    * minimal LZW body + trailer. */
+  private def gifBytes(w: Int, h: Int): Array[Byte] =
+    ascii("GIF89a") ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0) ++
+      Array(0x2c.toByte) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h) ++
+      Array[Byte](0) ++
+      Array[Byte](2, 1, 0, 0) ++ // LZW min code 2, 1-byte block, term
+      Array(0x3b.toByte)
+
+  /** JPEG: SOI + JFIF APP0 + DQT + baseline SOF0 (precision 8, height
+    * THEN width u16 BE — the classic swapped-order trap, 3 components)
+    * + SOS + EOI. The JDK reader's header parse runs to SOS, so the
+    * stream carries the full marker skeleton; no entropy data is
+    * needed for dimensions. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    def m(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte) ++
+        be16(payload.length + 2) ++ payload
+    Array(0xff.toByte, 0xd8.toByte) ++
+      m(0xe0, ascii("JFIF") ++ Array[Byte](0, 1, 1, 0) ++
+        be16(1) ++ be16(1) ++ Array[Byte](0, 0)) ++
+      m(0xdb, Array[Byte](0) ++ Array.fill[Byte](64)(1)) ++
+      m(0xc0, Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](3,
+        1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)) ++
+      m(0xda, Array[Byte](3, 1, 0, 2, 0x11, 3, 0x11, 0, 63, 0)) ++
+      Array(0xff.toByte, 0xd9.toByte)
+  }
+
+  /** AIFF: FORM/AIFF with a COMM chunk (channels, sample frames,
+    * 16-bit samples, sample rate 8000 as an 80-bit extended float) and
+    * a declared SSND chunk whose size matches COMM's frame count —
+    * `javax.sound.sampled` reads the header only. */
+  private def aiffBytes(channels: Int, frames: Int): Array[Byte] = {
+    val comm = ascii("COMM") ++ be32(18) ++ be16(channels) ++
+      be32(frames.toLong) ++ be16(16) ++
+      // 8000.0 as 80-bit extended: exp 16395, mantissa 0xFA00...
+      Array(0x40, 0x0b, 0xfa, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+    val dataSize = frames.toLong * channels * 2
+    val ssnd = ascii("SSND") ++ be32(8 + dataSize) ++ be32(0) ++ be32(0)
+    ascii("FORM") ++ be32(4 + comm.length + ssnd.length + dataSize) ++
+      ascii("AIFF") ++ comm ++ ssnd
+  }
+
+  /** AU (.snd): the fixed 24-byte big-endian header — data offset,
+    * declared data size (frames × frame size), encoding 3 (16-bit
+    * linear PCM), sample rate 8000, channels. The reader derives the
+    * frame count from the declared size; no sample bytes needed. */
+  private def auBytes(channels: Int, frames: Int): Array[Byte] =
+    ascii(".snd") ++ be32(24) ++ be32(frames.toLong * channels * 2) ++
+      be32(3) ++ be32(8000) ++ be32(channels.toLong)
+
   /** Genuine container bytes for id — the payload [[jdkDecoder]] must
     * decode back to [[synthParams]](id) exactly. */
   def synthBytes(id: Long): Array[Byte] = {
     val p = synthParams(id)
-    (id % 5) match {
+    (id % 11) match {
       case 0 => bmpBytes(p.width, p.height)
       case 1 => wavBytes(p.width, p.nFrames)
       case 2 => mp4Bytes(p.width, p.height, p.nFrames, p.durationMs)
       case 3 => aviBytes(p.width, p.height, p.nFrames)
-      case _ => mkvBytes(p.width, p.height, p.durationMs)
+      case 4 => mkvBytes(p.width, p.height, p.durationMs)
+      case 5 => pngBytes(p.width, p.height)
+      case 6 => gifBytes(p.width, p.height)
+      case 7 => jpegBytes(p.width, p.height)
+      case 8 => aiffBytes(p.width, p.nFrames)
+      case 9 => auBytes(p.width, p.nFrames)
+      case _ => corruptBytes(id)
     }
   }
 

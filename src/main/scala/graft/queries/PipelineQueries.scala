@@ -2198,16 +2198,18 @@ object PipelineQueries {
   }
 
   /** qm01: the MULTIMODAL decode surface, oracle-pinned — genuine
-    * BMP/WAV/MP4/AVI/MKV container bytes are synthesized per document
+    * BMP/WAV/MP4/AVI/MKV/PNG/GIF/JPEG/AIFF/AU container bytes (plus
+    * one deliberately-CORRUPT kind whose truth is the stub profile,
+    * pinning the fall-through contract) are synthesized per document
     * id ([[graft.ops.Multimodal.synthBytes]] — the decoder walks in
     * reverse, parameters pure integer arithmetic in the id), decoded
     * back through the REAL parsers ([[graft.ops.Multimodal
-    * .jdkDecoder]]: javax.imageio, javax.sound.sampled, and the
-    * zero-dependency ISO-BMFF/RIFF/EBML walks) in one per-partition
-    * pass, and reported row-per-payload. The DuckDB oracle re-derives
-    * every field from the SAME arithmetic — so a wrong offset,
-    * endianness, or duration rounding in EITHER direction of the byte
-    * walks breaks the hash match. */
+    * .jdkDecoder]]: javax.imageio including the JPEG SOF scan,
+    * javax.sound.sampled, and the zero-dependency ISO-BMFF/RIFF/EBML
+    * walks) in one per-partition pass, and reported row-per-payload.
+    * The DuckDB oracle re-derives every field from the SAME
+    * arithmetic — so a wrong offset, endianness, or duration rounding
+    * in EITHER direction of the byte walks breaks the hash match. */
   def mediaDecodeProfile(s: SparkSession, dir: String): DataFrame =
     decodedMedia(s, dir).orderBy(col("media_id"))
 
