@@ -105,19 +105,38 @@ object AnnIndex {
       maxFilesPerDir: Int = 0): Unit = {
     val meta = batch.sparkSession.read.parquet(s"$path/meta").head()
     val planes = Similarity.planeVectors(meta.getInt(0), meta.getInt(1))
-    batch.select(id.as("vec_id") +: Similarity.l2Normalize(vec).as("v") +:
-        Similarity.lshBucket(vec, planes).as("bucket") +: attrs: _*)
-      .repartition(col("bucket"))
+    val rows = batch.select(
+        id.as("vec_id") +: Similarity.l2Normalize(vec).as("v") +:
+          Similarity.lshBucket(vec, planes).as("bucket") +: attrs: _*)
+      .localCheckpoint(eager = false)
+    rows.repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/index")
-    maybeCompactFiles(batch.sparkSession, path, maxFilesPerDir)
+    maybeCompactFiles(batch.sparkSession, path, maxFilesPerDir,
+      touchedPartDirs(rows, "index", "bucket"))
   }
 
+  /** The directories an append just grew, store-relative — one listing
+    * each is all the steady-state file policy then costs
+    * ([[StoreFiles.needsFileCompaction]] `touchedDirs`). The batch's
+    * distinct partition values are a micro-batch-sized aggregate over
+    * the frame the write already materialized (checkpointed). */
+  private def touchedPartDirs(rows: DataFrame, sub: String,
+      pcol: String): Seq[String] =
+    rows.select(col(pcol)).distinct().collect()
+      .map(r => s"$sub/$pcol=${r.get(0)}").toIndexedSeq
+
   /** The [[appendLshIndex]] `maxFilesPerDir` policy, shared by every
-    * plain-append entry point of the vector store family. */
+    * plain-append entry point of the vector store family. The policy
+    * walk is bounded to the directories this append touched, and flat
+    * sub-stores compare against the shuffle-partition count —
+    * [[compactAnnIndex]] re-clusters them into that many files by
+    * design, so a lower per-dir threshold would re-trip on every
+    * append after a compact (a permanent rewrite storm). */
   private def maybeCompactFiles(spark: SparkSession, path: String,
-      maxFilesPerDir: Int): Unit =
+      maxFilesPerDir: Int, touchedDirs: => Seq[String]): Unit =
     if (maxFilesPerDir > 0 &&
-        StoreFiles.needsFileCompaction(spark, path, maxFilesPerDir))
+        StoreFiles.needsFileCompaction(spark, path, maxFilesPerDir,
+          touchedDirs, spark.sessionState.conf.numShufflePartitions))
       compactAnnIndex(spark, path)
 
   /** Tombstone-delete vectors from a persisted ANN index (any kind at
@@ -237,8 +256,9 @@ object AnnIndex {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (numPlanes, dim) = (meta.getInt(0), meta.getInt(1))
     val planes = Similarity.planeVectors(numPlanes, dim)
-    val qRows = queries.select(qid.cast("long").as("query_id"),
-        Similarity.l2Normalize(qvec).as("qv")).collect()
+    val qRows = collectQueryBatch(
+        queries.select(qid.cast("long").as("query_id"),
+          Similarity.l2Normalize(qvec).as("qv")), perQuery = k)
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     if (qRows.isEmpty)
       return spark.read.parquet(s"$path/index")
@@ -357,8 +377,9 @@ object AnnIndex {
     val cb = readCodebook(spark, s"$path/codebook")
     val numSub = cb.length
     val cbSize = cb(0).length
-    val qRows = queries.select(qid.cast("long").as("query_id"),
-        Similarity.pqQ4(qvec).as("q4")).collect()
+    val qRows = collectQueryBatch(
+        queries.select(qid.cast("long").as("query_id"),
+          Similarity.pqQ4(qvec).as("q4")), perQuery = k)
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     if (qRows.isEmpty)
       return spark.read.parquet(s"$path/codes")
@@ -479,17 +500,14 @@ object AnnIndex {
   def quantizedKnnJoinIndexed(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
       rerank: Int): DataFrame = {
-    val qRows = queries.select(qid.cast("long").as("query_id"),
-        Similarity.l2Normalize(qvec).as("qv")).collect()
+    val qRows = collectQueryBatch(
+        queries.select(qid.cast("long").as("query_id"),
+          Similarity.l2Normalize(qvec).as("qv")), perQuery = rerank)
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     if (qRows.isEmpty)
       return spark.read.parquet(s"$path/codes")
         .select(lit(0L).as("query_id"), col("vec_id"),
           lit(0.0d).as("cos"), lit(0L).as("rank")).limit(0)
-    require(qRows.length.toLong * rerank <= MaxShortlistIds,
-      s"two-stage shortlist is ${qRows.length} queries x $rerank ids — " +
-        s"over the $MaxShortlistIds serving-batch ceiling; split the " +
-        "query batch into smaller probe calls")
     val statRows = spark.read.parquet(s"$path/stats").collect()
     val dim = statRows.length
     val mn = new Array[Long](dim); val mx = new Array[Long](dim)
@@ -606,16 +624,14 @@ object AnnIndex {
       shortlist: Int): DataFrame = {
     require(k >= 1 && shortlist >= k,
       s"need 1 <= k <= shortlist: k=$k shortlist=$shortlist")
-    val qIds = queryIds.select(qid.cast("long").as("query_id"))
-      .distinct().collect().map(_.getLong(0))
+    val qIds = collectQueryBatch(
+        queryIds.select(qid.cast("long").as("query_id")).distinct(),
+        perQuery = shortlist)
+      .map(_.getLong(0))
     if (qIds.isEmpty)
       return spark.read.parquet(s"$path/bits")
         .select(lit(0L).as("query_id"), col("vec_id"),
           lit(0.0d).as("cos"), lit(0L).as("rank")).limit(0)
-    require(qIds.length.toLong * shortlist <= MaxShortlistIds,
-      s"two-stage shortlist is ${qIds.length} queries x $shortlist ids " +
-        s"— over the $MaxShortlistIds serving-batch ceiling; split the " +
-        "query batch into smaller probe calls")
     // signature lookups read the RAW table (querying by a deleted id
     // is the caller's call); only the candidate scan drops tombstones
     val sigRows = spark.read.parquet(s"$path/bits")
@@ -777,11 +793,14 @@ object AnnIndex {
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy { case (cell, cv) => cell }
-    batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+    val rows = batch
+      .select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
       .withColumn("cell", Similarity.nearestCell(col("v"), cents))
-      .repartition(col("cell"))
+      .localCheckpoint(eager = false)
+    rows.repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/index")
-    maybeCompactFiles(spark, path, maxFilesPerDir)
+    maybeCompactFiles(spark, path, maxFilesPerDir,
+      touchedPartDirs(rows, "index", "cell"))
   }
 
   /** Multi-query top-k against a persisted IVF index: the stored
@@ -902,13 +921,15 @@ object AnnIndex {
     * clustering that per-append sorts cannot provide). */
   def appendIvfPqIndex(batch: DataFrame, id: Column, vec: Column,
       path: String, maxFilesPerDir: Int = 0): Unit = {
-    ivfPqEncodeStored(batch, id, vec, path)
-      .repartition(col("cell"))
+    val coded = ivfPqEncodeStored(batch, id, vec, path)
+      .localCheckpoint(eager = false)
+    coded.repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
       .sortWithinPartitions(col("vec_id"))
       .write.mode("append").parquet(s"$path/vectors")
-    maybeCompactFiles(batch.sparkSession, path, maxFilesPerDir)
+    maybeCompactFiles(batch.sparkSession, path, maxFilesPerDir,
+      touchedPartDirs(coded, "codes", "cell") :+ "vectors")
   }
 
   /** Encode a batch under a stored IVF-PQ index's FROZEN model:
@@ -1015,9 +1036,12 @@ object AnnIndex {
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
       nProbe: Int = 8, rerank: Int = 50): DataFrame = {
     // bounded collect: a query batch is evaluation-sized by contract
-    // (the knnJoin broadcast assumption, materialized driver-side)
-    val qRows = queries.select(qid.cast("long").as("query_id"),
-        Similarity.l2Normalize(qvec).as("qv")).collect()
+    // (the knnJoin broadcast assumption, materialized driver-side);
+    // the limit rides BEFORE the collect so an over-contract batch
+    // fails at the ceiling, not as a driver OOM mid-transfer
+    val qRows = collectQueryBatch(
+        queries.select(qid.cast("long").as("query_id"),
+          Similarity.l2Normalize(qvec).as("qv")), perQuery = rerank)
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     ivfPqRerankedFrame(spark, path, qRows, nProbe, rerank)
       .groupBy(col("query_id"))
@@ -1033,6 +1057,27 @@ object AnnIndex {
     * named failure instead of a driver OOM when someone feeds a
     * corpus-scale query batch. */
   val MaxShortlistIds: Long = 1L << 20
+
+  /** Collect a query batch with the limit BEFORE the collect (the
+    * [[LexIndex.phraseKnnJoinIndexed]] guard shape, uniform across all
+    * six batch probes): at most `maxRows + 1` rows ever transfer, and
+    * the sentinel +1 row turns an over-contract batch into a loud
+    * failure naming the ceiling — instead of a corpus-sized frame
+    * OOMing the driver before a require after the transfer could
+    * fire. `perQuery` is what each query costs against
+    * [[MaxShortlistIds]] (its rerank/shortlist size, or k for the
+    * single-stage probes). */
+  private def collectQueryBatch(queries: DataFrame,
+      perQuery: Int): Array[org.apache.spark.sql.Row] = {
+    val maxRows = (MaxShortlistIds / math.max(perQuery, 1)).toInt
+    val rows = queries.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"query batch holds over $maxRows rows at $perQuery result ids " +
+        s"per query — over the $MaxShortlistIds serving-batch " +
+        "ceiling; split the query batch into smaller probe calls " +
+        "instead of one driver-sized collect")
+    rows
+  }
 
   /** Stage 2 of [[ivfPqKnnJoinIndexed]] as a frame: the shortlisted
     * rows at full precision — (query_id, vec_id, srk, cos) with `srk`

@@ -81,11 +81,22 @@ object LexIndex {
   def appendBm25Index(batch: DataFrame, id: Column, text: Column,
       path: String, positions: Boolean = false,
       maxFilesPerDir: Int = 0): Unit = {
-    writeBatch(batch, id, text, path, mode = "append", positions)
+    val post = writeBatch(batch, id, text, path, mode = "append",
+      positions)
     val spark = batch.sparkSession
-    if (maxFilesPerDir > 0 &&
-        StoreFiles.needsFileCompaction(spark, path, maxFilesPerDir))
-      compactBm25Index(spark, path)
+    if (maxFilesPerDir > 0) {
+      // the policy walk is bounded to the term-prefix directories this
+      // batch actually grew (a micro-batch-sized distinct over the
+      // frame the write already materialized) plus the stats sidecar —
+      // O(touched) listings at steady state, never a full store walk
+      val touched = post.select(col("tpfx")).distinct().collect()
+        .map(_.getString(0))
+        .flatMap(p => Seq(s"postings/tpfx=$p", s"df/tpfx=$p",
+          s"positions/tpfx=$p")).toIndexedSeq :+ "stats"
+      if (StoreFiles.needsFileCompaction(spark, path, maxFilesPerDir,
+          touched))
+        compactBm25Index(spark, path)
+    }
   }
 
   private def tokenized(docs: DataFrame, id: Column,
@@ -117,8 +128,10 @@ object LexIndex {
     postings.groupBy(col("term"), col("tpfx"))
       .agg(count(lit(1)).as("df"))
 
+  /** Returns the (lazily checkpointed) postings frame so the append
+    * path can derive its touched prefixes without re-tokenizing. */
   private def writeBatch(docs: DataFrame, id: Column, text: Column,
-      path: String, mode: String, positions: Boolean): Unit = {
+      path: String, mode: String, positions: Boolean): DataFrame = {
     val spark = docs.sparkSession
     // a store either carries df from birth or not at all: appending a
     // df partial to a LEGACY store (built before the sidecar existed)
@@ -147,6 +160,7 @@ object LexIndex {
       positionsOf(toks).repartition(col("tpfx"))
         .write.mode(mode).partitionBy("tpfx").parquet(s"$path/positions")
     statsOf(toks).write.mode(mode).parquet(s"$path/stats")
+    post
   }
 
   // ---- batch-keyed writes: the exactly-once streaming layout ----
@@ -168,14 +182,20 @@ object LexIndex {
       path: String, positions: Boolean = false): Unit = {
     val toks = tokenized(docs, id, text)
     val post = postingsOf(toks).localCheckpoint(eager = false)
-    post.withColumn("batch_id", lit(-1L))
-      .repartition(col("tpfx"))
-      .write.mode("overwrite").partitionBy("batch_id", "tpfx")
-      .parquet(s"$path/postings")
+    // df FIRST — the [[writeBatch]] crash ordering: postings-first
+    // would leave NEW postings paired with the OLD sidecar's partials
+    // (silently wrong idf, dropped new-vocabulary terms). NOTE an
+    // interrupted overwrite REBUILD is mixed-state either way (two
+    // independent overwrites); the recovery contract is re-run the
+    // build or [[compactBm25Index]] (its df recount repairs any drift)
     dfOf(post).withColumn("batch_id", lit(-1L))
       .repartition(col("tpfx"))
       .write.mode("overwrite").partitionBy("batch_id", "tpfx")
       .parquet(s"$path/df")
+    post.withColumn("batch_id", lit(-1L))
+      .repartition(col("tpfx"))
+      .write.mode("overwrite").partitionBy("batch_id", "tpfx")
+      .parquet(s"$path/postings")
     if (positions)
       positionsOf(toks).withColumn("batch_id", lit(-1L))
         .repartition(col("tpfx"))
@@ -207,11 +227,18 @@ object LexIndex {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(pcols: _*).parquet(dir)
     val post = postingsOf(toks).localCheckpoint(eager = false)
-    put(post.repartition(col("tpfx")),
-      s"$path/postings", Seq("batch_id", "tpfx"))
+    // df FIRST — the [[writeBatch]] crash ordering: a crash between
+    // the two writes on a df-carrying store must leave df merely
+    // over-counted for this batch's terms (benign staleness; the
+    // stream's replay overwrites it, compact recounts it), never
+    // posting rows whose df rows are missing — [[withDf]]'s inner
+    // broadcast join would silently drop those documents from every
+    // probe until repair
     if (writeDf)
       put(dfOf(post).repartition(col("tpfx")),
         s"$path/df", Seq("batch_id", "tpfx"))
+    put(post.repartition(col("tpfx")),
+      s"$path/postings", Seq("batch_id", "tpfx"))
     if (StoreFiles.exists(spark, s"$path/positions"))
       put(positionsOf(toks).repartition(col("tpfx")),
         s"$path/positions", Seq("batch_id", "tpfx"))
@@ -268,6 +295,15 @@ object LexIndex {
     * to that legacy window — correct, but carrying the skew hazard;
     * one [[compactBm25Index]] upgrades them (its df RECOUNT creates
     * the sidecar from the live postings). */
+  /** Stores whose probes have already logged the legacy df-window
+    * warning (log once per store per session, not per probe). Exposed
+    * package-private so the spec can assert WHICH stores warned. */
+  private[graft] val legacyDfWindowWarned: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private lazy val logger =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def withDf(spark: SparkSession, path: String, post: DataFrame,
       terms: DataFrame, pfxs: Seq[String]): DataFrame =
     if (StoreFiles.exists(spark, s"$path/df")) {
@@ -275,9 +311,21 @@ object LexIndex {
       val dfLocal = dfSnapshot(spark, path, terms, pfxs).toSeq
         .map { case (t, n) => (t, n.toDouble) }.toDF("term", "df")
       post.join(broadcast(dfLocal), Seq("term"))
-    } else post.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("term"))).cast("double"))
+    } else {
+      // loud, once per store: correct but skew-hazardous at scale — a
+      // near-ubiquitous query term funnels its whole pruned posting
+      // list through one Window reducer. Without the nudge a legacy
+      // store carries the hazard silently forever.
+      if (legacyDfWindowWarned.add(path))
+        logger.warn(s"BM25 store $path has no df/ sidecar (pre-sidecar " +
+          "layout): probes fall back to a per-term window over the " +
+          "pruned postings — correct, but a skewed term serializes " +
+          "its posting list through one task. Run compactBm25Index " +
+          "once to upgrade (its df recount creates the sidecar).")
+      post.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("term"))).cast("double"))
+    }
 
   /** Driver snapshot of the probe terms' LIVE df — (term → df) over the
     * pruned sidecar partials, ≤ |terms| rows collected. Used by the

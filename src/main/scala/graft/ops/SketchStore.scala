@@ -75,8 +75,10 @@ object SketchStore {
           "resurrect deleted history)")
     }
     partials.write.mode("append").parquet(s"$path/hll")
+    // only hll/ grows on this path — the policy walk lists just it
     if (maxFilesPerDir > 0 &&
-        StoreFiles.needsFileCompaction(spark, path, maxFilesPerDir))
+        StoreFiles.needsFileCompaction(spark, path, maxFilesPerDir,
+          touchedDirs = Seq("hll")))
       compact(spark, path)
   }
 

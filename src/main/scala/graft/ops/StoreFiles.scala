@@ -126,38 +126,64 @@ private[graft] object StoreFiles {
   }
 
   /** The small-file-accumulation policy as a predicate: true when any
-    * single DIRECTORY under the store holds more than `maxFilesPerDir`
+    * single DIRECTORY under the store holds more than its threshold of
     * data files — the trigger for PLAIN-append stores (no batch
     * partitions to count). Per-DIRECTORY, not per-sub-store total,
     * because a directory is the unit appends grow (each blind append
     * leaves one more file per touched partition directory) and
-    * because the post-compaction steady state is ONE file per
-    * directory — so any threshold ≥ 1 can never re-trigger right
-    * after a compact. (A total-per-sub threshold below the store's
-    * live partition count would storm: permanently true, every
-    * subsequent append paying a full-store rewrite.) The walk
-    * short-circuits at the first directory over the threshold.
+    * because the post-compaction steady state can then never
+    * re-trigger right after a compact. The threshold is layout-aware:
+    * PARTITION directories (`k=v` names) compact to ONE file each, so
+    * they use `maxFilesPerDir` as-is; FLAT table directories (the
+    * int8/binary/IVF-PQ `vectors/`, the HLL store) are rewritten by
+    * compaction into up to `flatDirCap` files (the
+    * `repartitionByRange(numShufflePartitions)` re-clustering that
+    * preserves their vec_id row-group pruning), so they compare
+    * against `max(maxFilesPerDir, flatDirCap)` — a plain per-dir
+    * threshold below that count would re-trip on EVERY append after a
+    * compact, a permanent full-store rewrite storm. Hidden/metadata
+    * entries (`_*`, `.*` — files AND directories: `_spark_metadata`,
+    * a leftover `.compact-tmp`) are excluded from both count and
+    * descent.
+    *
+    * `touchedDirs` (store-relative) restricts the walk to the
+    * directories the caller just appended into — the no-trip
+    * steady-state cost is then O(touched) listings instead of a full
+    * store walk per append. Sound under the single-writer contract:
+    * files only accumulate via appends, so a directory this append
+    * did not touch was checked by the append that last grew it. Empty
+    * = walk the whole store (the explicit-operator form). The walk
+    * short-circuits at the first directory over its threshold.
     * Callers run it at append time (see the `maxFilesPerDir`
     * parameter on the append entry points), not per micro-batch. */
   def needsFileCompaction(spark: SparkSession, path: String,
-      maxFilesPerDir: Int): Boolean = {
+      maxFilesPerDir: Int, touchedDirs: Seq[String] = Nil,
+      flatDirCap: Int = 0): Boolean = {
     val f = fs(spark, path)
     val root = new Path(path)
     if (!f.exists(root)) return false
+    def hidden(name: String): Boolean =
+      name.startsWith("_") || name.startsWith(".")
     def over(dir: Path): Boolean = {
+      val cap = if (dir.getName.contains("=")) maxFilesPerDir
+        else math.max(maxFilesPerDir, flatDirCap)
       val st = f.listStatus(dir)
       var nFiles = 0
       var i = 0
       while (i < st.length) {
         val s = st(i)
-        val name = s.getPath.getName
-        if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
-          nFiles += 1
-        if (nFiles > maxFilesPerDir) return true
+        if (s.isFile && !hidden(s.getPath.getName)) nFiles += 1
+        if (nFiles > cap) return true
         i += 1
       }
-      st.exists(s => s.isDirectory && over(s.getPath))
+      st.exists(s => s.isDirectory && !hidden(s.getPath.getName) &&
+        over(s.getPath))
     }
-    over(root)
+    if (touchedDirs.nonEmpty)
+      touchedDirs.exists { d =>
+        val p = new Path(root, d)
+        f.exists(p) && over(p)
+      }
+    else over(root)
   }
 }

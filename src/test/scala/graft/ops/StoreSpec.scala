@@ -1089,6 +1089,109 @@ class StoreSpec extends AnyFunSuite {
       && err2.getMessage.contains("split the batch"))
   }
 
+  test("every vector batch probe caps its query collect before the transfer") {
+    // guard SYMMETRY: all four remaining batch probes adopt the phrase
+    // probe's limit-before-collect shape — an over-contract batch
+    // fails loudly at the ceiling (at most maxRows + 1 rows ever
+    // transfer), never as a driver OOM after a full collect
+    val e = Tables.load(spark, sf, "embeddings")
+    val big = (AnnIndex.MaxShortlistIds / 2).toInt + 1
+    val two = e.filter(col("vec_id") < 2)
+    def trips(body: => Unit): Unit = {
+      val err = intercept[IllegalArgumentException](body)
+      assert(err.getMessage.contains("serving-batch ceiling")
+        && err.getMessage.contains("split the query batch"))
+    }
+    val lshPath = tmp("st_glsh")
+    AnnIndex.writeLshIndex(e, col("vec_id"), col("embedding"), lshPath,
+      numPlanes = 4)
+    trips(AnnIndex.lshKnnJoinIndexed(spark, lshPath, two,
+      col("vec_id"), col("embedding"), k = big))
+    val pqPath = tmp("st_gpq")
+    AnnIndex.writePqIndex(e, col("vec_id"), col("embedding"), pqPath,
+      numSub = 8, codebookSize = 8)
+    trips(AnnIndex.pqKnnJoinIndexed(spark, pqPath, two,
+      col("vec_id"), col("embedding"), k = big))
+    val qPath = tmp("st_gq8")
+    AnnIndex.writeQuantizedIndex(e, col("vec_id"), col("embedding"),
+      qPath)
+    trips(AnnIndex.quantizedKnnJoinIndexed(spark, qPath, two,
+      col("vec_id"), col("embedding"), k = 5, rerank = big))
+    val bPath = tmp("st_gbin")
+    AnnIndex.writeBinaryIndex(e, col("vec_id"), col("embedding"), bPath)
+    trips(AnnIndex.binaryKnnJoinIndexed(spark, bPath,
+      two.select(col("vec_id")), col("vec_id"), k = 5, shortlist = big))
+  }
+
+  test("file policy: touched-dir walk, flat-dir cap, hidden dirs") {
+    def mkFiles(root: String, rel: String, names: Range): Unit = {
+      val dir = java.nio.file.Paths.get(root, rel)
+      java.nio.file.Files.createDirectories(dir)
+      names.foreach(i => java.nio.file.Files.write(
+        dir.resolve(s"part-$i.parquet"), Array[Byte](1)))
+    }
+    val path = tmp("st_touch")
+    mkFiles(path, "postings/tpfx=xaa", 0 until 5) // untouched, over
+    mkFiles(path, "postings/tpfx=xbb", 0 until 1) // touched, under
+    // the full walk sees the over-threshold untouched prefix
+    assert(StoreFiles.needsFileCompaction(spark, path, 3))
+    // the touched-dir walk consults ONLY the touched prefix: the
+    // policy must not fire off a directory this append never grew
+    assert(!StoreFiles.needsFileCompaction(spark, path, 3,
+      Seq("postings/tpfx=xbb")))
+    // ...until the touched prefix itself goes over
+    mkFiles(path, "postings/tpfx=xbb", 1 until 4)
+    assert(StoreFiles.needsFileCompaction(spark, path, 3,
+      Seq("postings/tpfx=xbb")))
+    // a touched dir that does not exist (positional sidecar of a
+    // non-positional store) is skipped, not an error
+    assert(!StoreFiles.needsFileCompaction(spark, path, 3,
+      Seq("positions/tpfx=xbb")))
+    // FLAT table dirs (no '=' in the name) compare against
+    // max(threshold, flatDirCap): compaction itself re-clusters them
+    // into flatDirCap files, so a plain per-dir threshold below that
+    // would re-trip on every append after a compact
+    val flat = tmp("st_flat")
+    mkFiles(flat, "vectors", 0 until 4)
+    assert(StoreFiles.needsFileCompaction(spark, flat, 3))
+    assert(!StoreFiles.needsFileCompaction(spark, flat, 3,
+      flatDirCap = 4))
+    mkFiles(flat, "vectors", 4 until 5)
+    assert(StoreFiles.needsFileCompaction(spark, flat, 3,
+      flatDirCap = 4))
+    // partition dirs keep the plain threshold even with a flat cap
+    val part = tmp("st_part")
+    mkFiles(part, "codes/cell=1", 0 until 4)
+    assert(StoreFiles.needsFileCompaction(spark, part, 3,
+      flatDirCap = 8))
+    // hidden/metadata DIRECTORIES are neither counted nor descended —
+    // a leftover .compact-tmp or _spark_metadata full of files must
+    // not trigger spurious full-store compactions
+    val hid = tmp("st_hidden")
+    mkFiles(hid, "vectors/_spark_metadata", 0 until 10)
+    mkFiles(hid, "vectors/.compact-tmp", 0 until 10)
+    mkFiles(hid, "vectors", 0 until 2)
+    assert(!StoreFiles.needsFileCompaction(spark, hid, 3))
+  }
+
+  test("legacy df-window fallback warns once per store, sidecar stores never") {
+    import spark.implicits._
+    val terms = Seq("the", "of", "and").toDF("term")
+    val path = tmp("st_warn")
+    LexIndex.writeBm25Index(half(lo = true), col("doc_id"), col("text"),
+      path)
+    // sidecar store: broadcast-join path, no warning recorded
+    LexIndex.bm25TopKIndexed(spark, path, terms, col("term"), k = 5)
+      .collect()
+    assert(!LexIndex.legacyDfWindowWarned.contains(path))
+    // strip the sidecar -> the pre-sidecar legacy layout; the probe
+    // falls back to the per-term window AND nudges loudly, once
+    StoreFiles.delete(spark, s"$path/df")
+    LexIndex.bm25TopKIndexed(spark, path, terms, col("term"), k = 5)
+      .collect()
+    assert(LexIndex.legacyDfWindowWarned.contains(path))
+  }
+
   test("HLL append to a tombstoned group fails loudly until compact re-admits it") {
     def toks(lo: Boolean) = half(lo)
       .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
