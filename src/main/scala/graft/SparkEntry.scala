@@ -196,6 +196,8 @@ object SparkEntry {
     "qe39_ivfpq_grid" -> (PipelineQueries.ivfPqOperatingGrid _),
     "qd86_phrase_batch" -> (PipelineQueries.phraseBatchSearch _),
     "qe40_hybrid_rrf_pq" -> (PipelineQueries.hybridRrfPqJoin _),
+    "qe45_ivfpq_filtered_recall" -> (PipelineQueries.ivfPqFilteredRecall _),
+    "qe46_lsh_operating_grid" -> (PipelineQueries.lshOperatingGrid _),
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
@@ -1907,6 +1909,16 @@ object SparkEntry {
     // TWO-STAGE top-50 (16x64 codes, nProbe 8, rerank 100 — the best
     // persisted probe per qe39's grid) over the same 20 query ids.
     "qe40_hybrid_rrf_pq" -> hybridRrfPqOracleSql,
+    // qe45: attribute-filtered serving on the best probe — the qe37
+    // IVF-PQ two-stage restricted to lang = 1 (a STORED index
+    // attribute pruned in the stage-1 codes scan), recall vs the
+    // filtered brute-force truth.
+    "qe45_ivfpq_filtered_recall" -> ivfPqFilteredRecallOracleSql,
+    // qe46: the LSH recall-vs-partitions-touched grid at probeFlips
+    // {0, 1, 2} from the persisted 6-plane index — the ladder's LSH
+    // point gets its curve (the qe39 discipline for the bucketed
+    // family).
+    "qe46_lsh_operating_grid" -> lshOperatingGridOracleSql,
     // qm01: multimodal decode — Spark synthesizes REAL container bytes
     // per doc id and decodes them with the real parsers; the oracle
     // re-derives every field from the same integer arithmetic, so the
@@ -2526,6 +2538,67 @@ object SparkEntry {
        $recallRowSelect"""
   }
 
+  /** qe46: the LSH operating grid — the qe41 plane/bucket machinery
+    * swept over the three flip levels in one statement: `fm(f, m)`
+    * enumerates each level's full mask set (≤ f bits over 6 planes:
+    * 1 / 7 / 22 masks), per-level probe unions give both the touched
+    * stored-bucket count and the per-(level, query) candidate sets,
+    * and each level re-cuts the SAME brute-force truth. */
+  private lazy val lshOperatingGridOracleSql: String = {
+    val planes = graft.ops.Similarity.planeVectors(6, 64)
+    val rows = planes.zipWithIndex.map { case (row, p) =>
+      s"($p, [${row.mkString(",")}])"
+    }.mkString(",")
+    val fm = (0 to 2).flatMap { f =>
+      (0 to f).flatMap(r => (0 until 6).combinations(r)
+        .map(_.foldLeft(0L)((acc, p) => acc | (1L << p))))
+        .distinct.map(m => s"($f, $m)")
+    }.mkString(",")
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       $evalTruthCtes,
+       pl(p, pv) AS (VALUES $rows),
+       d AS (SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.pv) AS dp
+         FROM e, pl),
+       b AS (SELECT vec_id,
+           CAST(sum(CASE WHEN dp >= 0 THEN 1<<p ELSE 0 END) AS BIGINT)
+           AS bucket FROM d GROUP BY 1),
+       fm(f, m) AS (VALUES $fm),
+       qprobe AS (SELECT DISTINCT fm.f, q.query_id,
+           xor(bq.bucket, fm.m) AS pb
+         FROM q JOIN b bq ON bq.vec_id = q.query_id, fm),
+       nb AS (SELECT u.f, count(DISTINCT sb.bucket) AS n_buckets
+         FROM (SELECT DISTINCT f, pb FROM qprobe) u
+         JOIN (SELECT DISTINCT bucket FROM b) sb ON sb.bucket = u.pb
+         GROUP BY 1),
+       cand AS (SELECT p.f, p.query_id, e.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM e JOIN b USING (vec_id)
+           JOIN qprobe p ON b.bucket = p.pb
+           JOIN q q2 ON q2.query_id = p.query_id),
+       approx AS (SELECT f, query_id, vec_id FROM (SELECT f, query_id,
+           vec_id, row_number() OVER (PARTITION BY f, query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM cand) ar
+         WHERE rk <= 10),
+       hits AS (SELECT a.f, count(*) AS n_hit
+         FROM approx a JOIN truth USING (query_id, vec_id) GROUP BY 1)
+       SELECT CAST(nb.f AS BIGINT) AS probe_flips,
+         CAST(nb.n_buckets AS BIGINT) AS n_buckets,
+         CAST(10 AS BIGINT) AS k,
+         CAST((SELECT count(DISTINCT query_id) FROM truth) AS BIGINT)
+           AS n_queries,
+         CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         round(coalesce(h.n_hit, 0) * 1.0 /
+           ((SELECT count(DISTINCT query_id) FROM truth) * 10), 4)
+           AS recall
+       FROM nb LEFT JOIN hits h ON h.f = nb.f
+       ORDER BY probe_flips"""
+  }
+
   /** qe42: recall@10 of the multi-query int8 two-stage probe — the
     * qe10 affine-code machinery generalized to the 100-query batch
     * with an EXACT-INTEGER stage-1: the stored code decodes to the
@@ -2855,6 +2928,60 @@ object SparkEntry {
        SELECT vec_id, adc_score, CAST(row_number() OVER (
            ORDER BY adc_score, vec_id) AS BIGINT) AS rank
        FROM sc QUALIFY rank <= 10 ORDER BY rank"""
+
+  /** qe45: the qe37 probe tail with BOTH sides attribute-filtered to
+    * `vec_id % 4 = 1` (the stored `lang` attribute's arithmetic):
+    * truth is brute force over the filtered corpus, the approximate
+    * side filters candidates in the ADC stage (exactly where the Spark
+    * probe's attrFilter prunes the codes scan), shortlist 100, rerank,
+    * recall row. */
+  private lazy val ivfPqFilteredRecallOracleSql: String =
+    s"""$ivfPqEncodeCtes,
+       q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         WHERE vec_id < 100),
+       tscore AS (SELECT q.query_id, e.vec_id,
+           round(list_dot_product(e.v, q.qv), 4) AS cos
+         FROM e, q WHERE e.vec_id % 4 = 1),
+       truth AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM tscore) tr
+         WHERE rk <= 10),
+       crks AS (SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.cv, q.qv) DESC, c.cell) AS crk
+         FROM c2 c, q),
+       probe AS (SELECT query_id, cell FROM crks WHERE crk <= 8),
+       qx AS (SELECT query_id, generate_subscripts(qv, 1) AS dim,
+           unnest(qv) AS x FROM q),
+       qr AS (SELECT p.query_id, p.cell, qx.dim,
+           floor((qx.x - cvx.c) * 1000000.0) AS r
+         FROM probe p JOIN cvx ON cvx.cell = p.cell
+         JOIN qx ON qx.query_id = p.query_id AND qx.dim = cvx.dim),
+       qd_ AS (SELECT qr.query_id, qr.cell, (qr.dim - 1) // 4 AS m,
+           cb.cidx, sum((qr.r - cb.cx) * (qr.r - cb.cx)) AS qdist
+         FROM qr JOIN cb ON cb.m = ((qr.dim - 1) // 4)
+           AND cb.dim = qr.dim
+         GROUP BY 1, 2, 3, 4),
+       adcs AS (SELECT qd_.query_id, c.vec_id,
+           sum(qd_.qdist) AS adc_score
+         FROM code c JOIN cellof cf USING (vec_id)
+         JOIN qd_ ON qd_.cell = cf.cell AND qd_.m = c.m
+           AND qd_.cidx = c.cidx
+         WHERE c.vec_id % 4 = 1
+         GROUP BY 1, 2),
+       short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY adc_score, vec_id) AS srk FROM adcs) sh
+         WHERE srk <= 100),
+       rr AS (SELECT s.query_id, s.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM short s JOIN e ON e.vec_id = s.vec_id
+         JOIN q q2 ON q2.query_id = s.query_id),
+       approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM rr) ar
+         WHERE rk <= 10)
+       $recallRowSelect"""
 
   /** qe37: recall@10 of the persisted IVF-PQ two-stage probe over the
     * 100-query batch — per query, ADC over the 8 best trained cells'

@@ -687,13 +687,14 @@ object AnnIndex {
     * explicitly and `cell` prunes partitions at either nesting depth. */
   def writeIvfIndex(corpus: DataFrame, id: Column, vec: Column,
       path: String, nList: Int, refineIters: Int = 0,
-      batchKeyed: Boolean = false): Unit = {
+      batchKeyed: Boolean = false, attrs: Seq[Column] = Nil): Unit = {
     val cents =
       if (refineIters > 0)
         Similarity.ivfCentroidsKMeans(corpus, id, vec, nList, refineIters)
       else Similarity.ivfCentroids(corpus, id, vec, nList)
     val assigned = corpus
-      .select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+      .select(id.as("vec_id") +:
+        Similarity.l2Normalize(vec).as("v") +: attrs: _*)
       .withColumn("cell", Similarity.nearestCell(col("v"), cents))
     val (out, pcols) =
       if (batchKeyed) (assigned.withColumn("batch_id", lit(-1L)),
@@ -788,13 +789,15 @@ object AnnIndex {
     * compacts in place when blind appends have accumulated too many
     * small files (the [[appendLshIndex]] policy). */
   def appendIvfIndex(batch: DataFrame, id: Column, vec: Column,
-      path: String, maxFilesPerDir: Int = 0): Unit = {
+      path: String, maxFilesPerDir: Int = 0,
+      attrs: Seq[Column] = Nil): Unit = {
     val spark = batch.sparkSession
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy { case (cell, cv) => cell }
     val rows = batch
-      .select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+      .select(id.as("vec_id") +:
+        Similarity.l2Normalize(vec).as("v") +: attrs: _*)
       .withColumn("cell", Similarity.nearestCell(col("v"), cents))
       .localCheckpoint(eager = false)
     rows.repartition(col("cell"))
@@ -815,7 +818,7 @@ object AnnIndex {
     * re-derivation. */
   def ivfKnnJoinIndexed(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, attrFilter: Option[Column] = None): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy { case (cell, cv) => cell }
@@ -825,8 +828,12 @@ object AnnIndex {
       .localCheckpoint(eager = false)
     val probedCells = probes.select(col("cell")).distinct().collect()
       .map(_.getInt(0)).toIndexedSeq // bounded by nList — driver-sized
+    // attrFilter (over writeIvfIndex `attrs` columns) rides the SAME
+    // pruned scan — the predicate pushes to parquet next to the cell
+    // pruning (filtered vector search, the queryLshIndex contract:
+    // candidates are restricted, distances and ranking are unchanged)
     val index = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/index")
+      attrFilter.foldLeft(spark.read.parquet(s"$path/index"))(_.filter(_))
         .filter(col("cell").isin(probedCells: _*)))
     index.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
@@ -877,9 +884,17 @@ object AnnIndex {
   def writeIvfPqIndex(corpus: DataFrame, id: Column, vec: Column,
       path: String, nList: Int = 16, numSub: Int = 8,
       codebookSize: Int = 16, refineIters: Int = 2,
-      batchKeyed: Boolean = false): Unit = {
-    val (cents, cb, coded) = Similarity.ivfPqEncode(corpus, id, vec,
+      batchKeyed: Boolean = false, attrs: Seq[Column] = Nil): Unit = {
+    val (cents, cb, coded0) = Similarity.ivfPqEncode(corpus, id, vec,
       nList, numSub, codebookSize, refineIters)
+    // attrs denormalize onto the code rows (one build-time join by
+    // vec_id — the write shuffles by cell right after anyway), so a
+    // filtered probe's predicate pushes into the SAME pruned codes
+    // scan instead of joining the corpus back in at serving time
+    val coded =
+      if (attrs.isEmpty) coded0
+      else coded0.join(corpus.select(id.as("vec_id") +: attrs: _*),
+        Seq("vec_id"))
     val (codesOut, codesP) =
       if (batchKeyed) (coded.withColumn("batch_id", lit(-1L)),
         Seq("batch_id", "cell"))
@@ -1034,7 +1049,8 @@ object AnnIndex {
     * must stay serving-sized (guarded by [[MaxShortlistIds]]). */
   def ivfPqKnnJoinIndexed(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
-      nProbe: Int = 8, rerank: Int = 50): DataFrame = {
+      nProbe: Int = 8, rerank: Int = 50,
+      attrFilter: Option[Column] = None): DataFrame = {
     // bounded collect: a query batch is evaluation-sized by contract
     // (the knnJoin broadcast assumption, materialized driver-side);
     // the limit rides BEFORE the collect so an over-contract batch
@@ -1043,7 +1059,7 @@ object AnnIndex {
         queries.select(qid.cast("long").as("query_id"),
           Similarity.l2Normalize(qvec).as("qv")), perQuery = rerank)
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    ivfPqRerankedFrame(spark, path, qRows, nProbe, rerank)
+    ivfPqRerankedFrame(spark, path, qRows, nProbe, rerank, attrFilter)
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAggregate
         .topk(col("cos"), col("vec_id"), k).as("top"))
@@ -1094,14 +1110,14 @@ object AnnIndex {
     * ids (vectors/ is vec_id-sorted). */
   private[graft] def ivfPqRerankedFrame(spark: SparkSession,
       path: String, qRows: Array[(Long, Array[Double])], nProbe: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int, attrFilter: Option[Column] = None): DataFrame = {
     require(qRows.length.toLong * rerank <= MaxShortlistIds,
       s"two-stage shortlist is ${qRows.length} queries x $rerank ids — " +
         s"over the $MaxShortlistIds serving-batch ceiling; split the " +
         "query batch into smaller probe calls instead of one " +
         "driver-sized collect")
     val shortTriples = ivfPqShortlistFrame(spark, path, qRows, nProbe,
-        rerank)
+        rerank, attrFilter)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val shortIds = shortTriples.map(_._2).distinct.toIndexedSeq
     import spark.implicits._
@@ -1125,7 +1141,7 @@ object AnnIndex {
     * collecting it. */
   private[graft] def ivfPqShortlistFrame(spark: SparkSession,
       path: String, qRows: Array[(Long, Array[Double])], nProbe: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int, attrFilter: Option[Column] = None): DataFrame = {
     val cents = readCentroids(spark, path)
     val cb = readCodebook(spark, s"$path/codebook")
     val numSub = cb.length; val cbSize = cb(0).length
@@ -1137,8 +1153,13 @@ object AnnIndex {
     import spark.implicits._
     val probes = probeRows.toDF("query_id", "cell", "qtab")
     val probedCells = probeRows.map(_._2).distinct.toIndexedSeq
+    // attrFilter (over writeIvfPqIndex `attrs` columns) rides the SAME
+    // pruned stage-1 scan — pushed to parquet next to the cell pruning,
+    // so a filtered top-k restricts candidates BEFORE the shortlist
+    // (post-filtering the top-k would return < k rows) and stage 2
+    // inherits the already-filtered shortlist for free
     val codes = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/codes")
+      attrFilter.foldLeft(spark.read.parquet(s"$path/codes"))(_.filter(_))
         .filter(col("cell").isin(probedCells: _*)))
     val adc = (0 until numSub).map(m =>
         element_at(col("qtab"),

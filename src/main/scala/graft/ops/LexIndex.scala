@@ -61,9 +61,18 @@ object LexIndex {
     * partitioned like the postings, enabling exact-PHRASE probes
     * ([[phraseTopKIndexed]]). BM25 probes never read it; the setting
     * must be consistent across a store's builds and appends. */
+  /** `attrs` are extra (pre-aliased) DOC-level attribute columns
+    * denormalized onto every posting row — the `dl` discipline applied
+    * to filtered retrieval: a probe's `attrFilter` predicate then
+    * pushes into the SAME pruned postings scan instead of joining a
+    * doc table back in at serving time. Storage pays |postings| × attr
+    * width for it (attrs should be small codes, not text); the setting
+    * must be consistent across a store's builds and appends. */
   def writeBm25Index(docs: DataFrame, id: Column, text: Column,
-      path: String, positions: Boolean = false): Unit =
-    writeBatch(docs, id, text, path, mode = "overwrite", positions)
+      path: String, positions: Boolean = false,
+      attrs: Seq[Column] = Nil): Unit =
+    writeBatch(docs, id, text, path, mode = "overwrite", positions,
+      attrs)
 
   /** Append a new batch: postings rows and df partials land in their
     * term-prefix directories, the stats partial appends blindly — no
@@ -80,9 +89,9 @@ object LexIndex {
     * is the store's single writer, so the quiesce contract holds). */
   def appendBm25Index(batch: DataFrame, id: Column, text: Column,
       path: String, positions: Boolean = false,
-      maxFilesPerDir: Int = 0): Unit = {
+      maxFilesPerDir: Int = 0, attrs: Seq[Column] = Nil): Unit = {
     val post = writeBatch(batch, id, text, path, mode = "append",
-      positions)
+      positions, attrs)
     val spark = batch.sparkSession
     if (maxFilesPerDir > 0) {
       // the policy walk is bounded to the term-prefix directories this
@@ -99,17 +108,23 @@ object LexIndex {
     }
   }
 
-  private def tokenized(docs: DataFrame, id: Column,
-      text: Column): DataFrame =
-    docs.select(id.as("doc_id"), TextAnalysis.tokens(text).as("toks"))
+  private def tokenized(docs: DataFrame, id: Column, text: Column,
+      attrs: Seq[Column] = Nil): DataFrame =
+    docs.select(id.as("doc_id") +:
+        TextAnalysis.tokens(text).as("toks") +: attrs: _*)
       .withColumn("dl", size(col("toks")).cast("long"))
       .localCheckpoint(eager = false)
 
-  private def postingsOf(toks: DataFrame): DataFrame =
-    toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
+  /** Doc-level columns (doc_id, dl, any attrs) carry through the
+    * explode onto every posting row; they are functionally dependent
+    * on doc_id, so widening the group-by keys changes no counts. */
+  private def postingsOf(toks: DataFrame): DataFrame = {
+    val docCols = toks.columns.filter(_ != "toks").map(col).toSeq
+    toks.select(docCols :+ explode(col("toks")).as("term"): _*)
+      .groupBy(col("term") +: docCols: _*)
       .agg(count(lit(1)).as("tf"))
       .withColumn("tpfx", tpfx(col("term")))
+  }
 
   private def positionsOf(toks: DataFrame): DataFrame =
     toks.select(col("doc_id"),
@@ -131,7 +146,8 @@ object LexIndex {
   /** Returns the (lazily checkpointed) postings frame so the append
     * path can derive its touched prefixes without re-tokenizing. */
   private def writeBatch(docs: DataFrame, id: Column, text: Column,
-      path: String, mode: String, positions: Boolean): DataFrame = {
+      path: String, mode: String, positions: Boolean,
+      attrs: Seq[Column] = Nil): DataFrame = {
     val spark = docs.sparkSession
     // a store either carries df from birth or not at all: appending a
     // df partial to a LEGACY store (built before the sidecar existed)
@@ -141,7 +157,7 @@ object LexIndex {
     val fresh = !StoreFiles.exists(spark, s"$path/postings")
     val writeDf = mode == "overwrite" || fresh ||
       StoreFiles.exists(spark, s"$path/df")
-    val toks = tokenized(docs, id, text)
+    val toks = tokenized(docs, id, text, attrs)
     // the postings frame feeds two writes (rows + df partial): the lazy
     // checkpoint materializes it once at the first write. The df
     // partial lands FIRST: a crash between the two writes then leaves
@@ -179,8 +195,9 @@ object LexIndex {
   /** Base build of a BATCH-KEYED index: everything lands under
     * batch_id = −1 so streamed batches' dynamic overwrites compose. */
   def writeBm25IndexBatchKeyed(docs: DataFrame, id: Column, text: Column,
-      path: String, positions: Boolean = false): Unit = {
-    val toks = tokenized(docs, id, text)
+      path: String, positions: Boolean = false,
+      attrs: Seq[Column] = Nil): Unit = {
+    val toks = tokenized(docs, id, text, attrs)
     val post = postingsOf(toks).localCheckpoint(eager = false)
     // df FIRST — the [[writeBatch]] crash ordering: postings-first
     // would leave NEW postings paired with the OLD sidecar's partials
@@ -213,14 +230,14 @@ object LexIndex {
     * overwrites only partition 0, never the base build at −1. Writes
     * the positional half exactly when the store carries one. */
   def putBm25Batch(batch: DataFrame, id: Column, text: Column,
-      path: String, batchId: Long): Unit = {
+      path: String, batchId: Long, attrs: Seq[Column] = Nil): Unit = {
     val spark = batch.sparkSession
     // same birth rule as the plain append: a legacy batch-keyed store
     // (no df/) never grows a partial-history sidecar — a brand-new
     // stream-only store creates it with its first batch
     val fresh = !StoreFiles.exists(spark, s"$path/postings")
     val writeDf = fresh || StoreFiles.exists(spark, s"$path/df")
-    val toks = tokenized(batch, id, text)
+    val toks = tokenized(batch, id, text, attrs)
     def put(df: DataFrame, dir: String, pcols: Seq[String]): Unit =
       df.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
@@ -513,13 +530,21 @@ object LexIndex {
     * the rest of the corpus — that is the point of the index. Output:
     * (doc_id, score_e4), score desc / id asc, k rows. */
   def bm25TopKIndexed(spark: SparkSession, path: String, terms: DataFrame,
-      term: Column, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      term: Column, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      attrFilter: Option[Column] = None): DataFrame = {
     val tq = terms.select(term.as("term")).distinct()
       .withColumn("tpfx", tpfx(col("term")))
       .localCheckpoint(eager = false)
     val pfxs = tq.select(col("tpfx")).distinct().collect()
       .map(_.getString(0)).toSeq
-    val post0 = spark.read.parquet(s"$path/postings")
+    // attrFilter (over writeBm25Index `attrs` columns) restricts the
+    // CANDIDATE documents in the same pruned scan — pushed to parquet
+    // next to the prefix pruning. idf stays GLOBAL (the df sidecar is
+    // corpus-wide): standard filtered-retrieval semantics, matching
+    // the vector side's attrFilter (candidates restricted, scoring
+    // unchanged).
+    val post0 = attrFilter
+      .foldLeft(spark.read.parquet(s"$path/postings"))(_.filter(_))
       .filter(col("tpfx").isin(pfxs: _*))
       .join(broadcast(tq.select(col("term"))), Seq("term"))
     // tombstoned docs drop BEFORE the df window, so both df and the
@@ -567,7 +592,8 @@ object LexIndex {
     * rank), rank 1-based per query (score desc, doc_id asc). */
   def bm25KnnJoinIndexed(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, term: Column, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      attrFilter: Option[Column] = None): DataFrame = {
     val qt = queries.select(qid.cast("long").as("query_id"),
         term.as("term")).distinct()
       .localCheckpoint() // read once, serve prefixes + fan-out
@@ -576,7 +602,10 @@ object LexIndex {
       .localCheckpoint(eager = false)
     val pfxs = tq.select(col("tpfx")).distinct().collect()
       .map(_.getString(0)).toSeq
-    val post0 = spark.read.parquet(s"$path/postings")
+    // candidate docs restricted in the pruned scan, global idf — the
+    // [[bm25TopKIndexed]] attrFilter contract for the whole batch
+    val post0 = attrFilter
+      .foldLeft(spark.read.parquet(s"$path/postings"))(_.filter(_))
       .filter(col("tpfx").isin(pfxs: _*))
       .join(broadcast(tq.select(col("term"))), Seq("term"))
     val post = if (!StoreFiles.exists(spark, s"$path/tombstones")) post0

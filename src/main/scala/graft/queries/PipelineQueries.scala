@@ -2315,6 +2315,97 @@ object PipelineQueries {
         shortlist = 50))
   }
 
+  /** qe46: the LSH OPERATING GRID — recall@10 and bucket partitions
+    * touched at probeFlips {0, 1, 2} from the persisted 6-plane index
+    * (qe41's store), one row per operating point: the qe39 measurement
+    * discipline applied to the bucketed family, so the ladder's LSH
+    * entry gets its whole recall-vs-IO curve instead of one point.
+    * `n_buckets` counts the DISTINCT stored bucket partitions the
+    * probe union actually touches (what one pruned scan reads for the
+    * 100-query batch): flips 0 probes each query's own bucket, 1 adds
+    * the 6 one-bit neighbors, 2 the 15 two-bit neighbors — the probed
+    * fraction of the 2⁶ partitions is the IO knob, recall the return.
+    * Truth is computed once and re-cut per level. */
+  def lshOperatingGrid(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val path = lshEvalIndexPath(s, dir)
+    val truth = evalTruth(e).localCheckpoint(eager = false)
+    // driver-side probe geometry (the lshKnnJoinIndexed derivation):
+    // 6 splitmix64 planes over dim 64, each query's bucket, and the
+    // per-level flip-mask unions — all bounded by the serving batch
+    val planes = graft.ops.Similarity.planeVectors(6, 64)
+    val qBuckets = evalQueries(e)
+      .select(graft.ops.Similarity.l2Normalize(col("embedding")))
+      .collect().map { r =>
+        val qv = r.getSeq[Double](0).toArray
+        planes.zipWithIndex.foldLeft(0L) { case (acc, (pl, p)) =>
+          var s0 = 0.0; var i = 0
+          while (i < pl.length && i < qv.length) {
+            s0 += pl(i) * qv(i); i += 1 }
+          if (s0 >= 0) acc | (1L << p) else acc
+        }
+      }
+    val stored = s.read.parquet(s"$path/index")
+      .select(col("bucket").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val levels = Seq(0, 1, 2).map { f =>
+      val masks = (0 to f).flatMap(r => (0 until 6).combinations(r)
+        .map(_.foldLeft(0L)((acc, p) => acc | (1L << p))))
+      val touched = qBuckets.flatMap(qb => masks.map(_ ^ qb)).distinct
+        .count(stored.contains)
+      recallRow(truth,
+        graft.ops.AnnIndex.lshKnnJoinIndexed(s, path, evalQueries(e),
+          col("vec_id"), col("embedding"), k = 10, probeFlips = f))
+        .select(lit(f.toLong).as("probe_flips"),
+          lit(touched.toLong).as("n_buckets"), col("k"),
+          col("n_queries"), col("n_hit"), col("recall"))
+    }
+    levels.reduce(_ unionByName _).orderBy(col("probe_flips"))
+  }
+
+  /** Session memo of the ATTR-carrying persisted IVF-PQ index probed
+    * by qe45: qe36/qe37's trained model parameters (16 cells × 2 Lloyd
+    * rounds, 16×64 residual codes) with a doc attribute
+    * `lang = vec_id % 4` stored ON the code rows — the
+    * filtered-vector-search layout (build priced inside the query on
+    * first touch, the qe33/qe36 discipline). */
+  private val ivfPqAttrIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ivfPqAttrIndexPath(s: SparkSession, dir: String): String =
+    ivfPqAttrIndexPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_ivfpqattr").toString
+      graft.ops.AnnIndex.writeIvfPqIndex(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), path, nList = 16, numSub = 16,
+        codebookSize = 64, refineIters = 2,
+        attrs = Seq(pmod(col("vec_id"), lit(4)).cast("int").as("lang")))
+      path
+    })
+
+  /** qe45: ATTRIBUTE-FILTERED batch serving on the best probe —
+    * recall@10 of the IVF-PQ two-stage probe restricted to documents
+    * with `lang = 1` (a stored index attribute), measured against the
+    * brute-force truth over the SAME filtered corpus. The predicate
+    * rides the pruned stage-1 codes scan (pushed to parquet next to
+    * the cell pruning — plan-pinned), so candidates are restricted
+    * BEFORE the shortlist and the rerank inherits the filtered set:
+    * "top-k among docs with lang=1" costs the same probe IO as the
+    * unfiltered qe37, never a corpus join at serving time. */
+  def ivfPqFilteredRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val truth = Similarity.knnJoin(
+        e.filter(pmod(col("vec_id"), lit(4)) === 1),
+        col("vec_id"), col("embedding"),
+        evalQueries(e), col("vec_id"), col("embedding"), k = 10)
+      .select(col("query_id"), col("vec_id"))
+    recallRow(truth,
+      graft.ops.AnnIndex.ivfPqKnnJoinIndexed(s,
+        ivfPqAttrIndexPath(s, dir), evalQueries(e), col("vec_id"),
+        col("embedding"), k = 10, nProbe = 8, rerank = 100,
+        attrFilter = Some(col("lang") === 1)))
+  }
+
   private def decodedMedia(s: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.decodeMeta(
       graft.ops.Multimodal.synthMedia(

@@ -120,6 +120,31 @@ class PlanShapeSpec extends AnyFunSuite {
       p2.take(4000))
   }
 
+  test("attr-filtered IVF-PQ probe: predicate pushed into the SAME pruned stage-1 scan") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val path =
+      java.nio.file.Files.createTempDirectory("ivfpqattrplan").toString
+    graft.ops.AnnIndex.writeIvfPqIndex(e, col("vec_id"),
+      col("embedding"), path, nList = 8, numSub = 8, codebookSize = 8,
+      refineIters = 0,
+      attrs = Seq(pmod(col("vec_id"), lit(4)).cast("int").as("lang")))
+    val qRows = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").cast("long"),
+        Similarity.l2Normalize(col("embedding"))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val p = plan(graft.ops.AnnIndex.ivfPqShortlistFrame(spark, path,
+      qRows, nProbe = 3, rerank = 10,
+      attrFilter = Some(col("lang") === 1)))
+    // filtered vector search = the SAME pruned scan, one more pushed
+    // predicate: cell partition pruning AND the attribute filter land
+    // on the codes read together — no doc-table join, no second scan
+    assert(p.matches("(?s).*PartitionFilters: \\[.*cell.*"), p.take(3000))
+    assert(p.matches("(?s).*PushedFilters: \\[.*lang.*"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"), p.take(3000))
+  }
+
   test("LSH multi-query probe: bucket-pruned scan, broadcast fan-out, bounded top-k, no window") {
     val e = Tables.load(spark, sf, "embeddings")
     val path = java.nio.file.Files.createTempDirectory("lshplan").toString

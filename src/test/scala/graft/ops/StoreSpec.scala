@@ -1174,6 +1174,59 @@ class StoreSpec extends AnyFunSuite {
     assert(!StoreFiles.needsFileCompaction(spark, hid, 3))
   }
 
+  test("attribute-filtered probes restrict candidates, scoring unchanged") {
+    import spark.implicits._
+    // IVF with every cell probed == brute force over the corpus, so
+    // the attr-filtered form must equal brute force over the ALLOWED
+    // subset — candidates restricted, distances and ranking untouched
+    val e = Tables.load(spark, sf, "embeddings")
+    val path = tmp("st_attrivf")
+    AnnIndex.writeIvfIndex(e, col("vec_id"), col("embedding"), path,
+      nList = 8,
+      attrs = Seq(pmod(col("vec_id"), lit(4)).cast("int").as("lang")))
+    val queries = e.filter(col("vec_id") < 3)
+    val got = AnnIndex.ivfKnnJoinIndexed(spark, path, queries,
+        col("vec_id"), col("embedding"), k = 5, nProbe = 8,
+        attrFilter = Some(col("lang") === 1))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val want = Similarity.knnJoin(
+        e.filter(pmod(col("vec_id"), lit(4)) === 1),
+        col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(got == want)
+    // BM25: per-doc scores are independent and idf stays GLOBAL, so
+    // the filtered top-k must equal the unfiltered FULL ranking
+    // restricted to allowed docs and re-cut at k
+    val lexPath = tmp("st_attrlex")
+    LexIndex.writeBm25Index(half(lo = true), col("doc_id"), col("text"),
+      lexPath, attrs = Seq(pmod(col("doc_id"), lit(2)).cast("int")
+        .as("flag")))
+    val terms = Seq("the", "of", "and").toDF("term")
+    val gotLex = LexIndex.bm25TopKIndexed(spark, lexPath, terms,
+        col("term"), k = 5, attrFilter = Some(col("flag") === 0))
+      .collect().toSeq
+    val wantLex = LexIndex.bm25TopKIndexed(spark, lexPath, terms,
+        col("term"), k = 1000000)
+      .filter(pmod(col("doc_id"), lit(2)) === 0)
+      .orderBy(col("score_e4").desc, col("doc_id")).limit(5)
+      .collect().toSeq
+    assert(gotLex == wantLex && gotLex.nonEmpty)
+    // and the batch form agrees with the single-query form per query
+    val batch = Seq((7L, "the"), (7L, "of"), (9L, "and"))
+      .toDF("query_id", "term")
+    val gotBatch = LexIndex.bm25KnnJoinIndexed(spark, lexPath, batch,
+        col("query_id"), col("term"), k = 5,
+        attrFilter = Some(col("flag") === 0))
+      .filter(col("query_id") === 7L)
+      .select(col("doc_id"), col("score_e4")).collect().toSeq
+    val gotSingle = LexIndex.bm25TopKIndexed(spark, lexPath,
+        Seq("the", "of").toDF("term"), col("term"), k = 5,
+        attrFilter = Some(col("flag") === 0))
+      .select(col("doc_id"), col("score_e4")).collect().toSeq
+    assert(gotBatch == gotSingle)
+  }
+
   test("legacy df-window fallback warns once per store, sidecar stores never") {
     import spark.implicits._
     val terms = Seq("the", "of", "and").toDF("term")
