@@ -170,6 +170,7 @@ object SparkEntry {
     "qd74_cms_store" -> (PipelineQueries.cmsStoreFreq _),
     "qd75_bm25_index_build" -> (PipelineQueries.bm25IndexBuild _),
     "qd76_bm25_index_topk" -> (PipelineQueries.bm25IndexTopDocs _),
+    "qd87_bm25_filtered_topk" -> (PipelineQueries.bm25FilteredTopDocs _),
     "qd77_hist_quantiles" -> (PipelineQueries.histQuantileProfile _),
     "qd78_hist_merge" -> (PipelineQueries.histMergeQuantiles _),
     "qd79_hist_store" -> (PipelineQueries.histStoreQuantiles _),
@@ -1862,6 +1863,12 @@ object SparkEntry {
          FROM pc""",
     "qd76_bm25_index_topk" -> (bm25IndexedCtes + """
          SELECT doc_id, score_e4 FROM isc
+         ORDER BY score_e4 DESC, doc_id LIMIT 10"""),
+    // qd87: attribute-filtered BM25 — candidates restricted to the
+    // stored flag's arithmetic (doc_id % 2 = 0), idf GLOBAL: the
+    // unfiltered per-doc score set re-cut over allowed docs.
+    "qd87_bm25_filtered_topk" -> (bm25IndexedCtes + """
+         SELECT doc_id, score_e4 FROM isc WHERE doc_id % 2 = 0
          ORDER BY score_e4 DESC, doc_id LIMIT 10"""),
     // qd81: the appended index probes byte-identically to a fresh
     // whole-corpus build (same posting rows, associative stats sums),

@@ -325,14 +325,20 @@ object AnnIndex {
     * query time only `codes/` is read, two columns, no join, no
     * shuffle — a pure scan + TakeOrdered. */
   def writePqIndex(corpus: DataFrame, id: Column, vec: Column,
-      path: String, numSub: Int = 8, codebookSize: Int = 16): Unit = {
+      path: String, numSub: Int = 8, codebookSize: Int = 16,
+      attrs: Seq[Column] = Nil): Unit = {
     val cb = Similarity.pqCodebook(corpus, id, vec, numSub, codebookSize)
     // Quantize lambda materialized once, then encoded: two projection
     // steps so the argmin tree references a plain attribute instead of
     // embedding the transform() lambda numSub×codebookSize times.
-    corpus.select(id.as("vec_id"), Similarity.pqQ4(vec).as("_v4"))
-      .select(col("vec_id"),
-        Similarity.pqCodesExpr(col("_v4"), cb).as("codes"))
+    // attrs ride the code rows (the writeLshIndex contract) so a
+    // filtered ADC scan needs no corpus join.
+    val q4 = corpus.select(id.as("vec_id") +:
+      Similarity.pqQ4(vec).as("_v4") +: attrs: _*)
+    q4.select(col("vec_id") +: Similarity.pqCodesExpr(col("_v4"), cb)
+        .as("codes") +:
+        q4.columns.filterNot(c => c == "vec_id" || c == "_v4")
+          .map(col).toSeq: _*)
       .write.mode("overwrite").parquet(s"$path/codes")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -348,14 +354,15 @@ object AnnIndex {
     * driver read, the distance table is computed locally in exact
     * integer math, and the scan touches `codes/` only. */
   def queryPqIndex(spark: SparkSession, path: String, query: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, attrFilter: Option[Column] = None): DataFrame = {
     val cb = readCodebook(spark, s"$path/codebook")
     val q4Row = query
       .select(Similarity.pqQ4(col(query.columns.head)).as("v4"))
       .head().getSeq[Double](0).toArray
     val qTable = Similarity.pqAdcTable(q4Row, cb)
     Similarity.pqRank(
-      dropTombstoned(spark, path, spark.read.parquet(s"$path/codes"))
+      dropTombstoned(spark, path, attrFilter.foldLeft(
+          spark.read.parquet(s"$path/codes"))(_.filter(_)))
         .select(col("vec_id"),
           Similarity.pqScoreFromCodes(col("codes"), qTable)
             .cast("long").as("adc_score")), k)
@@ -373,7 +380,8 @@ object AnnIndex {
     * (query_id, vec_id, adc_score, rank), rank 1-based per query
     * (adc_score asc, vec_id asc). */
   def pqKnnJoinIndexed(spark: SparkSession, path: String,
-      queries: DataFrame, qid: Column, qvec: Column, k: Int): DataFrame = {
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      attrFilter: Option[Column] = None): DataFrame = {
     val cb = readCodebook(spark, s"$path/codebook")
     val numSub = cb.length
     val cbSize = cb(0).length
@@ -393,7 +401,8 @@ object AnnIndex {
         element_at(col("qtab"),
           lit(m * cbSize) + element_at(col("codes"), m + 1) + lit(1)))
       .reduce(_ + _)
-    dropTombstoned(spark, path, spark.read.parquet(s"$path/codes"))
+    dropTombstoned(spark, path, attrFilter.foldLeft(
+        spark.read.parquet(s"$path/codes"))(_.filter(_)))
       .crossJoin(broadcast(qDf))
       .select(col("query_id"), col("vec_id"),
         adc.cast("long").as("adc_score"))
@@ -416,9 +425,9 @@ object AnnIndex {
     * corpus scan builds everything; only `codes/` is touched by the
     * stage-1 scan at query time. */
   def writeQuantizedIndex(corpus: DataFrame, id: Column, vec: Column,
-      path: String): Unit = {
-    val normed = corpus.select(id.as("vec_id"),
-      Similarity.l2Normalize(vec).as("v"))
+      path: String, attrs: Seq[Column] = Nil): Unit = {
+    val normed = corpus.select(id.as("vec_id") +:
+      Similarity.l2Normalize(vec).as("v") +: attrs: _*)
     val (mn, mx) = Similarity.int8Stats(normed)
     // Codes build as ONE narrow map against the literal (mn, mx)
     // dictionary arrays — no dim join and no groupBy(vec_id)
@@ -432,14 +441,19 @@ object AnnIndex {
         least(floor((xi - m) * lit(255.0) / (mM - m)), lit(255.0)))
         - lit(128)).cast("byte")
     })
-    normed.select(col("vec_id"), codesExpr.as("codes"))
+    // attrs ride the stage-1 codes table only (where the filter runs);
+    // the rerank vectors stay two-column
+    val attrNames = normed.columns.filterNot(c => c == "vec_id" || c == "v")
+    normed.select(col("vec_id") +: codesExpr.as("codes") +:
+        attrNames.map(col).toSeq: _*)
       .write.mode("overwrite").parquet(s"$path/codes")
     val spark = corpus.sparkSession
     import spark.implicits._
     mn.indices.map(d => (d.toLong, mn(d), mx(d)))
       .toDF("dim", "mn", "mx")
       .write.mode("overwrite").parquet(s"$path/stats")
-    normed.sortWithinPartitions(col("vec_id"))
+    normed.select(col("vec_id"), col("v"))
+      .sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").parquet(s"$path/vectors")
   }
 
@@ -451,9 +465,10 @@ object AnnIndex {
     * of the ranking. Stage 2 reads only the `rerank` candidate rows from
     * `vectors/` (vec_id IN — row-group pruned) and rescores exactly. */
   def queryQuantizedIndex(spark: SparkSession, path: String,
-      query: DataFrame, k: Int, rerank: Int): DataFrame = {
-    val codes = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/codes"))
+      query: DataFrame, k: Int, rerank: Int,
+      attrFilter: Option[Column] = None): DataFrame = {
+    val codes = dropTombstoned(spark, path, attrFilter.foldLeft(
+      spark.read.parquet(s"$path/codes"))(_.filter(_)))
     val qRows = query.select(col(query.columns.head).as("qv")).head(1)
     if (qRows.isEmpty)
       return codes.select(col("vec_id"), lit(0.0d).as("cos"),
@@ -499,7 +514,7 @@ object AnnIndex {
     * [[ivfPqKnnJoinIndexed]]: stage 1 runs at call time. */
   def quantizedKnnJoinIndexed(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int, attrFilter: Option[Column] = None): DataFrame = {
     val qRows = collectQueryBatch(
         queries.select(qid.cast("long").as("query_id"),
           Similarity.l2Normalize(qvec).as("qv")), perQuery = rerank)
@@ -520,8 +535,8 @@ object AnnIndex {
     val qDf = qRows.toSeq.map { case (q, qv) =>
       (q, qv.map(x => math.floor(x * 10000.0)).toSeq)
     }.toDF("query_id", "qe4")
-    val codes = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/codes"))
+    val codes = dropTombstoned(spark, path, attrFilter.foldLeft(
+      spark.read.parquet(s"$path/codes"))(_.filter(_)))
     val decoded = transform(col("codes"), (c, i) =>
       (c.cast("double") + lit(128.0)) * element_at(decMul, i + 1) +
         element_at(decAdd, i + 1))
@@ -559,10 +574,10 @@ object AnnIndex {
     * (normalized, vec_id-sorted so row-group stats prune the rerank
     * lookup). One corpus scan builds both. */
   def writeBinaryIndex(corpus: DataFrame, id: Column, vec: Column,
-      path: String): Unit = {
-    corpus.select(id.as("vec_id"),
-        Similarity.signBits(vec, 0).as("lo"),
-        Similarity.signBits(vec, 32).as("hi"))
+      path: String, attrs: Seq[Column] = Nil): Unit = {
+    corpus.select(id.as("vec_id") +:
+        Similarity.signBits(vec, 0).as("lo") +:
+        Similarity.signBits(vec, 32).as("hi") +: attrs: _*)
       .write.mode("overwrite").parquet(s"$path/bits")
     corpus.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
       .sortWithinPartitions(col("vec_id"))
@@ -577,14 +592,16 @@ object AnnIndex {
     * exact cosine. The query is named by id; its signature and full
     * vector both come from the index, so the corpus is never touched. */
   def queryBinaryIndex(spark: SparkSession, path: String, queryId: Long,
-      k: Int, shortlist: Int): DataFrame = {
+      k: Int, shortlist: Int,
+      attrFilter: Option[Column] = None): DataFrame = {
     require(k >= 1 && shortlist >= k,
       s"need 1 <= k <= shortlist: k=$k shortlist=$shortlist")
     // the signature/vector lookups for the query id itself read the
-    // RAW tables (querying by a deleted id is the caller's call);
-    // only the candidate scan excludes tombstoned vectors
-    val bits = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/bits"))
+    // RAW tables (querying by a deleted or filtered-out id is the
+    // caller's call); only the candidate scan excludes tombstoned
+    // vectors and applies the attribute filter
+    val bits = dropTombstoned(spark, path, attrFilter.foldLeft(
+      spark.read.parquet(s"$path/bits"))(_.filter(_)))
     val qRows = spark.read.parquet(s"$path/bits")
       .filter(col("vec_id") === queryId).head(1)
     if (qRows.isEmpty)
@@ -620,8 +637,8 @@ object AnnIndex {
     * EAGER like [[ivfPqKnnJoinIndexed]]. Query ids absent from the
     * index contribute no rows. Output: (query_id, vec_id, cos, rank). */
   def binaryKnnJoinIndexed(spark: SparkSession, path: String,
-      queryIds: DataFrame, qid: Column, k: Int,
-      shortlist: Int): DataFrame = {
+      queryIds: DataFrame, qid: Column, k: Int, shortlist: Int,
+      attrFilter: Option[Column] = None): DataFrame = {
     require(k >= 1 && shortlist >= k,
       s"need 1 <= k <= shortlist: k=$k shortlist=$shortlist")
     val qIds = collectQueryBatch(
@@ -639,8 +656,8 @@ object AnnIndex {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     import spark.implicits._
     val qSig = sigRows.toSeq.toDF("query_id", "qlo", "qhi")
-    val bits = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/bits"))
+    val bits = dropTombstoned(spark, path, attrFilter.foldLeft(
+      spark.read.parquet(s"$path/bits"))(_.filter(_)))
     val shortPairs = bits.crossJoin(broadcast(qSig))
       .select(col("query_id"), col("vec_id"),
         (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
@@ -719,9 +736,10 @@ object AnnIndex {
     * a checkpoint reset overwrites only partition 0, never the base
     * build at −1. */
   def putIvfBatch(batch: DataFrame, id: Column, vec: Column,
-      path: String, batchId: Long): Unit = {
+      path: String, batchId: Long, attrs: Seq[Column] = Nil): Unit = {
     val cents = readCentroids(batch.sparkSession, path)
-    batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+    batch.select(id.as("vec_id") +:
+        Similarity.l2Normalize(vec).as("v") +: attrs: _*)
       .withColumn("cell", Similarity.nearestCell(col("v"), cents))
       .withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
@@ -851,9 +869,10 @@ object AnnIndex {
     * partition-pruning `cell IN (...)` filter. An empty query frame yields
     * an empty result. */
   def queryIvfIndex(spark: SparkSession, path: String, query: DataFrame,
-      k: Int, nProbe: Int = 4): DataFrame = {
-    val index = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/index"))
+      k: Int, nProbe: Int = 4,
+      attrFilter: Option[Column] = None): DataFrame = {
+    val index = dropTombstoned(spark, path, attrFilter.foldLeft(
+      spark.read.parquet(s"$path/index"))(_.filter(_)))
     val qRows = query.select(col(query.columns.head).as("qv")).head(1)
     if (qRows.isEmpty)
       return index.select(col("vec_id"), lit(0.0d).as("cos"),
@@ -935,8 +954,9 @@ object AnnIndex {
     * compact also restores the flat `vectors/` table's global vec_id
     * clustering that per-append sorts cannot provide). */
   def appendIvfPqIndex(batch: DataFrame, id: Column, vec: Column,
-      path: String, maxFilesPerDir: Int = 0): Unit = {
-    val coded = ivfPqEncodeStored(batch, id, vec, path)
+      path: String, maxFilesPerDir: Int = 0,
+      attrs: Seq[Column] = Nil): Unit = {
+    val coded = ivfPqEncodeStored(batch, id, vec, path, attrs)
       .localCheckpoint(eager = false)
     coded.repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
@@ -952,16 +972,23 @@ object AnnIndex {
     * residual codebook encodes; deterministic, so a streaming replay
     * reproduces its rows byte-for-byte. */
   private def ivfPqEncodeStored(batch: DataFrame, id: Column,
-      vec: Column, path: String): DataFrame = {
+      vec: Column, path: String, attrs: Seq[Column] = Nil): DataFrame = {
     val spark = batch.sparkSession
     val cents = readCentroids(spark, path)
     val cb = readCodebook(spark, s"$path/codebook")
-    batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+    val coded = batch
+      .select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
       .withColumn("cell", Similarity.nearestCell(col("v"), cents))
       .select(col("vec_id"), col("cell"),
         Similarity.residualE6(col("v"), col("cell"), cents).as("q"))
       .select(col("vec_id"), col("cell"),
         Similarity.pqCodesExprWide(col("q"), cb).as("codes"))
+    // attrs denormalize onto the code rows, matching the build's
+    // layout (the writeIvfPqIndex contract: consistent across a
+    // store's builds, appends and batch-keyed puts)
+    if (attrs.isEmpty) coded
+    else coded.join(batch.select(id.as("vec_id") +: attrs: _*),
+      Seq("vec_id"))
   }
 
   /** Idempotently (re)write one micro-batch into a BATCH-KEYED IVF-PQ
@@ -976,8 +1003,8 @@ object AnnIndex {
     * surface twice in every ADC ranking — the failure mode the plain
     * [[appendIvfPqIndex]] has under replay). */
   def putIvfPqBatch(batch: DataFrame, id: Column, vec: Column,
-      path: String, batchId: Long): Unit = {
-    ivfPqEncodeStored(batch, id, vec, path)
+      path: String, batchId: Long, attrs: Seq[Column] = Nil): Unit = {
+    ivfPqEncodeStored(batch, id, vec, path, attrs)
       .withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
       .write.mode("overwrite")
@@ -1013,7 +1040,8 @@ object AnnIndex {
     * is a when-chain of exact-integer table lookups — the scan touches
     * nProbe/nList of the stored code directories and nothing else. */
   def queryIvfPqIndex(spark: SparkSession, path: String,
-      query: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+      query: DataFrame, k: Int, nProbe: Int = 4,
+      attrFilter: Option[Column] = None): DataFrame = {
     val cents = readCentroids(spark, path)
     val cb = readCodebook(spark, s"$path/codebook")
     val qv = query
@@ -1021,7 +1049,7 @@ object AnnIndex {
       .head().getSeq[Double](0).toArray
     val tabs = Similarity.ivfPqQueryTabs(qv, cents, cb, nProbe)
     val codes = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/codes")
+      attrFilter.foldLeft(spark.read.parquet(s"$path/codes"))(_.filter(_))
         .filter(col("cell").isin(tabs.map(_._1).toIndexedSeq: _*)))
     Similarity.pqRank(codes.select(col("vec_id"),
       Similarity.ivfPqScoreExpr(col("codes"), tabs).cast("long")

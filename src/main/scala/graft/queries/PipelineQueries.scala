@@ -1911,6 +1911,39 @@ object PipelineQueries {
       .orderBy(col("score_e4").desc, col("doc_id"))
   }
 
+  /** Session memo of the ATTR-carrying BM25 index probed by qd87: the
+    * qd75 layout with `flag = doc_id % 2` denormalized onto every
+    * posting row (the `dl` discipline) — the filtered-retrieval
+    * layout, built once on first touch. */
+  private val bm25AttrIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bm25AttrIndexPath(s: SparkSession, dir: String): String =
+    bm25AttrIndexPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_bm25attr").toString
+      graft.ops.LexIndex.writeBm25Index(t(s, dir, "documents"),
+        col("doc_id"), col("text"), path,
+        attrs = Seq(pmod(col("doc_id"), lit(2)).cast("int").as("flag")))
+      path
+    })
+
+  /** qd87: ATTRIBUTE-FILTERED BM25 serving — qd76's probe restricted
+    * to even documents via the stored `flag` attribute: the predicate
+    * rides the SAME prefix-pruned postings scan (no doc-table join at
+    * serving time), candidates are restricted before the per-doc sum,
+    * and idf stays GLOBAL (per-doc scores are independent, so the
+    * oracle is the unfiltered score set re-cut over allowed docs —
+    * standard filtered-retrieval semantics, the lexical twin of
+    * qe45). */
+  def bm25FilteredTopDocs(s: SparkSession, dir: String): DataFrame = {
+    val terms = s.createDataFrame(bm25QueryTerms.map(Tuple1(_))).toDF("term")
+    graft.ops.LexIndex.bm25TopKIndexed(s, bm25AttrIndexPath(s, dir),
+        terms, col("term"), k = 10,
+        attrFilter = Some(col("flag") === 0))
+      .orderBy(col("score_e4").desc, col("doc_id"))
+  }
+
   /** Session memo of the POSITIONAL index (postings + per-term token
     * positions, both term-prefix partitioned). A separate path from
     * the qd75 build so qd75/qd76's pricing is untouched. */

@@ -1227,6 +1227,72 @@ class StoreSpec extends AnyFunSuite {
     assert(gotBatch == gotSingle)
   }
 
+  test("attribute filters cover the int8/binary/PQ families too") {
+    import spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+    val attr = Seq(pmod(col("vec_id"), lit(4)).cast("int").as("lang"))
+    val allowed = pmod(col("vec_id"), lit(4)) === 1
+    val queries = e.filter(col("vec_id") < 3)
+    val n = e.count().toInt
+    // brute-force truth over the ALLOWED subset — what every filtered
+    // two-stage probe must equal at an all-candidate shortlist
+    val want = Similarity.knnJoin(e.filter(allowed),
+        col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val qPath = tmp("st_fq8")
+    AnnIndex.writeQuantizedIndex(e, col("vec_id"), col("embedding"),
+      qPath, attrs = attr)
+    val gotQ = AnnIndex.quantizedKnnJoinIndexed(spark, qPath, queries,
+        col("vec_id"), col("embedding"), k = 5, rerank = n,
+        attrFilter = Some(col("lang") === 1))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(gotQ == want)
+    val bPath = tmp("st_fbin")
+    AnnIndex.writeBinaryIndex(e, col("vec_id"), col("embedding"), bPath,
+      attrs = attr)
+    val gotB = AnnIndex.binaryKnnJoinIndexed(spark, bPath,
+        queries.select(col("vec_id")), col("vec_id"), k = 5,
+        shortlist = n, attrFilter = Some(col("lang") === 1))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    assert(gotB == want)
+    // PQ: the filtered ADC ranking equals the unfiltered full ranking
+    // restricted to allowed ids and re-cut (per-row scores are
+    // independent of other rows)
+    val pPath = tmp("st_fpq")
+    AnnIndex.writePqIndex(e, col("vec_id"), col("embedding"), pPath,
+      numSub = 8, codebookSize = 8, attrs = attr)
+    val gotP = AnnIndex.pqKnnJoinIndexed(spark, pPath, queries,
+        col("vec_id"), col("embedding"), k = 5,
+        attrFilter = Some(col("lang") === 1))
+      .select(col("query_id"), col("vec_id"), col("adc_score"))
+      .orderBy(col("query_id"), col("adc_score"), col("vec_id"))
+      .collect().toSeq
+    val wantP = AnnIndex.pqKnnJoinIndexed(spark, pPath, queries,
+        col("vec_id"), col("embedding"), k = n)
+      .filter(pmod(col("vec_id"), lit(4)) === 1)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("adc_score"), col("vec_id"))))
+      .filter(col("rk") <= 5)
+      .select(col("query_id"), col("vec_id"), col("adc_score"))
+      .orderBy(col("query_id"), col("adc_score"), col("vec_id"))
+      .collect().toSeq
+    assert(gotP == wantP && gotP.nonEmpty)
+    // single-query twins share the mechanism: spot-check IVF-PQ's
+    // single-query form against its own batch probe
+    val ivfPath = tmp("st_fivfpq")
+    AnnIndex.writeIvfPqIndex(e, col("vec_id"), col("embedding"),
+      ivfPath, nList = 4, numSub = 8, codebookSize = 8,
+      refineIters = 0, attrs = attr)
+    val single = AnnIndex.queryIvfPqIndex(spark, ivfPath,
+        e.filter(col("vec_id") === 0).select(col("embedding")),
+        k = 5, nProbe = 4, attrFilter = Some(col("lang") === 1))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(single.nonEmpty && single.forall(_ % 4 == 1))
+  }
+
   test("legacy df-window fallback warns once per store, sidecar stores never") {
     import spark.implicits._
     val terms = Seq("the", "of", "and").toDF("term")
