@@ -126,11 +126,19 @@ object LexIndex {
       .withColumn("tpfx", tpfx(col("term")))
   }
 
-  private def positionsOf(toks: DataFrame): DataFrame =
-    toks.select(col("doc_id"),
-        posexplode(col("toks")).as(Seq("pos", "term")))
-      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+  /** Position rows carry the doc attrs too (dl stays postings-only —
+    * phrase matching never needs it), so a filtered phrase probe
+    * prunes candidates in its own positions scan. */
+  private def positionsOf(toks: DataFrame): DataFrame = {
+    val attrCols = toks.columns
+      .filterNot(c => c == "doc_id" || c == "toks" || c == "dl")
+      .map(col).toSeq
+    toks.select(col("doc_id") +:
+        posexplode(col("toks")).as(Seq("pos", "term")) +: attrCols: _*)
+      .select(col("term") +: col("doc_id") +:
+        col("pos").cast("long").as("pos") +: attrCols: _*)
       .withColumn("tpfx", tpfx(col("term")))
+  }
 
   private def statsOf(toks: DataFrame): DataFrame =
     toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
@@ -663,7 +671,8 @@ object LexIndex {
     * Tombstoned docs drop before grouping, so a probe equals one over
     * an index built without them. */
   def phraseTopKIndexed(spark: SparkSession, path: String,
-      phrase: Seq[String], k: Int): DataFrame = {
+      phrase: Seq[String], k: Int,
+      attrFilter: Option[Column] = None): DataFrame = {
     require(phrase.nonEmpty, "empty phrase")
     import spark.implicits._
     val ph = phrase.zipWithIndex.map { case (w, i) => (w, i.toLong) }
@@ -683,7 +692,11 @@ object LexIndex {
     val (rareTerm, rareOff) = phrase.zipWithIndex
       .map { case (w, i) => (w, i.toLong) }
       .minBy { case (w, i) => (dfByTerm.getOrElse(w, 0L), i) }
-    val pos0 = spark.read.parquet(s"$path/positions")
+    // attrFilter (over writeBm25Index `attrs` columns, which ride the
+    // position rows too) restricts candidate docs in the SAME pruned
+    // scan; the anchor df stays global — a performance choice only
+    val pos0 = attrFilter
+      .foldLeft(spark.read.parquet(s"$path/positions"))(_.filter(_))
       .filter(col("tpfx").isin(pfxs: _*))
       .join(broadcast(ph.select(col("term"), col("off"))), Seq("term"))
     val pos = if (!StoreFiles.exists(spark, s"$path/tombstones")) pos0
@@ -738,7 +751,8 @@ object LexIndex {
     * query (n_matches desc, doc_id asc). */
   def phraseKnnJoinIndexed(spark: SparkSession, path: String,
       phrases: DataFrame, qid: Column, term: Column, off: Column,
-      k: Int, maxBatchRows: Int = MaxPhraseBatchRows): DataFrame = {
+      k: Int, maxBatchRows: Int = MaxPhraseBatchRows,
+      attrFilter: Option[Column] = None): DataFrame = {
     import spark.implicits._
     // bounded collect: the per-query anchor choice and phrase lengths
     // are driver decisions, like the vector side's collected qRows —
@@ -778,7 +792,8 @@ object LexIndex {
       .mapValues(_.map(_._3).distinct.length.toLong).toSeq
       .toDF("query_id", "phlen")
       .localCheckpoint(eager = false)
-    val pos0 = spark.read.parquet(s"$path/positions")
+    val pos0 = attrFilter
+      .foldLeft(spark.read.parquet(s"$path/positions"))(_.filter(_))
       .filter(col("tpfx").isin(pfxs: _*))
       .join(broadcast(ph.select(col("query_id"), col("term"),
         col("off"))), Seq("term"))

@@ -535,6 +535,51 @@ class StoreSpec extends AnyFunSuite {
         "left_semi").count() == 0)
   }
 
+  test("attribute-filtered phrase probe == index of allowed docs; attrs survive append + replay") {
+    import spark.implicits._
+    val attr = Seq(pmod(col("doc_id"), lit(2)).cast("int").as("flag"))
+    val phrase = Seq("row", "column", "sort")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // attr-carrying store assembled by build + append; the filtered
+    // probe must equal a probe of an index holding ONLY the allowed
+    // docs (position rows of filtered-out docs vanish in the scan;
+    // n_matches is per-doc, so nothing else can change)
+    val path = tmp("st_phattr")
+    LexIndex.writeBm25Index(half(lo = true), col("doc_id"), col("text"),
+      path, positions = true, attrs = attr)
+    LexIndex.appendBm25Index(half(lo = false), col("doc_id"),
+      col("text"), path, positions = true, attrs = attr)
+    val ref = tmp("st_phref")
+    LexIndex.writeBm25Index(docs.filter(col("doc_id") % 2 === 0),
+      col("doc_id"), col("text"), ref, positions = true)
+    val want = rows(LexIndex.phraseTopKIndexed(spark, ref, phrase,
+      k = 100))
+    val got = rows(LexIndex.phraseTopKIndexed(spark, path, phrase,
+      k = 100, attrFilter = Some(col("flag") === 0)))
+    assert(got == want && got.nonEmpty)
+    // the batch phrase probe filters identically
+    val batch = phrase.zipWithIndex
+      .map { case (w, i) => (5L, w, i.toLong) }
+      .toDF("query_id", "term", "off")
+    val gotBatch = LexIndex.phraseKnnJoinIndexed(spark, path, batch,
+        col("query_id"), col("term"), col("off"), k = 100,
+        attrFilter = Some(col("flag") === 0))
+      .select(col("doc_id"), col("n_matches"))
+    assert(rows(gotBatch) == want)
+    // batch-keyed stream with attrs: an exactly-once replay keeps the
+    // filtered probe single-counted
+    val bk = tmp("st_phbk")
+    LexIndex.writeBm25IndexBatchKeyed(half(lo = true), col("doc_id"),
+      col("text"), bk, positions = true, attrs = attr)
+    LexIndex.putBm25Batch(half(lo = false), col("doc_id"), col("text"),
+      bk, 0L, attrs = attr)
+    LexIndex.putBm25Batch(half(lo = false), col("doc_id"), col("text"),
+      bk, 0L, attrs = attr) // replay
+    assert(rows(LexIndex.phraseTopKIndexed(spark, bk, phrase, k = 100,
+      attrFilter = Some(col("flag") === 0))) == want)
+  }
+
   test("batch-keyed BM25 index: replays rewrite; probes match a whole-corpus build; folds keep layout") {
     import spark.implicits._
     val path = tmp("st_bm25bk"); val ref = tmp("st_bm25ref")
