@@ -199,6 +199,7 @@ object SparkEntry {
     "qe40_hybrid_rrf_pq" -> (PipelineQueries.hybridRrfPqJoin _),
     "qe45_ivfpq_filtered_recall" -> (PipelineQueries.ivfPqFilteredRecall _),
     "qe46_lsh_operating_grid" -> (PipelineQueries.lshOperatingGrid _),
+    "qe47_ivfpq_selective_recall" -> (PipelineQueries.ivfPqSelectiveRecall _),
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
@@ -1920,7 +1921,10 @@ object SparkEntry {
     // IVF-PQ two-stage restricted to lang = 1 (a STORED index
     // attribute pruned in the stage-1 codes scan), recall vs the
     // filtered brute-force truth.
-    "qe45_ivfpq_filtered_recall" -> ivfPqFilteredRecallOracleSql,
+    "qe45_ivfpq_filtered_recall" -> ivfPqFilteredRecallOracleSql(4),
+    // qe47: the same filtered probe at 1/16 selectivity — the
+    // shortlist-starvation point of filter-during-scan ANN, measured.
+    "qe47_ivfpq_selective_recall" -> ivfPqFilteredRecallOracleSql(16),
     // qe46: the LSH recall-vs-partitions-touched grid at probeFlips
     // {0, 1, 2} from the persisted 6-plane index — the ladder's LSH
     // point gets its curve (the qe39 discipline for the bucketed
@@ -2936,19 +2940,20 @@ object SparkEntry {
            ORDER BY adc_score, vec_id) AS BIGINT) AS rank
        FROM sc QUALIFY rank <= 10 ORDER BY rank"""
 
-  /** qe45: the qe37 probe tail with BOTH sides attribute-filtered to
-    * `vec_id % 4 = 1` (the stored `lang` attribute's arithmetic):
+  /** qe45/qe47: the qe37 probe tail with BOTH sides attribute-filtered
+    * to `vec_id % mod = 1` (the stored `lang`/`lang16` attributes'
+    * arithmetic — mod 4 for qe45, 16 for qe47's selectivity point):
     * truth is brute force over the filtered corpus, the approximate
     * side filters candidates in the ADC stage (exactly where the Spark
     * probe's attrFilter prunes the codes scan), shortlist 100, rerank,
     * recall row. */
-  private lazy val ivfPqFilteredRecallOracleSql: String =
+  private def ivfPqFilteredRecallOracleSql(mod: Int): String =
     s"""$ivfPqEncodeCtes,
        q AS (SELECT vec_id AS query_id, v AS qv FROM e
          WHERE vec_id < 100),
        tscore AS (SELECT q.query_id, e.vec_id,
            round(list_dot_product(e.v, q.qv), 4) AS cos
-         FROM e, q WHERE e.vec_id % 4 = 1),
+         FROM e, q WHERE e.vec_id % $mod = 1),
        truth AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
            row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, vec_id) AS rk FROM tscore) tr
@@ -2974,7 +2979,7 @@ object SparkEntry {
          FROM code c JOIN cellof cf USING (vec_id)
          JOIN qd_ ON qd_.cell = cf.cell AND qd_.m = c.m
            AND qd_.cidx = c.cidx
-         WHERE c.vec_id % 4 = 1
+         WHERE c.vec_id % $mod = 1
          GROUP BY 1, 2),
        short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
            row_number() OVER (PARTITION BY query_id

@@ -2412,7 +2412,8 @@ object PipelineQueries {
       graft.ops.AnnIndex.writeIvfPqIndex(t(s, dir, "embeddings"),
         col("vec_id"), col("embedding"), path, nList = 16, numSub = 16,
         codebookSize = 64, refineIters = 2,
-        attrs = Seq(pmod(col("vec_id"), lit(4)).cast("int").as("lang")))
+        attrs = Seq(pmod(col("vec_id"), lit(4)).cast("int").as("lang"),
+          pmod(col("vec_id"), lit(16)).cast("int").as("lang16")))
       path
     })
 
@@ -2437,6 +2438,29 @@ object PipelineQueries {
         ivfPqAttrIndexPath(s, dir), evalQueries(e), col("vec_id"),
         col("embedding"), k = 10, nProbe = 8, rerank = 100,
         attrFilter = Some(col("lang") === 1)))
+  }
+
+  /** qe47: filtered recall vs SELECTIVITY — qe45's probe against a
+    * 1/16-selectivity attribute (`lang16 = 1`) at the same operating
+    * point (nProbe 8, rerank 100). This measures the KNOWN failure
+    * mode of filter-during-scan ANN: as the filter keeps fewer
+    * candidates per probed cell, a fixed-depth shortlist drains and
+    * recall falls — the number that tells an operator when to raise
+    * nProbe/rerank (or pre-partition by the attribute) instead of
+    * trusting qe45's 1/4-selectivity point. Same index artifact as
+    * qe45 (both attrs ride the same code rows). */
+  def ivfPqSelectiveRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val truth = Similarity.knnJoin(
+        e.filter(pmod(col("vec_id"), lit(16)) === 1),
+        col("vec_id"), col("embedding"),
+        evalQueries(e), col("vec_id"), col("embedding"), k = 10)
+      .select(col("query_id"), col("vec_id"))
+    recallRow(truth,
+      graft.ops.AnnIndex.ivfPqKnnJoinIndexed(s,
+        ivfPqAttrIndexPath(s, dir), evalQueries(e), col("vec_id"),
+        col("embedding"), k = 10, nProbe = 8, rerank = 100,
+        attrFilter = Some(col("lang16") === 1)))
   }
 
   private def decodedMedia(s: SparkSession, dir: String): DataFrame =

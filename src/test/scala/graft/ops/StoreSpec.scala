@@ -1338,6 +1338,55 @@ class StoreSpec extends AnyFunSuite {
     assert(single.nonEmpty && single.forall(_ % 4 == 1))
   }
 
+  test("compaction preserves attribute columns and filtered probe results") {
+    import spark.implicits._
+    val attr = Seq(pmod(col("vec_id"), lit(4)).cast("int").as("lang"))
+    val e = Tables.load(spark, sf, "embeddings")
+    // vector side: delete + compact an attr-carrying IVF-PQ store;
+    // the filtered probe must survive the rewrite unchanged for the
+    // remaining docs (the codes fold keeps every column)
+    val vPath = tmp("st_cattr")
+    AnnIndex.writeIvfPqIndex(e, col("vec_id"), col("embedding"), vPath,
+      nList = 4, numSub = 8, codebookSize = 8, refineIters = 0,
+      attrs = attr)
+    val queries = e.filter(col("vec_id") < 3)
+    def probe() = AnnIndex.ivfPqKnnJoinIndexed(spark, vPath, queries,
+        col("vec_id"), col("embedding"), k = 5, nProbe = 4,
+        rerank = 50, attrFilter = Some(col("lang") === 1))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    AnnIndex.deleteVecs(spark, vPath,
+      e.filter(col("vec_id") % 8 === 5).select(col("vec_id")),
+      col("vec_id"))
+    val afterDelete = probe()
+    AnnIndex.compactAnnIndex(spark, vPath)
+    assert(probe() == afterDelete && afterDelete.nonEmpty)
+    assert(spark.read.parquet(s"$vPath/codes").columns.contains("lang"))
+    // lexical side: the BM25 compact rewrites postings/positions
+    // generically and recounts df — attrs and the filtered probes
+    // must come through intact
+    val lPath = tmp("st_cattrlex")
+    LexIndex.writeBm25Index(docs, col("doc_id"), col("text"), lPath,
+      positions = true,
+      attrs = Seq(pmod(col("doc_id"), lit(2)).cast("int").as("flag")))
+    val terms = Seq("the", "of").toDF("term")
+    def bmP() = LexIndex.bm25TopKIndexed(spark, lPath, terms,
+        col("term"), k = 5, attrFilter = Some(col("flag") === 0))
+      .collect().toSeq
+    def phP() = LexIndex.phraseTopKIndexed(spark, lPath,
+        Seq("row", "column", "sort"), k = 20,
+        attrFilter = Some(col("flag") === 0)).collect().toSeq
+    LexIndex.deleteFromBm25Index(spark, lPath,
+      docs.filter(col("doc_id") % 8 === 5).select(col("doc_id")),
+      col("doc_id"))
+    val (bmAfter, phAfter) = (bmP(), phP())
+    LexIndex.compactBm25Index(spark, lPath)
+    assert(bmP() == bmAfter && phP() == phAfter && bmAfter.nonEmpty)
+    assert(spark.read.parquet(s"$lPath/postings").columns
+      .contains("flag"))
+    assert(spark.read.parquet(s"$lPath/positions").columns
+      .contains("flag"))
+  }
+
   test("legacy df-window fallback warns once per store, sidecar stores never") {
     import spark.implicits._
     val terms = Seq("the", "of", "and").toDF("term")
