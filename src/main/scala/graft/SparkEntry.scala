@@ -200,6 +200,9 @@ object SparkEntry {
     "qe45_ivfpq_filtered_recall" -> (PipelineQueries.ivfPqFilteredRecall _),
     "qe46_lsh_operating_grid" -> (PipelineQueries.lshOperatingGrid _),
     "qe47_ivfpq_selective_recall" -> (PipelineQueries.ivfPqSelectiveRecall _),
+    "qe48_int8_filtered_recall" -> (PipelineQueries.quantizedFilteredRecall _),
+    "qe49_binary_filtered_recall" -> (PipelineQueries.binaryFilteredRecall _),
+    "qe50_lsh_filtered_recall" -> (PipelineQueries.lshFilteredRecall _),
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
@@ -1930,6 +1933,13 @@ object SparkEntry {
     // point gets its curve (the qe39 discipline for the bucketed
     // family).
     "qe46_lsh_operating_grid" -> lshOperatingGridOracleSql,
+    // qe48/qe49/qe50: the filtered ladder across the remaining index
+    // families at 1/4 selectivity — int8 (global stats, filtered
+    // candidates), binary (signatures by id, filtered Hamming scan),
+    // LSH (unchanged bucket geometry, filtered candidate pool).
+    "qe48_int8_filtered_recall" -> quantizedFilteredRecallOracleSql,
+    "qe49_binary_filtered_recall" -> binaryFilteredRecallOracleSql,
+    "qe50_lsh_filtered_recall" -> lshFilteredRecallOracleSql,
     // qm01: multimodal decode — Spark synthesizes REAL container bytes
     // per doc id and decodes them with the real parsers; the oracle
     // re-derives every field from the same integer arithmetic, so the
@@ -2608,6 +2618,143 @@ object SparkEntry {
            AS recall
        FROM nb LEFT JOIN hits h ON h.f = nb.f
        ORDER BY probe_flips"""
+  }
+
+  /** The [[evalTruthCtes]] `q`/`truth` pair with the truth restricted
+    * to `vec_id % mod = 1` — the filtered-recall oracles' shared
+    * prefix (qe48/qe49/qe50; expects `e` in scope). */
+  private def filteredEvalTruthCtes(mod: Int): String =
+    s"""q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         WHERE vec_id < 100),
+       tscore AS (SELECT q.query_id, e.vec_id,
+           round(list_dot_product(e.v, q.qv), 4) AS cos
+         FROM e, q WHERE e.vec_id % $mod = 1),
+       truth AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM tscore) tr
+         WHERE rk <= 10)"""
+
+  /** qe48: the qe42 int8 two-stage machinery with candidates (and the
+    * truth) restricted to `vec_id % 4 = 1` — stats stay GLOBAL (the
+    * index quantized the full corpus), only the stage-1 candidate set
+    * filters, exactly where the Spark probe's attrFilter prunes the
+    * codes scan. */
+  private lazy val quantizedFilteredRecallOracleSql: String =
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       ${filteredEvalTruthCtes(4)},
+       ex AS (SELECT vec_id, unnest(range(64)) AS dim,
+           floor(unnest(v) * 10000.0) AS x_e4 FROM e),
+       stats AS (SELECT dim, min(x_e4) AS mn, max(x_e4) AS mx
+         FROM ex GROUP BY 1),
+       qdec AS (SELECT ex.vec_id, ex.dim,
+           s.mn * 255.0 + (CASE WHEN s.mx = s.mn THEN 0.0
+             ELSE least(floor((ex.x_e4 - s.mn) * 255
+               / CAST(s.mx - s.mn AS DOUBLE)), 255.0) END)
+             * (s.mx - s.mn) AS dv
+         FROM ex JOIN stats s USING (dim)),
+       iq AS (SELECT query_id, unnest(range(64)) AS dim,
+           floor(unnest(qv) * 10000.0) AS qe4 FROM q),
+       isc AS (SELECT iq.query_id, d.vec_id, sum(d.dv * iq.qe4) AS iscore
+         FROM qdec d JOIN iq USING (dim)
+         WHERE d.vec_id % 4 = 1 GROUP BY 1, 2),
+       shortq AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY iscore DESC, vec_id) AS srk FROM isc) sh
+         WHERE srk <= 50),
+       rrq AS (SELECT s.query_id, s.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM shortq s JOIN e ON e.vec_id = s.vec_id
+         JOIN q q2 ON q2.query_id = s.query_id),
+       approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM rrq) ar
+         WHERE rk <= 10)
+       $recallRowSelect"""
+
+  /** qe49: the qe43 binary two-stage machinery with candidates (and
+    * the truth) restricted to `vec_id % 4 = 1` — query signatures
+    * still come from the unfiltered bits by id; only the Hamming
+    * candidate scan filters. */
+  private lazy val binaryFilteredRecallOracleSql: String =
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       ${filteredEvalTruthCtes(4)},
+       el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       bbits AS (SELECT vec_id,
+           CAST(sum(CASE WHEN d <= 32 AND x >= 0
+             THEN CAST(1 AS BIGINT) << (d - 1) ELSE 0 END)
+             AS BIGINT) AS lo,
+           CAST(sum(CASE WHEN d > 32 AND d <= 64 AND x >= 0
+             THEN CAST(1 AS BIGINT) << (d - 33) ELSE 0 END)
+             AS BIGINT) AS hi
+         FROM el GROUP BY 1),
+       qsig AS (SELECT q.query_id, b.lo AS qlo, b.hi AS qhi
+         FROM q JOIN bbits b ON b.vec_id = q.query_id),
+       shortq AS (SELECT query_id, vec_id FROM (SELECT s.query_id,
+           b.vec_id, row_number() OVER (PARTITION BY s.query_id
+             ORDER BY bit_count(xor(b.lo, s.qlo))
+               + bit_count(xor(b.hi, s.qhi)), b.vec_id) AS srk
+           FROM bbits b, qsig s WHERE b.vec_id % 4 = 1) sh
+         WHERE srk <= 50),
+       rrq AS (SELECT s.query_id, s.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM shortq s JOIN e ON e.vec_id = s.vec_id
+         JOIN q q2 ON q2.query_id = s.query_id),
+       approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM rrq) ar
+         WHERE rk <= 10)
+       $recallRowSelect"""
+
+  /** qe50: the qe41 LSH plane/bucket machinery with candidates (and
+    * the truth) restricted to `vec_id % 4 = 1` — bucket geometry and
+    * probe sets are unchanged (buckets hash the vector, not the
+    * attribute); only the candidate pool inside the probed buckets
+    * shrinks. */
+  private lazy val lshFilteredRecallOracleSql: String = {
+    val planes = graft.ops.Similarity.planeVectors(6, 64)
+    val rows = planes.zipWithIndex.map { case (row, p) =>
+      s"($p, [${row.mkString(",")}])"
+    }.mkString(",")
+    val flips = (0 to 6).map(i => s"(${if (i == 0) 0L else 1L << (i - 1)})")
+      .mkString(",")
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       ${filteredEvalTruthCtes(4)},
+       pl(p, pv) AS (VALUES $rows),
+       d AS (SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.pv) AS dp
+         FROM e, pl),
+       b AS (SELECT vec_id,
+           CAST(sum(CASE WHEN dp >= 0 THEN 1<<p ELSE 0 END) AS BIGINT)
+           AS bucket FROM d GROUP BY 1),
+       qprobe AS (SELECT q.query_id, xor(bq.bucket, m.m) AS pb
+         FROM q JOIN b bq ON bq.vec_id = q.query_id,
+           (VALUES $flips) m(m)),
+       cand AS (SELECT p.query_id, e.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM e JOIN b USING (vec_id)
+           JOIN qprobe p ON b.bucket = p.pb
+           JOIN q q2 ON q2.query_id = p.query_id
+         WHERE e.vec_id % 4 = 1),
+       approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM cand) ar
+         WHERE rk <= 10)
+       $recallRowSelect"""
   }
 
   /** qe42: recall@10 of the multi-query int8 two-stage probe — the

@@ -2426,14 +2426,17 @@ object PipelineQueries {
     * BEFORE the shortlist and the rerank inherits the filtered set:
     * "top-k among docs with lang=1" costs the same probe IO as the
     * unfiltered qe37, never a corpus join at serving time. */
-  def ivfPqFilteredRecall(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val truth = Similarity.knnJoin(
-        e.filter(pmod(col("vec_id"), lit(4)) === 1),
+  /** Brute-force truth restricted to `vec_id % mod = 1` — the filtered
+    * twin of [[evalTruth]], shared by every filtered-recall row. */
+  private def filteredEvalTruth(e: DataFrame, mod: Int): DataFrame =
+    Similarity.knnJoin(e.filter(pmod(col("vec_id"), lit(mod)) === 1),
         col("vec_id"), col("embedding"),
         evalQueries(e), col("vec_id"), col("embedding"), k = 10)
       .select(col("query_id"), col("vec_id"))
-    recallRow(truth,
+
+  def ivfPqFilteredRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    recallRow(filteredEvalTruth(e, 4),
       graft.ops.AnnIndex.ivfPqKnnJoinIndexed(s,
         ivfPqAttrIndexPath(s, dir), evalQueries(e), col("vec_id"),
         col("embedding"), k = 10, nProbe = 8, rerank = 100,
@@ -2451,16 +2454,98 @@ object PipelineQueries {
     * qe45 (both attrs ride the same code rows). */
   def ivfPqSelectiveRecall(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val truth = Similarity.knnJoin(
-        e.filter(pmod(col("vec_id"), lit(16)) === 1),
-        col("vec_id"), col("embedding"),
-        evalQueries(e), col("vec_id"), col("embedding"), k = 10)
-      .select(col("query_id"), col("vec_id"))
-    recallRow(truth,
+    recallRow(filteredEvalTruth(e, 16),
       graft.ops.AnnIndex.ivfPqKnnJoinIndexed(s,
         ivfPqAttrIndexPath(s, dir), evalQueries(e), col("vec_id"),
         col("embedding"), k = 10, nProbe = 8, rerank = 100,
         attrFilter = Some(col("lang16") === 1)))
+  }
+
+  /** Session memos of the remaining ATTR-carrying index families
+    * (`lang = vec_id % 4` on the stage-1 tables): the filtered-recall
+    * rows qe48/qe49/qe50 probe these, completing the filtered ladder
+    * measurement across int8 / binary / LSH alongside IVF-PQ (qe45)
+    * and BM25 (qd87). */
+  private val quantAttrIdxPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val binaryAttrIdxPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val lshAttrIdxPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def langAttr: Seq[org.apache.spark.sql.Column] =
+    Seq(pmod(col("vec_id"), lit(4)).cast("int").as("lang"))
+
+  private def quantAttrIdxPath(s: SparkSession, dir: String): String =
+    quantAttrIdxPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_q8attr").toString
+      graft.ops.AnnIndex.writeQuantizedIndex(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), path, attrs = langAttr)
+      path
+    })
+
+  private def binaryAttrIdxPath(s: SparkSession, dir: String): String =
+    binaryAttrIdxPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_binattr").toString
+      graft.ops.AnnIndex.writeBinaryIndex(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), path, attrs = langAttr)
+      path
+    })
+
+  private def lshAttrIdxPath(s: SparkSession, dir: String): String =
+    lshAttrIdxPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_lshattr").toString
+      graft.ops.AnnIndex.writeLshIndex(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), path, numPlanes = 6,
+        attrs = langAttr)
+      path
+    })
+
+  /** qe48: filtered recall@10 of the int8 two-stage batch probe
+    * (qe42's operating point, rerank 50) restricted to `lang = 1` —
+    * the exact-integer stage-1 scans the same codes table with the
+    * predicate pushed beside it, so the filtered shortlist is still
+    * engine-bit-identical. Unlike the lossy families, the int8 probe
+    * holds recall 1.0 under the filter: stage 1 ranks by a faithful
+    * (quantized) dot over ALL allowed candidates, so the filtered
+    * truth is inside the 50-deep shortlist just as the unfiltered one
+    * was (qe42). */
+  def quantizedFilteredRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    recallRow(filteredEvalTruth(e, 4),
+      graft.ops.AnnIndex.quantizedKnnJoinIndexed(s,
+        quantAttrIdxPath(s, dir), evalQueries(e), col("vec_id"),
+        col("embedding"), k = 10, rerank = 50,
+        attrFilter = Some(col("lang") === 1)))
+  }
+
+  /** qe49: filtered recall@10 of the binary two-stage batch probe
+    * (qe43's operating point, shortlist 50) restricted to `lang = 1`:
+    * query signatures still come from the raw bits table by id (a
+    * filtered-out query id may still query), only the candidate scan
+    * filters. */
+  def binaryFilteredRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    recallRow(filteredEvalTruth(e, 4),
+      graft.ops.AnnIndex.binaryKnnJoinIndexed(s,
+        binaryAttrIdxPath(s, dir),
+        evalQueries(e).select(col("vec_id")), col("vec_id"), k = 10,
+        shortlist = 50, attrFilter = Some(col("lang") === 1)))
+  }
+
+  /** qe50: filtered recall@10 of the LSH batch probe (qe41's operating
+    * point, probeFlips 1) restricted to `lang = 1` — the filter rides
+    * the bucket-pruned scan, so the probed-partition IO is unchanged
+    * while the candidate pool shrinks. */
+  def lshFilteredRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    recallRow(filteredEvalTruth(e, 4),
+      graft.ops.AnnIndex.lshKnnJoinIndexed(s, lshAttrIdxPath(s, dir),
+        evalQueries(e), col("vec_id"), col("embedding"), k = 10,
+        probeFlips = 1, attrFilter = Some(col("lang") === 1)))
   }
 
   private def decodedMedia(s: SparkSession, dir: String): DataFrame =
