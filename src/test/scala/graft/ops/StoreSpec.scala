@@ -160,6 +160,19 @@ class StoreSpec extends AnyFunSuite {
     // df derives from a window over the SAME pruned rows the scoring
     // consumes: the postings table is scanned exactly once per probe
     assert("/postings".r.findAllIn(p).size == 1, p.take(3000))
+    // the FILTERED probe (qd87's shape) keeps the same single pruned
+    // scan with the attribute predicate PUSHED beside the prefix
+    // pruning — filtered retrieval adds a parquet filter, not a join
+    // or a second scan
+    val aPath = tmp("st_bm25pf")
+    LexIndex.writeBm25Index(docs, col("doc_id"), col("text"), aPath,
+      attrs = Seq(pmod(col("doc_id"), lit(2)).cast("int").as("flag")))
+    val pf = LexIndex.bm25TopKIndexed(spark, aPath, termsDf,
+        col("term"), k = 5, attrFilter = Some(col("flag") === 0))
+      .queryExecution.executedPlan.toString
+    assert(pf.matches("(?s).*PartitionFilters: \\[.*tpfx.*"), pf.take(3000))
+    assert(pf.matches("(?s).*PushedFilters: \\[.*flag.*"), pf.take(3000))
+    assert("/postings".r.findAllIn(pf).size == 1, pf.take(3000))
   }
 
   test("native md5 winnow is byte-identical to the composed window form") {
