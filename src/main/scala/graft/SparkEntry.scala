@@ -203,6 +203,7 @@ object SparkEntry {
     "qe48_int8_filtered_recall" -> (PipelineQueries.quantizedFilteredRecall _),
     "qe49_binary_filtered_recall" -> (PipelineQueries.binaryFilteredRecall _),
     "qe50_lsh_filtered_recall" -> (PipelineQueries.lshFilteredRecall _),
+    "qe51_hybrid_rrf_filtered" -> (PipelineQueries.hybridRrfPqFiltered _),
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
@@ -1940,6 +1941,14 @@ object SparkEntry {
     "qe48_int8_filtered_recall" -> quantizedFilteredRecallOracleSql,
     "qe49_binary_filtered_recall" -> binaryFilteredRecallOracleSql,
     "qe50_lsh_filtered_recall" -> lshFilteredRecallOracleSql,
+    // qe51: the filtered hybrid fusion — the qe40 re-derivation with
+    // each half's candidate set cut to EVEN ids before its rank (the
+    // lexical `flag = 0` / vector `lang IN (0, 2)` attributes both
+    // mean id % 2 = 0), fusing filtered lists — never filtering the
+    // fused list.
+    "qe51_hybrid_rrf_filtered" -> hybridRrfPqOracleSqlWith(
+      lexWhere = "WHERE doc_id % 2 = 0",
+      vecWhere = "WHERE c.vec_id % 2 = 0"),
     // qm01: multimodal decode — Spark synthesizes REAL container bytes
     // per doc id and decodes them with the real parsers; the oracle
     // re-derives every field from the same integer arithmetic, so the
@@ -2465,12 +2474,21 @@ object SparkEntry {
     * query ids at nProbe 8 / shortlist 100 (the qe37/qe39 operating
     * point), exact-cosine reranked to rank ≤ 50. */
   private lazy val hybridRrfPqOracleSql: String =
+    hybridRrfPqOracleSqlWith(lexWhere = "", vecWhere = "")
+
+  /** qe51: the same fusion with each half's CANDIDATE set cut before
+    * its rank — `lexWhere` filters the scored lexical docs (bqsc),
+    * `vecWhere` the ADC candidates (alias `c` = code rows) BEFORE the
+    * shortlist — exactly where the Spark probes' attrFilters push into
+    * their pruned scans. Empty strings give the unfiltered qe40. */
+  private def hybridRrfPqOracleSqlWith(lexWhere: String,
+      vecWhere: String): String =
     s"""$ivfPqEncodeCtes,
        $bm25BatchCtes,
        blex AS (SELECT query_id, doc_id AS id,
            CAST(row_number() OVER (PARTITION BY query_id
              ORDER BY score_e4 DESC, doc_id) AS BIGINT) AS rank_lex
-         FROM bqsc QUALIFY rank_lex <= 50),
+         FROM bqsc $lexWhere QUALIFY rank_lex <= 50),
        hq AS (SELECT vec_id AS query_id, v AS qv FROM e
          WHERE vec_id < 20),
        hcrk AS (SELECT q.query_id, c.cell,
@@ -2494,6 +2512,7 @@ object SparkEntry {
          FROM code c JOIN cellof cf USING (vec_id)
          JOIN hqd ON hqd.cell = cf.cell AND hqd.m = c.m
            AND hqd.cidx = c.cidx
+         $vecWhere
          GROUP BY 1, 2),
        hshort AS (SELECT query_id, vec_id FROM (SELECT query_id,
            vec_id, row_number() OVER (PARTITION BY query_id

@@ -119,11 +119,26 @@ object AnnIndex {
     * each is all the steady-state file policy then costs
     * ([[StoreFiles.needsFileCompaction]] `touchedDirs`). The batch's
     * distinct partition values are a micro-batch-sized aggregate over
-    * the frame the write already materialized (checkpointed). */
+    * the frame the write already materialized (checkpointed).
+    * Directory names are built with Spark's OWN Hive path escaping
+    * (null → `__HIVE_DEFAULT_PARTITION__`, URL-encoding for reserved
+    * characters), so they match what the partitioned write just put on
+    * disk for ANY value — a hand-rolled `"$pcol=$value"` would miss
+    * escaped directories and the policy would silently skip them.
+    * (Today's partition values are numeric/hex, which escape to
+    * themselves — this keeps the invariant by construction, not by
+    * luck.) */
   private def touchedPartDirs(rows: DataFrame, sub: String,
-      pcol: String): Seq[String] =
+      pcol: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     rows.select(col(pcol)).distinct().collect()
-      .map(r => s"$sub/$pcol=${r.get(0)}").toIndexedSeq
+      .map { r =>
+        val v = r.get(0)
+        val part = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          else ExternalCatalogUtils.escapePathName(v.toString)
+        s"$sub/$pcol=$part"
+      }.toIndexedSeq
+  }
 
   /** The [[appendLshIndex]] `maxFilesPerDir` policy, shared by every
     * plain-append entry point of the vector store family. The policy
@@ -171,13 +186,50 @@ object AnnIndex {
     * binary), collapse the per-batch small files appends left behind,
     * and clear the tombstone sidecar — probe results unchanged,
     * probe cost back to one file per partition. Contract: writers
-    * quiesced during the rename swaps ([[StoreFiles.replaceDir]]). */
-  def compactAnnIndex(spark: SparkSession, path: String): Unit = {
+    * quiesced during the rename swaps ([[StoreFiles.replaceDir]]).
+    *
+    * `backfillAttrs` UPGRADES a store built without attribute columns
+    * to the filtered-serving layout WITHOUT a corpus rebuild — the
+    * [[LexIndex.compactBm25Index]] upgrade path for the vector
+    * families. The frame is (vec_id, attr...) with vec_id unique; its
+    * columns join onto every live STAGE-1 row (`index/`, `codes/`,
+    * `bits/` — wherever the attrFilter scans run) during the rewrite
+    * compaction already does; the rerank `vectors/` stays two-column
+    * by design. After the compact, probes accept `attrFilter` over
+    * the new columns exactly as a born-with-attrs store (spec-pinned
+    * identity), and subsequent appends/puts must carry matching
+    * `attrs`. Vectors missing from the frame keep NULL attrs — they
+    * then fail every non-null-safe attrFilter, so cover the corpus. */
+  def compactAnnIndex(spark: SparkSession, path: String,
+      backfillAttrs: Option[DataFrame] = None): Unit = {
+    val attrF = backfillAttrs.map { a =>
+      require(a.columns.contains("vec_id"),
+        "backfillAttrs needs a vec_id join column")
+      val reserved = Set("v", "bucket", "cell", "codes", "lo", "hi",
+        "batch_id")
+      val clash = a.columns.filter(reserved.contains)
+      require(clash.isEmpty,
+        s"backfillAttrs columns collide with index columns: " +
+          clash.mkString(", "))
+      // duplicate vec_ids would multiply stage-1 rows (a vector would
+      // score once per duplicate) — ruled out by one aggregation over
+      // the attr table, a compaction-time cost
+      val c = a.agg(count(lit(1)).as("n"),
+        countDistinct(col("vec_id")).as("nd")).head()
+      require(c.getLong(0) == c.getLong(1),
+        "backfillAttrs has duplicate vec_id rows")
+      a.localCheckpoint(eager = false)
+    }
+    // attrs land on the stage-1 scan tables only — the rerank
+    // vectors/ keeps its narrow two-column layout
+    val attrSubs = Set("index", "codes", "bits")
     def sub(name: String): Unit =
       if (StoreFiles.exists(spark, s"$path/$name"))
         StoreFiles.replaceDir(spark, s"$path/$name") { tmp =>
-          val live = dropTombstoned(spark, path,
+          val live1 = dropTombstoned(spark, path,
             spark.read.parquet(s"$path/$name"))
+          val live = attrF.filter(_ => attrSubs.contains(name))
+            .fold(live1)(a => live1.join(a, Seq("vec_id"), "left"))
           val pcol = Seq("bucket", "cell").find(live.columns.contains)
           pcol match {
             // batch-keyed stores keep their partitioned layout: the
@@ -248,7 +300,12 @@ object AnnIndex {
     * [[writeLshIndex]] `attrs` columns) is applied in the SAME scan —
     * filtered vector search for the whole batch, the predicate pushed
     * to parquet next to the bucket pruning ([[queryLshIndex]]'s
-    * contract). Output: (query_id, vec_id, cos, rank), rank 1-based
+    * contract). NOTE (changed in this version): the collected query
+    * batch is now ceiling-guarded like every sibling batch probe —
+    * at most [[MaxShortlistIds]]`/k` query rows; a larger batch, which
+    * previously collected unbounded, now fails loudly naming the
+    * ceiling. Split oversized batches into multiple probe calls.
+    * Output: (query_id, vec_id, cos, rank), rank 1-based
     * per query (cos desc, vec_id asc). */
   def lshKnnJoinIndexed(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
@@ -376,9 +433,14 @@ object AnnIndex {
     * [[ivfPqShortlistFrame]] expression without the cell pruning —
     * plain PQ has no partitioning to prune; it is the compressed FULL
     * scan, amortized across the batch), and the per-query top-k is a
-    * bounded `topk_agg` on the negated integer score. Output:
-    * (query_id, vec_id, adc_score, rank), rank 1-based per query
-    * (adc_score asc, vec_id asc). */
+    * bounded `topk_agg` on the negated integer score. NOTE (changed
+    * in this version): the collected query batch is now
+    * ceiling-guarded like every sibling batch probe — at most
+    * [[MaxShortlistIds]]`/k` query rows; a larger batch, which
+    * previously collected unbounded, now fails loudly naming the
+    * ceiling. Split oversized batches into multiple probe calls.
+    * Output: (query_id, vec_id, adc_score, rank), rank 1-based per
+    * query (adc_score asc, vec_id asc). */
   def pqKnnJoinIndexed(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
       attrFilter: Option[Column] = None): DataFrame = {

@@ -463,16 +463,51 @@ object LexIndex {
     * (StoreSpec pre/post equality); probe COST drops because the
     * pruned read opens one file per prefix and skips the anti-join.
     * Contract: writers quiesced during the rename swaps
-    * ([[StoreFiles.replaceDir]]). */
-  def compactBm25Index(spark: SparkSession, path: String): Unit = {
+    * ([[StoreFiles.replaceDir]]).
+    *
+    * `backfillAttrs` UPGRADES a store built without attribute columns
+    * to the filtered-serving layout WITHOUT a corpus rebuild — the one
+    * upgrade a 100 TB store can't get any other way (the attr contract
+    * is consistent-from-birth otherwise; see [[writeBm25Index]]). The
+    * frame is (doc_id, attr...) with doc_id unique; its columns join
+    * onto every live posting AND position row during the rewrite
+    * compaction already does — no extra pass, one doc-keyed join
+    * against a table orders of magnitude smaller than the corpus.
+    * After the compact, probes accept `attrFilter` over the new
+    * columns exactly as if the store had been built with them
+    * (spec-pinned identity), and subsequent appends/puts must carry
+    * matching `attrs` (the same consistency contract as a born-with
+    * store). Docs missing from the frame keep NULL attrs — they then
+    * fail every non-null-safe attrFilter, so cover the corpus. */
+  def compactBm25Index(spark: SparkSession, path: String,
+      backfillAttrs: Option[DataFrame] = None): Unit = {
     val hasTombs = StoreFiles.exists(spark, s"$path/tombstones")
+    val attrF = backfillAttrs.map { a =>
+      require(a.columns.contains("doc_id"),
+        "backfillAttrs needs a doc_id join column")
+      val reserved = Set("term", "tf", "dl", "tpfx", "pos", "batch_id")
+      val clash = a.columns.filter(reserved.contains)
+      require(clash.isEmpty,
+        s"backfillAttrs columns collide with index columns: " +
+          clash.mkString(", "))
+      // a duplicate doc_id would MULTIPLY posting rows (and corrupt
+      // the df recount below) — one aggregation over the attr table
+      // (compaction-time cost, tiny next to the rewrite) rules it out
+      val c = a.agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("nd")).head()
+      require(c.getLong(0) == c.getLong(1),
+        "backfillAttrs has duplicate doc_id rows")
+      a.localCheckpoint(eager = false)
+    }
     def prefixSub(name: String): Unit =
       if (StoreFiles.exists(spark, s"$path/$name"))
         StoreFiles.replaceDir(spark, s"$path/$name") { tmp =>
           val live0 = spark.read.parquet(s"$path/$name")
-          val live = if (!hasTombs) live0
+          val live1 = if (!hasTombs) live0
             else live0.join(spark.read.parquet(s"$path/tombstones"),
               Seq("doc_id"), "left_anti")
+          val live = attrF.fold(live1)(a =>
+            live1.join(a, Seq("doc_id"), "left"))
           // batch-keyed stores keep their layout (everything folds to
           // partition -1) so later per-batch overwrites still compose
           if (live.columns.contains("batch_id"))
@@ -545,14 +580,7 @@ object LexIndex {
       .localCheckpoint(eager = false)
     val pfxs = tq.select(col("tpfx")).distinct().collect()
       .map(_.getString(0)).toSeq
-    // attrFilter (over writeBm25Index `attrs` columns) restricts the
-    // CANDIDATE documents in the same pruned scan — pushed to parquet
-    // next to the prefix pruning. idf stays GLOBAL (the df sidecar is
-    // corpus-wide): standard filtered-retrieval semantics, matching
-    // the vector side's attrFilter (candidates restricted, scoring
-    // unchanged).
-    val post0 = attrFilter
-      .foldLeft(spark.read.parquet(s"$path/postings"))(_.filter(_))
+    val post0 = spark.read.parquet(s"$path/postings")
       .filter(col("tpfx").isin(pfxs: _*))
       .join(broadcast(tq.select(col("term"))), Seq("term"))
     // tombstoned docs drop BEFORE the df window, so both df and the
@@ -567,7 +595,18 @@ object LexIndex {
     val contrib = idf * col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") + lit(k1) *
         (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
-    withDf(spark, path, post, tq.select(col("term")), pfxs)
+    // attrFilter (over writeBm25Index `attrs` columns) restricts the
+    // CANDIDATE documents — applied ABOVE the df derivation so idf
+    // stays GLOBAL on EVERY layout: with the sidecar df is corpus-wide
+    // by construction, and on a legacy store the per-term window must
+    // count the UNfiltered pruned posting list (filter-below-window
+    // would make the same query score differently on the two layouts).
+    // Catalyst still pushes the predicate through the sidecar path's
+    // broadcast join into the SAME pruned parquet scan (plan-pinned);
+    // on the legacy path the Window correctly blocks the pushdown.
+    attrFilter
+      .foldLeft(withDf(spark, path, post, tq.select(col("term")), pfxs))(
+        _.filter(_))
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         floor(contrib * lit(10000.0)).cast("long").as("c_e4"))
@@ -610,10 +649,7 @@ object LexIndex {
       .localCheckpoint(eager = false)
     val pfxs = tq.select(col("tpfx")).distinct().collect()
       .map(_.getString(0)).toSeq
-    // candidate docs restricted in the pruned scan, global idf — the
-    // [[bm25TopKIndexed]] attrFilter contract for the whole batch
-    val post0 = attrFilter
-      .foldLeft(spark.read.parquet(s"$path/postings"))(_.filter(_))
+    val post0 = spark.read.parquet(s"$path/postings")
       .filter(col("tpfx").isin(pfxs: _*))
       .join(broadcast(tq.select(col("term"))), Seq("term"))
     val post = if (!StoreFiles.exists(spark, s"$path/tombstones")) post0
@@ -626,7 +662,13 @@ object LexIndex {
     val contrib = idf * col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") + lit(k1) *
         (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
-    withDf(spark, path, post, tq.select(col("term")), pfxs)
+    // candidate docs restricted ABOVE the df derivation, global idf on
+    // every layout — the [[bm25TopKIndexed]] attrFilter contract for
+    // the whole batch (pushdown still reaches the pruned scan through
+    // the sidecar path's broadcast join; the legacy window blocks it)
+    attrFilter
+      .foldLeft(withDf(spark, path, post, tq.select(col("term")), pfxs))(
+        _.filter(_))
       .crossJoin(broadcast(stats))
       .select(col("term"), col("doc_id"),
         floor(contrib * lit(10000.0)).cast("long").as("c_e4"))

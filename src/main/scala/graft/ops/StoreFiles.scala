@@ -164,8 +164,29 @@ private[graft] object StoreFiles {
     if (!f.exists(root)) return false
     def hidden(name: String): Boolean =
       name.startsWith("_") || name.startsWith(".")
-    def over(dir: Path): Boolean = {
-      val cap = if (dir.getName.contains("=")) maxFilesPerDir
+    // A directory takes the stricter partition cap only when it IS a
+    // Hive partition directory, matched by LAYOUT, not by a bare
+    // '='-in-name check: the name must be `<identifier>=<value>`
+    // (Spark writes partition columns as unescaped identifiers; values
+    // are Hive-escaped and never empty — null becomes
+    // __HIVE_DEFAULT_PARTITION__) AND it must sit at depth ≥ 2 below
+    // the store root — every store family lays out
+    // `<root>/<sub-store>/<pcol>=<v>/...`, so the root itself (a user
+    // path that may contain '=') and the depth-1 sub-store directories
+    // can never be partition dirs. Mis-classifying a flat dir as a
+    // partition dir would hand it the stricter cap and re-trip the
+    // policy on every append after a compact's
+    // numShufflePartitions-file rewrite — the storm the layout-aware
+    // threshold exists to prevent.
+    def isPartitionDirName(name: String): Boolean = {
+      val eq = name.indexOf('=')
+      eq > 0 && eq < name.length - 1 &&
+        name.charAt(0).isUnicodeIdentifierStart &&
+        (1 until eq).forall(i => name.charAt(i).isUnicodeIdentifierPart)
+    }
+    def over(dir: Path, depth: Int): Boolean = {
+      val cap = if (depth >= 2 && isPartitionDirName(dir.getName))
+          maxFilesPerDir
         else math.max(maxFilesPerDir, flatDirCap)
       val st = f.listStatus(dir)
       var nFiles = 0
@@ -177,13 +198,14 @@ private[graft] object StoreFiles {
         i += 1
       }
       st.exists(s => s.isDirectory && !hidden(s.getPath.getName) &&
-        over(s.getPath))
+        over(s.getPath, depth + 1))
     }
     if (touchedDirs.nonEmpty)
       touchedDirs.exists { d =>
         val p = new Path(root, d)
-        f.exists(p) && over(p)
+        // depth of a touched dir = its store-relative segment count
+        f.exists(p) && over(p, d.count(_ == '/') + 1)
       }
-    else over(root)
+    else over(root, 0)
   }
 }

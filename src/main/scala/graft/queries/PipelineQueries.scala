@@ -2078,7 +2078,6 @@ object PipelineQueries {
     * persisted indexes in one probe each; the fusion is a tiny
     * (≤ 20 × 100-row) outer join — qe27's service shape, batched. */
   def hybridRrfJoin(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lex = graft.ops.LexIndex.bm25KnnJoinIndexed(s,
         bm25IndexPath(s, dir), lexQueryBatch(s, dir), col("query_id"),
         col("term"), k = 50)
@@ -2090,6 +2089,16 @@ object PipelineQueries {
         col("vec_id"), col("embedding"), k = 50, nProbe = 4)
       .select(col("query_id"), col("vec_id").as("id"),
         col("rank").as("rank_vec"))
+    rrfFusePerQuery(lex, vec)
+  }
+
+  /** Per-query reciprocal-rank fusion (k=60) of a lexical and a vector
+    * ranked list — the shared tail of every batch hybrid probe
+    * (qe38/qe40/qe51): a tiny (≤ |queries| × 100-row) outer join on
+    * (query_id, id), never a corpus-sized operation. Inputs carry
+    * (query_id, id, rank_lex|rank_vec). */
+  private def rrfFusePerQuery(lex: DataFrame, vec: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fused = lex.join(vec, Seq("query_id", "id"), "full_outer")
       .select(col("query_id"), col("id"), col("rank_lex"),
         col("rank_vec"),
@@ -2202,33 +2211,55 @@ object PipelineQueries {
     * that qe38 fuses). Both halves serve the whole 20-query batch
     * from persisted indexes in one probe each; the fusion is a tiny
     * (≤ 20 × 100-row) outer join. */
-  def hybridRrfPqJoin(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lex = graft.ops.LexIndex.bm25KnnJoinIndexed(s,
-        bm25IndexPath(s, dir), lexQueryBatch(s, dir), col("query_id"),
-        col("term"), k = 50)
+  def hybridRrfPqJoin(s: SparkSession, dir: String): DataFrame =
+    hybridRrfPqFused(s, dir, bm25IndexPath(s, dir),
+      ivfPqIndexPath(s, dir), lexAttrFilter = None, vecAttrFilter = None)
+
+  /** The qe40 fusion with `attrFilter` plumbed through BOTH halves —
+    * the composed filtered-serving shape ("best hybrid results among
+    * docs with attribute X"): each half restricts its candidates in
+    * its OWN already-pruned index scan ([[graft.ops.LexIndex
+    * .bm25KnnJoinIndexed]] / [[graft.ops.AnnIndex.ivfPqKnnJoinIndexed]]
+    * attrFilter contracts — predicate pushed beside the prefix/cell
+    * pruning, scoring and idf global), so the filtered fusion adds NO
+    * scan, NO join, and no post-filter re-cut of a fused list (which
+    * would return < 10 rows and mis-rank: fusing filtered lists ≠
+    * filtering a fused list). */
+  private def hybridRrfPqFused(s: SparkSession, dir: String,
+      bm25Path: String, pqPath: String,
+      lexAttrFilter: Option[org.apache.spark.sql.Column],
+      vecAttrFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val lex = graft.ops.LexIndex.bm25KnnJoinIndexed(s, bm25Path,
+        lexQueryBatch(s, dir), col("query_id"), col("term"), k = 50,
+        attrFilter = lexAttrFilter)
       .select(col("query_id"), col("doc_id").as("id"),
         col("rank").as("rank_lex"))
     val e = t(s, dir, "embeddings")
-    val vec = graft.ops.AnnIndex.ivfPqKnnJoinIndexed(s,
-        ivfPqIndexPath(s, dir), e.filter(col("vec_id") < 20),
-        col("vec_id"), col("embedding"), k = 50, nProbe = 8,
-        rerank = 100)
+    val vec = graft.ops.AnnIndex.ivfPqKnnJoinIndexed(s, pqPath,
+        e.filter(col("vec_id") < 20), col("vec_id"), col("embedding"),
+        k = 50, nProbe = 8, rerank = 100, attrFilter = vecAttrFilter)
       .select(col("query_id"), col("vec_id").as("id"),
         col("rank").as("rank_vec"))
-    val fused = lex.join(vec, Seq("query_id", "id"), "full_outer")
-      .select(col("query_id"), col("id"), col("rank_lex"),
-        col("rank_vec"),
-        round(
-          coalesce(lit(1.0) / (lit(60.0) + col("rank_lex")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60.0) + col("rank_vec")), lit(0.0)),
-          6).as("rrf"))
-    fused.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("rrf").desc, col("id"))).cast("long"))
-      .filter(col("rank") <= 10)
-      .orderBy(col("query_id"), col("rank"))
+    rrfFusePerQuery(lex, vec)
   }
+
+  /** qe51: ATTRIBUTE-FILTERED hybrid retrieval — qe40's fusion
+    * restricted to EVEN documents on both halves, each through its own
+    * stored attribute (the lexical index's `flag = doc_id % 2` — qd87's
+    * artifact; the IVF-PQ index's `lang = vec_id % 4`, even ⇔ lang ∈
+    * {0, 2} — qe45's artifact; same parameters as qe40's index, so the
+    * probes differ only by the pushed predicate). Completes the
+    * filtered-serving matrix at the composition level: per-family
+    * filtered probes (qd87, qe45–qe50) compose into the fusion a real
+    * tier serves most, at the cost of two pushed predicates — no new
+    * scan, no join-back. Oracle: the qe40 re-derivation with each
+    * half's candidate set cut to even ids BEFORE its rank
+    * (fusing filtered lists, not filtering the fused list). */
+  def hybridRrfPqFiltered(s: SparkSession, dir: String): DataFrame =
+    hybridRrfPqFused(s, dir, bm25AttrIndexPath(s, dir),
+      ivfPqAttrIndexPath(s, dir),
+      lexAttrFilter = Some(col("flag") === 0),
+      vecAttrFilter = Some(col("lang").isin(0, 2)))
 
   /** qm01: the MULTIMODAL decode surface, oracle-pinned — genuine
     * BMP/WAV/MP4/AVI/MKV/PNG/GIF/JPEG/AIFF/AU container bytes (plus

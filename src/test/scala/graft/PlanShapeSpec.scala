@@ -145,6 +145,60 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("ShuffledHashJoin"), p.take(3000))
   }
 
+  test("filtered hybrid RRF: both halves' predicates ride their own pruned index scans; no corpus join-back") {
+    val docs = Tables.load(spark, sf, "documents")
+    val e = Tables.load(spark, sf, "embeddings")
+    val bm25Path =
+      java.nio.file.Files.createTempDirectory("hybbm25attr").toString
+    graft.ops.LexIndex.writeBm25Index(docs, col("doc_id"), col("text"),
+      bm25Path, attrs = Seq(pmod(col("doc_id"), lit(2)).cast("int")
+        .as("flag")))
+    val pqPath =
+      java.nio.file.Files.createTempDirectory("hybpqattr").toString
+    graft.ops.AnnIndex.writeIvfPqIndex(e, col("vec_id"),
+      col("embedding"), pqPath, nList = 8, numSub = 8, codebookSize = 8,
+      refineIters = 0, attrs = Seq(pmod(col("vec_id"), lit(4))
+        .cast("int").as("lang")))
+    // query feeds as LOCAL frames, so every FileScan in the fused plan
+    // is an index-table read — provable absence of a corpus join-back
+    import spark.implicits._
+    val qTerms = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("query_id", "term")
+    val qVecs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .toDF("vec_id", "embedding")
+    val lex = graft.ops.LexIndex.bm25KnnJoinIndexed(spark, bm25Path,
+        qTerms, col("query_id"), col("term"), k = 5,
+        attrFilter = Some(col("flag") === 0))
+      .select(col("query_id"), col("doc_id").as("id"),
+        col("rank").as("rank_lex"))
+    val vec = graft.ops.AnnIndex.ivfPqKnnJoinIndexed(spark, pqPath,
+        qVecs, col("vec_id"), col("embedding"), k = 5, nProbe = 3,
+        rerank = 10, attrFilter = Some(col("lang").isin(0, 2)))
+      .select(col("query_id"), col("vec_id").as("id"),
+        col("rank").as("rank_vec"))
+    val fused = lex.join(vec, Seq("query_id", "id"), "full_outer")
+    val p = plan(fused)
+    // lexical half: term-prefix partition pruning AND the attribute
+    // predicate pushed on the SAME postings scan (the filter now sits
+    // above the df join — Catalyst must still push it to parquet)
+    assert(p.matches("(?s).*PartitionFilters: \\[.*tpfx.*"), p.take(4000))
+    assert(p.matches("(?s).*PushedFilters: \\[.*flag.*"), p.take(4000))
+    // vector half (stage 1 collected eagerly; its own pin is the
+    // attr-filtered IVF-PQ test): the rerank reads by literal IN
+    assert(p.matches("(?s).*PushedFilters: \\[In\\(vec_id.*"), p.take(4000))
+    // no corpus join-back: every file read in the fused plan is one of
+    // the two index stores (queries arrived as local relations)
+    val fileScans = "FileScan [^\\n]*".r.findAllIn(p).toSeq
+    assert(fileScans.nonEmpty && fileScans.forall(l =>
+      l.contains("hybbm25attr") || l.contains("hybpqattr")), fileScans)
+    assert(fused.count() > 0)
+  }
+
   test("LSH multi-query probe: bucket-pruned scan, broadcast fan-out, bounded top-k, no window") {
     val e = Tables.load(spark, sf, "embeddings")
     val path = java.nio.file.Files.createTempDirectory("lshplan").toString

@@ -1230,6 +1230,21 @@ class StoreSpec extends AnyFunSuite {
     mkFiles(hid, "vectors/.compact-tmp", 0 until 10)
     mkFiles(hid, "vectors", 0 until 2)
     assert(!StoreFiles.needsFileCompaction(spark, hid, 3))
+    // partition dirs are matched by LAYOUT, not a bare '=' check: a
+    // depth-1 sub-store whose NAME merely contains '=' keeps the flat
+    // cap (a bare contains() would hand it the stricter partition cap
+    // and re-trip the policy after every compact), and the store root
+    // itself may live under an '='-bearing user path
+    val eqName = tmp("st_eq") + "/sub=dir"
+    mkFiles(eqName, ".", 0 until 4)
+    assert(!StoreFiles.needsFileCompaction(spark,
+      eqName.stripSuffix("/sub=dir"), 3, flatDirCap = 8))
+    // ...while a REAL partition dir at depth 2 keeps the strict cap
+    // even under an '='-named store root
+    val eqRoot = tmp("st_eqroot") + "/store=a"
+    mkFiles(eqRoot, "codes/cell=1", 0 until 4)
+    assert(StoreFiles.needsFileCompaction(spark, eqRoot, 3,
+      flatDirCap = 8))
   }
 
   test("attribute-filtered probes restrict candidates, scoring unchanged") {
@@ -1398,6 +1413,103 @@ class StoreSpec extends AnyFunSuite {
       .contains("flag"))
     assert(spark.read.parquet(s"$lPath/positions").columns
       .contains("flag"))
+  }
+
+  test("attr backfill at compact: a born-without-attrs store upgrades to filtered serving, through append + replay") {
+    import spark.implicits._
+    val terms = Seq("the", "of", "and").toDF("term")
+    val flagAttr = Seq(pmod(col("doc_id"), lit(2)).cast("int").as("flag"))
+    def flagFrame(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"),
+        pmod(col("doc_id"), lit(2)).cast("int").as("flag"))
+    def bmF(path: String) = LexIndex.bm25TopKIndexed(spark, path, terms,
+        col("term"), k = 5, attrFilter = Some(col("flag") === 0))
+      .collect().toSeq
+    // --- lexical, plain layout: base build WITHOUT attrs, upgraded at
+    // compact, then grown by an attr-carrying append — must serve
+    // filtered probes identically to a store born with attrs and
+    // grown the same way
+    val born = tmp("st_bfborn")
+    LexIndex.writeBm25Index(half(lo = true), col("doc_id"), col("text"),
+      born, attrs = flagAttr)
+    LexIndex.appendBm25Index(half(lo = false), col("doc_id"),
+      col("text"), born, attrs = flagAttr)
+    val up = tmp("st_bfup")
+    LexIndex.writeBm25Index(half(lo = true), col("doc_id"), col("text"),
+      up) // no attrs — the legacy layout
+    LexIndex.compactBm25Index(spark, up,
+      backfillAttrs = Some(flagFrame(half(lo = true))))
+    LexIndex.appendBm25Index(half(lo = false), col("doc_id"),
+      col("text"), up, attrs = flagAttr)
+    assert(bmF(up) == bmF(born) && bmF(born).nonEmpty)
+    // --- lexical, batch-keyed: upgrade at compact, then an
+    // attr-carrying put REPLAYED (exactly-once) — still identical
+    val bk = tmp("st_bfbk")
+    LexIndex.writeBm25IndexBatchKeyed(half(lo = true), col("doc_id"),
+      col("text"), bk) // no attrs
+    LexIndex.compactBm25Index(spark, bk,
+      backfillAttrs = Some(flagFrame(half(lo = true))))
+    LexIndex.putBm25Batch(half(lo = false), col("doc_id"), col("text"),
+      bk, batchId = 1L, attrs = flagAttr)
+    LexIndex.putBm25Batch(half(lo = false), col("doc_id"), col("text"),
+      bk, batchId = 1L, attrs = flagAttr) // replay
+    assert(bmF(bk) == bmF(born))
+    // a duplicate-doc_id attr frame must be rejected loudly (it would
+    // multiply posting rows and corrupt the df recount)
+    val dup = intercept[IllegalArgumentException] {
+      LexIndex.compactBm25Index(spark, tmp("st_bfdup"),
+        backfillAttrs = Some(
+          flagFrame(half(lo = true)).unionAll(flagFrame(half(lo = true)))))
+    }
+    assert(dup.getMessage.contains("duplicate doc_id"))
+    // --- vector: IVF-PQ born-with vs backfilled-at-compact — the
+    // deterministic build makes the two stores' models identical, so
+    // the filtered probes must agree row-for-row
+    val e = Tables.load(spark, sf, "embeddings")
+    val attr = Seq(pmod(col("vec_id"), lit(4)).cast("int").as("lang"))
+    val queries = e.filter(col("vec_id") < 3)
+    def pqF(path: String) = AnnIndex.ivfPqKnnJoinIndexed(spark, path,
+        queries, col("vec_id"), col("embedding"), k = 5, nProbe = 4,
+        rerank = 50, attrFilter = Some(col("lang") === 1))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val vBorn = tmp("st_bfvb")
+    AnnIndex.writeIvfPqIndex(e, col("vec_id"), col("embedding"), vBorn,
+      nList = 4, numSub = 8, codebookSize = 8, refineIters = 0,
+      attrs = attr)
+    val vUp = tmp("st_bfvu")
+    AnnIndex.writeIvfPqIndex(e, col("vec_id"), col("embedding"), vUp,
+      nList = 4, numSub = 8, codebookSize = 8, refineIters = 0)
+    AnnIndex.compactAnnIndex(spark, vUp, backfillAttrs = Some(
+      e.select(col("vec_id"),
+        pmod(col("vec_id"), lit(4)).cast("int").as("lang"))))
+    assert(pqF(vUp) == pqF(vBorn) && pqF(vBorn).nonEmpty)
+    // the rerank vectors/ stays two-column after the upgrade
+    assert(spark.read.parquet(s"$vUp/vectors").columns.toSeq ==
+      Seq("vec_id", "v"))
+  }
+
+  test("filtered probes score with GLOBAL df on the legacy window layout too") {
+    import spark.implicits._
+    // the sidecar path broadcasts corpus-wide df; the legacy fallback
+    // must WINDOW-count the unfiltered pruned postings (filter applied
+    // above the df derivation) — the same filtered query must score
+    // identically on both layouts
+    val terms = Seq("the", "of", "and").toDF("term")
+    val path = tmp("st_gdf")
+    LexIndex.writeBm25Index(docs, col("doc_id"), col("text"), path,
+      attrs = Seq(pmod(col("doc_id"), lit(2)).cast("int").as("flag")))
+    def probeF() = LexIndex.bm25TopKIndexed(spark, path, terms,
+        col("term"), k = 5, attrFilter = Some(col("flag") === 0))
+      .collect().toSeq
+    def batchF() = LexIndex.bm25KnnJoinIndexed(spark, path,
+        Seq((1L, "the"), (1L, "of"), (2L, "and")).toDF("query_id", "term"),
+        col("query_id"), col("term"), k = 5,
+        attrFilter = Some(col("flag") === 0))
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val (sidecar, sidecarBatch) = (probeF(), batchF())
+    StoreFiles.delete(spark, s"$path/df") // → pre-sidecar legacy layout
+    assert(probeF() == sidecar && sidecar.nonEmpty)
+    assert(batchF() == sidecarBatch && sidecarBatch.nonEmpty)
   }
 
   test("legacy df-window fallback warns once per store, sidecar stores never") {
