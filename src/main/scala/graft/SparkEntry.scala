@@ -207,6 +207,8 @@ object SparkEntry {
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
+    "qm04_image_ahash" -> (PipelineQueries.imageAHash _),
+    "qm05_image_neardup" -> (PipelineQueries.imageNearDup _),
     "qe41_lsh_index_recall" -> (PipelineQueries.lshIndexRecall _),
     "qe42_quantized_batch_recall" -> (PipelineQueries.quantizedBatchRecall _),
     "qe43_binary_batch_recall" -> (PipelineQueries.binaryBatchRecall _),
@@ -1961,6 +1963,23 @@ object SparkEntry {
     // qm03: frame-sampling plan (every 250th index below the decoded
     // frame count) as a generator over the decode output.
     "qm03_media_frame_sample" -> mediaFrameSampleOracleSql,
+    // qm04/qm05: pixel-level image content — the oracle re-derives
+    // every 8×8 BMP pixel, the integer mean-threshold aHash (split
+    // into two unsigned 32-bit halves so no engine's BIGINT
+    // arithmetic touches bit 63), and qm05's pairs by BRUTE Hamming
+    // over those hashes — the Spark side decodes REAL bytes through
+    // ImageIO and bands; wrong pixels, bits, or banding all surface
+    // as hash mismatches.
+    "qm04_image_ahash" -> (imageAHashCtes +
+      " SELECT media_id, ahash_lo, ahash_hi FROM hb ORDER BY media_id"),
+    "qm05_image_neardup" -> (imageAHashCtes + """
+       SELECT media_a, media_b, hamming FROM (
+         SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.ahash_lo, b.ahash_lo))
+             + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT)
+             AS hamming
+         FROM hb a JOIN hb b ON a.media_id < b.media_id) z
+       WHERE hamming <= 10 ORDER BY media_a, media_b"""),
     // qe41: recall@10 of the multi-query persisted-LSH probe (7 of 64
     // buckets per query) — the batch-serving shape for the bucketed
     // family, quality-measured like qe34/qe37.
@@ -2959,6 +2978,38 @@ object SparkEntry {
        SELECT media_id,
          CAST(unnest(range(0, n_frames, 250)) AS INTEGER) AS frame_idx
        FROM mt WHERE n_frames > 0 ORDER BY media_id, frame_idx"""
+
+  /** qm04/qm05: the pixel-aHash truth — every 8×8 BMP pixel re-derived
+    * by the [[graft.ops.Multimodal.grayAt]] arithmetic (base pattern
+    * from id/4, the id%4 residue inverting exactly 2k pixels via the
+    * bijective 7p mod 64 window), the 64-bit average hash as an exact
+    * integer threshold (v·64 > Σv, strict), packed into two unsigned
+    * 32-bit halves `hb(media_id, ahash_lo, ahash_hi)`. All
+    * intermediates are small non-negative integers — no float, no
+    * sign-bit, engine-exact. */
+  private lazy val imageAHashCtes: String =
+    """WITH ids AS (SELECT doc_id AS media_id FROM documents
+         WHERE doc_id < 2000),
+       px AS (SELECT media_id, r.p AS p,
+           (11 + (media_id // 4) * 31 + 13 * r.p * r.p
+             + (media_id // 4) * r.p) % 256 AS raw
+         FROM ids CROSS JOIN range(0, 64) r(p)),
+       gv AS (SELECT media_id, p,
+           CASE WHEN media_id % 4 > 0
+               AND (7 * p + media_id // 4 + media_id % 4) % 64
+                 < 2 * (media_id % 4)
+             THEN 255 - raw ELSE raw END AS v
+         FROM px),
+       gt AS (SELECT media_id, p, v,
+           sum(v) OVER (PARTITION BY media_id) AS tot FROM gv),
+       hb AS (SELECT media_id,
+           CAST(sum(CASE WHEN p < 32 AND v * 64 > tot
+             THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+             AS ahash_lo,
+           CAST(sum(CASE WHEN p >= 32 AND v * 64 > tot
+             THEN (CAST(1 AS BIGINT) << (p - 32)) ELSE 0 END) AS BIGINT)
+             AS ahash_hi
+         FROM gt GROUP BY 1)"""
 
   /** qe39: the IVF-PQ operating-point grid — recall@10 at
     * {8×16, 16×64 codes} × {rerank 25, 50, 100}, nProbe 8. Two

@@ -78,9 +78,90 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd 64-bit AVERAGE-HASH (aHash) over a decoded grayscale
+  * array — the perceptual image fingerprint: bit p is set iff pixel p
+  * is strictly brighter than the image mean. Computed in EXACT integer
+  * arithmetic (`v(p) * n > Σv` — no division, so the threshold is
+  * engine-portable and oracle-expressible), over `array<long>` gray
+  * values in row-major order, at most 64 of them (the classic 8×8
+  * aHash grid; more elements is a loud error, not a silent
+  * truncation). Two tight primitive loops inside whole-stage codegen —
+  * the per-row decode feeds straight into this without leaving the
+  * generated stage. Null input or any null element yields null (a
+  * failed decode surfaces as a null hash, never a fake fingerprint).
+  */
+case class AHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "ahash64"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n > 64) throw new IllegalArgumentException(
+      s"ahash64 takes at most 64 gray values, got $n")
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      tot += x.getLong(i)
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < n) {
+      if (x.getLong(i) * n > tot) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val tot = ctx.freshName("tot")
+      val h = ctx.freshName("h")
+      val bad = ctx.freshName("bad")
+      s"""
+        final int $n = $a.numElements();
+        if ($n > 64) {
+          throw new IllegalArgumentException(
+            "ahash64 takes at most 64 gray values, got " + $n);
+        }
+        long $tot = 0L;
+        boolean $bad = false;
+        for (int $i = 0; $i < $n && !$bad; $i++) {
+          if ($a.isNullAt($i)) { $bad = true; }
+          else { $tot += $a.getLong($i); }
+        }
+        if ($bad) {
+          ${ev.isNull} = true;
+        } else {
+          long $h = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.getLong($i) * $n > $tot) { $h |= (1L << $i); }
+          }
+          ${ev.value} = $h;
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two `array<double>` columns. */
   def vecDot(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Codegen'd 64-bit perceptual average-hash of an `array<long>` of
+    * grayscale values (≤ 64, row-major 8×8). */
+  def ahash64(grays: Column): Column =
+    GraftShims.column(AHash64(GraftShims.expression(grays)))
 }

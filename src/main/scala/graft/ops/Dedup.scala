@@ -247,10 +247,28 @@ object Dedup {
     * checkpointed so the aggregation runs once, not per self-join
     * side. */
   def simhashNearDup(docs: DataFrame, id: Column, text: Column,
+      maxHamming: Int): DataFrame =
+    hammingNearDup(simhashSignatures(docs, id, text), col("doc_id"),
+      col("sh"), maxHamming)
+
+  /** GENERIC 64-bit-signature Hamming near-dup — the pigeonhole-banded
+    * engine behind [[simhashNearDup]], factored over ANY (id,
+    * signature) frame so every 64-bit fingerprint family rides it:
+    * SimHash over tokens, perceptual image hashes (aHash — the
+    * multimodal analog of MinHash; see [[Multimodal]]), rolling-hash
+    * sketches. The banding is exact (recall 1.0 at the radius): pairs
+    * returned equal brute-force Hamming ≤ `maxHamming` pairs, with
+    * candidate volume cut by the compound block keys instead of an
+    * all-pairs join. (The [[AnnIndex]] binary family serves ranked
+    * top-k over 128-bit sign vectors; THIS is the set-shaped
+    * "all pairs within radius" operator, where banding — not a
+    * shortlist — is the scale mechanism.) Output: (doc_a, doc_b,
+    * hamming), doc_a < doc_b. */
+  def hammingNearDup(sigs0: DataFrame, id: Column, sig: Column,
       maxHamming: Int): DataFrame = {
     val c = (1 to 8).find(k => k * 64 / (maxHamming + k) >= 12).getOrElse(8)
     val numBlocks = maxHamming + c
-    val sigs = simhashSignatures(docs, id, text)
+    val sigs = sigs0.select(id.as("doc_id"), sig.as("sh"))
       .localCheckpoint(eager = false)
     // Contiguous bit ranges [i*64/numBlocks, (i+1)*64/numBlocks) — widths
     // differ by at most 1; a full-width mask needs -1L (1L<<64 overflows).

@@ -784,4 +784,107 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1,
           lit(everyN))).as("frame_idx"))
+
+  // ---- pixel-level image content: the perceptual-hash pipeline ----
+  //
+  // The container kinds above stop at header metadata; image NEAR-DUP
+  // (the multimodal analog of MinHash — a first-class need in any
+  // image-text corpus) needs pixel content. BMP is the one format here
+  // that stores pixels RAW (no compression), so a synthesized pixel
+  // BMP can be decoded by the REAL ImageIO path and cross-checked
+  // against pure integer arithmetic in an external SQL oracle — the
+  // qm01 discipline extended from headers to pixel data.
+
+  /** Grayscale value of pixel `p` (row-major over the 8×8 grid) of
+    * image `id` — plain integer arithmetic, re-derivable in SQL.
+    * Engineered so near-dups EXIST: each group of 4 consecutive ids
+    * shares a base pattern (`id / 4` drives every pixel), and the
+    * id's residue k = id % 4 inverts exactly 2k pixels (7p mod 64 is a
+    * bijection, so the `< 2k` window selects exactly 2k positions) —
+    * within a group, aHashes differ by a few bits; across groups they
+    * are effectively random. */
+  private[ops] def grayAt(id: Long, p: Int): Int = {
+    val base = id / 4
+    val k = id % 4
+    val raw = ((11L + base * 31L + 13L * p * p + base * p) % 256L).toInt
+    if (k > 0 && (7L * p + base + k) % 64L < 2 * k) 255 - raw else raw
+  }
+
+  /** A genuine 8×8 24-bit uncompressed BMP whose pixels are
+    * [[grayAt]], written grayscale (r = g = b): rows bottom-up, BGR
+    * byte order, 24-byte rows (8 px × 3 B — already 4-byte aligned, no
+    * padding), on the same header [[bmpBytes]] builds. ImageIO decodes
+    * it through its real BMP plugin, so a wrong row direction, channel
+    * order, or offset in EITHER the writer or the reader breaks the
+    * pixel oracle. */
+  def pixelBmpBytes(id: Long): Array[Byte] = {
+    val out = new Array[Byte](54 + 192)
+    System.arraycopy(bmpBytes(8, 8), 0, out, 0, 54)
+    var o = 54
+    var sr = 0
+    while (sr < 8) {
+      val y = 7 - sr // BMP stores the bottom row first
+      var x = 0
+      while (x < 8) {
+        val v = grayAt(id, y * 8 + x).toByte
+        out(o) = v; out(o + 1) = v; out(o + 2) = v
+        o += 3; x += 1
+      }
+      sr += 1
+    }
+    out
+  }
+
+  /** Synthesize (media_id, content) pixel-BMP rows from an id column —
+    * per-partition iterator batches, the [[synthMedia]] shape for the
+    * pixel pipeline. */
+  def synthImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, pixelBmpBytes(id))))
+      .toDF("media_id", "content")
+  }
+
+  /** Decode each payload's 8×8 grayscale grid through the REAL ImageIO
+    * path: (media_id, grays) with `grays` the 64 row-major values, or
+    * NULL when the payload fails to decode or is not 8×8 — the
+    * corrupt-row contract of [[decodeMeta]] applied to pixels (a dirty
+    * corpus surfaces null fingerprints, never fake ones). Runs
+    * per-partition; the gray array feeds the codegen'd
+    * [[graft.functions.VectorExpressions.ahash64]] without leaving the
+    * stage. */
+  def decodeGray8x8(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val grays: Array[Long] =
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              if (img == null || img.getWidth != 8 || img.getHeight != 8)
+                null
+              else {
+                val g = new Array[Long](64)
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    g(y * 8 + x) = (img.getRGB(x, y) & 0xff).toLong
+                    x += 1
+                  }
+                  y += 1
+                }
+                g
+              }
+            } catch { case scala.util.control.NonFatal(_) => null }
+          (id, grays)
+        }
+      }
+      .toDF("media_id", "grays")
+  }
 }

@@ -2604,4 +2604,52 @@ object PipelineQueries {
   def mediaFrameSample(s: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.frameSample(decodedMedia(s, dir), 250)
       .orderBy(col("media_id"), col("frame_idx"))
+
+  /** The perceptual-hash frame shared by qm04/qm05: one genuine 8×8
+    * pixel BMP per document id ([[graft.ops.Multimodal.pixelBmpBytes]]
+    * — raw uncompressed pixels, parameters pure integer arithmetic in
+    * the id), decoded back through the REAL ImageIO path
+    * ([[graft.ops.Multimodal.decodeGray8x8]]), fingerprinted by the
+    * codegen'd 64-bit average-hash
+    * ([[graft.functions.VectorExpressions.ahash64]]: bit p set iff
+    * pixel p is strictly brighter than the mean, exact integer
+    * threshold `v·64 > Σv`). The id bound keeps the ORACLE's
+    * brute-force pair verification quadratic-in-2000, not in the
+    * corpus; the Spark side's banding never goes all-pairs anyway. */
+  private def imageAHashFrame(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.decodeGray8x8(
+      graft.ops.Multimodal.synthImages(
+        t(s, dir, "documents").filter(col("doc_id") < 2000)
+          .select(col("doc_id")), "doc_id"), "media_id")
+      .select(col("media_id"),
+        graft.functions.VectorExpressions.ahash64(col("grays")).as("sh"))
+
+  /** qm04: the DECODED-pixel aHash per image, split into two unsigned
+    * 32-bit halves (exact BIGINTs in any engine — bit 63 of a packed
+    * long would overflow the oracle's integer arithmetic). The oracle
+    * re-derives every pixel, the mean threshold, and both halves from
+    * the same arithmetic — so a wrong pixel offset, row direction, or
+    * channel order in the BMP writer OR the ImageIO read breaks the
+    * hash match. */
+  def imageAHash(s: SparkSession, dir: String): DataFrame =
+    imageAHashFrame(s, dir)
+      .select(col("media_id"),
+        col("sh").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"),
+        shiftrightunsigned(col("sh"), 32).as("ahash_hi"))
+      .orderBy(col("media_id"))
+
+  /** qm05: IMAGE NEAR-DUP over the decoded-pixel aHashes — all pairs
+    * within Hamming radius 10 via the generalized-pigeonhole banded
+    * equi-join ([[graft.ops.Dedup.hammingNearDup]], the SimHash
+    * machinery over any 64-bit fingerprint): exact at the radius
+    * (recall 1.0), candidate volume cut by compound block keys, never
+    * an all-pairs join. The oracle verifies against brute-force
+    * Hamming over the same arithmetic-derived hashes — pinning decode,
+    * fingerprint, and banding end-to-end. */
+  def imageNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.hammingNearDup(imageAHashFrame(s, dir),
+        col("media_id"), col("sh"), maxHamming = 10)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
 }

@@ -1415,6 +1415,55 @@ class StoreSpec extends AnyFunSuite {
       .contains("flag"))
   }
 
+  test("pixel BMPs decode to their arithmetic grays; ahash + banded near-dup match brute force") {
+    import spark.implicits._
+    val ids = spark.range(0, 64).toDF("doc_id")
+    val grays = Multimodal.decodeGray8x8(
+      Multimodal.synthImages(ids, "doc_id"), "media_id")
+      .localCheckpoint(eager = false)
+    // the REAL ImageIO read of the synthesized raw-pixel BMP must
+    // reproduce the generating arithmetic pixel-for-pixel (row
+    // direction, channel order, offsets all cross-checked)
+    val got = grays.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toMap
+    (0L until 64L).foreach { id =>
+      assert(got(id) ==
+        (0 until 64).map(p => Multimodal.grayAt(id, p).toLong),
+        s"id $id")
+    }
+    // the codegen'd ahash64 == an independent scalar re-derivation
+    val sh = grays.select(col("media_id"),
+      graft.functions.VectorExpressions.ahash64(col("grays")).as("sh"))
+    val gotH = sh.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def refHash(g: Seq[Long]): Long = {
+      val tot = g.sum
+      g.zipWithIndex.foldLeft(0L) { case (h, (v, p)) =>
+        if (v * g.length > tot) h | (1L << p) else h
+      }
+    }
+    got.foreach { case (id, g) => assert(gotH(id) == refHash(g)) }
+    // banded near-dup == brute-force Hamming at the radius (the
+    // pigeonhole banding is exact, not approximate)
+    val gotPairs = Dedup.hammingNearDup(sh, col("media_id"), col("sh"),
+        maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2))).toSet
+    val hs = gotH.toSeq.sortBy(_._1)
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 10
+    } yield (a, b, d)).toSet
+    assert(gotPairs == brute && brute.nonEmpty)
+    // a payload that fails to decode surfaces a NULL fingerprint,
+    // never a fake one
+    val bad = Multimodal.decodeGray8x8(
+      Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "content"),
+      "media_id")
+    assert(bad.head().isNullAt(1))
+    assert(bad.select(graft.functions.VectorExpressions
+      .ahash64(col("grays"))).head().isNullAt(0))
+  }
+
   test("attr backfill at compact: a born-without-attrs store upgrades to filtered serving, through append + replay") {
     import spark.implicits._
     val terms = Seq("the", "of", "and").toDF("term")
