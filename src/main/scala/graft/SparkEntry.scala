@@ -204,6 +204,7 @@ object SparkEntry {
     "qe49_binary_filtered_recall" -> (PipelineQueries.binaryFilteredRecall _),
     "qe50_lsh_filtered_recall" -> (PipelineQueries.lshFilteredRecall _),
     "qe51_hybrid_rrf_filtered" -> (PipelineQueries.hybridRrfPqFiltered _),
+    "qe52_lsh_multitable_grid" -> (PipelineQueries.lshMultiTableGrid _),
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
@@ -1951,6 +1952,12 @@ object SparkEntry {
     "qe51_hybrid_rrf_filtered" -> hybridRrfPqOracleSqlWith(
       lexWhere = "WHERE doc_id % 2 = 0",
       vecWhere = "WHERE c.vec_id % 2 = 0"),
+    // qe52: the multi-table LSH grid — 24 literal planes re-derive
+    // every (vector, table) bucket and every query's per-table probe
+    // set; candidates are DISTINCT (level, query, vec) over the union
+    // of probed tables, per-(level, query) top-10 by exact cosine,
+    // then the standard recall row per level.
+    "qe52_lsh_multitable_grid" -> lshMultiTableGridOracleSql,
     // qm01: multimodal decode — Spark synthesizes REAL container bytes
     // per doc id and decodes them with the real parsers; the oracle
     // re-derives every field from the same integer arithmetic, so the
@@ -2656,6 +2663,72 @@ object SparkEntry {
            AS recall
        FROM nb LEFT JOIN hits h ON h.f = nb.f
        ORDER BY probe_flips"""
+  }
+
+  /** qe52: the multi-table LSH grid — [[lshOperatingGridOracleSql]]
+    * generalized over 4 independent 6-plane tables (24 literal plane
+    * rows keyed (t, p)): per-(vector, table) buckets, per-(query,
+    * table) probe sets at flips ≤ 1, levels L ∈ {1, 2, 4} probing
+    * tables t < L, candidates DISTINCT over the table union (a vector
+    * reachable through several tables scores once — the probe's
+    * distinct), per-(level, query) top-10 by exact cosine, the
+    * standard recall row per level; `n_buckets` counts the stored
+    * (t, bucket) partitions the level's probe union touches. */
+  private lazy val lshMultiTableGridOracleSql: String = {
+    val all = graft.ops.Similarity.planeVectors(24, 64)
+    val rows = all.zipWithIndex.map { case (row, i) =>
+      s"(${i / 6}, ${i % 6}, [${row.mkString(",")}])"
+    }.mkString(",")
+    val flips = (0 to 6).map(i => s"(${if (i == 0) 0L else 1L << (i - 1)})")
+      .mkString(",")
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       $evalTruthCtes,
+       pl(t, p, pv) AS (VALUES $rows),
+       d AS (SELECT e.vec_id, pl.t, pl.p,
+           list_dot_product(e.v, pl.pv) AS dp
+         FROM e, pl),
+       b AS (SELECT vec_id, t,
+           CAST(sum(CASE WHEN dp >= 0 THEN 1<<p ELSE 0 END) AS BIGINT)
+           AS bucket FROM d GROUP BY 1, 2),
+       fm(m) AS (VALUES $flips),
+       lv(l) AS (VALUES (1), (2), (4)),
+       qprobe AS (SELECT DISTINCT lv.l, q.query_id, bq.t,
+           xor(bq.bucket, fm.m) AS pb
+         FROM q JOIN b bq ON bq.vec_id = q.query_id, fm, lv
+         WHERE bq.t < lv.l),
+       nb AS (SELECT u.l, count(*) AS n_buckets
+         FROM (SELECT DISTINCT l, t, pb FROM qprobe) u
+         JOIN (SELECT DISTINCT t, bucket FROM b) sb
+           ON sb.t = u.t AND sb.bucket = u.pb
+         GROUP BY 1),
+       cand AS (SELECT DISTINCT p.l, p.query_id, bv.vec_id
+         FROM b bv JOIN qprobe p ON bv.t = p.t AND bv.bucket = p.pb),
+       sc AS (SELECT c.l, c.query_id, c.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM cand c JOIN e ON e.vec_id = c.vec_id
+         JOIN q q2 ON q2.query_id = c.query_id),
+       approx AS (SELECT l, query_id, vec_id FROM (SELECT l, query_id,
+           vec_id, row_number() OVER (PARTITION BY l, query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM sc) ar
+         WHERE rk <= 10),
+       hits AS (SELECT a.l, count(*) AS n_hit
+         FROM approx a JOIN truth USING (query_id, vec_id) GROUP BY 1)
+       SELECT CAST(nb.l AS BIGINT) AS n_tables,
+         CAST(nb.n_buckets AS BIGINT) AS n_buckets,
+         CAST(10 AS BIGINT) AS k,
+         CAST((SELECT count(DISTINCT query_id) FROM truth) AS BIGINT)
+           AS n_queries,
+         CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         round(coalesce(h.n_hit, 0) * 1.0 /
+           ((SELECT count(DISTINCT query_id) FROM truth) * 10), 4)
+           AS recall
+       FROM nb LEFT JOIN hits h ON h.l = nb.l
+       ORDER BY n_tables"""
   }
 
   /** The [[evalTruthCtes]] `q`/`truth` pair with the truth restricted

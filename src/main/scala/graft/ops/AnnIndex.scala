@@ -350,6 +350,139 @@ object AnnIndex {
         col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
   }
 
+  /** Build + persist a MULTI-TABLE LSH index: `numTables` INDEPENDENT
+    * plane sets — table t uses planes [t·P, (t+1)·P) of the same
+    * deterministic splitmix generator, so the whole geometry
+    * re-derives from (num_planes, dim, num_tables); nothing trained,
+    * nothing sampled — and every vector is stored once PER TABLE under
+    * the combined partition key `bucket = t·2^P + bucket_t(v)`. The
+    * standard public fix for single-table LSH's recall ceiling
+    * (qe46's grid tops out at 0.54): a true neighbor is missed only
+    * when it hashes away from the query in EVERY table, so recall
+    * rises roughly as 1 − (1 − r)^L at storage ×L and probe IO ×L —
+    * while preserving the family's niche: NO training step, and
+    * appends land in exactly the buckets a whole-corpus rebuild would
+    * assign (streaming-appendable). One corpus scan builds all tables
+    * (the L per-table keys explode from each row); probes prune to the
+    * probed (table, bucket) partitions exactly like the single-table
+    * family. `attrs` ride every stored row — the filtered-serving
+    * layout. */
+  def writeLshMultiIndex(corpus: DataFrame, id: Column, vec: Column,
+      path: String, numPlanes: Int, numTables: Int,
+      attrs: Seq[Column] = Nil): Unit = {
+    require(numPlanes >= 1 && numPlanes < 62 && numTables >= 1 &&
+      numTables.toLong <= (Long.MaxValue >> numPlanes),
+      s"combined (table, bucket) key must fit a long: " +
+        s"numPlanes=$numPlanes numTables=$numTables")
+    val dim = corpus.select(size(vec)).head().getInt(0)
+    val all = Similarity.planeVectors(numPlanes * numTables, dim)
+    val rows = corpus.select(
+      id.as("vec_id") +: Similarity.l2Normalize(vec).as("v") +: attrs: _*)
+    val bucketCols = (0 until numTables).map { t =>
+      Similarity.lshBucket(col("v"),
+        all.slice(t * numPlanes, (t + 1) * numPlanes)) +
+        lit(t.toLong << numPlanes)
+    }
+    rows.withColumn("bucket", explode(array(bucketCols: _*)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/index")
+    corpus.sparkSession
+      .createDataFrame(Seq((numPlanes, dim, numTables)))
+      .toDF("num_planes", "dim", "num_tables")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append a batch to a multi-table LSH index: the stored meta
+    * re-derives the SAME L plane sets, so appended rows land in
+    * exactly the (table, bucket) partitions a whole-corpus rebuild
+    * would assign — probes over the appended index are byte-identical
+    * to a fresh build (spec-pinned; the [[appendLshIndex]] contract,
+    * which is the whole point of the untrained family). `attrs` must
+    * match the build's. `maxFilesPerDir` as on [[appendLshIndex]]. */
+  def appendLshMultiIndex(batch: DataFrame, id: Column, vec: Column,
+      path: String, attrs: Seq[Column] = Nil,
+      maxFilesPerDir: Int = 0): Unit = {
+    val meta = batch.sparkSession.read.parquet(s"$path/meta").head()
+    val (numPlanes, dim, numTables) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val all = Similarity.planeVectors(numPlanes * numTables, dim)
+    val rows0 = batch.select(
+      id.as("vec_id") +: Similarity.l2Normalize(vec).as("v") +: attrs: _*)
+    val bucketCols = (0 until numTables).map { t =>
+      Similarity.lshBucket(col("v"),
+        all.slice(t * numPlanes, (t + 1) * numPlanes)) +
+        lit(t.toLong << numPlanes)
+    }
+    val rows = rows0.withColumn("bucket", explode(array(bucketCols: _*)))
+      .localCheckpoint(eager = false)
+    rows.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/index")
+    maybeCompactFiles(batch.sparkSession, path, maxFilesPerDir,
+      touchedPartDirs(rows, "index", "bucket"))
+  }
+
+  /** Multi-query top-k against a multi-table LSH index — the
+    * [[lshKnnJoinIndexed]] shape with a second IO axis: each query
+    * probes its bucket (+ `probeFlips` neighbors) in the first
+    * `tables` stored tables (0 = all), the probed (table, bucket)
+    * union is ONE static partition filter, and a vector reachable
+    * through several tables scores ONCE (the candidate set is
+    * DISTINCT (query, vec, cos) — map-side combined — before the
+    * bounded per-query `topk_agg`). Probing fewer tables than stored
+    * just prunes to fewer partitions — one artifact serves the whole
+    * recall-vs-IO grid (qe52). Batch ceiling-guarded like every
+    * sibling probe. Output: (query_id, vec_id, cos, rank). */
+  def lshMultiKnnJoinIndexed(spark: SparkSession, path: String,
+      queries: DataFrame, qid: Column, qvec: Column, k: Int,
+      probeFlips: Int = 1, tables: Int = 0,
+      attrFilter: Option[Column] = None): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (numPlanes, dim, numTables) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val useT = if (tables <= 0) numTables else math.min(tables, numTables)
+    val all = Similarity.planeVectors(numPlanes * numTables, dim)
+    val qRows = collectQueryBatch(
+        queries.select(qid.cast("long").as("query_id"),
+          Similarity.l2Normalize(qvec).as("qv")), perQuery = k)
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    if (qRows.isEmpty)
+      return spark.read.parquet(s"$path/index")
+        .select(lit(0L).as("query_id"), col("vec_id"),
+          lit(0.0d).as("cos"), lit(0L).as("rank")).limit(0)
+    val masks = flipMasks(numPlanes, probeFlips)
+    val pairRows = qRows.map { case (q, qv) =>
+      (q, (0 until useT).flatMap { t =>
+        val planes = all.slice(t * numPlanes, (t + 1) * numPlanes)
+        val qb = planes.zipWithIndex.foldLeft(0L) {
+          case (acc, (pl, p)) =>
+            if (dotLocal(pl, qv) >= 0) acc | (1L << p) else acc
+        }
+        masks.map(m => (t.toLong << numPlanes) + (m ^ qb))
+      })
+    }
+    val probedBuckets = pairRows.flatMap(_._2).distinct.toIndexedSeq
+    import spark.implicits._
+    val pairs = pairRows.toSeq
+      .flatMap { case (q, bs) => bs.map(b => (q, b)) }
+      .toDF("query_id", "bucket")
+    val qvDf = qRows.toSeq.toDF("query_id", "qv")
+    val index = dropTombstoned(spark, path,
+      attrFilter.foldLeft(spark.read.parquet(s"$path/index"))(_.filter(_))
+        .filter(col("bucket").isin(probedBuckets: _*)))
+    index.join(broadcast(pairs), Seq("bucket"))
+      .join(broadcast(qvDf), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.dot(col("v"), col("qv")), 4).as("cos"))
+      .distinct() // reached via several tables ⇒ still scores once
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("query_id"), col("p.id").as("vec_id"),
+        col("p.score").as("cos"), (col("r") + 1).cast("long").as("rank"))
+  }
+
   /** The partition-pruned candidate scan behind [[queryLshIndex]]:
     * (vec_id, cos) over only the probed buckets, or None for an empty
     * query. Exposed so the pruning is testable (the top-k stage

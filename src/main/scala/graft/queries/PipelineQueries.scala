@@ -2579,6 +2579,74 @@ object PipelineQueries {
         probeFlips = 1, attrFilter = Some(col("lang") === 1)))
   }
 
+  /** Session memo of the MULTI-TABLE LSH index probed by qe52: four
+    * independent 6-plane tables over the eval corpus (storage ×4, the
+    * multi-table trade), built once on first touch — build priced
+    * inside the grid query, the qe41 discipline. */
+  private val lshMultiIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lshMultiIndexPath(s: SparkSession, dir: String): String =
+    lshMultiIndexPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_lshmulti").toString
+      graft.ops.AnnIndex.writeLshMultiIndex(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), path, numPlanes = 6,
+        numTables = 4)
+      path
+    })
+
+  /** qe52: the MULTI-TABLE LSH grid — recall@10 and (table, bucket)
+    * partitions touched at L ∈ {1, 2, 4} tables, probeFlips 1
+    * throughout (qe41's operating point). The second axis qe46's grid
+    * asked for: single-table LSH tops out at 0.54 unfiltered
+    * (22/64 partitions at flips 2); independent tables raise recall
+    * as 1 − (1 − r)^L at probe IO ×L WITHOUT training — so the
+    * untrained family's niche (streaming-appendable) finally has a
+    * recall knob that scales, measured against the same truth as
+    * every ladder row. ONE stored artifact serves all three levels:
+    * probing fewer tables is just a tighter partition filter
+    * ([[graft.ops.AnnIndex.lshMultiKnnJoinIndexed]] `tables`). */
+  def lshMultiTableGrid(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val path = lshMultiIndexPath(s, dir)
+    val truth = evalTruth(e).localCheckpoint(eager = false)
+    // driver-side probe geometry (the lshMultiKnnJoinIndexed
+    // derivation): 4 × 6 splitmix planes, per-(query, table) buckets,
+    // flip-mask unions — all bounded by the serving batch
+    val all = graft.ops.Similarity.planeVectors(24, 64)
+    val qvs = evalQueries(e)
+      .select(graft.ops.Similarity.l2Normalize(col("embedding")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val masks = (0L +: (0 until 6).map(p => 1L << p)).toIndexedSeq
+    val stored = s.read.parquet(s"$path/index")
+      .select(col("bucket").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val levels = Seq(1, 2, 4).map { l =>
+      val probed = qvs.flatMap { qv =>
+        (0 until l).flatMap { t =>
+          val planes = all.slice(t * 6, (t + 1) * 6)
+          val qb = planes.zipWithIndex.foldLeft(0L) {
+            case (acc, (pl, p)) =>
+              var s0 = 0.0; var i = 0
+              while (i < pl.length && i < qv.length) {
+                s0 += pl(i) * qv(i); i += 1 }
+              if (s0 >= 0) acc | (1L << p) else acc
+          }
+          masks.map(m => (t.toLong << 6) + (m ^ qb))
+        }
+      }.distinct.count(stored.contains)
+      recallRow(truth,
+        graft.ops.AnnIndex.lshMultiKnnJoinIndexed(s, path,
+          evalQueries(e), col("vec_id"), col("embedding"), k = 10,
+          probeFlips = 1, tables = l))
+        .select(lit(l.toLong).as("n_tables"),
+          lit(probed.toLong).as("n_buckets"), col("k"),
+          col("n_queries"), col("n_hit"), col("recall"))
+    }
+    levels.reduce(_ unionByName _).orderBy(col("n_tables"))
+  }
+
   private def decodedMedia(s: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.decodeMeta(
       graft.ops.Multimodal.synthMedia(

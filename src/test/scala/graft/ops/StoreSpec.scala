@@ -1415,6 +1415,46 @@ class StoreSpec extends AnyFunSuite {
       .contains("flag"))
   }
 
+  test("multi-table LSH: L=1 == single-table; append == fresh build; all-bucket probe == brute truth") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val queries = e.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mPath = tmp("st_mlsh")
+    AnnIndex.writeLshMultiIndex(e, col("vec_id"), col("embedding"),
+      mPath, numPlanes = 6, numTables = 3)
+    // table 0 uses planes [0, 6) of the same generator the
+    // single-table build uses — so probing ONE table of the
+    // multi-table store must equal the single-table probe exactly
+    val sPath = tmp("st_slsh")
+    AnnIndex.writeLshIndex(e, col("vec_id"), col("embedding"), sPath,
+      numPlanes = 6)
+    assert(rows(AnnIndex.lshMultiKnnJoinIndexed(spark, mPath, queries,
+        col("vec_id"), col("embedding"), k = 5, probeFlips = 1,
+        tables = 1)) ==
+      rows(AnnIndex.lshKnnJoinIndexed(spark, sPath, queries,
+        col("vec_id"), col("embedding"), k = 5, probeFlips = 1)))
+    // probing every bucket of every table reaches the whole corpus
+    // exactly once (the distinct) — must equal brute-force truth
+    val brute = rows(Similarity.knnJoin(e, col("vec_id"),
+      col("embedding"), queries, col("vec_id"), col("embedding"), k = 5))
+    assert(rows(AnnIndex.lshMultiKnnJoinIndexed(spark, mPath, queries,
+      col("vec_id"), col("embedding"), k = 5, probeFlips = 6)) == brute)
+    // appends land in the buckets a rebuild would assign: build on an
+    // id split + append the rest == the one-shot build, row-for-row
+    val aPath = tmp("st_mlsha")
+    AnnIndex.writeLshMultiIndex(e.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), aPath, numPlanes = 6,
+      numTables = 3)
+    AnnIndex.appendLshMultiIndex(e.filter(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"), aPath)
+    def probe(p: String) = rows(AnnIndex.lshMultiKnnJoinIndexed(spark,
+      p, queries, col("vec_id"), col("embedding"), k = 5,
+      probeFlips = 1))
+    assert(probe(aPath) == probe(mPath) && probe(mPath).nonEmpty)
+  }
+
   test("pixel BMPs decode to their arithmetic grays; ahash + banded near-dup match brute force") {
     import spark.implicits._
     val ids = spark.range(0, 64).toDF("doc_id")
