@@ -211,13 +211,21 @@ object Similarity {
     * the corpus is never revisited (rerankers always run on the
     * retrieved page, not the corpus). Every cosine and every combined
     * score rounds to 4 decimals with vec_id tiebreaks, so the greedy
-    * trajectory is engine-exact and fully oracle-checkable. */
+    * trajectory is engine-exact and fully oracle-checkable.
+    *
+    * `attrFilter` restricts the CANDIDATE corpus before the relevance
+    * pool is drawn (the predicate pushes into the one corpus scan, the
+    * index families' attrFilter contract): filtered MMR == MMR over
+    * the allowed subset (spec-pinned) — post-filtering a diversified
+    * page would both under-fill it and mis-rank it, since the greedy
+    * trajectory of the full pool differs from the allowed pool's. */
   def mmrTopK(corpus: DataFrame, id: Column, vec: Column,
       query: DataFrame, k: Int, poolSize: Int,
-      lambda: Double): DataFrame = {
+      lambda: Double, attrFilter: Option[Column] = None): DataFrame = {
     require(k >= 1 && poolSize >= k && lambda > 0 && lambda <= 1)
-    val vecs = corpus.select(id.as("_vid"), l2Normalize(vec).as("v2"))
-    val pool = cosineScores(corpus, id, vec, query)
+    val base = attrFilter.foldLeft(corpus)(_.filter(_))
+    val vecs = base.select(id.as("_vid"), l2Normalize(vec).as("v2"))
+    val pool = cosineScores(base, id, vec, query)
       .orderBy(col("cos").desc, col("vec_id")).limit(poolSize)
       .join(vecs, col("vec_id") === col("_vid")).drop("_vid")
       .localCheckpoint() // poolSize rows; greedy steps re-scan this only

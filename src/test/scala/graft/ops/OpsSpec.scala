@@ -2367,6 +2367,26 @@ class OpsSpec extends AnyFunSuite {
     assert(suspects == batchSuspects)
   }
 
+  test("filtered MMR == MMR over the allowed subset (never a post-filter of the diversified page)") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") === 0)
+      .select(Similarity.l2Normalize(col("embedding")).as("qv"))
+    val allowed = pmod(col("vec_id"), lit(4)) === 1
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val got = rows(Similarity.mmrTopK(e, col("vec_id"),
+      col("embedding"), q, k = 5, poolSize = 20, lambda = 0.5,
+      attrFilter = Some(allowed)))
+    val want = rows(Similarity.mmrTopK(e.filter(allowed), col("vec_id"),
+      col("embedding"), q, k = 5, poolSize = 20, lambda = 0.5))
+    assert(got == want && got.nonEmpty)
+    // and it is genuinely a different page than post-filtering the
+    // unfiltered trajectory would give (the greedy path diverges)
+    val unfiltered = rows(Similarity.mmrTopK(e, col("vec_id"),
+      col("embedding"), q, k = 5, poolSize = 20, lambda = 0.5))
+    assert(got.map(_._1) != unfiltered.map(_._1))
+  }
+
   test("mmr top-k: diversity demotes the near-duplicate, trajectory matches local greedy") {
     import spark.implicits._
     // q = (1,0); a b are near-copies along q, c is diverse
