@@ -193,7 +193,9 @@ object SparkEntry {
     "qe37_ivfpq_recall" -> (PipelineQueries.ivfPqRecall _),
     "qd84_phrase_search" -> (PipelineQueries.phraseSearch _),
     "qd85_bm25_batch_topk" -> (PipelineQueries.bm25BatchTopDocs _),
-    "qe38_hybrid_rrf_batch" -> (PipelineQueries.hybridRrfJoin _),
+    "qe38_hybrid_rrf_batch" ->
+      ((s: org.apache.spark.sql.SparkSession, d: String) =>
+        PipelineQueries.hybridRrfJoin(s, d)),
     "qe39_ivfpq_grid" -> (PipelineQueries.ivfPqOperatingGrid _),
     "qd86_phrase_batch" -> (PipelineQueries.phraseBatchSearch _),
     "qe40_hybrid_rrf_pq" -> (PipelineQueries.hybridRrfPqJoin _),

@@ -369,7 +369,7 @@ object AnnIndex {
     * layout. */
   def writeLshMultiIndex(corpus: DataFrame, id: Column, vec: Column,
       path: String, numPlanes: Int, numTables: Int,
-      attrs: Seq[Column] = Nil): Unit = {
+      attrs: Seq[Column] = Nil, batchKeyed: Boolean = false): Unit = {
     require(numPlanes >= 1 && numPlanes < 62 && numTables >= 1 &&
       numTables.toLong <= (Long.MaxValue >> numPlanes),
       s"combined (table, bucket) key must fit a long: " +
@@ -383,14 +383,51 @@ object AnnIndex {
         all.slice(t * numPlanes, (t + 1) * numPlanes)) +
         lit(t.toLong << numPlanes)
     }
-    rows.withColumn("bucket", explode(array(bucketCols: _*)))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
+    val keyed = rows.withColumn("bucket", explode(array(bucketCols: _*)))
+    // batchKeyed: base build under batch_id = −1, so streamed batches'
+    // dynamic overwrites ([[putLshMultiBatch]]) compose — the
+    // [[writeLshIndex]] batch-keyed contract on the combined key
+    val (out, pcols) =
+      if (batchKeyed) (keyed.withColumn("batch_id", lit(-1L)),
+        Seq("batch_id", "bucket"))
+      else (keyed, Seq("bucket"))
+    out.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy(pcols: _*)
       .parquet(s"$path/index")
     corpus.sparkSession
       .createDataFrame(Seq((numPlanes, dim, numTables)))
       .toDF("num_planes", "dim", "num_tables")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Idempotently (re)write one micro-batch of a BATCH-KEYED
+    * multi-table LSH index under its own (batch_id, bucket)
+    * partitions: the stored meta re-derives the same L plane sets
+    * (frozen by construction), so a replay reproduces its rows
+    * byte-for-byte and the dynamic partition overwrite makes the
+    * write EXACTLY-once under foreachBatch's at-least-once contract —
+    * [[putLshBatch]] on the combined key. Folds ride
+    * [[compactLshBatches]] unchanged (the layout is the same
+    * (batch_id, bucket) nesting). */
+  def putLshMultiBatch(batch: DataFrame, id: Column, vec: Column,
+      path: String, batchId: Long, attrs: Seq[Column] = Nil): Unit = {
+    val meta = batch.sparkSession.read.parquet(s"$path/meta").head()
+    val (numPlanes, dim, numTables) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val all = Similarity.planeVectors(numPlanes * numTables, dim)
+    val rows = batch.select(
+      id.as("vec_id") +: Similarity.l2Normalize(vec).as("v") +: attrs: _*)
+    val bucketCols = (0 until numTables).map { t =>
+      Similarity.lshBucket(col("v"),
+        all.slice(t * numPlanes, (t + 1) * numPlanes)) +
+        lit(t.toLong << numPlanes)
+    }
+    rows.withColumn("bucket", explode(array(bucketCols: _*)))
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("bucket"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "bucket").parquet(s"$path/index")
   }
 
   /** Append a batch to a multi-table LSH index: the stored meta

@@ -2077,16 +2077,24 @@ object PipelineQueries {
     * doc_id = vec_id. Both halves serve a WHOLE query batch from
     * persisted indexes in one probe each; the fusion is a tiny
     * (≤ 20 × 100-row) outer join — qe27's service shape, batched. */
-  def hybridRrfJoin(s: SparkSession, dir: String): DataFrame = {
+  /** Optional `lexAttrFilter`/`vecAttrFilter` compose filtered
+    * serving through this fusion too (each half's predicate rides its
+    * own pruned index scan — the [[hybridRrfPqFused]] contract for the
+    * trained-IVF vector half); the declared qe38 runs unfiltered. */
+  def hybridRrfJoin(s: SparkSession, dir: String,
+      lexAttrFilter: Option[org.apache.spark.sql.Column] = None,
+      vecAttrFilter: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val lex = graft.ops.LexIndex.bm25KnnJoinIndexed(s,
         bm25IndexPath(s, dir), lexQueryBatch(s, dir), col("query_id"),
-        col("term"), k = 50)
+        col("term"), k = 50, attrFilter = lexAttrFilter)
       .select(col("query_id"), col("doc_id").as("id"),
         col("rank").as("rank_lex"))
     val e = t(s, dir, "embeddings")
     val vec = graft.ops.AnnIndex.ivfKnnJoinIndexed(s,
         ivfTrainedIndexPath(s, dir), e.filter(col("vec_id") < 20),
-        col("vec_id"), col("embedding"), k = 50, nProbe = 4)
+        col("vec_id"), col("embedding"), k = 50, nProbe = 4,
+        attrFilter = vecAttrFilter)
       .select(col("query_id"), col("vec_id").as("id"),
         col("rank").as("rank_vec"))
     rrfFusePerQuery(lex, vec)

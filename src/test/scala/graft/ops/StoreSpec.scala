@@ -1453,6 +1453,21 @@ class StoreSpec extends AnyFunSuite {
       p, queries, col("vec_id"), col("embedding"), k = 5,
       probeFlips = 1))
     assert(probe(aPath) == probe(mPath) && probe(mPath).nonEmpty)
+    // batch-keyed lifecycle: base + put + REPLAY == the one-shot
+    // build; a committed fold keeps the layout and the results
+    val bkPath = tmp("st_mlshbk")
+    AnnIndex.writeLshMultiIndex(e.filter(col("vec_id") % 2 === 0),
+      col("vec_id"), col("embedding"), bkPath, numPlanes = 6,
+      numTables = 3, batchKeyed = true)
+    AnnIndex.putLshMultiBatch(e.filter(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"), bkPath, batchId = 0L)
+    AnnIndex.putLshMultiBatch(e.filter(col("vec_id") % 2 === 1),
+      col("vec_id"), col("embedding"), bkPath, batchId = 0L) // replay
+    assert(probe(bkPath) == probe(mPath))
+    AnnIndex.compactLshBatches(spark, bkPath, keepFrom = 1L)
+    assert(probe(bkPath) == probe(mPath))
+    assert(spark.read.parquet(s"$bkPath/index").columns
+      .contains("batch_id"))
   }
 
   test("pixel BMPs decode to their arithmetic grays; ahash + banded near-dup match brute force") {
