@@ -171,6 +171,8 @@ object SparkEntry {
     "qd75_bm25_index_build" -> (PipelineQueries.bm25IndexBuild _),
     "qd76_bm25_index_topk" -> (PipelineQueries.bm25IndexTopDocs _),
     "qd87_bm25_filtered_topk" -> (PipelineQueries.bm25FilteredTopDocs _),
+    "qd88_bm25_backfilled_topk" ->
+      (PipelineQueries.bm25UpgradedFilteredTopDocs _),
     "qd77_hist_quantiles" -> (PipelineQueries.histQuantileProfile _),
     "qd78_hist_merge" -> (PipelineQueries.histMergeQuantiles _),
     "qd79_hist_store" -> (PipelineQueries.histStoreQuantiles _),
@@ -207,6 +209,8 @@ object SparkEntry {
     "qe50_lsh_filtered_recall" -> (PipelineQueries.lshFilteredRecall _),
     "qe51_hybrid_rrf_filtered" -> (PipelineQueries.hybridRrfPqFiltered _),
     "qe52_lsh_multitable_grid" -> (PipelineQueries.lshMultiTableGrid _),
+    "qe53_lsh_multitable_filtered" ->
+      (PipelineQueries.lshMultiFilteredRecall _),
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
@@ -1880,6 +1884,13 @@ object SparkEntry {
     "qd87_bm25_filtered_topk" -> (bm25IndexedCtes + """
          SELECT doc_id, score_e4 FROM isc WHERE doc_id % 2 = 0
          ORDER BY score_e4 DESC, doc_id LIMIT 10"""),
+    // qd88: the SAME truth as qd87, served from a store that was
+    // built WITHOUT attributes and upgraded by the backfill-at-compact
+    // path — an upgraded store must be indistinguishable from a
+    // born-with-attrs one at the probe surface.
+    "qd88_bm25_backfilled_topk" -> (bm25IndexedCtes + """
+         SELECT doc_id, score_e4 FROM isc WHERE doc_id % 2 = 0
+         ORDER BY score_e4 DESC, doc_id LIMIT 10"""),
     // qd81: the appended index probes byte-identically to a fresh
     // whole-corpus build (same posting rows, associative stats sums),
     // so qd76's whole-corpus oracle applies verbatim.
@@ -1960,6 +1971,12 @@ object SparkEntry {
     // of probed tables, per-(level, query) top-10 by exact cosine,
     // then the standard recall row per level.
     "qe52_lsh_multitable_grid" -> lshMultiTableGridOracleSql,
+    // qe53: the multi-table probe at L=4 with candidates (and truth)
+    // restricted to vec_id % 4 = 1 — qe50's filtered measurement on
+    // the L axis: geometry unchanged, candidate pool filtered inside
+    // the probed (table, bucket) union, a vector reachable through
+    // several tables counted once.
+    "qe53_lsh_multitable_filtered" -> lshMultiFilteredRecallOracleSql,
     // qm01: multimodal decode — Spark synthesizes REAL container bytes
     // per doc id and decodes them with the real parsers; the oracle
     // re-derives every field from the same integer arithmetic, so the
@@ -2866,6 +2883,51 @@ object SparkEntry {
        approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
            row_number() OVER (PARTITION BY query_id
              ORDER BY cos DESC, vec_id) AS rk FROM cand) ar
+         WHERE rk <= 10)
+       $recallRowSelect"""
+  }
+
+  /** qe53: [[lshFilteredRecallOracleSql]] on the MULTI-TABLE geometry
+    * — 24 literal planes keyed (t, p), per-(vector, table) buckets,
+    * each query probing its bucket + the 6 one-bit flips in all 4
+    * tables, candidates DISTINCT over the table union and restricted
+    * to `vec_id % 4 = 1`, top-10 by exact cosine, recall vs the
+    * filtered truth. */
+  private lazy val lshMultiFilteredRecallOracleSql: String = {
+    val all = graft.ops.Similarity.planeVectors(24, 64)
+    val rows = all.zipWithIndex.map { case (row, i) =>
+      s"(${i / 6}, ${i % 6}, [${row.mkString(",")}])"
+    }.mkString(",")
+    val flips = (0 to 6).map(i => s"(${if (i == 0) 0L else 1L << (i - 1)})")
+      .mkString(",")
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       e AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw),
+       ${filteredEvalTruthCtes(4)},
+       pl(t, p, pv) AS (VALUES $rows),
+       d AS (SELECT e.vec_id, pl.t, pl.p,
+           list_dot_product(e.v, pl.pv) AS dp
+         FROM e, pl),
+       b AS (SELECT vec_id, t,
+           CAST(sum(CASE WHEN dp >= 0 THEN 1<<p ELSE 0 END) AS BIGINT)
+           AS bucket FROM d GROUP BY 1, 2),
+       qprobe AS (SELECT DISTINCT q.query_id, bq.t,
+           xor(bq.bucket, m.m) AS pb
+         FROM q JOIN b bq ON bq.vec_id = q.query_id,
+           (VALUES $flips) m(m)),
+       cand AS (SELECT DISTINCT p.query_id, bv.vec_id
+         FROM b bv JOIN qprobe p ON bv.t = p.t AND bv.bucket = p.pb
+         WHERE bv.vec_id % 4 = 1),
+       sc AS (SELECT c.query_id, c.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM cand c JOIN e ON e.vec_id = c.vec_id
+         JOIN q q2 ON q2.query_id = c.query_id),
+       approx AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM sc) ar
          WHERE rk <= 10)
        $recallRowSelect"""
   }

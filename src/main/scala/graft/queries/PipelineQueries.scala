@@ -1944,6 +1944,44 @@ object PipelineQueries {
       .orderBy(col("score_e4").desc, col("doc_id"))
   }
 
+  /** Session memo of the UPGRADED BM25 index probed by qd88: built
+    * WITHOUT attributes (the legacy filtered-serving-less layout),
+    * then backfilled at compaction ([[graft.ops.LexIndex
+    * .compactBm25Index]] `backfillAttrs` — the no-rebuild upgrade
+    * path). Probes must be row-identical to qd87's born-with-attrs
+    * store; both build + upgrade are priced inside qd88 on first
+    * touch. */
+  private val bm25UpgradedIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def bm25UpgradedIndexPath(s: SparkSession, dir: String): String =
+    bm25UpgradedIndexPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_bm25up").toString
+      val docs = t(s, dir, "documents")
+      graft.ops.LexIndex.writeBm25Index(docs, col("doc_id"),
+        col("text"), path) // born WITHOUT attrs
+      graft.ops.LexIndex.compactBm25Index(s, path,
+        backfillAttrs = Some(docs.select(col("doc_id"),
+          pmod(col("doc_id"), lit(2)).cast("int").as("flag"))))
+      path
+    })
+
+  /** qd88: the STORE-UPGRADE path, oracle-pinned — qd87's filtered
+    * probe served from a store that was built WITHOUT attributes and
+    * gained them at compaction (one doc-keyed join during the rewrite
+    * compaction already does — never a corpus rebuild, the only
+    * upgrade a 100 TB store can afford). The oracle is qd87's SQL
+    * verbatim: an upgraded store must be indistinguishable from a
+    * born-with-attrs one at the probe surface. */
+  def bm25UpgradedFilteredTopDocs(s: SparkSession, dir: String): DataFrame = {
+    val terms = s.createDataFrame(bm25QueryTerms.map(Tuple1(_))).toDF("term")
+    graft.ops.LexIndex.bm25TopKIndexed(s, bm25UpgradedIndexPath(s, dir),
+        terms, col("term"), k = 10,
+        attrFilter = Some(col("flag") === 0))
+      .orderBy(col("score_e4").desc, col("doc_id"))
+  }
+
   /** Session memo of the POSITIONAL index (postings + per-term token
     * positions, both term-prefix partitioned). A separate path from
     * the qd75 build so qd75/qd76's pricing is untouched. */
@@ -2653,6 +2691,41 @@ object PipelineQueries {
           col("n_queries"), col("n_hit"), col("recall"))
     }
     levels.reduce(_ unionByName _).orderBy(col("n_tables"))
+  }
+
+  /** Session memo of the ATTR-carrying multi-table LSH index probed by
+    * qe53 (`lang = vec_id % 4` on every stored row; 4 tables × 6
+    * planes — qe52's geometry). A separate artifact from qe52's so the
+    * unfiltered grid's pricing is untouched. */
+  private val lshMultiAttrIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lshMultiAttrIndexPath(s: SparkSession, dir: String): String =
+    lshMultiAttrIndexPaths.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lshmultiattr").toString
+      graft.ops.AnnIndex.writeLshMultiIndex(t(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), path, numPlanes = 6,
+        numTables = 4, attrs = langAttr)
+      path
+    })
+
+  /** qe53: FILTERED recall on the multi-table family — qe50's
+    * measurement (lang = 1, flips 1) at L = 4 tables: does the L axis
+    * lift the filtered floor the way it lifts the unfiltered one?
+    * qe50 measured the single-table filtered floor at 0.223 (bucket
+    * geometry ignores the attribute, so a shrunken candidate pool
+    * starves a fixed probe set); four independent tables multiply the
+    * chances a surviving true neighbor shares SOME probed bucket. The
+    * filter rides the same pruned (table, bucket) scan — the
+    * attrFilter contract unchanged under the combined key. */
+  def lshMultiFilteredRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    recallRow(filteredEvalTruth(e, 4),
+      graft.ops.AnnIndex.lshMultiKnnJoinIndexed(s,
+        lshMultiAttrIndexPath(s, dir), evalQueries(e), col("vec_id"),
+        col("embedding"), k = 10, probeFlips = 1,
+        attrFilter = Some(col("lang") === 1)))
   }
 
   private def decodedMedia(s: SparkSession, dir: String): DataFrame =
