@@ -216,6 +216,9 @@ object SparkEntry {
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
     "qm04_image_ahash" -> (PipelineQueries.imageAHash _),
     "qm05_image_neardup" -> (PipelineQueries.imageNearDup _),
+    "qm06_audio_fingerprint" -> (PipelineQueries.audioFingerprint _),
+    "qm07_audio_neardup" -> (PipelineQueries.audioNearDup _),
+    "qm08_image_fp_index" -> (PipelineQueries.imageFpAgainstIndex _),
     "qe41_lsh_index_recall" -> (PipelineQueries.lshIndexRecall _),
     "qe42_quantized_batch_recall" -> (PipelineQueries.quantizedBatchRecall _),
     "qe43_binary_batch_recall" -> (PipelineQueries.binaryBatchRecall _),
@@ -2006,6 +2009,38 @@ object SparkEntry {
              AS hamming
          FROM hb a JOIN hb b ON a.media_id < b.media_id) z
        WHERE hamming <= 10 ORDER BY media_a, media_b"""),
+    // qm06/qm07: sample-level audio content — the oracle re-derives
+    // every 16-bit PCM frame, the 64 window energies, and the
+    // circular difference-hash (split into two unsigned 32-bit
+    // halves); the Spark side writes REAL WAVs and decodes them back
+    // through javax.sound, so a wrong byte order, sign convention,
+    // header offset, or window split in either direction breaks the
+    // hash match. qm07's pairs by BRUTE Hamming over those hashes
+    // cross-check the banded near-dup join.
+    "qm06_audio_fingerprint" -> (audioFpCtes +
+      " SELECT media_id, fp_lo, fp_hi FROM fb ORDER BY media_id"),
+    "qm07_audio_neardup" -> (audioFpCtes + """
+       SELECT media_a, media_b, hamming FROM (
+         SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+             + bit_count(xor(a.fp_hi, b.fp_hi)) AS BIGINT)
+             AS hamming
+         FROM fb a JOIN fb b ON a.media_id < b.media_id) z
+       WHERE hamming <= 10 ORDER BY media_a, media_b"""),
+    // qm08: the incremental image near-dup against the PERSISTED
+    // fingerprint store — the oracle is brute-force odd-vs-even
+    // Hamming over the same arithmetic-derived hashes (the banded
+    // store probe is exact at the radius, so the sets must match
+    // row-for-row).
+    "qm08_image_fp_index" -> (imageAHashCtes + """
+       SELECT batch_media, index_media, hamming FROM (
+         SELECT a.media_id AS batch_media, b.media_id AS index_media,
+           CAST(bit_count(xor(a.ahash_lo, b.ahash_lo))
+             + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT)
+             AS hamming
+         FROM hb a JOIN hb b
+           ON a.media_id % 2 = 1 AND b.media_id % 2 = 0) z
+       WHERE hamming <= 10 ORDER BY batch_media, index_media"""),
     // qe41: recall@10 of the multi-query persisted-LSH probe (7 of 64
     // buckets per query) — the batch-serving shape for the bucketed
     // family, quality-measured like qe34/qe37.
@@ -3147,6 +3182,42 @@ object SparkEntry {
              THEN (CAST(1 AS BIGINT) << (p - 32)) ELSE 0 END) AS BIGINT)
              AS ahash_hi
          FROM gt GROUP BY 1)"""
+
+  /** qm06/qm07: the sample-dHash truth — every 16-bit PCM frame
+    * re-derived by the [[graft.ops.Multimodal.sampleAt]] arithmetic
+    * (base waveform from id/4, the id%4 residue tripling exactly k of
+    * the 64 windows via the bijective 5w mod 64 test), folded into 64
+    * per-window |sample| sums, and fingerprinted by the circular
+    * difference-hash (bit w set iff window (w+1) mod 64 is strictly
+    * louder), packed into two unsigned 32-bit halves
+    * `fb(media_id, fp_lo, fp_hi)`. All intermediates are small exact
+    * integers (|sample| ≤ 4500, energies < 2^22) — engine-exact. */
+  private lazy val audioFpCtes: String =
+    """WITH ids AS (SELECT doc_id AS media_id FROM documents
+         WHERE doc_id < 2000),
+       sm AS (SELECT media_id, r.t AS t,
+           (7 + (media_id // 4) * 37 + 11 * r.t * r.t
+             + (media_id // 4) * r.t) % 3001 - 1500 AS raw
+         FROM ids CROSS JOIN range(0, 512) r(t)),
+       sv AS (SELECT media_id, t,
+           CASE WHEN media_id % 4 > 0
+               AND (5 * (t // 8) + media_id // 4 + media_id % 4) % 64
+                 < media_id % 4
+             THEN raw * 3 ELSE raw END AS s
+         FROM sm),
+       we AS (SELECT media_id, t // 8 AS w, sum(abs(s)) AS e
+         FROM sv GROUP BY 1, 2),
+       wn AS (SELECT a.media_id, a.w, a.e AS e0, b.e AS e1
+         FROM we a JOIN we b ON b.media_id = a.media_id
+           AND b.w = (a.w + 1) % 64),
+       fb AS (SELECT media_id,
+           CAST(sum(CASE WHEN w < 32 AND e1 > e0
+             THEN (CAST(1 AS BIGINT) << w) ELSE 0 END) AS BIGINT)
+             AS fp_lo,
+           CAST(sum(CASE WHEN w >= 32 AND e1 > e0
+             THEN (CAST(1 AS BIGINT) << (w - 32)) ELSE 0 END) AS BIGINT)
+             AS fp_hi
+         FROM wn GROUP BY 1)"""
 
   /** qe39: the IVF-PQ operating-point grid — recall@10 at
     * {8×16, 16×64 codes} × {rerank 25, 50, 100}, nProbe 8. Two

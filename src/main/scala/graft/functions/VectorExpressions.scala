@@ -154,6 +154,83 @@ case class AHash64(child: Expression)
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Codegen'd 64-bit circular DIFFERENCE-HASH (dHash) over a decoded
+  * value array — the gradient fingerprint: bit i is set iff
+  * `v((i+1) mod n) > v(i)` (strict). Where [[AHash64]] compares every
+  * value against the GLOBAL mean — so perturbing a few values shifts
+  * the threshold and can flip bits anywhere near it — dHash compares
+  * only ADJACENT values: a locally-perturbed signal flips at most the
+  * two bits touching each perturbed position, which is what makes it
+  * the right fingerprint for near-dup pairing of signals whose total
+  * energy moves (audio window-energy profiles, video frame-brightness
+  * profiles; the image-gradient dHash of the pHash family is the same
+  * construction). The circular wrap yields n bits from n values
+  * instead of n−1, keeping the full 64-bit budget. Exact integer
+  * comparisons — engine-portable and oracle-expressible. At most 64
+  * elements (loud error beyond); null input or any null element
+  * yields null (a failed decode surfaces as a null fingerprint,
+  * never a fake one). */
+case class DHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "dhash64"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n > 64) throw new IllegalArgumentException(
+      s"dhash64 takes at most 64 values, got $n")
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < n) {
+      if (x.getLong((i + 1) % n) > x.getLong(i)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val bad = ctx.freshName("bad")
+      s"""
+        final int $n = $a.numElements();
+        if ($n > 64) {
+          throw new IllegalArgumentException(
+            "dhash64 takes at most 64 values, got " + $n);
+        }
+        boolean $bad = false;
+        for (int $i = 0; $i < $n && !$bad; $i++) {
+          if ($a.isNullAt($i)) { $bad = true; }
+        }
+        if ($bad) {
+          ${ev.isNull} = true;
+        } else {
+          long $h = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.getLong(($i + 1) % $n) > $a.getLong($i)) {
+              $h |= (1L << $i);
+            }
+          }
+          ${ev.value} = $h;
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two `array<double>` columns. */
   def vecDot(a: Column, b: Column): Column =
@@ -164,4 +241,10 @@ object VectorExpressions {
     * grayscale values (≤ 64, row-major 8×8). */
   def ahash64(grays: Column): Column =
     GraftShims.column(AHash64(GraftShims.expression(grays)))
+
+  /** Codegen'd 64-bit circular difference-hash of an `array<long>` of
+    * values (≤ 64): bit i set iff the next value (wrapping) is
+    * strictly larger. */
+  def dhash64(values: Column): Column =
+    GraftShims.column(DHash64(GraftShims.expression(values)))
 }

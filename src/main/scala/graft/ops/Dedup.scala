@@ -264,12 +264,16 @@ object Dedup {
     * "all pairs within radius" operator, where banding — not a
     * shortlist — is the scale mechanism.) Output: (doc_a, doc_b,
     * hamming), doc_a < doc_b. */
-  def hammingNearDup(sigs0: DataFrame, id: Column, sig: Column,
-      maxHamming: Int): DataFrame = {
+  /** The packed c-combination pigeonhole band keys of a 64-bit
+    * signature column at radius `maxHamming` — the banding engine
+    * shared by [[hammingNearDup]] and the persisted
+    * [[FingerprintIndex]], factored so a probe bands EXACTLY like the
+    * store it probes (a drifting banding would silently lose the
+    * recall-1.0 guarantee). Returns the array of packed keys; element
+    * i is combination i's block values packed into one long. */
+  private[ops] def hammingBandKeys(sig: Column, maxHamming: Int): Column = {
     val c = (1 to 8).find(k => k * 64 / (maxHamming + k) >= 12).getOrElse(8)
     val numBlocks = maxHamming + c
-    val sigs = sigs0.select(id.as("doc_id"), sig.as("sh"))
-      .localCheckpoint(eager = false)
     // Contiguous bit ranges [i*64/numBlocks, (i+1)*64/numBlocks) — widths
     // differ by at most 1; a full-width mask needs -1L (1L<<64 overflows).
     def blockWidth(i: Int): Int = (i + 1) * 64 / numBlocks - i * 64 / numBlocks
@@ -277,17 +281,24 @@ object Dedup {
       val start = i * 64 / numBlocks
       val width = blockWidth(i)
       val mask = if (width >= 64) -1L else (1L << width) - 1L
-      shiftrightunsigned(col("sh"), start).bitwiseAND(lit(mask))
+      shiftrightunsigned(sig, start).bitwiseAND(lit(mask))
     }
     // Pack each c-combination's block values into one long (sum of any c
     // block widths <= 64); combo index disambiguates which blocks matched.
-    val keys = (0 until numBlocks).combinations(c).toSeq.map { combo =>
+    array((0 until numBlocks).combinations(c).toSeq.map { combo =>
       combo.foldLeft(lit(0L)) { (acc, i) =>
         shiftleft(acc, blockWidth(i)).bitwiseOR(blockExpr(i))
       }
-    }
+    }: _*)
+  }
+
+  def hammingNearDup(sigs0: DataFrame, id: Column, sig: Column,
+      maxHamming: Int): DataFrame = {
+    val sigs = sigs0.select(id.as("doc_id"), sig.as("sh"))
+      .localCheckpoint(eager = false)
     val banded = sigs.select(col("doc_id"), col("sh"),
-      posexplode(array(keys: _*)).as(Seq("block_idx", "block_val")))
+      posexplode(hammingBandKeys(col("sh"), maxHamming))
+        .as(Seq("block_idx", "block_val")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.block_idx") === col("b.block_idx") &&

@@ -1,0 +1,287 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted 64-bit Hamming FINGERPRINT index — the incremental-arrival
+  * path for every 64-bit fingerprint family ([[Dedup.hammingNearDup]]'s
+  * set-shaped "all pairs within radius" made a store): perceptual image
+  * aHash, audio dHash ([[Multimodal]]), SimHash over tokens,
+  * rolling-hash sketches. The [[DedupIndex]] MinHash store plays this
+  * role for text shingles; THIS is its exact-at-the-radius twin for
+  * packed 64-bit signatures — a 100 TB media corpus pays ONE banding
+  * pass at build, and each arriving batch then finds its stored
+  * near-dup partners through a band equi-join whose only pair-sized
+  * work is the candidates a shared band key admits. Never a corpus
+  * rescan, never an all-pairs join, and recall is exactly 1.0 at the
+  * stored radius (the generalized-pigeonhole guarantee — spec-pinned
+  * against brute force).
+  *
+  * Layout under `path`:
+  *  - `sigs/` — (doc_id, sh, attrs…): the signature of record, for
+  *    audits, rebuilds, and radius re-derivation.
+  *  - `bands/` — one row per (doc, band key): (doc_id, sh, attrs…,
+  *    block_idx, block_val), partitioned by `bpfx` (band value mod
+  *    [[BandPfxBuckets]]) and sorted by (block_idx, block_val) within
+  *    each directory. A probe pushes its batch's literal bpfx set into
+  *    the partition column — a narrow batch (few docs, or a small
+  *    radius whose combination count is below the fan-out) reads only
+  *    its own directories — and the within-directory sort keeps
+  *    row-group stats selective for the join's matched keys.
+  *  - `meta/` — the radius, pinned at build: probes band with the
+  *    STORE's radius, so a caller can't accidentally band differently
+  *    from the rows it probes (the [[DedupIndex]] meta discipline).
+  *  - `tombstones/` — delete sidecar; probes anti-join it, so a
+  *    deleted doc stops surfacing as a partner immediately and
+  *    [[compact]] drops its rows physically later.
+  *
+  * Attribute columns follow the store-wide contract
+  * ([[LexIndex]]/[[AnnIndex]]): denormalized onto the banded rows at
+  * build/append so a filtered probe is the SAME pruned scan with one
+  * more pushed predicate — candidates restricted BEFORE verification,
+  * never a join back to the corpus.
+  */
+object FingerprintIndex {
+
+  /** Partition fan-out of `bands/`: 64 directories keeps the store
+    * flat-cap-friendly while giving narrow probes a real directory
+    * lever — at small radii (c = 1, e.g. 4 combinations at radius 3) a
+    * single-doc probe touches ≤ 4 of the 64 directories. At wide radii
+    * the combination count exceeds the fan-out and every directory
+    * holds candidates; there the scale mechanism is the equi-join
+    * itself (only band-matched rows survive to the pair stage), the
+    * same shape [[DedupIndex.nearDupAgainstIndex]] runs. */
+  val BandPfxBuckets = 64
+
+  private val Reserved =
+    Set("doc_id", "sh", "block_idx", "block_val", "bpfx")
+
+  private def checkAttrs(df: DataFrame): Unit = {
+    val dups = df.columns.groupBy(identity)
+      .collect { case (c, a) if a.length > 1 => c }
+    require(dups.isEmpty,
+      s"attr columns duplicate reserved names: ${dups.mkString(",")}")
+    val bad = df.columns.drop(2).filter(Reserved)
+    require(bad.isEmpty,
+      s"attr columns collide with reserved names: ${bad.mkString(",")}")
+  }
+
+  /** (doc_id, sh, attrs…) → one row per band key, carrying the
+    * signature and attrs so verification and filtering never need a
+    * second join. */
+  private def bandedOf(sigs: DataFrame, maxHamming: Int): DataFrame =
+    sigs.select(col("*"),
+        posexplode(Dedup.hammingBandKeys(col("sh"), maxHamming))
+          .as(Seq("block_idx", "block_val")))
+      .withColumn("bpfx",
+        pmod(col("block_val"), lit(BandPfxBuckets.toLong)).cast("int"))
+
+  /** Build + persist the fingerprint index: one signature scan feeds
+    * both tables. `maxHamming` is the radius the store serves —
+    * probing a looser radius than the store was built for would lose
+    * pairs, so the radius is meta-pinned and probes read it back.
+    *
+    * `batchKeyed = true` writes the base build under batch_id = −1
+    * (sigs partitioned by batch_id, bands by (batch_id, bpfx)) — the
+    * store-wide batch-keyed discipline, so the streaming ingest's
+    * per-batch dynamic overwrites ([[putHammingBatch]]) compose with
+    * the base. A store is either batch-keyed (this +
+    * [[putHammingBatch]]) or plain (default + [[appendHammingIndex]]);
+    * the layouts don't mix under one path. Probes are layout-agnostic:
+    * they name their columns explicitly and `bpfx` prunes partitions
+    * at either nesting depth. */
+  def writeHammingIndex(sigs0: DataFrame, id: Column, sig: Column,
+      path: String, maxHamming: Int, attrs: Seq[Column] = Nil,
+      batchKeyed: Boolean = false): Unit = {
+    require(maxHamming >= 0 && maxHamming <= 32,
+      s"need 0 <= maxHamming <= 32, got $maxHamming")
+    val sigs = sigs0
+      .select(id.cast("long").as("doc_id") +: sig.as("sh") +: attrs: _*)
+      .localCheckpoint(eager = false)
+    checkAttrs(sigs)
+    if (batchKeyed)
+      sigs.withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$path/sigs")
+    else sigs.write.mode("overwrite").parquet(s"$path/sigs")
+    val banded = bandedOf(sigs, maxHamming)
+      .repartition(col("bpfx"))
+      .sortWithinPartitions(col("block_idx"), col("block_val"))
+    if (batchKeyed)
+      banded.withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id", "bpfx")
+        .parquet(s"$path/bands")
+    else banded.write.mode("overwrite").partitionBy("bpfx")
+      .parquet(s"$path/bands")
+    sigs.sparkSession.createDataFrame(Seq(Tuple1(maxHamming)))
+      .toDF("max_hamming")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Ingest one micro-batch into a batch-keyed fingerprint store:
+    * every row lands under its batch's own partitions, so a foreachBatch
+    * replay overwrites exactly the partitions it wrote the first time —
+    * EXACTLY-once under the at-least-once contract, the
+    * [[SketchStore]] discipline. Banding radius comes from the store's
+    * meta; attrs must match the build's. */
+  def putHammingBatch(batch: DataFrame, id: Column, sig: Column,
+      path: String, batchId: Long, attrs: Seq[Column] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val maxHamming =
+      spark.read.parquet(s"$path/meta").head().getInt(0)
+    val sigs = batch
+      .select(id.cast("long").as("doc_id") +: sig.as("sh") +: attrs: _*)
+      .localCheckpoint(eager = false)
+    checkAttrs(sigs)
+    sigs.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$path/sigs")
+    bandedOf(sigs, maxHamming)
+      .withColumn("batch_id", lit(batchId))
+      .repartition(col("bpfx"))
+      .sortWithinPartitions(col("block_idx"), col("block_val"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "bpfx").parquet(s"$path/bands")
+  }
+
+  /** Fold a batch-keyed fingerprint store's COMMITTED batches
+    * (batch_id < keepFrom, including earlier folds at −1) into the
+    * base partition, collapsing per-batch small files; partitions ≥
+    * keepFrom are untouched, so a replay of the one in-flight batch
+    * still overwrites only its own partitions (the streaming-safe
+    * fold contract of the other families). Probe results unchanged. */
+  def compactHammingBatches(spark: SparkSession, path: String,
+      keepFrom: Long): Unit = {
+    def fold(dir: String, inner: Option[String]): Unit =
+      StoreFiles.replaceDir(spark, dir) { tmp =>
+        val all = spark.read.parquet(dir)
+        val out = all.filter(col("batch_id") < keepFrom).drop("batch_id")
+          .withColumn("batch_id", lit(-1L))
+          .unionByName(all.filter(col("batch_id") >= keepFrom))
+        inner match {
+          case Some(p) => out.repartition(col(p))
+            .sortWithinPartitions(col("block_idx"), col("block_val"))
+            .write.partitionBy("batch_id", p).parquet(tmp)
+          case None => out.repartition(
+              spark.sessionState.conf.numShufflePartitions)
+            .write.partitionBy("batch_id").parquet(tmp)
+        }
+      }
+    fold(s"$path/sigs", None)
+    fold(s"$path/bands", Some("bpfx"))
+  }
+
+  /** Append an accepted batch's signatures + banded rows (the
+    * incremental-growth twin of [[writeHammingIndex]]): the radius
+    * comes from the store's own meta sidecar, so an append can't band
+    * differently from the base build. Attr columns must match the
+    * store's (the store-wide consistency contract — backfill upgrades
+    * ride [[compact]]'s rewrite, as in the other families). */
+  def appendHammingIndex(batch: DataFrame, id: Column, sig: Column,
+      path: String, attrs: Seq[Column] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val maxHamming =
+      spark.read.parquet(s"$path/meta").head().getInt(0)
+    val sigs = batch
+      .select(id.cast("long").as("doc_id") +: sig.as("sh") +: attrs: _*)
+      .localCheckpoint(eager = false)
+    checkAttrs(sigs)
+    sigs.write.mode("append").parquet(s"$path/sigs")
+    bandedOf(sigs, maxHamming)
+      .repartition(col("bpfx"))
+      .sortWithinPartitions(col("block_idx"), col("block_val"))
+      .write.mode("append").partitionBy("bpfx").parquet(s"$path/bands")
+  }
+
+  /** Tombstone-delete documents: probes anti-join the sidecar, so a
+    * deleted doc immediately stops pairing with new arrivals —
+    * identical probe results to an index rebuilt without the docs.
+    * Rows stay on disk until [[compact]]. Idempotent. */
+  def deleteDocs(spark: SparkSession, path: String, ids: DataFrame,
+      id: Column): Unit =
+    ids.select(id.cast("long").as("doc_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def dropTombstoned(spark: SparkSession, path: String,
+      rows: DataFrame): DataFrame =
+    if (!StoreFiles.exists(spark, s"$path/tombstones")) rows
+    else rows.join(spark.read.parquet(s"$path/tombstones"),
+      Seq("doc_id"), "left_anti")
+
+  /** Compact: physically drop tombstoned rows from both tables,
+    * collapse the small files appends left per partition, clear the
+    * sidecar. Probe results unchanged; probe cost drops (no anti-join,
+    * fewer files per pruned directory). Writers quiesced during the
+    * rename swaps. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    StoreFiles.replaceDir(spark, s"$path/sigs") { tmp =>
+      val live =
+        dropTombstoned(spark, path, spark.read.parquet(s"$path/sigs"))
+      val out = live
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+      if (live.columns.contains("batch_id"))
+        out.write.partitionBy("batch_id").parquet(tmp)
+      else out.write.parquet(tmp)
+    }
+    StoreFiles.replaceDir(spark, s"$path/bands") { tmp =>
+      val live =
+        dropTombstoned(spark, path, spark.read.parquet(s"$path/bands"))
+      val out = live.repartition(col("bpfx"))
+        .sortWithinPartitions(col("block_idx"), col("block_val"))
+      if (live.columns.contains("batch_id"))
+        out.write.partitionBy("batch_id", "bpfx").parquet(tmp)
+      else out.write.partitionBy("bpfx").parquet(tmp)
+    }
+    StoreFiles.delete(spark, s"$path/tombstones")
+  }
+
+  /** All stored near-dup partners of a new batch, exact at the store's
+    * radius: (batch_doc, index_doc, hamming ≤ maxHamming). The batch
+    * bands with the STORE's meta-pinned radius; its distinct bpfx
+    * values (at most [[BandPfxBuckets]] — the collect is bounded by
+    * construction, not by the batch) prune the band scan's partition
+    * directories; the equi-join on (block_idx, block_val) admits only
+    * band-matched candidates, each already carrying both signatures,
+    * so verification is one codegen'd bit_count per candidate and the
+    * only pair-sized exchange is the final dedup of multi-band
+    * matches. `attrFilter` restricts the STORED side (pushed into the
+    * same pruned scan — "partners among lang=en docs" never rescans).
+    * A batch doc already present in the index pairs with itself at
+    * distance 0; callers probing arrivals before ingest (the
+    * [[DedupIndex.newOnly]] shape) never see that row. */
+  def hammingAgainstIndex(spark: SparkSession, batch: DataFrame,
+      id: Column, sig: Column, path: String,
+      attrFilter: Option[Column] = None): DataFrame = {
+    val maxHamming =
+      spark.read.parquet(s"$path/meta").head().getInt(0)
+    val b = batch.select(id.cast("long").as("batch_doc"),
+        sig.as("b_sh"))
+      .localCheckpoint(eager = false)
+    val bBands = b.select(col("batch_doc"), col("b_sh"),
+        posexplode(Dedup.hammingBandKeys(col("b_sh"), maxHamming))
+          .as(Seq("block_idx", "block_val")))
+      .withColumn("bpfx",
+        pmod(col("block_val"), lit(BandPfxBuckets.toLong)).cast("int"))
+    val pfxs = bBands.select(col("bpfx")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val stored = dropTombstoned(spark, path,
+      attrFilter.foldLeft(
+          spark.read.parquet(s"$path/bands")
+            .filter(col("bpfx").isin(pfxs: _*)))(_.filter(_)))
+    stored.as("i")
+      .join(bBands.as("b"),
+        col("i.block_idx") === col("b.block_idx") &&
+          col("i.block_val") === col("b.block_val"))
+      .select(col("b.batch_doc"), col("i.doc_id").as("index_doc"),
+        bit_count(col("b.b_sh").bitwiseXOR(col("i.sh"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The stored signatures (doc_id, sh, attrs…), tombstones dropped —
+    * the audit/rebuild read surface. */
+  def readSignatures(spark: SparkSession, path: String): DataFrame =
+    dropTombstoned(spark, path, spark.read.parquet(s"$path/sigs"))
+}

@@ -887,4 +887,115 @@ object Multimodal {
       }
       .toDF("media_id", "grays")
   }
+
+  /** Audio frames per synthesized PCM clip and the window split the
+    * fingerprint uses: 512 mono 16-bit frames → 64 windows × 8
+    * frames. 64 window energies feed the 64-bit fingerprint. */
+  val PcmFrames = 512
+  val PcmWindows = 64
+
+  /** Deterministic 16-bit PCM sample for (id, frame t) — the audio
+    * analog of [[grayAt]]: groups of 4 ids share a base waveform
+    * (base = id/4), and the id%4 residue TRIPLES the amplitude of
+    * exactly k of the 64 windows (the window test `(5w + base + k)
+    * mod 64 < k` touches exactly k windows — gcd(5, 64) = 1 makes
+    * w ↦ 5w+c a bijection on 0..63). A tripled window triples its
+    * energy, which the circular dHash sees as at most two flipped
+    * bits (the comparisons into and out of that window) — so
+    * intra-group fingerprint distances stay ≤ 2(k_a + k_b) ≤ 10 by
+    * construction while inter-group distances are ~32. All
+    * intermediates are small exact integers (|sample| ≤ 4500), so a
+    * SQL oracle re-derives every sample. */
+  private[ops] def sampleAt(id: Long, t: Int): Int = {
+    val base = id / 4
+    val k = id % 4
+    val raw =
+      ((7L + base * 37L + 11L * t * t + base * t) % 3001L).toInt - 1500
+    if (k > 0 && (5L * (t / 8) + base + k) % 64L < k) raw * 3 else raw
+  }
+
+  /** A genuine mono 16-bit 8 kHz PCM WAV whose 512 sample frames are
+    * [[sampleAt]], little-endian signed, on the same RIFF/fmt/data
+    * header [[wavBytes]] builds (here with the data chunk actually
+    * carrying its declared bytes). `javax.sound.sampled` decodes it
+    * through its real WAV reader, so a wrong byte order, sign
+    * convention, or header offset in EITHER the writer or the reader
+    * breaks the sample oracle. */
+  def pcmWavBytes(id: Long): Array[Byte] = {
+    val header = wavBytes(1, PcmFrames)
+    val out = new Array[Byte](header.length + PcmFrames * 2)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var t = 0
+    var o = header.length
+    while (t < PcmFrames) {
+      val v = sampleAt(id, t)
+      out(o) = (v & 0xff).toByte
+      out(o + 1) = ((v >> 8) & 0xff).toByte
+      o += 2
+      t += 1
+    }
+    out
+  }
+
+  /** Synthesize (media_id, content) PCM-WAV rows from an id column —
+    * per-partition iterator batches, the [[synthImages]] shape for
+    * the audio pipeline. */
+  def synthAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, pcmWavBytes(id))))
+      .toDF("media_id", "content")
+  }
+
+  /** Decode each payload's PCM samples through the REAL
+    * `javax.sound.sampled` path: (media_id, samples) with `samples`
+    * the signed 16-bit frame values in order, or NULL when the
+    * payload fails to decode, is not mono/16-bit/little-endian
+    * signed PCM, or declares an absurd frame count — the corrupt-row
+    * contract of [[decodeMeta]] applied to samples (a dirty corpus
+    * surfaces null fingerprints, never fake ones). Runs
+    * per-partition; the sample array feeds the window-energy fold
+    * and [[graft.functions.VectorExpressions.dhash64]] without
+    * leaving the stage. */
+  def decodePcm16(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, bytes) =>
+          val samples: Array[Long] =
+            try {
+              val ais = javax.sound.sampled.AudioSystem
+                .getAudioInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+              val f = ais.getFormat
+              val ok = f.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+                !f.isBigEndian
+              val n = ais.getFrameLength
+              if (!ok || n <= 0 || n > (1 << 20)) null
+              else {
+                val buf = ais.readNBytes(n.toInt * 2)
+                if (buf.length != n.toInt * 2) null
+                else {
+                  val out = new Array[Long](n.toInt)
+                  var i = 0
+                  while (i < out.length) {
+                    out(i) = (((buf(2 * i + 1) << 8) |
+                      (buf(2 * i) & 0xff)).toShort).toLong
+                    i += 1
+                  }
+                  out
+                }
+              }
+            } catch { case scala.util.control.NonFatal(_) => null }
+          (id, samples)
+        }
+      }
+      .toDF("media_id", "samples")
+  }
 }

@@ -2801,4 +2801,106 @@ object PipelineQueries {
       .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
         col("hamming").cast("long").as("hamming"))
       .orderBy(col("media_a"), col("media_b"))
+
+  /** The audio-fingerprint frame shared by qm06/qm07: one genuine
+    * mono 16-bit PCM WAV per document id
+    * ([[graft.ops.Multimodal.pcmWavBytes]] — 512 real sample frames,
+    * values pure integer arithmetic in the id), decoded back through
+    * the REAL `javax.sound.sampled` path
+    * ([[graft.ops.Multimodal.decodePcm16]]), folded into 64
+    * window energies with BUILT-IN higher-order functions
+    * (`transform`/`slice`/`aggregate` — sum of |sample| over each
+    * 8-frame window, exact integers), and fingerprinted by the
+    * codegen'd circular difference-hash
+    * ([[graft.functions.VectorExpressions.dhash64]]: bit w set iff
+    * window w+1 (wrapping) is strictly louder than window w — the
+    * spectral-flux-sign construction, local comparisons only, so a
+    * perturbed window flips at most 2 bits). A malformed clip
+    * (wrong frame count) fingerprints as NULL, never as a fake. The
+    * id bound keeps the ORACLE's brute-force pair verification
+    * quadratic-in-2000; the Spark side's banding never goes
+    * all-pairs anyway. */
+  private def audioFpFrame(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.ops.Multimodal
+    val decoded = m.decodePcm16(
+      m.synthAudio(
+        t(s, dir, "documents").filter(col("doc_id") < 2000)
+          .select(col("doc_id")), "doc_id"), "media_id")
+    val perWindow = m.PcmFrames / m.PcmWindows
+    val energies = transform(
+      sequence(lit(0), lit(m.PcmWindows - 1)),
+      w => aggregate(
+        slice(col("samples"), w * perWindow + lit(1), lit(perWindow)),
+        lit(0L), (acc, x) => acc + abs(x)))
+    decoded.select(col("media_id"),
+      graft.functions.VectorExpressions.dhash64(
+        when(size(col("samples")) === m.PcmFrames, energies))
+        .as("fp"))
+  }
+
+  /** qm06: the DECODED-sample audio fingerprint per clip, split into
+    * two unsigned 32-bit halves (exact BIGINTs in any engine — bit
+    * 63 of a packed long would overflow the oracle's integer
+    * arithmetic). The oracle re-derives every sample, every window
+    * energy, and both halves from the same arithmetic — so a wrong
+    * byte order, sign convention, or window split in the WAV writer
+    * OR the javax.sound read breaks the hash match. */
+  def audioFingerprint(s: SparkSession, dir: String): DataFrame =
+    audioFpFrame(s, dir)
+      .select(col("media_id"),
+        col("fp").bitwiseAND(lit(0xffffffffL)).as("fp_lo"),
+        shiftrightunsigned(col("fp"), 32).as("fp_hi"))
+      .orderBy(col("media_id"))
+
+  /** qm07: AUDIO NEAR-DUP over the decoded-sample fingerprints — all
+    * pairs within Hamming radius 10 via the generalized-pigeonhole
+    * banded equi-join ([[graft.ops.Dedup.hammingNearDup]], the same
+    * engine behind SimHash and image aHash pairing): exact at the
+    * radius, candidate volume cut by compound block keys, never an
+    * all-pairs join. The oracle verifies against brute-force Hamming
+    * over the same arithmetic-derived fingerprints — pinning decode,
+    * window fold, dHash, and banding end-to-end. */
+  def audioNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.hammingNearDup(audioFpFrame(s, dir),
+        col("media_id"), col("fp"), maxHamming = 10)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+
+  /** Session memo of the persisted image-FINGERPRINT store probed by
+    * qm08: the even-media decoded-pixel aHashes written banded at
+    * radius 10 ([[graft.ops.FingerprintIndex.writeHammingIndex]] —
+    * one banding pass, bpfx-partitioned). The build is priced on
+    * first touch, the qd87/qd88 memo discipline. */
+  private val fpIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def fpIndexPath(s: SparkSession, dir: String): String =
+    fpIndexPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_fpidx").toString
+      graft.ops.FingerprintIndex.writeHammingIndex(
+        imageAHashFrame(s, dir).filter(col("media_id") % 2 === 0),
+        col("media_id"), col("sh"), path, maxHamming = 10)
+      path
+    })
+
+  /** qm08: INCREMENTAL image near-dup — the odd-media batch probed
+    * against the persisted even-media fingerprint store
+    * ([[graft.ops.FingerprintIndex.hammingAgainstIndex]]): the batch
+    * bands with the store's meta-pinned radius, its bpfx set prunes
+    * the band scan, and the equi-join admits only band-matched
+    * candidates — the per-arrival shape a 100 TB media corpus runs,
+    * never a corpus rescan. Exact at the radius: the oracle verifies
+    * against brute-force odd-vs-even Hamming over the same
+    * arithmetic-derived hashes, pinning decode, fingerprint, store
+    * layout, and banding end-to-end. */
+  def imageFpAgainstIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FingerprintIndex.hammingAgainstIndex(s,
+        imageAHashFrame(s, dir).filter(col("media_id") % 2 === 1),
+        col("media_id"), col("sh"), fpIndexPath(s, dir))
+      .select(col("batch_doc").as("batch_media"),
+        col("index_doc").as("index_media"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy(col("batch_media"), col("index_media"))
 }

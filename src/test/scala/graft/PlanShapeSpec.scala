@@ -585,6 +585,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("fingerprint store probe: bpfx prunes the band scan; verification never plans all-pairs") {
+    import spark.implicits._
+    val sigs = (0L until 200L).map(i => (i, i * 2654435761L))
+      .toDF("doc_id", "sh")
+    val path =
+      java.nio.file.Files.createTempDirectory("fpidxplan").toString
+    // radius 3 → c = 1, 4 band keys per doc: a narrow batch's bpfx
+    // set is far below the 64-way fan-out, so the partition column
+    // must prune the scan (the directory lever of the incremental
+    // probe)
+    graft.ops.FingerprintIndex.writeHammingIndex(
+      sigs.filter(col("doc_id") % 2 === 0), col("doc_id"), col("sh"),
+      path, maxHamming = 3)
+    val probe = graft.ops.FingerprintIndex.hammingAgainstIndex(spark,
+      sigs.filter(col("doc_id") === 1), col("doc_id"), col("sh"), path)
+    val p = plan(probe)
+    assert(p.matches("(?s).*PartitionFilters: \\[.*bpfx.*"), p.take(4000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+  }
+
   test("histogram sketch aggregates map-side; quantile window runs over the sketch") {
     val p = plan(SparkEntry.queries("qd77_hist_quantiles")(spark, sf))
     // one hash agg pair for the bucket counts (partial + final) and a

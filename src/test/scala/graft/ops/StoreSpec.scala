@@ -1519,6 +1519,167 @@ class StoreSpec extends AnyFunSuite {
       .ahash64(col("grays"))).head().isNullAt(0))
   }
 
+  test("PCM WAVs decode to their arithmetic samples; dhash + banded near-dup match brute force") {
+    import spark.implicits._
+    val ids = spark.range(0, 64).toDF("doc_id")
+    val decoded = Multimodal.decodePcm16(
+      Multimodal.synthAudio(ids, "doc_id"), "media_id")
+      .localCheckpoint(eager = false)
+    // the REAL javax.sound read of the synthesized PCM WAV must
+    // reproduce the generating arithmetic sample-for-sample (byte
+    // order, sign convention, header offset all cross-checked)
+    val got = decoded.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toMap
+    (0L until 64L).foreach { id =>
+      assert(got(id) ==
+        (0 until Multimodal.PcmFrames)
+          .map(t => Multimodal.sampleAt(id, t).toLong), s"id $id")
+    }
+    // the codegen'd circular dhash64 over the window energies == an
+    // independent scalar re-derivation
+    val perWindow = Multimodal.PcmFrames / Multimodal.PcmWindows
+    val energies = transform(
+      sequence(lit(0), lit(Multimodal.PcmWindows - 1)),
+      w => aggregate(
+        slice(col("samples"), w * perWindow + lit(1), lit(perWindow)),
+        lit(0L), (acc, x) => acc + abs(x)))
+    val fp = decoded.select(col("media_id"),
+      graft.functions.VectorExpressions.dhash64(energies).as("fp"))
+    val gotH = fp.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def refEnergies(id: Long): Seq[Long] =
+      (0 until Multimodal.PcmWindows).map(w =>
+        (0 until perWindow).map(i =>
+          math.abs(Multimodal.sampleAt(id, w * perWindow + i).toLong))
+          .sum)
+    def refHash(e: Seq[Long]): Long =
+      e.indices.foldLeft(0L) { (h, w) =>
+        if (e((w + 1) % e.length) > e(w)) h | (1L << w) else h
+      }
+    (0L until 64L).foreach { id =>
+      assert(gotH(id) == refHash(refEnergies(id)), s"id $id")
+    }
+    // banded near-dup == brute-force Hamming at the radius; the id%4
+    // perturbation triples k windows, flipping ≤ 2 bits each, so
+    // intra-group pairs exist by construction
+    val gotPairs = Dedup.hammingNearDup(fp, col("media_id"), col("fp"),
+        maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2))).toSet
+    val hs = gotH.toSeq.sortBy(_._1)
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 10
+    } yield (a, b, d)).toSet
+    assert(gotPairs == brute && brute.nonEmpty)
+    // a payload that fails to decode surfaces NULL samples, and a
+    // wrong frame count surfaces a NULL fingerprint — never a fake
+    val bad = Multimodal.decodePcm16(
+      Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "content"),
+      "media_id")
+    assert(bad.head().isNullAt(1))
+    assert(bad.select(graft.functions.VectorExpressions
+      .dhash64(when(size(col("samples")) === Multimodal.PcmFrames,
+        energies))).head().isNullAt(0))
+    // dhash64 guards: a null element nulls the hash; > 64 values is a
+    // loud error, not a silent truncation
+    assert(spark.range(1).select(graft.functions.VectorExpressions
+        .dhash64(array(lit(1L), lit(null).cast("long"), lit(2L))))
+      .head().isNullAt(0))
+    val tooMany = intercept[org.apache.spark.SparkException] {
+      spark.range(1).select(graft.functions.VectorExpressions
+        .dhash64(transform(sequence(lit(0), lit(64)),
+          i => i.cast("long")))).collect()
+    }
+    assert(tooMany.getMessage.contains("dhash64") ||
+      Option(tooMany.getCause).exists(_.getMessage.contains("dhash64")))
+  }
+
+  test("fingerprint store: banded probe == brute force, through append, delete + compact, attrs, radius pinning") {
+    import spark.implicits._
+    val FP = graft.ops.FingerprintIndex
+    // real decoded-pixel aHashes (the qm04 frame) so the store is
+    // exercised with genuine fingerprints, not toy longs
+    val sigs = Multimodal.decodeGray8x8(
+        Multimodal.synthImages(spark.range(0, 64).toDF("doc_id"),
+          "doc_id"), "media_id")
+      .select(col("media_id"),
+        graft.functions.VectorExpressions.ahash64(col("grays")).as("sh"))
+      .localCheckpoint(eager = false)
+    val even = sigs.filter(col("media_id") % 2 === 0)
+    val odd = sigs.filter(col("media_id") % 2 === 1)
+    val sigMap = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    def brute(idxIds: Long => Boolean, r: Int) =
+      (for {
+        (a, ha) <- sigMap.filter(_._1 % 2 == 1)
+        (b, hb) <- sigMap.filter(t => t._1 % 2 == 0 && idxIds(t._1))
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= r
+      } yield (a, b, d)).toSet
+    def probe(path: String,
+        f: Option[org.apache.spark.sql.Column] = None) =
+      FP.hammingAgainstIndex(spark, odd, col("media_id"), col("sh"),
+          path, f)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getInt(2))).toSet
+    // one-shot build: probe == brute-force odd-vs-even Hamming
+    val p0 = tmp("st_fpidx")
+    FP.writeHammingIndex(even, col("media_id"), col("sh"), p0,
+      maxHamming = 10)
+    assert(probe(p0) == brute(_ => true, 10) && probe(p0).nonEmpty)
+    // append lands where a rebuild would: quarter build + append the
+    // rest == the one-shot build, row-for-row
+    val pA = tmp("st_fpap")
+    FP.writeHammingIndex(even.filter(col("media_id") % 4 === 0),
+      col("media_id"), col("sh"), pA, maxHamming = 10)
+    FP.appendHammingIndex(even.filter(col("media_id") % 4 === 2),
+      col("media_id"), col("sh"), pA)
+    assert(probe(pA) == probe(p0))
+    // tombstone delete: probe == an index rebuilt without the docs;
+    // compact preserves results and clears the sidecar
+    FP.deleteDocs(spark, pA, spark.range(0, 64, 8).toDF("id"),
+      col("id"))
+    assert(probe(pA) == brute(_ % 8 != 0, 10) && probe(pA).nonEmpty)
+    FP.compact(spark, pA)
+    assert(probe(pA) == brute(_ % 8 != 0, 10))
+    assert(!graft.ops.StoreFiles.exists(spark, s"$pA/tombstones"))
+    // attrs: the filtered probe == brute force over the allowed
+    // subset — one more pushed predicate, same store
+    val pF = tmp("st_fpat")
+    FP.writeHammingIndex(even, col("media_id"), col("sh"), pF,
+      maxHamming = 10,
+      attrs = Seq(pmod(col("media_id"), lit(4)).cast("int").as("flag")))
+    assert(probe(pF, Some(col("flag") === 0)) == brute(_ % 4 == 0, 10))
+    assert(probe(pF) == probe(p0))
+    // radius is meta-pinned: a store built at radius 3 serves radius-3
+    // truth (the c = 1 banding branch) without the caller restating it
+    val p3 = tmp("st_fpr3")
+    FP.writeHammingIndex(even, col("media_id"), col("sh"), p3,
+      maxHamming = 3)
+    assert(probe(p3) == brute(_ => true, 3))
+    // batch-keyed lifecycle: base + put + REPLAY == the one-shot
+    // build (exactly-once under at-least-once); the fold keeps the
+    // layout and the results
+    val pBk = tmp("st_fpbk")
+    FP.writeHammingIndex(even.filter(col("media_id") % 4 === 0),
+      col("media_id"), col("sh"), pBk, maxHamming = 10,
+      batchKeyed = true)
+    FP.putHammingBatch(even.filter(col("media_id") % 4 === 2),
+      col("media_id"), col("sh"), pBk, batchId = 0L)
+    FP.putHammingBatch(even.filter(col("media_id") % 4 === 2),
+      col("media_id"), col("sh"), pBk, batchId = 0L) // replay
+    assert(probe(pBk) == probe(p0))
+    FP.compactHammingBatches(spark, pBk, keepFrom = 1L)
+    assert(probe(pBk) == probe(p0))
+    assert(spark.read.parquet(s"$pBk/bands").columns
+      .contains("batch_id"))
+    // attr name collisions die loudly, never corrupt the layout
+    val bad = intercept[IllegalArgumentException] {
+      FP.writeHammingIndex(even, col("media_id"), col("sh"),
+        tmp("st_fpbad"), maxHamming = 3,
+        attrs = Seq(lit(1).as("block_val")))
+    }
+    assert(bad.getMessage.contains("block_val"))
+  }
+
   test("attr backfill at compact: a born-without-attrs store upgrades to filtered serving, through append + replay") {
     import spark.implicits._
     val terms = Seq("the", "of", "and").toDF("term")
