@@ -219,6 +219,9 @@ object SparkEntry {
     "qm06_audio_fingerprint" -> (PipelineQueries.audioFingerprint _),
     "qm07_audio_neardup" -> (PipelineQueries.audioNearDup _),
     "qm08_image_fp_index" -> (PipelineQueries.imageFpAgainstIndex _),
+    "qm09_image_fp_filtered" ->
+      (PipelineQueries.imageFpFilteredAgainstIndex _),
+    "qm10_crossmodal_neardup" -> (PipelineQueries.crossModalNearDup _),
     "qe41_lsh_index_recall" -> (PipelineQueries.lshIndexRecall _),
     "qe42_quantized_batch_recall" -> (PipelineQueries.quantizedBatchRecall _),
     "qe43_binary_batch_recall" -> (PipelineQueries.binaryBatchRecall _),
@@ -2041,6 +2044,37 @@ object SparkEntry {
          FROM hb a JOIN hb b
            ON a.media_id % 2 = 1 AND b.media_id % 2 = 0) z
        WHERE hamming <= 10 ORDER BY batch_media, index_media"""),
+    // qm09: the filtered twin — the stored side cut to flag = 0
+    // (media_id % 4 = 0) BEFORE verification, exactly what the pushed
+    // attr predicate does inside the pruned band scan.
+    "qm09_image_fp_filtered" -> (imageAHashCtes + """
+       SELECT batch_media, index_media, hamming FROM (
+         SELECT a.media_id AS batch_media, b.media_id AS index_media,
+           CAST(bit_count(xor(a.ahash_lo, b.ahash_lo))
+             + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT)
+             AS hamming
+         FROM hb a JOIN hb b
+           ON a.media_id % 2 = 1 AND b.media_id % 4 = 0) z
+       WHERE hamming <= 10 ORDER BY batch_media, index_media"""),
+    // qm10: cross-modal consensus — both fingerprint chains re-derived
+    // (pixels → aHash, samples → window dHash) and the pair sets
+    // intersected by brute force: a pair survives iff BOTH modalities
+    // put it within radius 10.
+    "qm10_crossmodal_neardup" -> (imageAHashCtes + ",\n       " +
+      audioFpCtesBody + """
+       SELECT media_a, media_b, image_hamming, audio_hamming FROM (
+         SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.ahash_lo, b.ahash_lo))
+             + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT)
+             AS image_hamming,
+           CAST(bit_count(xor(fa.fp_lo, f2.fp_lo))
+             + bit_count(xor(fa.fp_hi, f2.fp_hi)) AS BIGINT)
+             AS audio_hamming
+         FROM hb a JOIN hb b ON a.media_id < b.media_id
+         JOIN fb fa ON fa.media_id = a.media_id
+         JOIN fb f2 ON f2.media_id = b.media_id) z
+       WHERE image_hamming <= 10 AND audio_hamming <= 10
+       ORDER BY media_a, media_b"""),
     // qe41: recall@10 of the multi-query persisted-LSH probe (7 of 64
     // buckets per query) — the batch-serving shape for the bucketed
     // family, quality-measured like qe34/qe37.
@@ -3192,10 +3226,11 @@ object SparkEntry {
     * louder), packed into two unsigned 32-bit halves
     * `fb(media_id, fp_lo, fp_hi)`. All intermediates are small exact
     * integers (|sample| ≤ 4500, energies < 2^22) — engine-exact. */
-  private lazy val audioFpCtes: String =
-    """WITH ids AS (SELECT doc_id AS media_id FROM documents
-         WHERE doc_id < 2000),
-       sm AS (SELECT media_id, r.t AS t,
+  /** The audio chain WITHOUT the leading `ids` CTE, so qm10 can graft
+    * it onto [[imageAHashCtes]] (both chains share the identical
+    * `ids` definition). */
+  private lazy val audioFpCtesBody: String =
+    """sm AS (SELECT media_id, r.t AS t,
            (7 + (media_id // 4) * 37 + 11 * r.t * r.t
              + (media_id // 4) * r.t) % 3001 - 1500 AS raw
          FROM ids CROSS JOIN range(0, 512) r(t)),
@@ -3218,6 +3253,11 @@ object SparkEntry {
              THEN (CAST(1 AS BIGINT) << (w - 32)) ELSE 0 END) AS BIGINT)
              AS fp_hi
          FROM wn GROUP BY 1)"""
+
+  private lazy val audioFpCtes: String =
+    """WITH ids AS (SELECT doc_id AS media_id FROM documents
+         WHERE doc_id < 2000),
+       """ + audioFpCtesBody
 
   /** qe39: the IVF-PQ operating-point grid — recall@10 at
     * {8×16, 16×64 codes} × {rerank 25, 50, 100}, nProbe 8. Two

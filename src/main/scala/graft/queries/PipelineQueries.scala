@@ -2879,9 +2879,15 @@ object PipelineQueries {
     fpIndexPaths.computeIfAbsent(dir, _ => {
       val path =
         java.nio.file.Files.createTempDirectory("graft_fpidx").toString
+      // flag rides the banded rows at build so qm09's filtered probe
+      // is the same pruned scan with one pushed predicate; qm08's
+      // unfiltered probe on the attr-carrying store is identical to a
+      // plain store's (StoreSpec identity)
       graft.ops.FingerprintIndex.writeHammingIndex(
         imageAHashFrame(s, dir).filter(col("media_id") % 2 === 0),
-        col("media_id"), col("sh"), path, maxHamming = 10)
+        col("media_id"), col("sh"), path, maxHamming = 10,
+        attrs = Seq(pmod(col("media_id"), lit(4)).cast("int")
+          .as("flag")))
       path
     })
 
@@ -2903,4 +2909,45 @@ object PipelineQueries {
         col("index_doc").as("index_media"),
         col("hamming").cast("long").as("hamming"))
       .orderBy(col("batch_media"), col("index_media"))
+
+  /** qm09: the ATTRIBUTE-FILTERED incremental probe — qm08's batch
+    * restricted to stored partners with flag = 0 (stored attrs ride
+    * the banded rows; the predicate pushes into the same
+    * bpfx-pruned scan, candidates restricted BEFORE verification —
+    * the qd87/qe45 filtered-serving discipline on the fingerprint
+    * family). Oracle: brute force with the index side cut to the
+    * allowed subset. */
+  def imageFpFilteredAgainstIndex(s: SparkSession, dir: String)
+      : DataFrame =
+    graft.ops.FingerprintIndex.hammingAgainstIndex(s,
+        imageAHashFrame(s, dir).filter(col("media_id") % 2 === 1),
+        col("media_id"), col("sh"), fpIndexPath(s, dir),
+        attrFilter = Some(col("flag") === 0))
+      .select(col("batch_doc").as("batch_media"),
+        col("index_doc").as("index_media"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy(col("batch_media"), col("index_media"))
+
+  /** qm10: CROSS-MODAL near-dup consensus — pairs whose images AND
+    * audio fingerprints are both within Hamming radius 10 (the
+    * multimodal dedup gate a real image+audio corpus runs: one
+    * modality flagging alone is a weaker signal than both agreeing).
+    * Each modality's pair set comes from its own banded equi-join;
+    * the consensus join is pair-set-sized, never corpus-sized. The
+    * oracle re-derives both fingerprint families and intersects by
+    * brute force. */
+  def crossModalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val img = graft.ops.Dedup.hammingNearDup(imageAHashFrame(s, dir),
+        col("media_id"), col("sh"), maxHamming = 10)
+      .select(col("doc_a"), col("doc_b"),
+        col("hamming").cast("long").as("image_hamming"))
+    val aud = graft.ops.Dedup.hammingNearDup(audioFpFrame(s, dir),
+        col("media_id"), col("fp"), maxHamming = 10)
+      .select(col("doc_a"), col("doc_b"),
+        col("hamming").cast("long").as("audio_hamming"))
+    img.join(aud, Seq("doc_a", "doc_b"))
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("image_hamming"), col("audio_hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
 }

@@ -323,6 +323,33 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming fingerprint ingest into a persisted BATCH-KEYED
+    * Hamming fingerprint store
+    * ([[graft.ops.FingerprintIndex.writeHammingIndex]] with
+    * `batchKeyed = true`): the store's meta-pinned radius bands each
+    * batch, and each batch's rows land under their own
+    * (batch_id, bpfx) partitions via dynamic partition overwrite —
+    * EXACTLY-once under foreachBatch's at-least-once contract, the
+    * [[vectorIngestTo]] argument with bpfx for cell. The stream's
+    * schema is (doc_id, sh): fingerprints are computed upstream (the
+    * decode → window-fold → dhash64 stages run inside the streaming
+    * select, never on the driver). */
+  def fingerprintIngestTo(sigs: DataFrame, indexPath: String,
+      checkpoint: String, compactEvery: Int = 0, maxBatchParts: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sigs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.FingerprintIndex.putHammingBatch(batch,
+          col("doc_id"), col("sh"), indexPath, batchId)
+        if (shouldCompact(batch.sparkSession, indexPath, batchId,
+            compactEvery, maxBatchParts))
+          graft.ops.FingerprintIndex.compactHammingBatches(
+            batch.sparkSession, indexPath, keepFrom = batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def dedupIngestTo(docs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream

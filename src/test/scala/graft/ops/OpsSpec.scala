@@ -1776,6 +1776,40 @@ class OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/index").count() == e.count())
   }
 
+  test("streaming fingerprint ingest: the streamed store probes equal a whole-corpus build") {
+    val root =
+      java.nio.file.Files.createTempDirectory("fpingest").toString
+    val idx = s"$root/idx"; val in = s"$root/in"
+    // real decoded-pixel fingerprints (the qm04 frame) as the stream
+    val sigs = Multimodal.decodeGray8x8(
+        Multimodal.synthImages(
+          spark.range(0, 64).toDF("doc_id"), "doc_id"), "media_id")
+      .select(col("media_id").as("doc_id"),
+        graft.functions.VectorExpressions.ahash64(col("grays")).as("sh"))
+      .localCheckpoint(eager = false)
+    FingerprintIndex.writeHammingIndex(
+      sigs.filter(col("doc_id") % 4 === 0), col("doc_id"), col("sh"),
+      idx, maxHamming = 10, batchKeyed = true)
+    sigs.filter(col("doc_id") % 4 === 1).write.parquet(s"$in/f1")
+    def run() = StreamingIngest.fingerprintIngestTo(
+      StreamingIngest.watchParquetDir(spark, s"$in/*", sigs.schema),
+      idx, s"$root/ckpt", compactEvery = 1).awaitTermination()
+    run()
+    sigs.filter(col("doc_id") % 4 >= 2).write.parquet(s"$in/f2")
+    run()
+    // banding is deterministic in the meta-pinned radius, so the
+    // streamed store probes exactly like one whole-corpus build
+    val ref = s"$root/ref"
+    FingerprintIndex.writeHammingIndex(sigs, col("doc_id"), col("sh"),
+      ref, maxHamming = 10)
+    def probe(p: String) = FingerprintIndex.hammingAgainstIndex(spark,
+        sigs.filter(col("doc_id") < 8), col("doc_id"), col("sh"), p)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2))).toSet
+    assert(probe(idx) == probe(ref) && probe(idx).nonEmpty)
+    assert(spark.read.parquet(s"$idx/sigs").count() == 64)
+  }
+
   test("streaming IVF-PQ ingest: frozen model encodes batches; introspection triggers the fold") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("pqingest").toString
