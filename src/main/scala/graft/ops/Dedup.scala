@@ -269,28 +269,13 @@ object Dedup {
     * shared by [[hammingNearDup]] and the persisted
     * [[FingerprintIndex]], factored so a probe bands EXACTLY like the
     * store it probes (a drifting banding would silently lose the
-    * recall-1.0 guarantee). Returns the array of packed keys; element
-    * i is combination i's block values packed into one long. */
-  private[ops] def hammingBandKeys(sig: Column, maxHamming: Int): Column = {
-    val c = (1 to 8).find(k => k * 64 / (maxHamming + k) >= 12).getOrElse(8)
-    val numBlocks = maxHamming + c
-    // Contiguous bit ranges [i*64/numBlocks, (i+1)*64/numBlocks) — widths
-    // differ by at most 1; a full-width mask needs -1L (1L<<64 overflows).
-    def blockWidth(i: Int): Int = (i + 1) * 64 / numBlocks - i * 64 / numBlocks
-    def blockExpr(i: Int): Column = {
-      val start = i * 64 / numBlocks
-      val width = blockWidth(i)
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      shiftrightunsigned(sig, start).bitwiseAND(lit(mask))
-    }
-    // Pack each c-combination's block values into one long (sum of any c
-    // block widths <= 64); combo index disambiguates which blocks matched.
-    array((0 until numBlocks).combinations(c).toSeq.map { combo =>
-      combo.foldLeft(lit(0L)) { (acc, i) =>
-        shiftleft(acc, blockWidth(i)).bitwiseOR(blockExpr(i))
-      }
-    }: _*)
-  }
+    * recall-1.0 guarantee). One native codegen'd expression
+    * ([[graft.functions.BandKeys64]] — the combination table is data,
+    * not generated code, so wide radii stay inside whole-stage
+    * codegen instead of tripping janino's method limit). Element i is
+    * combination i's block values packed into one long. */
+  private[ops] def hammingBandKeys(sig: Column, maxHamming: Int): Column =
+    graft.functions.BandKeysExpression.bandKeys64(sig, maxHamming)
 
   def hammingNearDup(sigs0: DataFrame, id: Column, sig: Column,
       maxHamming: Int): DataFrame = {

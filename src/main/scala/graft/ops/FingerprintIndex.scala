@@ -43,14 +43,18 @@ import org.apache.spark.sql.functions._
   */
 object FingerprintIndex {
 
-  /** Partition fan-out of `bands/`: 64 directories keeps the store
-    * flat-cap-friendly while giving narrow probes a real directory
-    * lever — at small radii (c = 1, e.g. 4 combinations at radius 3) a
-    * single-doc probe touches ≤ 4 of the 64 directories. At wide radii
-    * the combination count exceeds the fan-out and every directory
-    * holds candidates; there the scale mechanism is the equi-join
-    * itself (only band-matched rows survive to the pair stage), the
-    * same shape [[DedupIndex.nearDupAgainstIndex]] runs. */
+  /** Default partition fan-out of `bands/`: 64 directories keeps the
+    * store flat-cap-friendly while giving narrow probes a real
+    * directory lever — at small radii (c = 1, e.g. 4 combinations at
+    * radius 3) a single-doc probe touches ≤ 4 of the 64 directories.
+    * Once a batch's key count covers the fan-out, every directory
+    * holds candidates and the scale mechanism is the equi-join itself
+    * (only band-matched rows survive to the pair stage — the
+    * [[DedupIndex.nearDupAgainstIndex]] shape), with the columnar
+    * 16-byte band scan as the floor. Deployments probing single-doc /
+    * small arrivals at wide radii can raise the fan-out at build time
+    * (`pfxBuckets`); the value is meta-pinned like the radius, so
+    * probes always derive prefixes under the store's own constant. */
   val BandPfxBuckets = 64
 
   private val Reserved =
@@ -68,13 +72,24 @@ object FingerprintIndex {
 
   /** (doc_id, sh, attrs…) → one row per band key, carrying the
     * signature and attrs so verification and filtering never need a
-    * second join. */
-  private def bandedOf(sigs: DataFrame, maxHamming: Int): DataFrame =
+    * second join. `pfxBuckets` comes from the store's meta on every
+    * path that touches an existing store — like the radius, the
+    * partition fan-out is pinned at build so a probe can never derive
+    * prefixes under a different constant than the directories were
+    * written with (which would silently mis-prune). */
+  private def bandedOf(sigs: DataFrame, maxHamming: Int,
+      pfxBuckets: Int): DataFrame =
     sigs.select(col("*"),
         posexplode(Dedup.hammingBandKeys(col("sh"), maxHamming))
           .as(Seq("block_idx", "block_val")))
       .withColumn("bpfx",
-        pmod(col("block_val"), lit(BandPfxBuckets.toLong)).cast("int"))
+        pmod(col("block_val"), lit(pfxBuckets.toLong)).cast("int"))
+
+  /** (maxHamming, pfxBuckets) from the store's meta sidecar. */
+  private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    (m.getInt(0), m.getInt(1))
+  }
 
   /** Build + persist the fingerprint index: one signature scan feeds
     * both tables. `maxHamming` is the radius the store serves —
@@ -92,9 +107,12 @@ object FingerprintIndex {
     * at either nesting depth. */
   def writeHammingIndex(sigs0: DataFrame, id: Column, sig: Column,
       path: String, maxHamming: Int, attrs: Seq[Column] = Nil,
-      batchKeyed: Boolean = false): Unit = {
+      batchKeyed: Boolean = false,
+      pfxBuckets: Int = BandPfxBuckets): Unit = {
     require(maxHamming >= 0 && maxHamming <= 32,
       s"need 0 <= maxHamming <= 32, got $maxHamming")
+    require(pfxBuckets >= 1 && pfxBuckets <= 4096,
+      s"need 1 <= pfxBuckets <= 4096, got $pfxBuckets")
     val sigs = sigs0
       .select(id.cast("long").as("doc_id") +: sig.as("sh") +: attrs: _*)
       .localCheckpoint(eager = false)
@@ -104,7 +122,7 @@ object FingerprintIndex {
         .write.mode("overwrite").partitionBy("batch_id")
         .parquet(s"$path/sigs")
     else sigs.write.mode("overwrite").parquet(s"$path/sigs")
-    val banded = bandedOf(sigs, maxHamming)
+    val banded = bandedOf(sigs, maxHamming, pfxBuckets)
       .repartition(col("bpfx"))
       .sortWithinPartitions(col("block_idx"), col("block_val"))
     if (batchKeyed)
@@ -113,8 +131,8 @@ object FingerprintIndex {
         .parquet(s"$path/bands")
     else banded.write.mode("overwrite").partitionBy("bpfx")
       .parquet(s"$path/bands")
-    sigs.sparkSession.createDataFrame(Seq(Tuple1(maxHamming)))
-      .toDF("max_hamming")
+    sigs.sparkSession.createDataFrame(Seq((maxHamming, pfxBuckets)))
+      .toDF("max_hamming", "pfx_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -127,8 +145,7 @@ object FingerprintIndex {
   def putHammingBatch(batch: DataFrame, id: Column, sig: Column,
       path: String, batchId: Long, attrs: Seq[Column] = Nil): Unit = {
     val spark = batch.sparkSession
-    val maxHamming =
-      spark.read.parquet(s"$path/meta").head().getInt(0)
+    val (maxHamming, pfxBuckets) = readMeta(spark, path)
     val sigs = batch
       .select(id.cast("long").as("doc_id") +: sig.as("sh") +: attrs: _*)
       .localCheckpoint(eager = false)
@@ -137,7 +154,7 @@ object FingerprintIndex {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$path/sigs")
-    bandedOf(sigs, maxHamming)
+    bandedOf(sigs, maxHamming, pfxBuckets)
       .withColumn("batch_id", lit(batchId))
       .repartition(col("bpfx"))
       .sortWithinPartitions(col("block_idx"), col("block_val"))
@@ -182,14 +199,13 @@ object FingerprintIndex {
   def appendHammingIndex(batch: DataFrame, id: Column, sig: Column,
       path: String, attrs: Seq[Column] = Nil): Unit = {
     val spark = batch.sparkSession
-    val maxHamming =
-      spark.read.parquet(s"$path/meta").head().getInt(0)
+    val (maxHamming, pfxBuckets) = readMeta(spark, path)
     val sigs = batch
       .select(id.cast("long").as("doc_id") +: sig.as("sh") +: attrs: _*)
       .localCheckpoint(eager = false)
     checkAttrs(sigs)
     sigs.write.mode("append").parquet(s"$path/sigs")
-    bandedOf(sigs, maxHamming)
+    bandedOf(sigs, maxHamming, pfxBuckets)
       .repartition(col("bpfx"))
       .sortWithinPartitions(col("block_idx"), col("block_val"))
       .write.mode("append").partitionBy("bpfx").parquet(s"$path/bands")
@@ -254,8 +270,7 @@ object FingerprintIndex {
   def hammingAgainstIndex(spark: SparkSession, batch: DataFrame,
       id: Column, sig: Column, path: String,
       attrFilter: Option[Column] = None): DataFrame = {
-    val maxHamming =
-      spark.read.parquet(s"$path/meta").head().getInt(0)
+    val (maxHamming, pfxBuckets) = readMeta(spark, path)
     val b = batch.select(id.cast("long").as("batch_doc"),
         sig.as("b_sh"))
       .localCheckpoint(eager = false)
@@ -263,7 +278,7 @@ object FingerprintIndex {
         posexplode(Dedup.hammingBandKeys(col("b_sh"), maxHamming))
           .as(Seq("block_idx", "block_val")))
       .withColumn("bpfx",
-        pmod(col("block_val"), lit(BandPfxBuckets.toLong)).cast("int"))
+        pmod(col("block_val"), lit(pfxBuckets.toLong)).cast("int"))
     val pfxs = bBands.select(col("bpfx")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
     val stored = dropTombstoned(spark, path,
@@ -278,6 +293,24 @@ object FingerprintIndex {
         bit_count(col("b.b_sh").bitwiseXOR(col("i.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** The arrival GATE: filter a new batch down to rows with NO stored
+    * partner within the store's radius — the near-dup twin of
+    * [[DedupIndex.newOnly]] (which gates on exact fingerprints). The
+    * returned frame keeps the batch's full schema, so the accepted
+    * rows flow straight into [[appendHammingIndex]] /
+    * [[putHammingBatch]]: probe-then-ingest is the per-arrival dedup
+    * loop a 100 TB media pipeline runs. One banded probe + one
+    * batch-sized anti-join; duplicates WITHIN the batch are not
+    * gated (they agree on arrival time — dedup them upstream with
+    * [[Dedup.hammingNearDup]] if the batch itself can collide). */
+  def newOnlyByHamming(spark: SparkSession, batch: DataFrame,
+      id: Column, sig: Column, path: String): DataFrame = {
+    val dupIds = hammingAgainstIndex(spark, batch, id, sig, path)
+      .select(col("batch_doc")).distinct()
+    batch.join(dupIds,
+      id.cast("long") === col("batch_doc"), "left_anti")
   }
 
   /** The stored signatures (doc_id, sh, attrs…), tombstones dropped —

@@ -1655,6 +1655,28 @@ class StoreSpec extends AnyFunSuite {
     FP.writeHammingIndex(even, col("media_id"), col("sh"), p3,
       maxHamming = 3)
     assert(probe(p3) == brute(_ => true, 3))
+    // the partition fan-out is meta-pinned like the radius: a store
+    // built with a non-default fan-out probes identically (prefixes
+    // derive under the store's own constant, never the library's)
+    val p8 = tmp("st_fppfx")
+    FP.writeHammingIndex(even, col("media_id"), col("sh"), p8,
+      maxHamming = 10, pfxBuckets = 8)
+    assert(probe(p8) == probe(p0))
+    // the arrival gate: accepted rows have NO stored partner within
+    // the radius — gate + probe partition the batch exactly. The
+    // store holds only the first 8 groups, so odd ids of the stored
+    // groups gate out (their even groupmates sit within 10) while
+    // odd ids of unstored groups pass (inter-group distance ~32)
+    val pGate = tmp("st_fpgate")
+    FP.writeHammingIndex(even.filter(col("media_id") < 32),
+      col("media_id"), col("sh"), pGate, maxHamming = 10)
+    val accepted = FP.newOnlyByHamming(spark, odd, col("media_id"),
+        col("sh"), pGate)
+      .select(col("media_id")).collect().map(_.getLong(0)).toSet
+    val gatedOut = brute(_ < 32, 10).map(_._1)
+    assert(accepted ==
+      sigMap.collect { case (i, _) if i % 2 == 1 => i }.toSet -- gatedOut)
+    assert(accepted.nonEmpty && gatedOut.nonEmpty)
     // batch-keyed lifecycle: base + put + REPLAY == the one-shot
     // build (exactly-once under at-least-once); the fold keeps the
     // layout and the results
