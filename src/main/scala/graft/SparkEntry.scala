@@ -222,6 +222,7 @@ object SparkEntry {
     "qm09_image_fp_filtered" ->
       (PipelineQueries.imageFpFilteredAgainstIndex _),
     "qm10_crossmodal_neardup" -> (PipelineQueries.crossModalNearDup _),
+    "qm11_crossmodal_clusters" -> (PipelineQueries.crossModalClusters _),
     "qe41_lsh_index_recall" -> (PipelineQueries.lshIndexRecall _),
     "qe42_quantized_batch_recall" -> (PipelineQueries.quantizedBatchRecall _),
     "qe43_binary_batch_recall" -> (PipelineQueries.binaryBatchRecall _),
@@ -2075,6 +2076,27 @@ object SparkEntry {
          JOIN fb f2 ON f2.media_id = b.media_id) z
        WHERE image_hamming <= 10 AND audio_hamming <= 10
        ORDER BY media_a, media_b"""),
+    // qm11: transitive closure over the consensus pairs (the qd13
+    // recursive-CTE discipline) — cluster = least member id of the
+    // connected component, docs in at least one pair.
+    "qm11_crossmodal_clusters" -> (imageAHashCtes
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n       " +
+      audioFpCtesBody + """,
+       mp AS (SELECT a.media_id AS doc_a, b.media_id AS doc_b
+         FROM hb a JOIN hb b ON a.media_id < b.media_id
+         JOIN fb fa ON fa.media_id = a.media_id
+         JOIN fb f2 ON f2.media_id = b.media_id
+         WHERE bit_count(xor(a.ahash_lo, b.ahash_lo))
+             + bit_count(xor(a.ahash_hi, b.ahash_hi)) <= 10
+           AND bit_count(xor(fa.fp_lo, f2.fp_lo))
+             + bit_count(xor(fa.fp_hi, f2.fp_hi)) <= 10),
+       e AS (SELECT doc_a AS a, doc_b AS b FROM mp
+         UNION SELECT doc_b, doc_a FROM mp),
+       cc(a, b) AS (SELECT a, b FROM e
+         UNION SELECT cc.a, e.b FROM cc JOIN e ON cc.b = e.a),
+       cl AS (SELECT a AS media_id, least(a, min(b)) AS cluster
+         FROM cc GROUP BY a)
+       SELECT media_id, cluster FROM cl ORDER BY media_id"""),
     // qe41: recall@10 of the multi-query persisted-LSH probe (7 of 64
     // buckets per query) — the batch-serving shape for the bucketed
     // family, quality-measured like qe34/qe37.

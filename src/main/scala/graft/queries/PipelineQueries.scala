@@ -2950,4 +2950,20 @@ object PipelineQueries {
         col("image_hamming"), col("audio_hamming"))
       .orderBy(col("media_a"), col("media_b"))
   }
+
+  /** qm11: MEDIA dup clusters — min-label propagation
+    * ([[graft.ops.Dedup.dupClusters]], the qd13 machinery) over the
+    * cross-modal consensus pairs: the curation endpoint of the
+    * content-fingerprint story ("keep one representative per media
+    * family whose image AND audio both match"). The pair graph is
+    * consensus-pair-sized, so every propagation round is an equi-join
+    * + aggregation on a frame orders of magnitude below the corpus.
+    * The oracle re-derives both fingerprint chains, intersects by
+    * brute force, and closes transitively with a recursive CTE. */
+  def crossModalClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.dupClusters(
+        crossModalNearDup(s, dir).select(col("media_a"), col("media_b")),
+        col("media_a"), col("media_b"))
+      .select(col("doc_id").as("media_id"), col("cluster"))
+      .orderBy(col("media_id"))
 }
