@@ -223,6 +223,7 @@ object SparkEntry {
       (PipelineQueries.imageFpFilteredAgainstIndex _),
     "qm10_crossmodal_neardup" -> (PipelineQueries.crossModalNearDup _),
     "qm11_crossmodal_clusters" -> (PipelineQueries.crossModalClusters _),
+    "qd89_text_fp_index" -> (PipelineQueries.textFpAgainstIndex _),
     "qe41_lsh_index_recall" -> (PipelineQueries.lshIndexRecall _),
     "qe42_quantized_batch_recall" -> (PipelineQueries.quantizedBatchRecall _),
     "qe43_binary_batch_recall" -> (PipelineQueries.binaryBatchRecall _),
@@ -702,6 +703,20 @@ object SparkEntry {
     // the standard dedup point) and radius 2 (qd06, the strict point).
     "qd51_simhash_portable" -> simhashPortableOracle(maxHamming = 3),
     "qd06_simhash_neardup" -> simhashPortableOracle(maxHamming = 2),
+    // qd89: the persisted fingerprint store serving TEXT — odd-doc
+    // simhash arrivals vs the stored even-doc corpus. The store's
+    // pigeonhole banding and qd06's fixed 4-block split are both
+    // EXACT at the radius, so the truth is plain brute force over the
+    // re-derived two-half signatures (banding geometry provably
+    // doesn't leak into results).
+    "qd89_text_fp_index" -> (simhashSigCtes + """
+       SELECT batch_doc, index_doc, hamming FROM (
+         SELECT a.doc_id AS batch_doc, b.doc_id AS index_doc,
+           CAST(bit_count(xor(a.hi, b.hi))
+             + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b
+           ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) z
+       WHERE hamming <= 2 ORDER BY batch_doc, index_doc"""),
     // qd52: repeat factors as a CASE chain; fractional copy decided by
     // the same md5-threshold compare as the sampling family.
     "qd52_epoch_upsample" ->
@@ -4086,7 +4101,10 @@ object SparkEntry {
     * exact hamming ≤ maxHamming verify — every stage is
     * engine-portable, so the whole sketch is hash-checked, candidates
     * included. */
-  private def simhashPortableOracle(maxHamming: Int): String = {
+  /** The portable-simhash signature chain `sig(doc_id, hi, lo)` —
+    * shared by qd06/qd51 (banded pair oracles) and qd89 (the persisted
+    * fingerprint store serving the same signatures). */
+  private lazy val simhashSigCtes: String = {
     def sums(src: String, p: String) = (0 until 32).map(j =>
       s"sum(CASE WHEN ($src >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS $p$j")
       .mkString(",\n           ")
@@ -4104,7 +4122,11 @@ object SparkEntry {
            ${sums("c1", "l")}
          FROM h GROUP BY 1),
        sig AS (SELECT doc_id, ${pack("h")} AS hi, ${pack("l")} AS lo
-         FROM s),
+         FROM s)"""
+  }
+
+  private def simhashPortableOracle(maxHamming: Int): String =
+    simhashSigCtes + s""",
        blk AS (SELECT doc_id, hi, lo, 0 AS bidx, hi // 65536 AS bval
            FROM sig
          UNION ALL SELECT doc_id, hi, lo, 1, hi % 65536 FROM sig
@@ -4120,7 +4142,6 @@ object SparkEntry {
        WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
          <= $maxHamming
        ORDER BY doc_a, doc_b"""
-  }
 
   /** Oracle for qd45: the same cluster fixpoint, then the qd32 split
     * thresholds applied to the cluster rep (own id for singletons). */

@@ -435,10 +435,13 @@ object Dedup {
     * must match exactly. Plan shape: one explode + 64 integer sum-aggs
     * (map-side combined), banded equi-join, exact hamming verify on
     * candidates only. */
-  def simhashNearDupPortable(docs: DataFrame, id: Column,
-      text: Column, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4-block pigeonhole guarantees recall only to radius 3: $maxHamming")
+  /** The ENGINE-PORTABLE simhash signature frame (doc_id, hi, lo) —
+    * md5-laned bit sums packed into two unsigned 32-bit halves;
+    * factored out of [[simhashNearDupPortable]] so the persisted
+    * fingerprint store can serve the same portable signatures
+    * (packed hi‖lo) that the oracle re-derives in SQL. */
+  private[graft] def simhashSignaturesPortable(docs: DataFrame,
+      id: Column, text: Column): DataFrame = {
     val toks = docs.select(id.as("doc_id"),
       explode(array_distinct(TextAnalysis.tokens(text))).as("w"))
     val lanes = toks.select(col("doc_id"),
@@ -454,8 +457,15 @@ object Dedup {
     def pack(prefix: String): Column = (0 until 32).map(j =>
       when(col(s"$prefix$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
-    val sigs = sums.select(col("doc_id"), pack("h").as("hi"),
-      pack("l").as("lo")).localCheckpoint(eager = false)
+    sums.select(col("doc_id"), pack("h").as("hi"), pack("l").as("lo"))
+  }
+
+  def simhashNearDupPortable(docs: DataFrame, id: Column,
+      text: Column, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-block pigeonhole guarantees recall only to radius 3: $maxHamming")
+    val sigs = simhashSignaturesPortable(docs, id, text)
+      .localCheckpoint(eager = false)
     val blocks = sigs.select(col("doc_id"), col("hi"), col("lo"),
       posexplode(array(
         shiftrightunsigned(col("hi"), 16),

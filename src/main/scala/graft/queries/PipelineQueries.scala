@@ -2966,4 +2966,49 @@ object PipelineQueries {
         col("media_a"), col("media_b"))
       .select(col("doc_id").as("media_id"), col("cluster"))
       .orderBy(col("media_id"))
+
+  /** Portable simhash signatures packed hi‖lo into ONE 64-bit
+    * fingerprint — disjoint bit ranges, so Hamming on the packed long
+    * equals hamming(hi) + hamming(lo) and the oracle's two-half
+    * arithmetic carries over exactly. */
+  private def textSimhashSigs(s: SparkSession, dir: String,
+      parity: Int): DataFrame =
+    graft.ops.Dedup.simhashSignaturesPortable(
+        t(s, dir, "documents").filter(col("doc_id") % 2 === parity),
+        col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        shiftleft(col("hi"), 32).bitwiseOR(col("lo")).as("sig"))
+
+  /** Session memo of the persisted TEXT fingerprint store probed by
+    * qd89: even-doc portable simhash signatures banded at radius 2 —
+    * the store serving its original modality. */
+  private val textFpIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def textFpIndexPath(s: SparkSession, dir: String): String =
+    textFpIndexPaths.computeIfAbsent(dir, _ => {
+      val path =
+        java.nio.file.Files.createTempDirectory("graft_tfpidx").toString
+      graft.ops.FingerprintIndex.writeHammingIndex(
+        textSimhashSigs(s, dir, parity = 0), col("doc_id"),
+        col("sig"), path, maxHamming = 2)
+      path
+    })
+
+  /** qd89: incremental TEXT near-dup through the persisted fingerprint
+    * store — odd-doc simhash arrivals probed against the stored
+    * even-doc corpus (the [[graft.ops.FingerprintIndex]] shape on the
+    * modality the reference corpus actually has). The store's banding
+    * (radius-2 pigeonhole over the packed 64-bit signature) differs
+    * from qd06's fixed 4-block split, but both are EXACT at the
+    * radius, so the oracle is plain brute force over the re-derived
+    * two-half signatures — banding geometry provably doesn't leak
+    * into results. */
+  def textFpAgainstIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FingerprintIndex.hammingAgainstIndex(s,
+        textSimhashSigs(s, dir, parity = 1), col("doc_id"),
+        col("sig"), textFpIndexPath(s, dir))
+      .select(col("batch_doc"), col("index_doc"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy(col("batch_doc"), col("index_doc"))
 }
