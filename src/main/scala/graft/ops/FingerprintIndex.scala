@@ -197,7 +197,8 @@ object FingerprintIndex {
     * store's (the store-wide consistency contract — backfill upgrades
     * ride [[compact]]'s rewrite, as in the other families). */
   def appendHammingIndex(batch: DataFrame, id: Column, sig: Column,
-      path: String, attrs: Seq[Column] = Nil): Unit = {
+      path: String, attrs: Seq[Column] = Nil,
+      maxFilesPerDir: Int = 0): Unit = {
     val spark = batch.sparkSession
     val (maxHamming, pfxBuckets) = readMeta(spark, path)
     val sigs = batch
@@ -205,10 +206,25 @@ object FingerprintIndex {
       .localCheckpoint(eager = false)
     checkAttrs(sigs)
     sigs.write.mode("append").parquet(s"$path/sigs")
-    bandedOf(sigs, maxHamming, pfxBuckets)
+    val banded = bandedOf(sigs, maxHamming, pfxBuckets)
+    banded
       .repartition(col("bpfx"))
       .sortWithinPartitions(col("block_idx"), col("block_val"))
       .write.mode("append").partitionBy("bpfx").parquet(s"$path/bands")
+    // the store-family small-file policy: blind appends leave one more
+    // file per touched directory; when any exceeds the threshold
+    // (listing bounded to what this append grew, plus the flat sigs/
+    // table under the shuffle-count-aware flat cap), compact in place
+    if (maxFilesPerDir > 0) {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val touched = banded.select(col("bpfx")).distinct().collect()
+        .map(r => "bands/bpfx=" +
+          ExternalCatalogUtils.escapePathName(r.getInt(0).toString))
+        .toIndexedSeq :+ "sigs"
+      if (StoreFiles.needsFileCompaction(spark, path, maxFilesPerDir,
+          touched, spark.sessionState.conf.numShufflePartitions))
+        compact(spark, path)
+    }
   }
 
   /** Tombstone-delete documents: probes anti-join the sidecar, so a

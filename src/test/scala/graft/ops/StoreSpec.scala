@@ -1662,6 +1662,18 @@ class StoreSpec extends AnyFunSuite {
     FP.writeHammingIndex(even, col("media_id"), col("sh"), p8,
       maxHamming = 10, pfxBuckets = 8)
     assert(probe(p8) == probe(p0))
+    // the small-file policy: an append carrying maxFilesPerDir
+    // compacts in place once a touched directory crosses the
+    // threshold — probe results unchanged (duplicate sig rows from
+    // the re-append are absorbed by the probe's distinct)
+    FP.appendHammingIndex(even, col("media_id"), col("sh"), p3)
+    assert(graft.ops.StoreFiles.needsFileCompaction(spark, p3,
+      maxFilesPerDir = 1))
+    FP.appendHammingIndex(odd.limit(0), col("media_id"), col("sh"), p3,
+      maxFilesPerDir = 1)
+    assert(!graft.ops.StoreFiles.needsFileCompaction(spark, p3,
+      maxFilesPerDir = 300))
+    assert(probe(p3) == brute(_ => true, 3))
     // the arrival gate: accepted rows have NO stored partner within
     // the radius — gate + probe partition the batch exactly. The
     // store holds only the first 8 groups, so odd ids of the stored
