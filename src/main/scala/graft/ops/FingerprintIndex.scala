@@ -246,11 +246,41 @@ object FingerprintIndex {
     * collapse the small files appends left per partition, clear the
     * sidecar. Probe results unchanged; probe cost drops (no anti-join,
     * fewer files per pruned directory). Writers quiesced during the
-    * rename swaps. */
-  def compact(spark: SparkSession, path: String): Unit = {
+    * rename swaps.
+    *
+    * `backfillAttrs` UPGRADES a store built without attribute columns
+    * to filtered serving WITHOUT a corpus rebuild — the store-family
+    * upgrade path ([[LexIndex.compactBm25Index]] precedent): a
+    * (doc_id, attr…) frame with unique doc_id joins onto every live
+    * row during the rewrite compaction already does. After the
+    * compact, probes accept `attrFilter` over the new columns exactly
+    * as if the store had been built with them (spec-pinned identity);
+    * subsequent appends/puts must carry matching attrs. Docs missing
+    * from the frame keep NULL attrs — they then fail every
+    * non-null-safe attrFilter, so cover the corpus. */
+  def compact(spark: SparkSession, path: String,
+      backfillAttrs: Option[DataFrame] = None): Unit = {
+    val attrF = backfillAttrs.map { a =>
+      require(a.columns.contains("doc_id"),
+        "backfillAttrs needs a doc_id join column")
+      val clash = a.columns.filter(c =>
+        c != "doc_id" && (Reserved(c) || c == "batch_id"))
+      require(clash.isEmpty,
+        "backfillAttrs columns collide with index columns: " +
+          clash.mkString(", "))
+      // a duplicate doc_id would MULTIPLY band rows — one aggregation
+      // over the (small) attr table rules it out before the rewrite
+      val c = a.agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("nd")).head()
+      require(c.getLong(0) == c.getLong(1),
+        "backfillAttrs has duplicate doc_id rows")
+      a.localCheckpoint(eager = false)
+    }
+    def withAttrs(df: DataFrame): DataFrame =
+      attrF.fold(df)(a => df.join(a, Seq("doc_id"), "left"))
     StoreFiles.replaceDir(spark, s"$path/sigs") { tmp =>
-      val live =
-        dropTombstoned(spark, path, spark.read.parquet(s"$path/sigs"))
+      val live = withAttrs(
+        dropTombstoned(spark, path, spark.read.parquet(s"$path/sigs")))
       val out = live
         .repartition(spark.sessionState.conf.numShufflePartitions)
       if (live.columns.contains("batch_id"))
@@ -258,8 +288,8 @@ object FingerprintIndex {
       else out.write.parquet(tmp)
     }
     StoreFiles.replaceDir(spark, s"$path/bands") { tmp =>
-      val live =
-        dropTombstoned(spark, path, spark.read.parquet(s"$path/bands"))
+      val live = withAttrs(
+        dropTombstoned(spark, path, spark.read.parquet(s"$path/bands")))
       val out = live.repartition(col("bpfx"))
         .sortWithinPartitions(col("block_idx"), col("block_val"))
       if (live.columns.contains("batch_id"))

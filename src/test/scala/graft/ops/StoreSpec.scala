@@ -1649,6 +1649,22 @@ class StoreSpec extends AnyFunSuite {
       attrs = Seq(pmod(col("media_id"), lit(4)).cast("int").as("flag")))
     assert(probe(pF, Some(col("flag") === 0)) == brute(_ % 4 == 0, 10))
     assert(probe(pF) == probe(p0))
+    // attr BACKFILL at compact: a store born WITHOUT attrs upgrades
+    // to filtered serving identical to the born-with store, through a
+    // subsequent attr-carrying append (the store-family upgrade path)
+    val pUp = tmp("st_fpup")
+    FP.writeHammingIndex(even.filter(col("media_id") < 32),
+      col("media_id"), col("sh"), pUp, maxHamming = 10)
+    FP.compact(spark, pUp, backfillAttrs = Some(
+      even.filter(col("media_id") < 32)
+        .select(col("media_id").as("doc_id"),
+          pmod(col("media_id"), lit(4)).cast("int").as("flag"))))
+    FP.appendHammingIndex(even.filter(col("media_id") >= 32),
+      col("media_id"), col("sh"), pUp,
+      attrs = Seq(pmod(col("media_id"), lit(4)).cast("int").as("flag")))
+    assert(probe(pUp, Some(col("flag") === 0)) ==
+      probe(pF, Some(col("flag") === 0)))
+    assert(probe(pUp) == probe(p0))
     // radius is meta-pinned: a store built at radius 3 serves radius-3
     // truth (the c = 1 banding branch) without the caller restating it
     val p3 = tmp("st_fpr3")
