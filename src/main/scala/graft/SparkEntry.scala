@@ -59,6 +59,7 @@ object SparkEntry {
     "qd12_pii_flags" -> (PipelineQueries.piiFlags _),
     "qd13_dup_clusters" -> (PipelineQueries.dupClusters _),
     "qd42_dup_clusters_star" -> (PipelineQueries.dupClustersStar _),
+    "qd90_cluster_map_merge" -> (PipelineQueries.clusterMapMerge _),
     "qd14_curated_corpus" -> (PipelineQueries.curatedCorpus _),
     "qd15_decontaminate" -> (PipelineQueries.decontaminate _),
     "qd43_bloom_decontaminate" -> (PipelineQueries.decontaminateBloom _),
@@ -211,6 +212,7 @@ object SparkEntry {
     "qe52_lsh_multitable_grid" -> (PipelineQueries.lshMultiTableGrid _),
     "qe53_lsh_multitable_filtered" ->
       (PipelineQueries.lshMultiFilteredRecall _),
+    "qe54_ivf_retrain_recall" -> (PipelineQueries.ivfRetrainRecall _),
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
@@ -219,6 +221,9 @@ object SparkEntry {
     "qm06_audio_fingerprint" -> (PipelineQueries.audioFingerprint _),
     "qm07_audio_neardup" -> (PipelineQueries.audioNearDup _),
     "qm08_image_fp_index" -> (PipelineQueries.imageFpAgainstIndex _),
+    "qm12_image_fp_topk" -> (PipelineQueries.imageFpTopK _),
+    "qm13_video_frame_hash" -> (PipelineQueries.videoFrameHash _),
+    "qm14_video_fp_index" -> (PipelineQueries.videoFpAgainstIndex _),
     "qm09_image_fp_filtered" ->
       (PipelineQueries.imageFpFilteredAgainstIndex _),
     "qm10_crossmodal_neardup" -> (PipelineQueries.crossModalNearDup _),
@@ -554,6 +559,10 @@ object SparkEntry {
     // the identical fixpoint labels.
     "qd13_dup_clusters" -> dupClustersOracleSql,
     "qd42_dup_clusters_star" -> dupClustersOracleSql,
+    // qd90: base map on even-only pairs + arrival merge of every pair
+    // touching an odd doc must land on the SAME fixpoint as a full
+    // rebuild — qd13's oracle verbatim is the whole point.
+    "qd90_cluster_map_merge" -> dupClustersOracleSql,
     "qd45_leakfree_split" -> leakFreeSplitOracleSql,
     // qd46: the permutation is the lex order of md5('ep7:'||id) — the
     // sharded two-phase ranking must agree with the naive global window.
@@ -708,14 +717,17 @@ object SparkEntry {
     // pigeonhole banding and qd06's fixed 4-block split are both
     // EXACT at the radius, so the truth is plain brute force over the
     // re-derived two-half signatures (banding geometry provably
-    // doesn't leak into results).
+    // doesn't leak into results). doc_id < 4000 bounds the corpus
+    // (the qm-family discipline) so the unbanded cross join stays
+    // fixed-cost across scale factors.
     "qd89_text_fp_index" -> (simhashSigCtes + """
        SELECT batch_doc, index_doc, hamming FROM (
          SELECT a.doc_id AS batch_doc, b.doc_id AS index_doc,
            CAST(bit_count(xor(a.hi, b.hi))
              + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
          FROM sig a JOIN sig b
-           ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) z
+           ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           AND a.doc_id < 4000 AND b.doc_id < 4000) z
        WHERE hamming <= 2 ORDER BY batch_doc, index_doc"""),
     // qd52: repeat factors as a CASE chain; fractional copy decided by
     // the same md5-threshold compare as the sampling family.
@@ -1999,6 +2011,14 @@ object SparkEntry {
     // the probed (table, bucket) union, a vector reachable through
     // several tables counted once.
     "qe53_lsh_multitable_filtered" -> lshMultiFilteredRecallOracleSql,
+    // qe54: retrain-at-compact — BOTH phases' models re-derived
+    // end-to-end: the build chain trains (md5 'ivf:' sample + 2
+    // 1e-6-rounded Lloyd rounds) on the natural half only, the
+    // retrain chain on the full drifted union (exactly what the
+    // stored vectors are), each phase assigns the union under its own
+    // centroids, probes 4 cells per drifted query, and reports the
+    // recall row + the average probed-candidate count.
+    "qe54_ivf_retrain_recall" -> ivfRetrainRecallOracleSql,
     // qm01: multimodal decode — Spark synthesizes REAL container bytes
     // per doc id and decodes them with the real parsers; the oracle
     // re-derives every field from the same integer arithmetic, so the
@@ -2060,6 +2080,44 @@ object SparkEntry {
          FROM hb a JOIN hb b
            ON a.media_id % 2 = 1 AND b.media_id % 2 = 0) z
        WHERE hamming <= 10 ORDER BY batch_media, index_media"""),
+    // qm12: ranked top-3 per arrival off the SAME store — brute-force
+    // Hamming cut at the radius, ranked (hamming asc, media asc);
+    // pages under-fill naturally where < 3 partners sit inside the
+    // radius.
+    "qm12_image_fp_topk" -> (imageAHashCtes + """
+       SELECT batch_media, index_media, hamming,
+         CAST(row_number() OVER (PARTITION BY batch_media
+           ORDER BY hamming, index_media) AS BIGINT) AS rank
+       FROM (
+         SELECT a.media_id AS batch_media, b.media_id AS index_media,
+           CAST(bit_count(xor(a.ahash_lo, b.ahash_lo))
+             + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT)
+             AS hamming
+         FROM hb a JOIN hb b
+           ON a.media_id % 2 = 1 AND b.media_id % 2 = 0) z
+       WHERE hamming <= 10
+       QUALIFY rank <= 3 ORDER BY batch_media, rank"""),
+    // qm13: every frame's aHash re-derived pixel-by-pixel from the
+    // vidGrayAt arithmetic — the qm04 discipline along the time axis;
+    // a wrong chunk offset, row direction, or frame order in the AVI
+    // writer OR the RIFF walk breaks the hash match.
+    "qm13_video_frame_hash" -> (videoFpCtes + """
+       SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+         fh_lo, fh_hi
+       FROM vhb ORDER BY media_id, frame_idx"""),
+    // qm14: the persisted fingerprint store serving VIDEO — odd-media
+    // temporal fingerprints vs the stored even-media corpus; brute
+    // force over the re-derived byte-sampled signatures (banding
+    // geometry provably doesn't leak into results).
+    "qm14_video_fp_index" -> (videoFpCtes + """
+       SELECT batch_media, index_media, hamming FROM (
+         SELECT a.media_id AS batch_media, b.media_id AS index_media,
+           CAST(bit_count(xor(a.tfp_lo, b.tfp_lo))
+             + bit_count(xor(a.tfp_hi, b.tfp_hi)) AS BIGINT)
+             AS hamming
+         FROM vfp a JOIN vfp b
+           ON a.media_id % 2 = 1 AND b.media_id % 2 = 0) z
+       WHERE hamming <= 10 ORDER BY batch_media, index_media"""),
     // qm09: the filtered twin — the stored side cut to flag = 0
     // (media_id % 4 = 0) BEFORE verification, exactly what the pushed
     // attr predicate does inside the pruned band scan.
@@ -2077,34 +2135,45 @@ object SparkEntry {
     // intersected by brute force: a pair survives iff BOTH modalities
     // put it within radius 10.
     "qm10_crossmodal_neardup" -> (imageAHashCtes + ",\n       " +
-      audioFpCtesBody + """
-       SELECT media_a, media_b, image_hamming, audio_hamming FROM (
+      audioFpCtesBody + ",\n       " + videoFpCtesBody + """
+       SELECT media_a, media_b, image_hamming, audio_hamming,
+         video_hamming FROM (
          SELECT a.media_id AS media_a, b.media_id AS media_b,
            CAST(bit_count(xor(a.ahash_lo, b.ahash_lo))
              + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT)
              AS image_hamming,
            CAST(bit_count(xor(fa.fp_lo, f2.fp_lo))
              + bit_count(xor(fa.fp_hi, f2.fp_hi)) AS BIGINT)
-             AS audio_hamming
+             AS audio_hamming,
+           CAST(bit_count(xor(va.tfp_lo, v2.tfp_lo))
+             + bit_count(xor(va.tfp_hi, v2.tfp_hi)) AS BIGINT)
+             AS video_hamming
          FROM hb a JOIN hb b ON a.media_id < b.media_id
          JOIN fb fa ON fa.media_id = a.media_id
-         JOIN fb f2 ON f2.media_id = b.media_id) z
+         JOIN fb f2 ON f2.media_id = b.media_id
+         JOIN vfp va ON va.media_id = a.media_id
+         JOIN vfp v2 ON v2.media_id = b.media_id) z
        WHERE image_hamming <= 10 AND audio_hamming <= 10
+         AND video_hamming <= 10
        ORDER BY media_a, media_b"""),
     // qm11: transitive closure over the consensus pairs (the qd13
     // recursive-CTE discipline) — cluster = least member id of the
     // connected component, docs in at least one pair.
     "qm11_crossmodal_clusters" -> (imageAHashCtes
       .replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n       " +
-      audioFpCtesBody + """,
+      audioFpCtesBody + ",\n       " + videoFpCtesBody + """,
        mp AS (SELECT a.media_id AS doc_a, b.media_id AS doc_b
          FROM hb a JOIN hb b ON a.media_id < b.media_id
          JOIN fb fa ON fa.media_id = a.media_id
          JOIN fb f2 ON f2.media_id = b.media_id
+         JOIN vfp va ON va.media_id = a.media_id
+         JOIN vfp v2 ON v2.media_id = b.media_id
          WHERE bit_count(xor(a.ahash_lo, b.ahash_lo))
              + bit_count(xor(a.ahash_hi, b.ahash_hi)) <= 10
            AND bit_count(xor(fa.fp_lo, f2.fp_lo))
-             + bit_count(xor(fa.fp_hi, f2.fp_hi)) <= 10),
+             + bit_count(xor(fa.fp_hi, f2.fp_hi)) <= 10
+           AND bit_count(xor(va.tfp_lo, v2.tfp_lo))
+             + bit_count(xor(va.tfp_hi, v2.tfp_hi)) <= 10),
        e AS (SELECT doc_a AS a, doc_b AS b FROM mp
          UNION SELECT doc_b, doc_a FROM mp),
        cc(a, b) AS (SELECT a, b FROM e
@@ -2465,6 +2534,127 @@ object SparkEntry {
              ORDER BY cos DESC, vec_id) AS rk FROM rr) rr2
          WHERE rk <= 10)
        $recallRowSelect"""
+
+  /** A prefixed trained-IVF Lloyd chain over an arbitrary TRAINING
+    * base CTE — [[kmeansCtes]]' machinery generalized for qe54, where
+    * the SAME arithmetic must run twice (build trained on the natural
+    * half, retrain trained on the drifted union). Emits CTEs
+    * `<pfx>c0` (md5 'ivf:' seeded sample of `base`) through `<pfx>c2`
+    * (2 spherical Lloyd rounds, means rounded to 1e-6 before
+    * re-normalization — the graft.ops.Clustering contract), then
+    * `<pfx>cellof` assigning the SERVING corpus `e` under the final
+    * centroids (ties to the higher cell — `nearestCell`'s greatest()
+    * convention), `<pfx>probe` as each query's 4 best cells by
+    * centroid dot (ties to the LOWER cell — the probe convention) and
+    * `<pfx>approx` as the per-query top-10 over the probed
+    * candidates. Expects `e` and `q` in scope. */
+  private def ivfDriftChainCtes(pfx: String, base: String,
+      k: Int): String = {
+    def lloyd(i: Int): String =
+      s"""${pfx}a$i AS (SELECT b.vec_id, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY list_dot_product(b.v, c.cv) DESC, c.cell DESC) AS rn
+         FROM $base b, ${pfx}c$i c),
+       ${pfx}x$i AS (SELECT vec_id, cell FROM ${pfx}a$i WHERE rn = 1),
+       ${pfx}m${i + 1} AS (SELECT x.cell, u.dim,
+           round(sum(u.x) / count(*), 6) AS m
+         FROM ${pfx}x$i x JOIN (SELECT vec_id,
+             unnest(range(64)) AS dim, unnest(v) AS x FROM $base) u
+           USING (vec_id)
+         GROUP BY 1, 2),
+       ${pfx}mc${i + 1} AS (SELECT cell, list(m ORDER BY dim) AS mv
+         FROM ${pfx}m${i + 1} GROUP BY 1),
+       ${pfx}c${i + 1} AS (SELECT p.cell,
+           CASE WHEN q.cell IS NULL
+                  OR sqrt(list_dot_product(q.mv, q.mv)) = 0 THEN p.cv
+                ELSE list_transform(q.mv,
+                  x -> x / sqrt(list_dot_product(q.mv, q.mv))) END AS cv
+         FROM ${pfx}c$i p LEFT JOIN ${pfx}mc${i + 1} q USING (cell))"""
+    s"""${pfx}c0 AS (SELECT CAST(row_number() OVER (ORDER BY
+           md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id)
+           AS INTEGER) - 1 AS cell, v AS cv
+         FROM $base ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)),
+           vec_id
+         LIMIT $k),
+       ${lloyd(0)},
+       ${lloyd(1)},
+       ${pfx}fin AS (SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell DESC) AS rn
+         FROM e, ${pfx}c2 c),
+       ${pfx}cellof AS (SELECT vec_id, cell FROM ${pfx}fin WHERE rn = 1),
+       ${pfx}crks AS (SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(c.cv, q.qv) DESC, c.cell) AS crk
+         FROM ${pfx}c2 c, q),
+       ${pfx}probe AS (SELECT query_id, cell FROM ${pfx}crks
+         WHERE crk <= 4),
+       ${pfx}cand AS (SELECT p.query_id, e.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM e JOIN ${pfx}cellof cf USING (vec_id)
+           JOIN ${pfx}probe p ON cf.cell = p.cell
+           JOIN q q2 ON q2.query_id = p.query_id),
+       ${pfx}approx AS (SELECT query_id, vec_id
+         FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM ${pfx}cand) ar
+         WHERE rk <= 10),
+       ${pfx}sizes AS (SELECT cell, count(*) AS n_in_cell
+         FROM ${pfx}cellof GROUP BY 1),
+       ${pfx}scan AS (SELECT sum(s.n_in_cell) * 1.0
+           / count(DISTINCT p.query_id) AS avg_c
+         FROM ${pfx}probe p JOIN ${pfx}sizes s USING (cell))"""
+  }
+
+  private def ivfDriftPhaseRow(phase: String, pfx: String): String =
+    s"""SELECT '$phase' AS phase, CAST(10 AS BIGINT) AS k,
+         CAST((SELECT count(DISTINCT query_id) FROM truth) AS BIGINT)
+           AS n_queries,
+         CAST((SELECT count(*) FROM truth JOIN ${pfx}approx
+           USING (query_id, vec_id)) AS BIGINT) AS n_hit,
+         round((SELECT count(*) FROM truth JOIN ${pfx}approx
+             USING (query_id, vec_id)) * 1.0 /
+           ((SELECT count(DISTINCT query_id) FROM truth) * 10), 4)
+           AS recall,
+         round((SELECT avg_c FROM ${pfx}scan), 4) AS avg_cand"""
+
+  /** qe54: the drift fixture end-to-end — natural even half, odd half
+    * shifted +0.15/dim pre-normalization, truth brute over the union
+    * for 100 drifted queries; the BUILD chain trains on the natural
+    * half only (the frozen model the appends landed under), the
+    * RETRAIN chain on the union (exactly the stored vectors the
+    * retain-at-compact pass trains from), and each phase's recall +
+    * scan row comes off its own chain. */
+  private lazy val ivfRetrainRecallOracleSql: String =
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       enat AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw WHERE vec_id % 2 = 0),
+       shf AS (SELECT vec_id,
+         list_transform(rv, x -> x + CAST(0.15 AS DOUBLE)) AS sv
+         FROM raw WHERE vec_id % 2 = 1),
+       eshift AS (SELECT vec_id,
+         list_transform(sv, x -> x / sqrt(list_dot_product(sv, sv))) AS v
+         FROM shf),
+       e AS (SELECT * FROM enat UNION ALL SELECT * FROM eshift),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM eshift
+         WHERE vec_id < 200),
+       tscore AS (SELECT q.query_id, e.vec_id,
+           round(list_dot_product(e.v, q.qv), 4) AS cos
+         FROM e, q),
+       truth AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM tscore) tr
+         WHERE rk <= 10),
+       ${ivfDriftChainCtes("b", "enat", 16)},
+       ${ivfDriftChainCtes("r", "e", 16)}
+       SELECT * FROM (
+         ${ivfDriftPhaseRow("before_retrain", "b")}
+         UNION ALL
+         ${ivfDriftPhaseRow("after_retrain", "r")}
+       ) z ORDER BY phase"""
 
   /** qe33: the stored trained-IVF index's per-cell populations — the
     * persisted assignment re-derived from the same 1e-6-rounded Lloyd
@@ -3295,6 +3485,52 @@ object SparkEntry {
     """WITH ids AS (SELECT doc_id AS media_id FROM documents
          WHERE doc_id < 2000),
        """ + audioFpCtesBody
+
+  /** qm13/qm14 (and the qm10/qm11 grafts): the video truth — every
+    * pixel of every frame re-derived by the
+    * [[graft.ops.Multimodal.vidGrayAt]] arithmetic, each frame's
+    * aHash as two unsigned 32-bit halves (`vhb(media_id, f, fh_lo,
+    * fh_hi)` — the per-frame mean threshold `v·64 > tot` partitioned
+    * by (media, frame)), then the temporal fingerprint `vfp` by
+    * byte-sampling frame f's hash at byte f (disjoint masks, so the
+    * halves sum exactly). No leading `ids` CTE, so the body grafts
+    * onto [[imageAHashCtes]] like the audio chain. */
+  private lazy val videoFpCtesBody: String =
+    """vpx AS (SELECT media_id, f.f AS f, r.p AS p,
+           (17 + (media_id // 4) * 29 + 7 * f.f * f.f
+             + 13 * r.p * r.p + (media_id // 4) * r.p
+             + f.f * r.p) % 256 AS raw
+         FROM ids CROSS JOIN range(0, 8) f(f)
+           CROSS JOIN range(0, 64) r(p)),
+       vgv AS (SELECT media_id, f, p,
+           CASE WHEN media_id % 4 > 0
+               AND (7 * p + media_id // 4 + media_id % 4 + f) % 64
+                 < 2 * (media_id % 4)
+             THEN 255 - raw ELSE raw END AS v
+         FROM vpx),
+       vgt AS (SELECT media_id, f, p, v,
+           sum(v) OVER (PARTITION BY media_id, f) AS tot FROM vgv),
+       vhb AS (SELECT media_id, f,
+           CAST(sum(CASE WHEN p < 32 AND v * 64 > tot
+             THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+             AS fh_lo,
+           CAST(sum(CASE WHEN p >= 32 AND v * 64 > tot
+             THEN (CAST(1 AS BIGINT) << (p - 32)) ELSE 0 END) AS BIGINT)
+             AS fh_hi
+         FROM vgt GROUP BY 1, 2),
+       vfp AS (SELECT media_id,
+           CAST(sum(CASE WHEN f < 4
+             THEN fh_lo & (CAST(255 AS BIGINT) << (8 * f))
+             ELSE 0 END) AS BIGINT) AS tfp_lo,
+           CAST(sum(CASE WHEN f >= 4
+             THEN fh_hi & (CAST(255 AS BIGINT) << (8 * (f - 4)))
+             ELSE 0 END) AS BIGINT) AS tfp_hi
+         FROM vhb GROUP BY 1)"""
+
+  private lazy val videoFpCtes: String =
+    """WITH ids AS (SELECT doc_id AS media_id FROM documents
+         WHERE doc_id < 2000),
+       """ + videoFpCtesBody
 
   /** qe39: the IVF-PQ operating-point grid — recall@10 at
     * {8×16, 16×64 codes} × {rerank 25, 50, 100}, nProbe 8. Two

@@ -199,9 +199,36 @@ object AnnIndex {
     * the new columns exactly as a born-with-attrs store (spec-pinned
     * identity), and subsequent appends/puts must carry matching
     * `attrs`. Vectors missing from the frame keep NULL attrs — they
-    * then fail every non-null-safe attrFilter, so cover the corpus. */
+    * then fail every non-null-safe attrFilter, so cover the corpus.
+    *
+    * `retrainIters` RETRAINS the trained families' MODEL during the
+    * same rewrite — the backfill precedent applied to the model
+    * itself, closing the "retrain = full corpus rebuild" gap the
+    * append contract used to state. IVF: recompute centroids from the
+    * stored vectors (`Similarity.ivfCentroidsKMeansPre` — the stored
+    * `v` ARE the build's normalized inputs, so the retrain runs the
+    * identical md5-seeded sample + Lloyd rounds a fresh full-corpus
+    * build would, bit-for-bit) and re-assign every live row's cell in
+    * the rewrite pass compact already does. IVF-PQ: additionally
+    * re-derive the residual codebook from the full-precision
+    * `vectors/` table and re-encode every live row's codes. The
+    * result is spec-pinned IDENTICAL to a fresh build over the live
+    * corpus — drift-decayed recall recovers to fresh-build recall
+    * with no corpus re-read outside the store. Crash ordering: data
+    * tables rewrite first (each an atomic rename swap serving the OLD
+    * consistent store until it lands), the tiny model sidecars swap
+    * last — a crash between swaps leaves rows assigned under a newer
+    * model than the sidecar, which degrades recall but never returns
+    * a wrong score (stored vectors are full precision; IVF-PQ ADC
+    * rankings in that window are unreliable, so quiesce probes
+    * through a retrain compact — the writer-quiesce contract's probe
+    * twin); re-running the retrain compact converges. Requires a
+    * trained store (IVF / IVF-PQ — plain PQ keeps no full-precision
+    * vectors, so its model is not retrainable from the store by
+    * design). */
   def compactAnnIndex(spark: SparkSession, path: String,
-      backfillAttrs: Option[DataFrame] = None): Unit = {
+      backfillAttrs: Option[DataFrame] = None,
+      retrainIters: Option[Int] = None): Unit = {
     val attrF = backfillAttrs.map { a =>
       require(a.columns.contains("vec_id"),
         "backfillAttrs needs a vec_id join column")
@@ -261,8 +288,116 @@ object AnnIndex {
               .write.parquet(tmp)
           }
         }
-    Seq("index", "codes", "bits", "vectors").foreach(sub)
+    retrainIters match {
+      case Some(iters) =>
+        require(iters > 0, s"retrainIters must be positive, got $iters")
+        require(StoreFiles.exists(spark, s"$path/centroids"),
+          s"retrain at compact needs a trained store (IVF / IVF-PQ): " +
+            s"no centroids/ under $path")
+        if (StoreFiles.exists(spark, s"$path/codes"))
+          retrainIvfPqAtCompact(spark, path, iters, attrF)
+        else retrainIvfAtCompact(spark, path, iters, attrF)
+      case None =>
+        Seq("index", "codes", "bits", "vectors").foreach(sub)
+    }
     StoreFiles.delete(spark, s"$path/tombstones")
+  }
+
+  /** The IVF retrain rewrite behind [[compactAnnIndex]]: one pass over
+    * the live stored rows trains the new centroids (driver state:
+    * nList × dim doubles) and re-assigns every cell in the rewrite
+    * compact already does — no corpus read outside the store. The
+    * index swap lands first; the centroid sidecar (one tiny rename)
+    * swaps last, bounding the mixed-model window to milliseconds. */
+  private def retrainIvfAtCompact(spark: SparkSession, path: String,
+      iters: Int, attrF: Option[DataFrame]): Unit = {
+    val nList = spark.read.parquet(s"$path/centroids").count().toInt
+    val live = dropTombstoned(spark, path,
+        spark.read.parquet(s"$path/index"))
+      .localCheckpoint(eager = false)
+    val cents = Similarity.ivfCentroidsKMeansPre(
+      live.select(col("vec_id"), col("v")), nList, iters)
+    StoreFiles.replaceDir(spark, s"$path/index") { tmp =>
+      val re0 = live.drop("cell")
+        .withColumn("cell", Similarity.nearestCell(col("v"), cents))
+      val re = attrF.fold(re0)(a => re0.join(a, Seq("vec_id"), "left"))
+      if (re.columns.contains("batch_id"))
+        re.drop("batch_id").withColumn("batch_id", lit(-1L))
+          .repartition(col("cell"))
+          .write.partitionBy("batch_id", "cell").parquet(tmp)
+      else re.repartition(col("cell"))
+        .write.partitionBy("cell").parquet(tmp)
+    }
+    StoreFiles.replaceDir(spark, s"$path/centroids") { tmp =>
+      spark.createDataFrame(cents.map { case (c, cv) => (c, cv) }.toSeq)
+        .toDF("cell", "cv").write.parquet(tmp)
+    }
+  }
+
+  /** The IVF-PQ retrain rewrite behind [[compactAnnIndex]]: the
+    * full-precision `vectors/` table (the reason the family stores it)
+    * feeds the SAME training pass a fresh build runs — Lloyd-refined
+    * centroids, residual codebook sample, re-encoded codes — and the
+    * code rows' attr columns carry over by vec_id. Swap order: codes
+    * first (longest rewrite, old store serves consistently until the
+    * rename), vectors' plain compact next, the two tiny model
+    * sidecars last. */
+  private def retrainIvfPqAtCompact(spark: SparkSession, path: String,
+      iters: Int, attrF: Option[DataFrame]): Unit = {
+    val nList = spark.read.parquet(s"$path/centroids").count().toInt
+    val cbOld = readCodebook(spark, s"$path/codebook")
+    val (numSub, cbSize) = (cbOld.length, cbOld(0).length)
+    val oldCodes = dropTombstoned(spark, path,
+      spark.read.parquet(s"$path/codes"))
+    val batchKeyed = oldCodes.columns.contains("batch_id")
+    val attrCols = oldCodes.columns
+      .filterNot(Set("vec_id", "cell", "codes", "batch_id"))
+    val liveVecs = dropTombstoned(spark, path,
+        spark.read.parquet(s"$path/vectors"))
+      .select(col("vec_id"), col("v"))
+      .localCheckpoint(eager = false)
+    val (cents, cb, coded0) = Similarity.ivfPqEncodePre(
+      liveVecs, nList, numSub, cbSize, iters)
+    val withOld =
+      if (attrCols.isEmpty) coded0
+      else coded0.join(
+        oldCodes.select("vec_id", attrCols.toIndexedSeq: _*),
+        Seq("vec_id"), "left")
+    val coded = attrF.fold(withOld)(a =>
+      withOld.join(a, Seq("vec_id"), "left"))
+    StoreFiles.replaceDir(spark, s"$path/codes") { tmp =>
+      if (batchKeyed)
+        coded.withColumn("batch_id", lit(-1L))
+          .repartition(col("cell"))
+          .write.partitionBy("batch_id", "cell").parquet(tmp)
+      else coded.repartition(col("cell"))
+        .write.partitionBy("cell").parquet(tmp)
+    }
+    StoreFiles.replaceDir(spark, s"$path/vectors") { tmp =>
+      val live = dropTombstoned(spark, path,
+        spark.read.parquet(s"$path/vectors"))
+      if (batchKeyed)
+        live.drop("batch_id").withColumn("batch_id", lit(-1L))
+          .repartitionByRange(
+            spark.sessionState.conf.numShufflePartitions, col("vec_id"))
+          .sortWithinPartitions(col("vec_id"))
+          .write.partitionBy("batch_id").parquet(tmp)
+      else live.repartitionByRange(
+          spark.sessionState.conf.numShufflePartitions, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.parquet(tmp)
+    }
+    StoreFiles.replaceDir(spark, s"$path/centroids") { tmp =>
+      spark.createDataFrame(cents.map { case (c, cv) => (c, cv) }.toSeq)
+        .toDF("cell", "cv").write.parquet(tmp)
+    }
+    StoreFiles.replaceDir(spark, s"$path/codebook") { tmp =>
+      import spark.implicits._
+      (for { m <- cb.indices; c <- cb(m).indices; d <- cb(m)(c).indices }
+        yield (m, c, d, cb(m)(c)(d)))
+        .toDF("m", "cidx", "dim", "c6")
+        .write.parquet(tmp)
+    }
   }
 
   /** Top-k against a persisted LSH index. The query vector is collected
@@ -1031,9 +1166,10 @@ object AnnIndex {
 
   /** Append a batch of vectors to a persisted IVF index: the STORED
     * centroids assign the batch partition-locally (centroids are a
-    * frozen model under the IVF contract — no retraining, no corpus
-    * re-read; retrain via a fresh [[writeIvfIndex]] when drift
-    * warrants), and the rows land under their cell partitions. Probes
+    * frozen model at append time — no retraining, no corpus re-read;
+    * when drift decays recall, retrain IN the store via
+    * [[compactAnnIndex]]`(retrainIters = Some(n))` — no corpus
+    * rebuild), and the rows land under their cell partitions. Probes
     * over the appended index equal an assignment of the union corpus
     * under the same centroids (spec-pinned). `maxFilesPerDir` > 0
     * compacts in place when blind appends have accumulated too many
@@ -1175,9 +1311,10 @@ object AnnIndex {
 
   /** Append a batch to a persisted IVF-PQ index under the STORED model:
     * the frozen centroids assign cells, the frozen residual codebook
-    * encodes — no retraining, no corpus re-read (retrain via a fresh
-    * [[writeIvfPqIndex]] when drift warrants, the [[appendIvfIndex]]
-    * contract). Probing ALL cells with a corpus-sized rerank over the
+    * encodes — no retraining, no corpus re-read (when drift warrants,
+    * retrain IN the store via [[compactAnnIndex]]`(retrainIters =
+    * Some(n))`, the [[appendIvfIndex]] contract). Probing ALL cells
+    * with a corpus-sized rerank over the
     * appended index still equals brute-force truth over the union —
     * the two-stage exactness identity is model-independent
     * (spec-pinned). `maxFilesPerDir` > 0 compacts in place when blind

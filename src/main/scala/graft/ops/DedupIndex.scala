@@ -268,6 +268,87 @@ object DedupIndex {
   def readClusterPairs(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/pairs")
 
+  /** MERGE an arrival's near-dup edges into the stored cluster map —
+    * the scale-safe alternative to [[refreshClusterMap]]'s full
+    * rebuild: at 100 TB an arriving batch must not re-run pair
+    * generation and connected components over everything it did not
+    * touch. The stored labels make the merge cheap: every stored
+    * component's label IS its minimum doc id, so contracting each
+    * component to its label node is lossless — the new edges project
+    * onto current labels ((endpoint → its stored label, or itself
+    * when unseen)), min-label propagation runs on that CONTRACTED
+    * graph (arrival-neighborhood-sized: its nodes are the labels the
+    * arrival touches, its diameter the arrival's bridging depth —
+    * never corpus-sized, and edges between same-label endpoints drop
+    * out before the loop), and the resulting (old label → new label)
+    * map is a broadcast-sized relabel join onto the stored table.
+    * Components the arrival doesn't touch keep their rows verbatim;
+    * the label table rewrite itself is one linear doc-count-sized
+    * columnar pass (the same cost class as any store compact — the
+    * bounded part is the ITERATION, which is what blows up on a
+    * rebuild). Spec-pinned: stored map + arrival merge == a map
+    * rebuilt from the union of pair sets, including arrivals that
+    * BRIDGE existing clusters (both components relabel to the joint
+    * minimum).
+    *
+    * Crash ordering: `coverage` (the caller's post-arrival corpus
+    * snapshot) signs FIRST ([[refreshClusterMap]]'s safe-direction
+    * argument), the new edges append to `pairs/` SECOND, the label
+    * rewrite lands LAST — a crash anywhere leaves pairs ⊇ labels,
+    * and re-running the merge with the same edges is IDEMPOTENT on
+    * the labels (already-merged endpoints share labels, so the
+    * contracted graph is empty and the rewrite is a no-op relabel;
+    * `pairs/` may hold the replayed edges twice — harmless to any
+    * rebuild, since duplicate edges don't change components, and
+    * cheaper than anti-joining the full corpus-pair table per
+    * arrival). */
+  def mergeClusterMap(spark: SparkSession, path: String,
+      newPairs: DataFrame, a: Column, b: Column,
+      coverage: Option[(DataFrame, Column)] = None): Unit = {
+    coverage.foreach { case (docs, sig) =>
+      writeClusterMapCoverage(docs, sig, path) }
+    val e = newPairs.select(a.as("doc_a"), b.as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    e.write.mode("append").parquet(s"$path/pairs")
+    val stored = readClusterMap(spark, path)
+    val ends = e.select(col("doc_a").as("d"))
+      .union(e.select(col("doc_b").as("d"))).distinct()
+    val endLab = ends
+      .join(stored.withColumnRenamed("doc_id", "d"), Seq("d"), "left")
+      .select(col("d"), coalesce(col("cluster"), col("d")).as("lab"))
+      .localCheckpoint()
+    val labEdges = e
+      .join(endLab.select(col("d").as("doc_a"), col("lab").as("la")),
+        Seq("doc_a"))
+      .join(endLab.select(col("d").as("doc_b"), col("lab").as("lb")),
+        Seq("doc_b"))
+      .select(col("la"), col("lb"))
+      .filter(col("la") =!= col("lb"))
+    val relabel = Dedup.dupClusters(labEdges, col("la"), col("lb"))
+      .select(col("doc_id").as("old_lab"), col("cluster").as("new_lab"))
+      .localCheckpoint()
+    // rows for arrival endpoints the map has never seen (their label
+    // may come straight from the contracted propagation, or stay
+    // themselves when their component didn't shrink below them)
+    val newRows = endLab
+      .join(stored.select(col("doc_id").as("d")), Seq("d"), "left_anti")
+      .join(relabel, col("lab") === col("old_lab"), "left")
+      .select(col("d").as("doc_id"),
+        coalesce(col("new_lab"), col("lab")).as("cluster"))
+    StoreFiles.replaceDir(spark, s"$path/clusters") { tmp =>
+      stored
+        .join(broadcast(relabel), col("cluster") === col("old_lab"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("new_lab"), col("cluster")).as("cluster"))
+        .unionByName(newRows)
+        .repartition(spark.sessionState.conf.numShufflePartitions)
+        .write.parquet(tmp)
+    }
+  }
+
   def nearDupAgainstIndex(spark: SparkSession, batch: DataFrame,
       id: Column, text: Column, path: String,
       minEstimate: Double): DataFrame = {

@@ -57,8 +57,12 @@ object FingerprintIndex {
     * probes always derive prefixes under the store's own constant. */
   val BandPfxBuckets = 64
 
+  // batch_id is reserved too: the batch-keyed layout writes it as a
+  // partition column, and a same-named attr would silently be
+  // clobbered there — and on a plain store would make compact()
+  // misread the layout as batch-keyed. All entry points fail loudly.
   private val Reserved =
-    Set("doc_id", "sh", "block_idx", "block_val", "bpfx")
+    Set("doc_id", "sh", "block_idx", "block_val", "bpfx", "batch_id")
 
   private def checkAttrs(df: DataFrame): Unit = {
     val dups = df.columns.groupBy(identity)
@@ -85,9 +89,13 @@ object FingerprintIndex {
       .withColumn("bpfx",
         pmod(col("block_val"), lit(pfxBuckets.toLong)).cast("int"))
 
-  /** (maxHamming, pfxBuckets) from the store's meta sidecar. */
-  private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
-    val m = spark.read.parquet(s"$path/meta").head()
+  /** (maxHamming, pfxBuckets) from the store's meta sidecar — columns
+    * selected by NAME so a schema-order drift across store versions
+    * fails loudly (missing column) instead of silently swapping the
+    * radius and the fan-out. */
+  private[ops] def readMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val m = spark.read.parquet(s"$path/meta")
+      .select("max_hamming", "pfx_buckets").head()
     (m.getInt(0), m.getInt(1))
   }
 
@@ -109,8 +117,14 @@ object FingerprintIndex {
       path: String, maxHamming: Int, attrs: Seq[Column] = Nil,
       batchKeyed: Boolean = false,
       pfxBuckets: Int = BandPfxBuckets): Unit = {
-    require(maxHamming >= 0 && maxHamming <= 32,
-      s"need 0 <= maxHamming <= 32, got $maxHamming")
+    // the band-row count per signature is C(maxHamming + c, c): radius
+    // 16 is 4,845 rows/doc (the exact-recall price, heavy but
+    // servable); radius 20 would be 53,130 and radius 32 ~77M — a
+    // build at such a radius OOMs or never finishes rather than
+    // failing fast, so the bound stops at the last practical radius
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"need 0 <= maxHamming <= 16 (band rows per signature grow as " +
+        s"C(maxHamming+c, c) — 4,845 at 16, 53,130 at 20), got $maxHamming")
     require(pfxBuckets >= 1 && pfxBuckets <= 4096,
       s"need 1 <= pfxBuckets <= 4096, got $pfxBuckets")
     val sigs = sigs0
@@ -263,8 +277,7 @@ object FingerprintIndex {
     val attrF = backfillAttrs.map { a =>
       require(a.columns.contains("doc_id"),
         "backfillAttrs needs a doc_id join column")
-      val clash = a.columns.filter(c =>
-        c != "doc_id" && (Reserved(c) || c == "batch_id"))
+      val clash = a.columns.filter(c => c != "doc_id" && Reserved(c))
       require(clash.isEmpty,
         "backfillAttrs columns collide with index columns: " +
           clash.mkString(", "))
@@ -339,6 +352,43 @@ object FingerprintIndex {
         bit_count(col("b.b_sh").bitwiseXOR(col("i.sh"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** RANKED top-k Hamming serving from the SAME fingerprint store —
+    * (batch_doc, index_doc, hamming, rank), rank 1-based per batch doc
+    * by (hamming asc, index_doc asc): the store's set-shaped probe
+    * ([[hammingAgainstIndex]]) capped to each query's k best partners.
+    * Unifies serving on ONE artifact: without this, ranked Hamming
+    * needed the same 64-bit signatures written a second time into the
+    * [[AnnIndex]] binary family — duplicated storage and two
+    * lifecycles for one modality. The k best WITHIN THE STORE'S
+    * RADIUS: banded candidates are exact at the radius (the
+    * pigeonhole guarantee), so the page is exactly brute-force top-k
+    * cut at the radius, and a doc with fewer than k partners inside
+    * the radius returns an UNDER-FILLED page (by design — a Hamming
+    * store serves "near duplicates, ranked", not "nearest whatever";
+    * rows beyond the radius would need an unbanded corpus scan).
+    * Scale shape unchanged from the set probe: pruned band scan +
+    * equi-join + one codegen'd bit_count per candidate; the ranking
+    * adds only a bounded per-query top-k aggregate (map-side k-row
+    * states — candidates never collect). No query batch ceiling is
+    * needed: unlike the ANN kNN joins, nothing query-sized is
+    * collected or broadcast — the only driver-side collect remains
+    * the bpfx set, bounded by the meta-pinned fan-out. `attrFilter`
+    * restricts the stored side in the same pruned scan. */
+  def hammingTopK(spark: SparkSession, batch: DataFrame, id: Column,
+      sig: Column, path: String, k: Int,
+      attrFilter: Option[Column] = None): DataFrame = {
+    require(k >= 1 && k <= 1000, s"need 1 <= k <= 1000, got $k")
+    hammingAgainstIndex(spark, batch, id, sig, path, attrFilter)
+      .groupBy(col("batch_doc"))
+      .agg(graft.functions.TopKAggregate
+        .topk(-col("hamming").cast("double"), col("index_doc"), k)
+        .as("top"))
+      .select(col("batch_doc"), posexplode(col("top")).as(Seq("r", "p")))
+      .select(col("batch_doc"), col("p.id").as("index_doc"),
+        (-col("p.score")).cast("int").as("hamming"),
+        (col("r") + 1).cast("long").as("rank"))
   }
 
   /** The arrival GATE: filter a new batch down to rows with NO stored

@@ -998,4 +998,172 @@ object Multimodal {
       }
       .toDF("media_id", "samples")
   }
+
+  // ---- frame-level video content: the temporal-fingerprint pipeline ----
+  //
+  // The AVI walk above stops at header metadata; video NEAR-DUP needs
+  // frame content. Uncompressed-RGB AVI is the video analog of the
+  // pixel BMP: the RIFF `movi` list stores raw DIB frames (no codec),
+  // so a synthesized payload decodes through a pure-JVM chunk walk
+  // and every pixel cross-checks against integer arithmetic in an
+  // external SQL oracle — the qm04 discipline extended along the time
+  // axis.
+
+  /** Frames per synthesized video clip: 8 × (8×8) DIB frames → 8
+    * per-frame aHashes → one 64-bit temporal fingerprint (byte f
+    * samples frame f's hash). */
+  val VidFrames = 8
+
+  /** Grayscale value of pixel `p` (row-major) of FRAME `f` of video
+    * `id` — [[grayAt]]'s discipline with a time axis: each group of 4
+    * consecutive ids shares a base clip (`id / 4` drives every pixel
+    * of every frame), and the residue k = id % 4 inverts exactly 2k
+    * pixels PER FRAME (the `(7p + base + k + f) mod 64 < 2k` window —
+    * 7p mod 64 is a bijection, so each frame flips exactly 2k
+    * positions, shifted by f so the damage moves between frames).
+    * Within a group per-frame aHashes differ by a few bits; across
+    * groups frames are effectively random. */
+  private[ops] def vidGrayAt(id: Long, f: Int, p: Int): Int = {
+    val base = id / 4
+    val k = id % 4
+    val raw = ((17L + base * 29L + 7L * f * f + 13L * p * p +
+      base * p + f * p) % 256L).toInt
+    if (k > 0 && (7L * p + base + k + f) % 64L < 2 * k) 255 - raw
+    else raw
+  }
+
+  /** A genuine uncompressed-RGB RIFF/AVI whose `movi` frames are
+    * [[vidGrayAt]] pixels: `LIST hdrl` carries avih (40 000 µs/frame,
+    * [[VidFrames]] total, 8×8 px) and one `LIST strl` whose strh
+    * names a 'vids' stream with the raw-DIB handler and whose strf is
+    * a real BITMAPINFOHEADER (24 bpp, BI_RGB); `LIST movi` then holds
+    * [[VidFrames]] `00db` chunks, each a 192-byte bottom-up BGR pixel
+    * block (the [[pixelBmpBytes]] layout per frame). The existing
+    * [[aviHeader]] walk reads the same header chunks, and the frame
+    * decode below re-walks the container — a wrong row direction,
+    * chunk size, or offset in EITHER writer or reader breaks the
+    * pixel oracle. */
+  def vidPixelAviBytes(id: Long): Array[Byte] = {
+    def chunk(cid: String, payload: Array[Byte]): Array[Byte] =
+      ascii(cid) ++ le32(payload.length.toLong) ++ payload
+    def list(typ: String, payload: Array[Byte]): Array[Byte] =
+      ascii("LIST") ++ le32(payload.length + 4L) ++ ascii(typ) ++ payload
+    val avih = chunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++
+      le32(0) ++ le32(VidFrames.toLong) ++ le32(0) ++ le32(1) ++
+      le32(0) ++ le32(8L) ++ le32(8L) ++ Array.fill[Byte](16)(0))
+    val strh = chunk("strh", ascii("vids") ++ ascii("dib ") ++
+      Array.fill[Byte](48)(0))
+    // BITMAPINFOHEADER: biSize 40, 8×8, 1 plane, 24 bpp, BI_RGB,
+    // biSizeImage 192
+    val strf = chunk("strf", le32(40) ++ le32(8) ++ le32(8) ++
+      le16(1) ++ le16(24) ++ le32(0) ++ le32(192) ++
+      Array.fill[Byte](16)(0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val frames = (0 until VidFrames).toArray.map { f =>
+      val px = new Array[Byte](192)
+      var o = 0
+      var sr = 0
+      while (sr < 8) {
+        val y = 7 - sr // DIB rows bottom-up, like the pixel BMP
+        var x = 0
+        while (x < 8) {
+          val v = vidGrayAt(id, f, y * 8 + x).toByte
+          px(o) = v; px(o + 1) = v; px(o + 2) = v
+          o += 3; x += 1
+        }
+        sr += 1
+      }
+      chunk("00db", px)
+    }
+    val movi = list("movi", frames.reduce(_ ++ _))
+    val body = hdrl ++ movi
+    ascii("RIFF") ++ le32(body.length + 4L) ++ ascii("AVI ") ++ body
+  }
+
+  /** Synthesize (media_id, content) pixel-AVI rows from an id column —
+    * per-partition iterator batches, the [[synthImages]] shape for
+    * the video pipeline. */
+  def synthVideos(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, vidPixelAviBytes(id))))
+      .toDF("media_id", "content")
+  }
+
+  /** Decode each payload's raw-DIB frames through a pure-JVM RIFF
+    * walk: (media_id, frames) with `frames` the per-frame 64
+    * row-major gray values in presentation order, or NULL when the
+    * payload is not a RIFF/AVI, avih declares other than 8×8 ×
+    * [[VidFrames]], the `movi` list is missing, or any frame chunk
+    * is not exactly 192 bytes — the corrupt-row contract of
+    * [[decodeMeta]] applied to frames (a dirty corpus surfaces null
+    * fingerprints, never fake ones). Uncompressed DIB means the walk
+    * IS the decode — no codec, embarrassingly parallel, 0 shuffle. */
+  def decodeDibFrames(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, dibFramesOf(bytes))
+      })
+      .toDF("media_id", "frames")
+  }
+
+  private[ops] def dibFramesOf(bytes: Array[Byte]): Array[Array[Long]] =
+    try {
+      def u32le(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      def fourcc(o: Int): String =
+        new String(bytes.slice(o, o + 4), "US-ASCII")
+      if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return null
+      val end = math.min(bytes.length.toLong, 8L + u32le(4)).toInt
+      def chunks(from: Int, to: Int): Seq[(String, Int, Int)] = {
+        val out = Seq.newBuilder[(String, Int, Int)]
+        var o = from
+        while (o + 8 <= to) {
+          val size = u32le(o + 4)
+          val p = o + 8
+          val e = math.min(to.toLong, p + size).toInt
+          out += ((fourcc(o), p, e))
+          o = e + (size.toInt & 1) // RIFF chunks pad to even
+        }
+        out.result()
+      }
+      val top = chunks(12, end)
+      // avih pins the declared geometry; the movi frames must agree
+      val hdrl = top.collectFirst {
+        case ("LIST", p, e) if fourcc(p) == "hdrl" => chunks(p + 4, e)
+      }.getOrElse(return null)
+      val geomOk = hdrl.exists { case (cid, p, e) =>
+        cid == "avih" && e - p >= 40 && u32le(p + 16) == VidFrames &&
+          u32le(p + 32) == 8 && u32le(p + 36) == 8
+      }
+      if (!geomOk) return null
+      val movi = top.collectFirst {
+        case ("LIST", p, e) if fourcc(p) == "movi" => chunks(p + 4, e)
+      }.getOrElse(return null)
+      val frames = movi.collect {
+        case (cid, p, e) if cid == "00db" => (p, e)
+      }
+      if (frames.length != VidFrames ||
+        frames.exists { case (p, e) => e - p != 192 }) return null
+      frames.toArray.map { case (p, _) =>
+        val g = new Array[Long](64)
+        var sr = 0
+        while (sr < 8) {
+          val y = 7 - sr // bottom-up rows back to row-major
+          var x = 0
+          while (x < 8) {
+            g(y * 8 + x) = bytes(p + (sr * 8 + x) * 3) & 0xffL
+            x += 1
+          }
+          sr += 1
+        }
+        g
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
 }

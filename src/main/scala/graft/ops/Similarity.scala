@@ -356,15 +356,29 @@ object Similarity {
   private[ops] def ivfPqEncode(corpus: DataFrame, id: Column, vec: Column,
       nList: Int, numSub: Int, codebookSize: Int, refineIters: Int)
       : (Array[(Int, Array[Double])], Array[Array[Array[Double]]],
+         DataFrame) =
+    ivfPqEncodePre(
+      corpus.select(id.as("vec_id"), l2Normalize(vec).as("v")),
+      nList, numSub, codebookSize, refineIters)
+
+  /** [[ivfPqEncode]] over an ALREADY-NORMALIZED (vec_id, v) frame —
+    * the retrain-from-stored-vectors seam: the persisted IVF-PQ
+    * `vectors/` table holds exactly the normalized build inputs, so a
+    * retrain at compact re-runs the identical Lloyd rounds, residual
+    * quantization and codebook sample a fresh full-corpus build
+    * would, producing a bit-identical model. */
+  private[ops] def ivfPqEncodePre(normed: DataFrame,
+      nList: Int, numSub: Int, codebookSize: Int, refineIters: Int)
+      : (Array[(Int, Array[Double])], Array[Array[Array[Double]]],
          DataFrame) = {
     val cents = (if (refineIters > 0)
-        ivfCentroidsKMeans(corpus, id, vec, nList, refineIters)
-      else ivfCentroids(corpus, id, vec, nList)).sortBy(_._1)
+        ivfCentroidsKMeansPre(normed, nList, refineIters)
+      else ivfCentroidsPre(normed, nList)).sortBy(_._1)
     // Three projection steps for the same reason as pqTopK: each alias
     // is multiply-referenced by the next, so CollapseProject keeps the
     // residual lambda and the argmin tree single-occurrence in the plan.
-    val resid = corpus
-      .select(id.as("vec_id"), l2Normalize(vec).as("v"))
+    val resid = normed
+      .select(col("vec_id"), col("v"))
       .withColumn("cell", nearestCell(col("v"), cents))
       .select(col("vec_id"), col("cell"),
         residualE6(col("v"), col("cell"), cents).as("q"))
@@ -776,7 +790,19 @@ object Similarity {
     * centroid set. One small collect (nList × dim doubles). */
   def ivfCentroids(corpus: DataFrame, id: Column, vec: Column,
       nList: Int): Array[(Int, Array[Double])] =
-    corpus.select(id.as("cid"), l2Normalize(vec).as("cv"))
+    ivfCentroidsPre(
+      corpus.select(id.as("vec_id"), l2Normalize(vec).as("v")), nList)
+
+  /** [[ivfCentroids]] over an ALREADY-NORMALIZED (vec_id, v) frame —
+    * the retrain-from-stored-rows seam ([[graft.ops.AnnIndex]]
+    * retrain-at-compact): stored index rows hold `v` exactly as
+    * [[l2Normalize]] produced it at build/append, and re-normalizing
+    * is NOT bit-idempotent (the recomputed norm of a normalized
+    * vector is 1±ulp), so taking the stored values as-is is what makes
+    * a retrain reproduce a fresh full-corpus build bit-for-bit. */
+  private[ops] def ivfCentroidsPre(normed: DataFrame,
+      nList: Int): Array[(Int, Array[Double])] =
+    normed.select(col("vec_id").as("cid"), col("v").as("cv"))
       .orderBy(md5(concat(lit("ivf:"), col("cid").cast("string"))),
         col("cid"))
       .limit(nList)
@@ -794,10 +820,21 @@ object Similarity {
     * trivially driver-sized at any corpus scale. Empty cells keep their
     * previous centroid. Deterministic: seeded sample start, no RNG. */
   def ivfCentroidsKMeans(corpus: DataFrame, id: Column, vec: Column,
+      nList: Int, iters: Int): Array[(Int, Array[Double])] =
+    ivfCentroidsKMeansPre(
+      corpus.select(id.as("vec_id"), l2Normalize(vec).as("v")),
+      nList, iters)
+
+  /** [[ivfCentroidsKMeans]] over an ALREADY-NORMALIZED (vec_id, v)
+    * frame — the [[ivfCentroidsPre]] seam with the Lloyd refinement:
+    * retraining from stored rows runs the identical iteration a fresh
+    * build would, because the stored vectors ARE the build's
+    * normalized inputs. */
+  private[ops] def ivfCentroidsKMeansPre(normed0: DataFrame,
       nList: Int, iters: Int): Array[(Int, Array[Double])] = {
-    var cents = ivfCentroids(corpus, id, vec, nList)
+    var cents = ivfCentroidsPre(normed0, nList)
     if (iters <= 0 || cents.length <= 1) return cents
-    val normed = corpus.select(l2Normalize(vec).as("v"))
+    val normed = normed0.select(col("v"))
     for (_ <- 0 until iters) {
       val sums = normed
         .withColumn("cell", nearestCell(col("v"), cents))

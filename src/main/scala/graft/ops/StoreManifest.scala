@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Unified introspection over the persisted store families — the
+  * operational table-stakes of a real deployment: a 100 TB lakehouse
+  * root accumulates sketch stores, dedup indexes, ANN indexes of six
+  * layouts, lexical indexes, fingerprint stores and cluster maps, each
+  * with its own sidecars, and "what lives under this root" must be one
+  * call, not seven per-family `readMeta` idioms.
+  *
+  * [[StoreManifest.manifest]] walks ONE level below the root, classifies
+  * each child directory by the sub-table layout its family writes
+  * (`sigs/`+`bands/` → fingerprint; `postings/` → lexical;
+  * `codes/`+`centroids/` → IVF-PQ; …), reads the family's tiny meta
+  * sidecar when it has one, derives the attribute columns from the
+  * stage-1 table's parquet schema (schema footer reads only — no data
+  * scan), and reports whether the store is batch-keyed and whether a
+  * tombstone sidecar is pending compaction. Unrecognized directories
+  * report family "unknown" rather than erroring — a manifest of a dirty
+  * root should describe it, not die on it.
+  *
+  * Cost shape: O(child stores) directory listings + one parquet footer
+  * read per classified store (sidecars are single-row tables; centroid
+  * counts are nList-row reads). An explicit-operator cost, same class
+  * as [[StoreFiles.storeStats]] — not for a per-micro-batch trigger.
+  */
+object StoreManifest {
+
+  /** One classified store: `store` (directory name under the root),
+    * `family`, `meta` (the family's sidecar fields, stringified),
+    * `attr_columns` (filtered-serving attrs denormalized onto the
+    * stage-1 table), `batch_keyed`, `has_tombstones`. */
+  case class StoreEntry(store: String, family: String,
+      meta: Map[String, String], attr_columns: Seq[String],
+      batch_keyed: Boolean, has_tombstones: Boolean)
+
+  // per-family reserved (non-attr) columns of the stage-1 table
+  private val FpReserved =
+    Set("doc_id", "sh", "block_idx", "block_val", "bpfx", "batch_id")
+  private val VecReserved =
+    Set("vec_id", "v", "bucket", "cell", "codes", "lo", "hi", "batch_id")
+  private val LexReserved =
+    Set("term", "doc_id", "dl", "tf", "tpfx", "batch_id")
+
+  /** Classify every immediate child of `root` — see object doc. */
+  def manifest(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries: Seq[StoreEntry] =
+      if (!fs.exists(rootPath)) Nil
+      else fs.listStatus(rootPath).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+        .map(s => classify(spark, fs, s.getPath))
+    import spark.implicits._
+    entries.toDS().toDF()
+  }
+
+  private def classify(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      store: org.apache.hadoop.fs.Path): StoreEntry = {
+    val subs = fs.listStatus(store)
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    def p(sub: String) = s"$store/$sub"
+    def cols(sub: String): Seq[String] =
+      spark.read.parquet(p(sub)).columns.toIndexedSeq
+    // the single-row sidecar, stringified field-by-field
+    def sidecar(sub: String): Map[String, String] =
+      if (!subs.contains(sub)) Map.empty
+      else {
+        val df = spark.read.parquet(p(sub))
+        df.head(1).headOption.fold(Map.empty[String, String]) { r =>
+          df.columns.zipWithIndex
+            .map { case (c, i) => c -> String.valueOf(r.get(i)) }.toMap
+        }
+      }
+    def count(sub: String): String =
+      spark.read.parquet(p(sub)).count().toString
+    // codebook shape: (numSub, codebookSize) from the max indices
+    def codebookMeta: Map[String, String] = {
+      val r = spark.read.parquet(p("codebook"))
+        .agg(org.apache.spark.sql.functions.max("m"),
+          org.apache.spark.sql.functions.max("cidx")).head()
+      Map("num_sub" -> (r.getInt(0) + 1).toString,
+        "codebook_size" -> (r.getInt(1) + 1).toString)
+    }
+    def attrsOf(sub: String, reserved: Set[String]): Seq[String] =
+      cols(sub).filterNot(reserved)
+    def entry(family: String, meta: Map[String, String],
+        attrs: Seq[String], stage1: Option[String]): StoreEntry =
+      StoreEntry(store.getName, family, meta, attrs,
+        batch_keyed = stage1.exists(s => cols(s).contains("batch_id")),
+        has_tombstones = subs.contains("tombstones") ||
+          subs.contains("hll_tombstones"))
+    try {
+      if (subs("sigs") && subs("bands"))
+        entry("fingerprint", sidecar("meta"),
+          attrsOf("bands", FpReserved), Some("bands"))
+      else if (subs("postings"))
+        entry("lexical",
+          Map("positions" -> subs("positions").toString),
+          attrsOf("postings", LexReserved), Some("postings"))
+      else if (subs("exact") || subs("lanes"))
+        entry("dedup", sidecar("meta"), Nil,
+          Seq("exact", "lanes").find(subs))
+      else if (subs("pairs") && subs("clusters"))
+        entry("cluster_map",
+          Map("coverage" -> subs("coverage").toString), Nil, None)
+      else if (subs("codes") && subs("centroids"))
+        entry("ann_ivfpq",
+          codebookMeta + ("n_list" -> count("centroids")),
+          attrsOf("codes", VecReserved), Some("codes"))
+      else if (subs("codes") && subs("codebook"))
+        entry("ann_pq", codebookMeta, attrsOf("codes", VecReserved),
+          Some("codes"))
+      else if (subs("codes") && subs("stats"))
+        entry("ann_int8", Map.empty, attrsOf("codes", VecReserved),
+          Some("codes"))
+      else if (subs("bits"))
+        entry("ann_binary", Map.empty, attrsOf("bits", VecReserved),
+          Some("bits"))
+      else if (subs("index") && subs("centroids"))
+        entry("ann_ivf", Map("n_list" -> count("centroids")),
+          attrsOf("index", VecReserved), Some("index"))
+      else if (subs("index"))
+        entry(if (sidecar("meta").contains("num_tables")) "ann_lsh_multi"
+          else "ann_lsh", sidecar("meta"),
+          attrsOf("index", VecReserved), Some("index"))
+      else if (subs("hll") || subs("cms") || subs("hist"))
+        entry("sketch", sidecar("cms_meta"), Nil,
+          Seq("hll", "cms", "hist").find(subs))
+      else entry("unknown", Map.empty, Nil, None)
+    } catch {
+      // a half-written or foreign directory manifests as unknown
+      case scala.util.control.NonFatal(_) =>
+        entry("unknown", Map.empty, Nil, None)
+    }
+  }
+}

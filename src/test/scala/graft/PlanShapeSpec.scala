@@ -604,6 +604,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.matches("(?s).*PartitionFilters: \\[.*bpfx.*"), p.take(4000))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    // the RANKED probe keeps the same pruned-scan shape — the top-k is
+    // a bounded aggregate over band-matched candidates, never a wider
+    // scan or an all-pairs plan
+    val ranked = plan(graft.ops.FingerprintIndex.hammingTopK(spark,
+      sigs.filter(col("doc_id") === 1), col("doc_id"), col("sh"), path,
+      k = 5))
+    assert(ranked.matches("(?s).*PartitionFilters: \\[.*bpfx.*"),
+      ranked.take(4000))
+    assert(ranked.contains("topk_agg"), ranked.take(4000))
+    assert(!ranked.contains("CartesianProduct") &&
+      !ranked.contains("BroadcastNestedLoopJoin"), ranked.take(4000))
   }
 
   test("histogram sketch aggregates map-side; quantile window runs over the sketch") {

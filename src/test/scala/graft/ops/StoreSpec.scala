@@ -1907,4 +1907,329 @@ class StoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/cms").select("batch_id")
       .distinct().as[Long].collect().toSeq == Seq(-1L))
   }
+
+  test("store manifest: one call classifies every persisted family under a root") {
+    import spark.implicits._
+    val e = Tables.load(spark, sf, "embeddings")
+    val root = tmp("st_manifest")
+    def at(name: String) = s"$root/$name"
+    // one store per family, smallest honest builds
+    FingerprintIndex.writeHammingIndex(
+      Dedup.simhashSignatures(half(lo = true), col("doc_id"),
+        col("text")),
+      col("doc_id"), col("sh"), at("fp"), maxHamming = 3,
+      attrs = Seq(col("doc_id").mod(2).cast("int").as("flag")))
+    LexIndex.writeBm25Index(half(lo = true), col("doc_id"), col("text"),
+      at("lex"), positions = true,
+      attrs = Seq(col("source").as("src")))
+    DedupIndex.writeExactIndex(half(lo = true), col("doc_id"),
+      col("text"), at("dedup"))
+    DedupIndex.writeClusterMap(Seq((1L, 2L)).toDF("a", "b"), col("a"),
+      col("b"), at("clmap"))
+    AnnIndex.writeIvfPqIndex(e, col("vec_id"), col("embedding"),
+      at("ivfpq"), nList = 4, numSub = 8, codebookSize = 8,
+      refineIters = 0)
+    AnnIndex.writePqIndex(e, col("vec_id"), col("embedding"), at("pq"),
+      numSub = 8, codebookSize = 8)
+    AnnIndex.writeQuantizedIndex(e, col("vec_id"), col("embedding"),
+      at("int8"))
+    AnnIndex.writeBinaryIndex(e, col("vec_id"), col("embedding"),
+      at("bin"))
+    AnnIndex.writeIvfIndex(e, col("vec_id"), col("embedding"),
+      at("ivf"), nList = 4)
+    AnnIndex.writeLshIndex(e, col("vec_id"), col("embedding"),
+      at("lsh"), numPlanes = 4, batchKeyed = true)
+    AnnIndex.writeLshMultiIndex(e, col("vec_id"), col("embedding"),
+      at("lshm"), numPlanes = 4, numTables = 2)
+    SketchStore.writeHll(
+      half(lo = true).select(col("source"), col("text").as("w")),
+      col("source"), col("w"), at("sketch"))
+    val m = StoreManifest.manifest(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getString(1),
+        r.getMap[String, String](2),
+        r.getSeq[String](3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(m.keySet == Set("fp", "lex", "dedup", "clmap", "ivfpq",
+      "pq", "int8", "bin", "ivf", "lsh", "lshm", "sketch"))
+    assert(m("fp")._1 == "fingerprint" &&
+      m("fp")._2("max_hamming") == "3" && m("fp")._3 == Seq("flag"))
+    assert(m("lex")._1 == "lexical" &&
+      m("lex")._2("positions") == "true" && m("lex")._3 == Seq("src"))
+    assert(m("dedup")._1 == "dedup")
+    assert(m("clmap")._1 == "cluster_map" &&
+      m("clmap")._2("coverage") == "false")
+    assert(m("ivfpq")._1 == "ann_ivfpq" &&
+      m("ivfpq")._2("n_list") == "4" && m("ivfpq")._2("num_sub") == "8")
+    assert(m("pq")._1 == "ann_pq" &&
+      m("pq")._2("codebook_size") == "8")
+    assert(m("int8")._1 == "ann_int8")
+    assert(m("bin")._1 == "ann_binary")
+    assert(m("ivf")._1 == "ann_ivf" && m("ivf")._2("n_list") == "4")
+    assert(m("lsh")._1 == "ann_lsh" &&
+      m("lsh")._2("num_planes") == "4" && m("lsh")._4) // batch-keyed
+    assert(m("lshm")._1 == "ann_lsh_multi" &&
+      m("lshm")._2("num_tables") == "2")
+    assert(m("sketch")._1 == "sketch")
+    assert(!m("ivf")._4 && !m("ivf")._5)
+    // tombstones surface in the manifest until compact clears them
+    AnnIndex.deleteVecs(spark, at("ivf"), Seq(Tuple1(0L)).toDF("v"),
+      col("v"))
+    val m2 = StoreManifest.manifest(spark, root).collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(m2("ivf"))
+    // an unrecognized directory reports unknown, never an error
+    new java.io.File(s"$root/junk/whatever").mkdirs()
+    val m3 = StoreManifest.manifest(spark, root).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m3("junk") == "unknown")
+  }
+
+  test("pixel AVI synth + DIB frame decode round-trip; corrupt payloads decode NULL") {
+    val m = Multimodal
+    // round-trip: the pure-JVM RIFF walk recovers exactly the
+    // generating arithmetic for every pixel of every frame
+    val got = m.decodeDibFrames(
+      m.synthVideos(spark.range(0, 8).toDF("doc_id"), "doc_id"),
+      "media_id").collect()
+    assert(got.length == 8)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val frames = r.getSeq[scala.collection.Seq[Long]](1)
+      assert(frames.length == m.VidFrames)
+      for (f <- 0 until m.VidFrames; p <- 0 until 64)
+        assert(frames(f)(p) == m.vidGrayAt(id, f, p).toLong,
+          s"id=$id f=$f p=$p")
+    }
+    // the existing AVI header walk reads the same container (the
+    // synth composes with decodeMeta's dispatch)
+    val meta = m.aviHeader(m.vidPixelAviBytes(5L))
+    assert(meta.exists(mm => mm.width == 8 && mm.height == 8 &&
+      mm.nFrames == m.VidFrames))
+    // malformed payloads decode NULL, never fake frames: wrong RIFF
+    // form, truncated movi, garbage bytes
+    assert(m.dibFramesOf(m.pcmWavBytes(1L)) == null)
+    assert(m.dibFramesOf(m.vidPixelAviBytes(1L).dropRight(10)) == null)
+    assert(m.dibFramesOf(Array[Byte](1, 2, 3)) == null)
+  }
+
+  test("cluster map MERGE == rebuild from the union of pairs; bridging arrivals; idempotent; coverage") {
+    import spark.implicits._
+    val DI = graft.ops.DedupIndex
+    // stored map: components {1,2,3} (label 1), {10,11}, {20,21}
+    val basePairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val path = tmp("st_cmerge")
+    DI.writeClusterMap(basePairs, col("a"), col("b"), path)
+    // the HARD case: the arrival BRIDGES components 1 and 10 through a
+    // brand-new doc 30 (two hops — the contracted propagation must
+    // close transitively), adds an unrelated fresh pair (40,41), and
+    // replays an intra-cluster no-op edge (20,21)
+    val arrival = Seq((3L, 30L), (30L, 11L), (40L, 41L), (20L, 21L))
+      .toDF("a", "b")
+    DI.mergeClusterMap(spark, path, arrival, col("a"), col("b"))
+    def labels(p: String) = DI.readClusterMap(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = tmp("st_cmerge_ref")
+    DI.writeClusterMap(basePairs.unionByName(arrival), col("a"),
+      col("b"), ref)
+    val want = labels(ref)
+    assert(labels(path) == want && want.nonEmpty)
+    // the bridged family carries the JOINT minimum as its label
+    assert(labels(path).contains((11L, 1L)) &&
+      labels(path).contains((30L, 1L)) &&
+      labels(path).contains((41L, 40L)) &&
+      labels(path).contains((21L, 20L)))
+    // idempotent on labels: replaying the same arrival changes nothing
+    DI.mergeClusterMap(spark, path, arrival, col("a"), col("b"))
+    assert(labels(path) == want)
+    // pairs/ holds the union (a rebuild from the stored edges agrees)
+    assert(labels(path) ==
+      graft.ops.Dedup.dupClusters(DI.readClusterPairs(spark, path),
+          col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // merge with a coverage snapshot clears staleness for that corpus
+    val docsNow = (Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L, 30L, 40L, 41L))
+      .toDF("doc_id")
+    DI.mergeClusterMap(spark, path, arrival.limit(0), col("a"),
+      col("b"), coverage = Some((docsNow, col("doc_id"))))
+    assert(!DI.clusterMapIsStale(spark, docsNow, col("doc_id"), path))
+    assert(labels(path) == want)
+  }
+
+  test("fingerprint store hammingTopK: ranked == brute cut at the radius; under-filled pages; filtered") {
+    val FP = graft.ops.FingerprintIndex
+    val sigs = Multimodal.decodeGray8x8(
+        Multimodal.synthImages(spark.range(0, 64).toDF("doc_id"),
+          "doc_id"), "media_id")
+      .select(col("media_id"),
+        graft.functions.VectorExpressions.ahash64(col("grays")).as("sh"))
+      .localCheckpoint(eager = false)
+    val even = sigs.filter(col("media_id") % 2 === 0)
+    val odd = sigs.filter(col("media_id") % 2 === 1)
+    val sigMap = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val path = tmp("st_fptopk")
+    FP.writeHammingIndex(even, col("media_id"), col("sh"), path,
+      maxHamming = 10,
+      attrs = Seq(pmod(col("media_id"), lit(4)).cast("int").as("flag")))
+    // brute ranked truth: per odd query, stored partners within the
+    // radius ordered (hamming asc, id asc), cut at k
+    def brute(k: Int, allow: Long => Boolean) =
+      sigMap.filter(_._1 % 2 == 1).flatMap { case (a, ha) =>
+        sigMap.filter(t => t._1 % 2 == 0 && allow(t._1)).toSeq
+          .map { case (b, hb) =>
+            (b, java.lang.Long.bitCount(ha ^ hb)) }
+          .filter(_._2 <= 10)
+          .sortBy { case (b, d) => (d, b) }
+          .take(k).zipWithIndex
+          .map { case ((b, d), i) => (a, b, d, (i + 1).toLong) }
+      }.toSet
+    def topk(k: Int, f: Option[org.apache.spark.sql.Column] = None) =
+      FP.hammingTopK(spark, odd, col("media_id"), col("sh"), path, k, f)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).toSet
+    assert(topk(3) == brute(3, _ => true) && topk(3).nonEmpty)
+    // pages under-fill where < k partners exist within the radius —
+    // present in this corpus (groups of 4 hold 2 even members), and
+    // served as-is rather than padded with beyond-radius rows
+    val pageSizes = brute(3, _ => true).groupBy(_._1).map(_._2.size)
+    assert(pageSizes.exists(_ < 3) && pageSizes.nonEmpty)
+    // filtered ranked serving: same pruned scan, one pushed predicate
+    assert(topk(3, Some(col("flag") === 0)) == brute(3, _ % 4 == 0))
+    assert(topk(3, Some(col("flag") === 0)).nonEmpty)
+  }
+
+  // drifted odd half for the retrain specs: +0.15/dim pre-normalization
+  // (the qe54 fixture) — appends land under the frozen natural-half
+  // model, then retrain-at-compact must reproduce a fresh build
+  private def retrainHalves = {
+    val e = Tables.load(spark, sf, "embeddings")
+    val nat = e.filter(col("vec_id") % 2 === 0)
+    val drift = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double") + lit(0.15))
+          .as("embedding"))
+    val union = nat.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double"))
+          .as("embedding"))
+      .unionByName(drift)
+    (nat, drift, union)
+  }
+
+  test("IVF retrain at compact == fresh build on the live corpus (model, assignment, probes)") {
+    import spark.implicits._
+    val (nat, drift, union) = retrainHalves
+    val store = tmp("st_retrivf")
+    AnnIndex.writeIvfIndex(nat, col("vec_id"), col("embedding"), store,
+      nList = 8, refineIters = 2)
+    AnnIndex.appendIvfIndex(drift, col("vec_id"), col("embedding"),
+      store)
+    // tombstone one appended vector: the retrain must train WITHOUT it
+    // and drop it physically — live corpus = union minus the delete
+    AnnIndex.deleteVecs(spark, store, Seq(Tuple1(1L)).toDF("vec_id"),
+      col("vec_id"))
+    AnnIndex.compactAnnIndex(spark, store, retrainIters = Some(2))
+    val fresh = tmp("st_retrivf_f")
+    AnnIndex.writeIvfIndex(union.filter(col("vec_id") =!= 1L),
+      col("vec_id"), col("embedding"), fresh, nList = 8,
+      refineIters = 2)
+    // the retrained MODEL is bit-identical to the fresh build's (the
+    // stored vectors ARE the normalized build inputs, and the
+    // md5-seeded sample + 1e-6-rounded Lloyd rounds are deterministic)
+    def centsOf(p: String) = spark.read.parquet(s"$p/centroids")
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    assert(centsOf(store) == centsOf(fresh))
+    // ... as is the re-assigned cell of every live row
+    def cellsOf(p: String) = spark.read.parquet(s"$p/index")
+      .select(col("vec_id"), col("cell")).orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(cellsOf(store) == cellsOf(fresh) && cellsOf(store).nonEmpty)
+    assert(!cellsOf(store).exists { case (id, _) => id == 1L })
+    // ... and the probe surface
+    val q = union.filter(col("vec_id") < 5)
+    def top(p: String) = AnnIndex.ivfKnnJoinIndexed(spark, p, q,
+        col("vec_id"), col("embedding"), k = 5, nProbe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(top(store) == top(fresh) && top(store).nonEmpty)
+    assert(!StoreFiles.exists(spark, s"$store/tombstones"))
+  }
+
+  test("IVF-PQ retrain at compact == fresh build; attrs carry over; batch-keyed folds") {
+    val (nat, drift, union) = retrainHalves
+    val attrOf = (df: org.apache.spark.sql.DataFrame) =>
+      pmod(col("vec_id"), lit(4)).cast("int").as("lang")
+    val store = tmp("st_retrpq")
+    AnnIndex.writeIvfPqIndex(nat, col("vec_id"), col("embedding"),
+      store, nList = 4, numSub = 8, codebookSize = 8, refineIters = 2,
+      attrs = Seq(attrOf(nat)))
+    AnnIndex.appendIvfPqIndex(drift, col("vec_id"), col("embedding"),
+      store, attrs = Seq(attrOf(drift)))
+    AnnIndex.compactAnnIndex(spark, store, retrainIters = Some(2))
+    val fresh = tmp("st_retrpq_f")
+    AnnIndex.writeIvfPqIndex(union, col("vec_id"), col("embedding"),
+      fresh, nList = 4, numSub = 8, codebookSize = 8, refineIters = 2,
+      attrs = Seq(attrOf(union)))
+    // model: centroids AND the residual codebook re-derive identically
+    def centsOf(p: String) = spark.read.parquet(s"$p/centroids")
+      .orderBy("cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    assert(centsOf(store) == centsOf(fresh))
+    def cbOf(p: String) = spark.read.parquet(s"$p/codebook")
+      .orderBy("m", "cidx", "dim").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    assert(cbOf(store) == cbOf(fresh))
+    // codes re-encode under the new model, attr columns intact
+    def codesOf(p: String) = spark.read.parquet(s"$p/codes")
+      .select(col("vec_id"), col("cell"), col("codes"), col("lang"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2),
+        r.getInt(3))).toSeq
+    assert(codesOf(store) == codesOf(fresh) && codesOf(store).nonEmpty)
+    // probe surface, filtered and unfiltered
+    val q = union.filter(col("vec_id") < 3)
+    def top(p: String, f: Option[org.apache.spark.sql.Column]) =
+      AnnIndex.ivfPqKnnJoinIndexed(spark, p, q, col("vec_id"),
+          col("embedding"), k = 5, nProbe = 4, rerank = 20,
+          attrFilter = f)
+        .orderBy("query_id", "rank").collect().toSeq
+    assert(top(store, None) == top(fresh, None))
+    assert(top(store, Some(col("lang") === 1)) ==
+      top(fresh, Some(col("lang") === 1)))
+    assert(top(store, Some(col("lang") === 1)).nonEmpty)
+    // batch-keyed store: the retrain folds to batch_id = -1 and keeps
+    // the partitioned layout (later dynamic overwrites still compose)
+    val bk = tmp("st_retrpq_bk")
+    AnnIndex.writeIvfPqIndex(nat, col("vec_id"), col("embedding"), bk,
+      nList = 4, numSub = 8, codebookSize = 8, refineIters = 2,
+      batchKeyed = true)
+    AnnIndex.putIvfPqBatch(drift, col("vec_id"), col("embedding"), bk,
+      batchId = 0L)
+    AnnIndex.compactAnnIndex(spark, bk, retrainIters = Some(2))
+    import spark.implicits._
+    assert(spark.read.parquet(s"$bk/codes").select("batch_id")
+      .distinct().as[Long].collect().toSeq == Seq(-1L))
+    assert(spark.read.parquet(s"$bk/vectors").select("batch_id")
+      .distinct().as[Long].collect().toSeq == Seq(-1L))
+    def topPlain(p: String) =
+      AnnIndex.ivfPqKnnJoinIndexed(spark, p, q, col("vec_id"),
+          col("embedding"), k = 5, nProbe = 4, rerank = 20)
+        .orderBy("query_id", "rank").collect().toSeq
+    // the batch-keyed retrain probes identically to the plain fresh
+    // build (attrs aside): same live corpus, same deterministic model
+    val freshPlain = tmp("st_retrpq_fp")
+    AnnIndex.writeIvfPqIndex(union, col("vec_id"), col("embedding"),
+      freshPlain, nList = 4, numSub = 8, codebookSize = 8,
+      refineIters = 2)
+    assert(topPlain(bk) == topPlain(freshPlain) && topPlain(bk).nonEmpty)
+    // retrain on an untrained family fails loudly
+    val lsh = tmp("st_retrlsh")
+    AnnIndex.writeLshIndex(nat, col("vec_id"), col("embedding"), lsh,
+      numPlanes = 4)
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.compactAnnIndex(spark, lsh, retrainIters = Some(2))
+    }
+    assert(err.getMessage.contains("trained store"))
+  }
 }
