@@ -52,9 +52,17 @@ object FpScale {
       val pairs = FingerprintIndex.hammingAgainstIndex(spark, batch,
         col("doc_id"), col("sh"), path).count()
       val probeSec = (System.nanoTime() - t1) / 1e9
+      // the RANKED probe off the same artifact: same banded candidate
+      // stage plus the bounded per-query top-k — the qm12 serving
+      // shape, measured at corpus scale
+      val t2 = System.nanoTime()
+      val ranked = FingerprintIndex.hammingTopK(spark, batch,
+        col("doc_id"), col("sh"), path, k = 5).count()
+      val topkSec = (System.nanoTime() - t2) / 1e9
       println(s"""{"metric":"fp_scale","corpus":$n,"batch":$batchN,""" +
         s""""radius":$radius,"build_sec":${f"$buildSec%.2f"},""" +
-        s""""probe_sec":${f"$probeSec%.2f"},"pairs":$pairs}""")
+        s""""probe_sec":${f"$probeSec%.2f"},"pairs":$pairs,""" +
+        s""""topk_sec":${f"$topkSec%.2f"},"topk_rows":$ranked}""")
       graft.ops.StoreFiles.delete(spark, path)
     }
     spark.stop()

@@ -224,6 +224,7 @@ object SparkEntry {
     "qm12_image_fp_topk" -> (PipelineQueries.imageFpTopK _),
     "qm13_video_frame_hash" -> (PipelineQueries.videoFrameHash _),
     "qm14_video_fp_index" -> (PipelineQueries.videoFpAgainstIndex _),
+    "qm15_media_arrival_loop" -> (PipelineQueries.mediaArrivalLoop _),
     "qm09_image_fp_filtered" ->
       (PipelineQueries.imageFpFilteredAgainstIndex _),
     "qm10_crossmodal_neardup" -> (PipelineQueries.crossModalNearDup _),
@@ -2118,6 +2119,23 @@ object SparkEntry {
          FROM vfp a JOIN vfp b
            ON a.media_id % 2 = 1 AND b.media_id % 2 = 0) z
        WHERE hamming <= 10 ORDER BY batch_media, index_media"""),
+    // qm15: the composed arrival loop must land on the full-rebuild
+    // fixpoint — base map on even-even pairs, arrival probed against
+    // the store + paired internally + merged; the truth is the
+    // recursive closure over ALL brute radius-10 pairs of the corpus.
+    "qm15_media_arrival_loop" -> (imageAHashCtes
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+       mp AS (SELECT a.media_id AS doc_a, b.media_id AS doc_b
+         FROM hb a JOIN hb b ON a.media_id < b.media_id
+         WHERE bit_count(xor(a.ahash_lo, b.ahash_lo))
+             + bit_count(xor(a.ahash_hi, b.ahash_hi)) <= 10),
+       e AS (SELECT doc_a AS a, doc_b AS b FROM mp
+         UNION SELECT doc_b, doc_a FROM mp),
+       cc(a, b) AS (SELECT a, b FROM e
+         UNION SELECT cc.a, e.b FROM cc JOIN e ON cc.b = e.a),
+       cl AS (SELECT a AS media_id, least(a, min(b)) AS cluster
+         FROM cc GROUP BY a)
+       SELECT media_id, cluster FROM cl ORDER BY media_id"""),
     // qm09: the filtered twin — the stored side cut to flag = 0
     // (media_id % 4 = 0) BEFORE verification, exactly what the pushed
     // attr predicate does inside the pruned band scan.

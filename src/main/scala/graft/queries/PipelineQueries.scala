@@ -3111,6 +3111,58 @@ object PipelineQueries {
       .select(col("doc_id").as("media_id"), col("cluster"))
       .orderBy(col("media_id"))
 
+  /** qm15: the PER-ARRIVAL MEDIA LOOP, composed end-to-end — the
+    * steady-state a 100 TB media corpus actually runs, now as one
+    * oracle-checked query: yesterday's corpus (even media) lives in a
+    * persisted fingerprint store AND a persisted cluster map built
+    * from its own banded pairs; today's arrival (odd media) probes
+    * the store for its stored partners
+    * ([[graft.ops.FingerprintIndex.hammingAgainstIndex]] — pruned
+    * band scan, batch-sized), pairs internally
+    * ([[graft.ops.Dedup.hammingNearDup]] — banded, batch-sized),
+    * ingests ([[graft.ops.FingerprintIndex.appendHammingIndex]]),
+    * and MERGES its pairs into the stored labels
+    * ([[graft.ops.DedupIndex.mergeClusterMap]] — propagation bounded
+    * by the arrival's neighborhood). Nothing in the loop re-scans
+    * the stored corpus, yet the merged labels must land on the
+    * full-rebuild fixpoint: the oracle is the recursive transitive
+    * closure over ALL brute-force radius-10 pairs of the whole media
+    * corpus. (A kept-only pipeline would insert
+    * [[graft.ops.FingerprintIndex.newOnlyByHamming]] before the
+    * ingest — the gate is oracle-covered at qm08's surface and
+    * spec-pinned; here every arrival lands so the cluster map tracks
+    * the duplicates.) */
+  def mediaArrivalLoop(s: SparkSession, dir: String): DataFrame = {
+    val FP = graft.ops.FingerprintIndex
+    val DI = graft.ops.DedupIndex
+    val sigs = imageAHashFrame(s, dir).localCheckpoint(eager = false)
+    val even = sigs.filter(col("media_id") % 2 === 0)
+    val odd = sigs.filter(col("media_id") % 2 === 1)
+    val store =
+      java.nio.file.Files.createTempDirectory("graft_maloop_fp").toString
+    val map =
+      java.nio.file.Files.createTempDirectory("graft_maloop_cm").toString
+    FP.writeHammingIndex(even, col("media_id"), col("sh"), store,
+      maxHamming = 10)
+    DI.writeClusterMap(
+      graft.ops.Dedup.hammingNearDup(even, col("media_id"), col("sh"),
+        maxHamming = 10),
+      col("doc_a"), col("doc_b"), map)
+    val probePairs = FP.hammingAgainstIndex(s, odd, col("media_id"),
+        col("sh"), store)
+      .select(col("batch_doc").as("doc_a"),
+        col("index_doc").as("doc_b"))
+    val innerPairs = graft.ops.Dedup.hammingNearDup(odd,
+        col("media_id"), col("sh"), maxHamming = 10)
+      .select(col("doc_a"), col("doc_b"))
+    FP.appendHammingIndex(odd, col("media_id"), col("sh"), store)
+    DI.mergeClusterMap(s, map, probePairs.unionByName(innerPairs),
+      col("doc_a"), col("doc_b"))
+    DI.readClusterMap(s, map)
+      .select(col("doc_id").as("media_id"), col("cluster"))
+      .orderBy(col("media_id"))
+  }
+
   /** Portable simhash signatures packed hi‖lo into ONE 64-bit
     * fingerprint — disjoint bit ranges, so Hamming on the packed long
     * equals hamming(hi) + hamming(lo) and the oracle's two-half

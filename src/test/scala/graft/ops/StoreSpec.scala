@@ -1721,13 +1721,31 @@ class StoreSpec extends AnyFunSuite {
     assert(probe(pBk) == probe(p0))
     assert(spark.read.parquet(s"$pBk/bands").columns
       .contains("batch_id"))
-    // attr name collisions die loudly, never corrupt the layout
+    // the RANKED probe is layout-agnostic too: same pages off the
+    // batch-keyed store as off the plain one-shot build
+    def ranked(path: String) =
+      FP.hammingTopK(spark, odd, col("media_id"), col("sh"), path,
+          k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getLong(3))).toSet
+    assert(ranked(pBk) == ranked(p0) && ranked(pBk).nonEmpty)
+    // attr name collisions die loudly, never corrupt the layout —
+    // including batch_id, which the batch-keyed layout writes as a
+    // partition column (an attr by that name would be clobbered
+    // there, and would flip compact's layout detection on a plain
+    // store)
     val bad = intercept[IllegalArgumentException] {
       FP.writeHammingIndex(even, col("media_id"), col("sh"),
         tmp("st_fpbad"), maxHamming = 3,
         attrs = Seq(lit(1).as("block_val")))
     }
     assert(bad.getMessage.contains("block_val"))
+    val badBatch = intercept[IllegalArgumentException] {
+      FP.writeHammingIndex(even, col("media_id"), col("sh"),
+        tmp("st_fpbadb"), maxHamming = 3,
+        attrs = Seq(lit(1L).as("batch_id")))
+    }
+    assert(badBatch.getMessage.contains("batch_id"))
   }
 
   test("attr backfill at compact: a born-without-attrs store upgrades to filtered serving, through append + replay") {
