@@ -213,6 +213,8 @@ object SparkEntry {
     "qe53_lsh_multitable_filtered" ->
       (PipelineQueries.lshMultiFilteredRecall _),
     "qe54_ivf_retrain_recall" -> (PipelineQueries.ivfRetrainRecall _),
+    "qe55_ivfpq_retrain_recall" ->
+      (PipelineQueries.ivfPqRetrainRecall _),
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
@@ -2020,6 +2022,11 @@ object SparkEntry {
     // centroids, probes 4 cells per drifted query, and reports the
     // recall row + the average probed-candidate count.
     "qe54_ivf_retrain_recall" -> ivfRetrainRecallOracleSql,
+    // qe55: the drift fixture through the IVF-PQ serving path — both
+    // phases' centroids, residual codebooks, codes, per-query ADC
+    // shortlists and exact reranks re-derived end-to-end; decay and
+    // recovery at the 16×64 / rerank-100 operating point.
+    "qe55_ivfpq_retrain_recall" -> ivfPqRetrainRecallOracleSql,
     // qm01: multimodal decode — Spark synthesizes REAL container bytes
     // per doc id and decodes them with the real parsers; the oracle
     // re-derives every field from the same integer arithmetic, so the
@@ -2624,17 +2631,20 @@ object SparkEntry {
          FROM ${pfx}probe p JOIN ${pfx}sizes s USING (cell))"""
   }
 
-  private def ivfDriftPhaseRow(phase: String, pfx: String): String =
+  private def ivfDriftPhaseRow(phase: String, pfx: String,
+      approxCte: String = ""): String = {
+    val approx = if (approxCte.nonEmpty) approxCte else s"${pfx}approx"
     s"""SELECT '$phase' AS phase, CAST(10 AS BIGINT) AS k,
          CAST((SELECT count(DISTINCT query_id) FROM truth) AS BIGINT)
            AS n_queries,
-         CAST((SELECT count(*) FROM truth JOIN ${pfx}approx
+         CAST((SELECT count(*) FROM truth JOIN $approx
            USING (query_id, vec_id)) AS BIGINT) AS n_hit,
-         round((SELECT count(*) FROM truth JOIN ${pfx}approx
+         round((SELECT count(*) FROM truth JOIN $approx
              USING (query_id, vec_id)) * 1.0 /
            ((SELECT count(DISTINCT query_id) FROM truth) * 10), 4)
            AS recall,
          round((SELECT avg_c FROM ${pfx}scan), 4) AS avg_cand"""
+  }
 
   /** qe54: the drift fixture end-to-end — natural even half, odd half
     * shifted +0.15/dim pre-normalization, truth brute over the union
@@ -2672,6 +2682,117 @@ object SparkEntry {
          ${ivfDriftPhaseRow("before_retrain", "b")}
          UNION ALL
          ${ivfDriftPhaseRow("after_retrain", "r")}
+       ) z ORDER BY phase"""
+
+  /** The qe55 per-phase IVF-PQ ADC chain over the drift fixture —
+    * [[ivfDriftChainCtes]]' probe sets extended with the residual-PQ
+    * serving path: exploded phase centroids (`<pfx>cvx`), the
+    * 1e-6-floored residual grid of the FULL union under the phase's
+    * assignment (`<pfx>r6`), the md5 'pqr:' codebook sample over the
+    * phase's TRAINING base only (`<pfx>cbsel`/`<pfx>cb` — the build
+    * phase samples natural-half residuals, the retrain phase union
+    * residuals, exactly what `pqCodebookFrom` sees from the stored
+    * vectors), exact-integer argmin codes for every doc, per-query
+    * per-probed-cell distance tables, the ADC shortlist (adc asc, vec
+    * asc, ≤ `rerank`), and the exact-cosine rerank to the top-10
+    * (`<pfx>pqapprox`). All intermediates integer-valued doubles —
+    * engine-exact. */
+  private def ivfPqDriftChainCtes(pfx: String, base: String,
+      numSub: Int, cbSize: Int, rerank: Int): String = {
+    val dps = 64 / numSub
+    s"""${pfx}cvx AS (SELECT cell, generate_subscripts(cv, 1) AS dim,
+           unnest(cv) AS c FROM ${pfx}c2),
+       ${pfx}r6 AS (SELECT u.vec_id, cf.cell, u.dim,
+           floor((u.x - x.c) * 1000000.0) AS r
+         FROM (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+             unnest(v) AS x FROM e) u
+         JOIN ${pfx}cellof cf USING (vec_id)
+         JOIN ${pfx}cvx x ON x.cell = cf.cell AND x.dim = u.dim),
+       ${pfx}cbsel AS (SELECT vec_id, row_number() OVER (ORDER BY
+           md5('pqr:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cidx
+         FROM $base QUALIFY cidx < $cbSize),
+       ${pfx}cb AS (SELECT s.cidx, r6.dim, r6.r AS cx,
+           (r6.dim - 1) // $dps AS m
+         FROM ${pfx}cbsel s JOIN ${pfx}r6 r6 USING (vec_id)),
+       ${pfx}d_ AS (SELECT r6.vec_id, (r6.dim - 1) // $dps AS m,
+           cb.cidx, sum((r6.r - cb.cx) * (r6.r - cb.cx)) AS dist
+         FROM ${pfx}r6 r6 JOIN ${pfx}cb cb
+           ON cb.m = ((r6.dim - 1) // $dps) AND cb.dim = r6.dim
+         GROUP BY 1, 2, 3),
+       ${pfx}code AS (SELECT vec_id, m, cidx FROM (SELECT *,
+           row_number() OVER (PARTITION BY vec_id, m
+             ORDER BY dist, cidx) AS crn FROM ${pfx}d_) cd
+         WHERE crn = 1),
+       ${pfx}qr AS (SELECT pb.query_id, pb.cell, qx.dim,
+           floor((qx.x - x.c) * 1000000.0) AS r
+         FROM ${pfx}probe pb JOIN ${pfx}cvx x ON x.cell = pb.cell
+         JOIN qx ON qx.query_id = pb.query_id AND qx.dim = x.dim),
+       ${pfx}qd AS (SELECT qr.query_id, qr.cell,
+           (qr.dim - 1) // $dps AS m, cb.cidx,
+           sum((qr.r - cb.cx) * (qr.r - cb.cx)) AS qdist
+         FROM ${pfx}qr qr JOIN ${pfx}cb cb
+           ON cb.m = ((qr.dim - 1) // $dps) AND cb.dim = qr.dim
+         GROUP BY 1, 2, 3, 4),
+       ${pfx}adcs AS (SELECT qd.query_id, c.vec_id,
+           sum(qd.qdist) AS adc
+         FROM ${pfx}code c JOIN ${pfx}cellof cf USING (vec_id)
+         JOIN ${pfx}qd qd ON qd.cell = cf.cell AND qd.m = c.m
+           AND qd.cidx = c.cidx
+         GROUP BY 1, 2),
+       ${pfx}short AS (SELECT query_id, vec_id FROM (SELECT query_id,
+           vec_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc, vec_id) AS rk FROM ${pfx}adcs) sr
+         WHERE rk <= $rerank),
+       ${pfx}rr AS (SELECT s2.query_id, s2.vec_id,
+           round(list_dot_product(e.v, q2.qv), 4) AS cos
+         FROM ${pfx}short s2 JOIN e ON e.vec_id = s2.vec_id
+         JOIN q q2 ON q2.query_id = s2.query_id),
+       ${pfx}pqapprox AS (SELECT query_id, vec_id
+         FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM ${pfx}rr) ar
+         WHERE rk <= 10)"""
+  }
+
+  /** qe55: the qe54 drift fixture through the IVF-PQ serving path —
+    * both phases' FULL models re-derived in SQL (Lloyd chains via
+    * [[ivfDriftChainCtes]], residual grids + codebooks + codes + ADC
+    * + rerank via [[ivfPqDriftChainCtes]]), each phase reporting the
+    * recall row over its reranked top-10 and the probed-candidate
+    * count. */
+  private lazy val ivfPqRetrainRecallOracleSql: String =
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       enat AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw WHERE vec_id % 2 = 0),
+       shf AS (SELECT vec_id,
+         list_transform(rv, x -> x + CAST(0.15 AS DOUBLE)) AS sv
+         FROM raw WHERE vec_id % 2 = 1),
+       eshift AS (SELECT vec_id,
+         list_transform(sv, x -> x / sqrt(list_dot_product(sv, sv))) AS v
+         FROM shf),
+       e AS (SELECT * FROM enat UNION ALL SELECT * FROM eshift),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM eshift
+         WHERE vec_id < 200),
+       qx AS (SELECT query_id, generate_subscripts(qv, 1) AS dim,
+         unnest(qv) AS x FROM q),
+       tscore AS (SELECT q.query_id, e.vec_id,
+           round(list_dot_product(e.v, q.qv), 4) AS cos
+         FROM e, q),
+       truth AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM tscore) tr
+         WHERE rk <= 10),
+       ${ivfDriftChainCtes("b", "enat", 16)},
+       ${ivfDriftChainCtes("r", "e", 16)},
+       ${ivfPqDriftChainCtes("b", "enat", 16, 64, 100)},
+       ${ivfPqDriftChainCtes("r", "e", 16, 64, 100)}
+       SELECT * FROM (
+         ${ivfDriftPhaseRow("before_retrain", "b", "bpqapprox")}
+         UNION ALL
+         ${ivfDriftPhaseRow("after_retrain", "r", "rpqapprox")}
        ) z ORDER BY phase"""
 
   /** qe33: the stored trained-IVF index's per-cell populations — the

@@ -3300,4 +3300,76 @@ object PipelineQueries {
     val after = phaseRow("after_retrain")
     before.unionByName(after).orderBy(col("phase"))
   }
+
+  /** qe55: the qe54 drift fixture on the SECOND trained family,
+    * measured through the serving path that actually runs at 100 TB —
+    * IVF-PQ ADC + exact rerank ([[graft.ops.AnnIndex
+    * .ivfPqKnnJoinIndexed]], nProbe 4, rerank 100). Build on the
+    * natural half (16 cells, 16×64 residual codes, 2 Lloyd rounds),
+    * append the drifted half under the FROZEN model (frozen
+    * centroids assign, frozen codebook encodes), probe 100 drifted
+    * queries against brute truth over the union, retrain IN the
+    * store (`compactAnnIndex(retrainIters)` — centroids AND the
+    * residual codebook recomputed from the stored full-precision
+    * vectors, codes re-encoded), probe again. The decay mechanism is
+    * the same cell-miss as qe54 — rerank repairs ADC noise inside
+    * the probed cells but cannot recover neighbors in unprobed
+    * ones — so recall decays and recovers at flat scan cost, and the
+    * oracle re-derives BOTH phases end to end: two Lloyd chains, two
+    * residual grids, two md5-sampled codebooks, two per-query
+    * exact-integer ADC rankings with their reranks. */
+  def ivfPqRetrainRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val nat = e.filter(col("vec_id") % 2 === 0)
+    val shifted = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(RetrainShift)).as("embedding"))
+      .localCheckpoint(eager = false)
+    val union = nat.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double"))
+          .as("embedding"))
+      .unionByName(shifted)
+      .localCheckpoint(eager = false)
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_pqretr").toString
+    graft.ops.AnnIndex.writeIvfPqIndex(nat, col("vec_id"),
+      col("embedding"), path, nList = 16, numSub = 16,
+      codebookSize = 64, refineIters = 2)
+    graft.ops.AnnIndex.appendIvfPqIndex(shifted, col("vec_id"),
+      col("embedding"), path)
+    val queries = shifted.filter(col("vec_id") < 200)
+      .localCheckpoint(eager = false)
+    val truth = Similarity.knnJoin(union, col("vec_id"),
+        col("embedding"), queries, col("vec_id"), col("embedding"),
+        k = 10)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    def phaseRow(phase: String): DataFrame = {
+      val approx = graft.ops.AnnIndex.ivfPqKnnJoinIndexed(s, path,
+        queries, col("vec_id"), col("embedding"), k = 10, nProbe = 4,
+        rerank = 100)
+      val cents = s.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+        .sortBy { case (cell, _) => cell }
+      val sizes = s.read.parquet(s"$path/codes")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_in_cell"))
+      val scanned = Similarity.probeCellRanks(queries, col("vec_id"),
+          col("embedding"), cents)
+        .filter(col("crk") <= 4)
+        .join(sizes, Seq("cell"))
+        .agg((sum(col("n_in_cell")) / countDistinct(col("query_id")))
+          .as("avg_cand"))
+      recallRow(truth, approx)
+        .crossJoin(broadcast(scanned))
+        .select(lit(phase).as("phase"), col("k"), col("n_queries"),
+          col("n_hit"), col("recall"),
+          round(col("avg_cand"), 4).as("avg_cand"))
+        .localCheckpoint()
+    }
+    val before = phaseRow("before_retrain")
+    graft.ops.AnnIndex.compactAnnIndex(s, path,
+      retrainIters = Some(2))
+    val after = phaseRow("after_retrain")
+    before.unionByName(after).orderBy(col("phase"))
+  }
 }
