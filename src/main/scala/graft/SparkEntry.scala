@@ -215,6 +215,7 @@ object SparkEntry {
     "qe54_ivf_retrain_recall" -> (PipelineQueries.ivfRetrainRecall _),
     "qe55_ivfpq_retrain_recall" ->
       (PipelineQueries.ivfPqRetrainRecall _),
+    "qe56_ivf_drift_monitor" -> (PipelineQueries.ivfDriftMonitor _),
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
@@ -2027,6 +2028,11 @@ object SparkEntry {
     // shortlists and exact reranks re-derived end-to-end; decay and
     // recovery at the 16×64 / rerank-100 operating point.
     "qe55_ivfpq_retrain_recall" -> ivfPqRetrainRecallOracleSql,
+    // qe56: the label-free drift monitor — trained centroids
+    // re-derived (b-chain on the natural half), per-vector spherical
+    // quantization error 1 - max dot as 1e-6-floored exact integers,
+    // control vs drifted batch against the stored corpus's own error.
+    "qe56_ivf_drift_monitor" -> ivfDriftMonitorOracleSql,
     // qm01: multimodal decode — Spark synthesizes REAL container bytes
     // per doc id and decodes them with the real parsers; the oracle
     // re-derives every field from the same integer arithmetic, so the
@@ -2794,6 +2800,63 @@ object SparkEntry {
          UNION ALL
          ${ivfDriftPhaseRow("after_retrain", "r", "rpqapprox")}
        ) z ORDER BY phase"""
+
+  /** qe56: the drift monitor's truth — the natural-half Lloyd chain
+    * (only its `bc2` centroids are consumed; the chain's probe CTEs
+    * go unreferenced and unexecuted), per-vector best centroid dot,
+    * the 1e-6-floored error integers summed exactly, control and
+    * drifted batches each ratioed against the stored corpus's own
+    * error. */
+  private lazy val ivfDriftMonitorOracleSql: String =
+    s"""WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       enat AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw WHERE vec_id % 2 = 0),
+       shf AS (SELECT vec_id,
+         list_transform(rv, x -> x + CAST(0.15 AS DOUBLE)) AS sv
+         FROM raw WHERE vec_id % 2 = 1),
+       eshift AS (SELECT vec_id,
+         list_transform(sv, x -> x / sqrt(list_dot_product(sv, sv))) AS v
+         FROM shf),
+       e AS (SELECT * FROM enat UNION ALL SELECT * FROM eshift),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM eshift
+         WHERE vec_id < 200),
+       ${ivfDriftChainCtes("b", "enat", 16)},
+       serr AS (SELECT u.vec_id,
+           CAST(floor((1 - max(list_dot_product(u.v, c.cv)))
+             * 1000000.0) AS BIGINT) AS e6
+         FROM enat u, bc2 c GROUP BY u.vec_id, u.v),
+       ssum AS (SELECT CAST(count(*) AS BIGINT) AS n_stored,
+           CAST(sum(e6) AS BIGINT) AS stored_sum_e6 FROM serr),
+       cerr AS (SELECT u.vec_id,
+           CAST(floor((1 - max(list_dot_product(u.v, c.cv)))
+             * 1000000.0) AS BIGINT) AS e6
+         FROM enat u, bc2 c WHERE u.vec_id < 400
+         GROUP BY u.vec_id, u.v),
+       csum AS (SELECT CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(e6) AS BIGINT) AS batch_sum_e6 FROM cerr),
+       derr AS (SELECT u.vec_id,
+           CAST(floor((1 - max(list_dot_product(u.v, c.cv)))
+             * 1000000.0) AS BIGINT) AS e6
+         FROM eshift u, bc2 c WHERE u.vec_id < 400
+         GROUP BY u.vec_id, u.v),
+       dsum AS (SELECT CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(e6) AS BIGINT) AS batch_sum_e6 FROM derr)
+       SELECT * FROM (
+         SELECT 'control' AS batch, s.n_stored, s.stored_sum_e6,
+           c.n_batch, c.batch_sum_e6,
+           round((c.batch_sum_e6 * 1.0 / c.n_batch) /
+             (s.stored_sum_e6 * 1.0 / s.n_stored), 4) AS drift_ratio
+         FROM ssum s, csum c
+         UNION ALL
+         SELECT 'drifted', s.n_stored, s.stored_sum_e6,
+           d.n_batch, d.batch_sum_e6,
+           round((d.batch_sum_e6 * 1.0 / d.n_batch) /
+             (s.stored_sum_e6 * 1.0 / s.n_stored), 4)
+         FROM ssum s, dsum d
+       ) z ORDER BY batch"""
 
   /** qe33: the stored trained-IVF index's per-cell populations — the
     * persisted assignment re-derived from the same 1e-6-rounded Lloyd

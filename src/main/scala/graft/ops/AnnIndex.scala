@@ -303,6 +303,56 @@ object AnnIndex {
     StoreFiles.delete(spark, s"$path/tombstones")
   }
 
+  /** Quantization-error DRIFT MONITOR for a trained store (IVF /
+    * IVF-PQ) — the cheap, label-free signal for WHEN to run the
+    * retrain compact: under a frozen model, drift decays recall
+    * invisibly (truth-labeled recall rows like qe54/qe55 are
+    * evaluation artifacts, not something a production arrival loop
+    * computes); the spherical quantization error `1 − max_cell
+    * dot(v, cv)` is computable per arriving batch from the stored
+    * centroids alone, and its RATIO against the stored corpus's own
+    * error is a direct fit measure — in-distribution batches ratio
+    * ≈ 1, drifted batches measurably above (the qe56 fixture pins
+    * the control and drifted rows against an external re-derivation).
+    * One row out: (n_stored, stored_sum_e6, n_batch, batch_sum_e6,
+    * drift_ratio) — error sums as exact 1e-6-floored integers, the
+    * ratio of the two means rounded to 4. Cost: one narrow scan of
+    * the stored vectors (`index/` for IVF, `vectors/` for IVF-PQ —
+    * tombstones honored) + one batch scan, each a partition-local
+    * map against centroid literals and a map-side-combined
+    * aggregate — no shuffle beyond one row per partition, safe to
+    * run per arrival. Deployments can memoize the stored side
+    * between compacts (it only changes when the store does). */
+  def assignmentDrift(spark: SparkSession, path: String,
+      batch: DataFrame, id: Column, vec: Column): DataFrame = {
+    val cents = readCentroids(spark, path)
+    require(cents.nonEmpty, s"no centroids/ under $path — " +
+      "the drift monitor needs a trained store (IVF / IVF-PQ)")
+    def errSum(rows: DataFrame, n: String, s: String): DataFrame =
+      rows.select(floor((lit(1.0) -
+          Similarity.nearestCellScore(col("v"), cents)) *
+          lit(1000000.0)).cast("long").as("e"))
+        .agg(count(lit(1)).as(n), sum(col("e")).as(s))
+    val storedSub =
+      if (StoreFiles.exists(spark, s"$path/vectors")) "vectors"
+      else "index"
+    val stored = errSum(
+      dropTombstoned(spark, path,
+        spark.read.parquet(s"$path/$storedSub")
+          .select(col("vec_id"), col("v"))),
+      "n_stored", "stored_sum_e6")
+    val b = errSum(
+      batch.select(id.as("vec_id"),
+        Similarity.l2Normalize(vec).as("v")),
+      "n_batch", "batch_sum_e6")
+    stored.crossJoin(b)
+      .select(col("n_stored"), col("stored_sum_e6"), col("n_batch"),
+        col("batch_sum_e6"),
+        round((col("batch_sum_e6") * lit(1.0) / col("n_batch")) /
+          (col("stored_sum_e6") * lit(1.0) / col("n_stored")), 4)
+          .as("drift_ratio"))
+  }
+
   /** The IVF retrain rewrite behind [[compactAnnIndex]]: one pass over
     * the live stored rows trains the new centroids (driver state:
     * nList × dim doubles) and re-assigns every cell in the rewrite

@@ -884,6 +884,18 @@ object Similarity {
     else greatest(scored.toIndexedSeq: _*).getField("cell")
   }
 
+  /** The BEST-CELL SCORE of [[nearestCell]]'s assignment — max dot
+    * against the centroid literals, the quantization-quality signal
+    * the [[graft.ops.AnnIndex.assignmentDrift]] monitor aggregates
+    * (1 − score is the spherical quantization error). Same fold, the
+    * score field instead of the cell. */
+  private[graft] def nearestCellScore(v: Column,
+      centroids: Array[(Int, Array[Double])]): Column = {
+    val scored = centroids.map { case (_, cv) => dotLit(v, cv) }
+    if (scored.length == 1) scored.head
+    else greatest(scored.toIndexedSeq: _*)
+  }
+
   /** IVF (inverted-file) ANN. Index build: one partition-local pass
     * assigning every vector to its nearest of `nList` sampled centroids —
     * at scale the `cell` column becomes the partition key of the stored

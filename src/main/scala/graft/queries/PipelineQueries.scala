@@ -3372,4 +3372,39 @@ object PipelineQueries {
     val after = phaseRow("after_retrain")
     before.unionByName(after).orderBy(col("phase"))
   }
+
+  /** qe56: the DRIFT MONITOR the retrain loop needs — qe54/qe55
+    * measured that drift decays recall and retrain recovers it, but
+    * those rows need brute-force truth; production arrivals don't
+    * have truth labels. [[graft.ops.AnnIndex.assignmentDrift]]
+    * aggregates the spherical quantization error (1 − best centroid
+    * dot) of a batch against the stored corpus's own error: an
+    * in-distribution control batch (natural even docs) reads ratio
+    * ≈ 1, the drifted batch (the qe54 shift) reads measurably above
+    * — the label-free signal that says "run
+    * `compactAnnIndex(retrainIters)` now". Both rows re-derive
+    * externally: trained centroids from the Lloyd chain, per-vector
+    * max dot, 1e-6-floored error sums as exact integers. */
+  def ivfDriftMonitor(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val nat = e.filter(col("vec_id") % 2 === 0)
+    val shifted = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(RetrainShift)).as("embedding"))
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_driftmon").toString
+    graft.ops.AnnIndex.writeIvfIndex(nat, col("vec_id"),
+      col("embedding"), path, nList = 16, refineIters = 2)
+    def row(label: String, batch: DataFrame): DataFrame =
+      graft.ops.AnnIndex.assignmentDrift(s, path, batch,
+          col("vec_id"), col("embedding"))
+        .select(lit(label).as("batch"), col("n_stored"),
+          col("stored_sum_e6"), col("n_batch"), col("batch_sum_e6"),
+          col("drift_ratio"))
+    row("control", nat.filter(col("vec_id") < 400))
+      .unionByName(row("drifted",
+        shifted.filter(col("vec_id") < 400)))
+      .orderBy(col("batch"))
+  }
 }

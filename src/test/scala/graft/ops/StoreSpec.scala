@@ -2183,7 +2183,15 @@ class StoreSpec extends AnyFunSuite {
       attrs = Seq(attrOf(nat)))
     AnnIndex.appendIvfPqIndex(drift, col("vec_id"), col("embedding"),
       store, attrs = Seq(attrOf(drift)))
+    // the drift monitor reads the IVF-PQ store's vectors/ table: the
+    // drifted batch's quantization-error ratio must DROP once the
+    // retrain refits the model to the union
+    def driftRatio() = AnnIndex.assignmentDrift(spark, store, drift,
+        col("vec_id"), col("embedding"))
+      .head().getDouble(4)
+    val ratioBefore = driftRatio()
     AnnIndex.compactAnnIndex(spark, store, retrainIters = Some(2))
+    assert(driftRatio() < ratioBefore && ratioBefore > 0.0)
     val fresh = tmp("st_retrpq_f")
     AnnIndex.writeIvfPqIndex(union, col("vec_id"), col("embedding"),
       fresh, nList = 4, numSub = 8, codebookSize = 8, refineIters = 2,
