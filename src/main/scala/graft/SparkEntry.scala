@@ -60,6 +60,7 @@ object SparkEntry {
     "qd13_dup_clusters" -> (PipelineQueries.dupClusters _),
     "qd42_dup_clusters_star" -> (PipelineQueries.dupClustersStar _),
     "qd90_cluster_map_merge" -> (PipelineQueries.clusterMapMerge _),
+    "qd91_text_fp_topk" -> (PipelineQueries.textFpTopK _),
     "qd14_curated_corpus" -> (PipelineQueries.curatedCorpus _),
     "qd15_decontaminate" -> (PipelineQueries.decontaminate _),
     "qd43_bloom_decontaminate" -> (PipelineQueries.decontaminateBloom _),
@@ -733,6 +734,22 @@ object SparkEntry {
            ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
            AND a.doc_id < 4000 AND b.doc_id < 4000) z
        WHERE hamming <= 2 ORDER BY batch_doc, index_doc"""),
+    // qd91: ranked top-3 per arrival off the TEXT fingerprint store —
+    // the qm12 serving shape on the second modality; brute-force
+    // Hamming cut at the radius, ranked (hamming asc, doc asc).
+    "qd91_text_fp_topk" -> (simhashSigCtes + """
+       SELECT batch_doc, index_doc, hamming,
+         CAST(row_number() OVER (PARTITION BY batch_doc
+           ORDER BY hamming, index_doc) AS BIGINT) AS rank
+       FROM (
+         SELECT a.doc_id AS batch_doc, b.doc_id AS index_doc,
+           CAST(bit_count(xor(a.hi, b.hi))
+             + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b
+           ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+           AND a.doc_id < 4000 AND b.doc_id < 4000) z
+       WHERE hamming <= 2
+       QUALIFY rank <= 3 ORDER BY batch_doc, rank"""),
     // qd52: repeat factors as a CASE chain; fractional copy decided by
     // the same md5-threshold compare as the sampling family.
     "qd52_epoch_upsample" ->

@@ -353,6 +353,31 @@ object AnnIndex {
           .as("drift_ratio"))
   }
 
+  /** The monitor-driven retrain — [[DedupIndex.refreshClusterMap]]'s
+    * check-then-rebuild discipline on the vector side: measure the
+    * arriving batch's quantization-error ratio ([[assignmentDrift]]),
+    * and run the retrain compact ([[compactAnnIndex]] `retrainIters`)
+    * only when it exceeds `maxRatio`. Returns true when a retrain
+    * happened. The steady-state call costs one narrow stored-vector
+    * scan + one batch scan (no labels, no truth, no rewrite); a
+    * triggered retrain converges the ratio back toward 1, so the next
+    * arrival's check passes — the spec pins trigger, no-trigger, and
+    * post-retrain quiescence. `maxRatio` is a deployment knob; the
+    * qe56 fixture measured in-distribution batches at ~1.01 and a
+    * drifted cap at ~1.33, so thresholds in the 1.1–1.2 band separate
+    * cleanly there — calibrate on YOUR corpus's control batches. */
+  def retrainIfDrifted(spark: SparkSession, path: String,
+      batch: DataFrame, id: Column, vec: Column, maxRatio: Double,
+      retrainIters: Int = 2): Boolean = {
+    val ratio = assignmentDrift(spark, path, batch, id, vec)
+      .head().getDouble(4)
+    if (ratio <= maxRatio) false
+    else {
+      compactAnnIndex(spark, path, retrainIters = Some(retrainIters))
+      true
+    }
+  }
+
   /** The IVF retrain rewrite behind [[compactAnnIndex]]: one pass over
     * the live stored rows trains the new centroids (driver state:
     * nList × dim doubles) and re-assigns every cell in the rewrite

@@ -3212,6 +3212,23 @@ object PipelineQueries {
         col("hamming").cast("long").as("hamming"))
       .orderBy(col("batch_doc"), col("index_doc"))
 
+  /** qd91: RANKED Hamming serving off the TEXT fingerprint store —
+    * [[graft.ops.FingerprintIndex.hammingTopK]] on qd89's persisted
+    * simhash store (the second modality the ranked probe serves,
+    * beside qm12's image store): each odd-doc arrival's 3 best stored
+    * partners by (hamming asc, doc asc) within the stored radius,
+    * pages under-filled where fewer exist. Same pruned-scan shape as
+    * the set probe plus the bounded per-query top-k; the oracle is
+    * brute-force Hamming over the re-derived two-half signatures,
+    * ranked with the same tiebreak. */
+  def textFpTopK(s: SparkSession, dir: String): DataFrame =
+    graft.ops.FingerprintIndex.hammingTopK(s,
+        textSimhashSigs(s, dir, parity = 1), col("doc_id"),
+        col("sig"), textFpIndexPath(s, dir), k = 3)
+      .select(col("batch_doc"), col("index_doc"),
+        col("hamming").cast("long").as("hamming"), col("rank"))
+      .orderBy(col("batch_doc"), col("rank"))
+
   /** The qe54 drift constant: every dimension of the appended half
     * shifts by this before normalization, tilting the arrivals into a
     * wide cap the natural-trained centroids never saw. 0.15 is the

@@ -2173,6 +2173,32 @@ class StoreSpec extends AnyFunSuite {
     assert(!StoreFiles.exists(spark, s"$store/tombstones"))
   }
 
+  test("retrainIfDrifted: control batch never triggers, drifted batch retrains once and quiesces") {
+    val (nat, drift, _) = retrainHalves
+    val store = tmp("st_retrdm")
+    AnnIndex.writeIvfIndex(nat, col("vec_id"), col("embedding"), store,
+      nList = 8, refineIters = 2)
+    AnnIndex.appendIvfIndex(drift, col("vec_id"), col("embedding"),
+      store)
+    def check(batch: org.apache.spark.sql.DataFrame, max: Double) =
+      AnnIndex.retrainIfDrifted(spark, store, batch, col("vec_id"),
+        col("embedding"), maxRatio = max)
+    // a control (in-distribution) batch sits near ratio 1 — no retrain
+    val centsBefore = spark.read.parquet(s"$store/centroids")
+      .orderBy("cell").collect().toSeq
+    assert(!check(nat.limit(20), max = 1.1))
+    assert(spark.read.parquet(s"$store/centroids")
+      .orderBy("cell").collect().toSeq == centsBefore)
+    // the drifted batch exceeds the threshold — the retrain runs and
+    // the model moves
+    assert(check(drift, max = 1.1))
+    assert(spark.read.parquet(s"$store/centroids")
+      .orderBy("cell").collect().toSeq != centsBefore)
+    // ... and converges: the SAME drifted batch no longer triggers
+    // against the refitted model
+    assert(!check(drift, max = 1.1))
+  }
+
   test("IVF-PQ retrain at compact == fresh build; attrs carry over; batch-keyed folds") {
     val (nat, drift, union) = retrainHalves
     val attrOf = (df: org.apache.spark.sql.DataFrame) =>
