@@ -2583,6 +2583,37 @@ object SparkEntry {
          WHERE rk <= 10)
        $recallRowSelect"""
 
+  /** The shared drift-fixture preamble of the qe54/qe55/qe56 oracles:
+    * natural/normalized halves, the +0.15 drifted half, union `e` and
+    * the 100 drifted queries `q` — ONE definition, so the fixture can
+    * never diverge between the three truths. */
+  private val driftPreambleSql: String =
+    """WITH raw AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
+         FROM embeddings),
+       enat AS (SELECT vec_id,
+         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
+         FROM raw WHERE vec_id % 2 = 0),
+       shf AS (SELECT vec_id,
+         list_transform(rv, x -> x + CAST(0.15 AS DOUBLE)) AS sv
+         FROM raw WHERE vec_id % 2 = 1),
+       eshift AS (SELECT vec_id,
+         list_transform(sv, x -> x / sqrt(list_dot_product(sv, sv))) AS v
+         FROM shf),
+       e AS (SELECT * FROM enat UNION ALL SELECT * FROM eshift),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM eshift
+         WHERE vec_id < 200),"""
+
+  /** Brute top-10 truth over the drift fixture's union, per query. */
+  private val driftTruthSql: String =
+    """tscore AS (SELECT q.query_id, e.vec_id,
+           round(list_dot_product(e.v, q.qv), 4) AS cos
+         FROM e, q),
+       truth AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cos DESC, vec_id) AS rk FROM tscore) tr
+         WHERE rk <= 10),"""
+
   /** A prefixed trained-IVF Lloyd chain over an arbitrary TRAINING
     * base CTE — [[kmeansCtes]]' machinery generalized for qe54, where
     * the SAME arithmetic must run twice (build trained on the natural
@@ -2677,28 +2708,8 @@ object SparkEntry {
     * retain-at-compact pass trains from), and each phase's recall +
     * scan row comes off its own chain. */
   private lazy val ivfRetrainRecallOracleSql: String =
-    s"""WITH raw AS (SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
-         FROM embeddings),
-       enat AS (SELECT vec_id,
-         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
-         FROM raw WHERE vec_id % 2 = 0),
-       shf AS (SELECT vec_id,
-         list_transform(rv, x -> x + CAST(0.15 AS DOUBLE)) AS sv
-         FROM raw WHERE vec_id % 2 = 1),
-       eshift AS (SELECT vec_id,
-         list_transform(sv, x -> x / sqrt(list_dot_product(sv, sv))) AS v
-         FROM shf),
-       e AS (SELECT * FROM enat UNION ALL SELECT * FROM eshift),
-       q AS (SELECT vec_id AS query_id, v AS qv FROM eshift
-         WHERE vec_id < 200),
-       tscore AS (SELECT q.query_id, e.vec_id,
-           round(list_dot_product(e.v, q.qv), 4) AS cos
-         FROM e, q),
-       truth AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
-           row_number() OVER (PARTITION BY query_id
-             ORDER BY cos DESC, vec_id) AS rk FROM tscore) tr
-         WHERE rk <= 10),
+    s"""$driftPreambleSql
+       $driftTruthSql
        ${ivfDriftChainCtes("b", "enat", 16)},
        ${ivfDriftChainCtes("r", "e", 16)}
        SELECT * FROM (
@@ -2784,30 +2795,10 @@ object SparkEntry {
     * recall row over its reranked top-10 and the probed-candidate
     * count. */
   private lazy val ivfPqRetrainRecallOracleSql: String =
-    s"""WITH raw AS (SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
-         FROM embeddings),
-       enat AS (SELECT vec_id,
-         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
-         FROM raw WHERE vec_id % 2 = 0),
-       shf AS (SELECT vec_id,
-         list_transform(rv, x -> x + CAST(0.15 AS DOUBLE)) AS sv
-         FROM raw WHERE vec_id % 2 = 1),
-       eshift AS (SELECT vec_id,
-         list_transform(sv, x -> x / sqrt(list_dot_product(sv, sv))) AS v
-         FROM shf),
-       e AS (SELECT * FROM enat UNION ALL SELECT * FROM eshift),
-       q AS (SELECT vec_id AS query_id, v AS qv FROM eshift
-         WHERE vec_id < 200),
+    s"""$driftPreambleSql
        qx AS (SELECT query_id, generate_subscripts(qv, 1) AS dim,
          unnest(qv) AS x FROM q),
-       tscore AS (SELECT q.query_id, e.vec_id,
-           round(list_dot_product(e.v, q.qv), 4) AS cos
-         FROM e, q),
-       truth AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
-           row_number() OVER (PARTITION BY query_id
-             ORDER BY cos DESC, vec_id) AS rk FROM tscore) tr
-         WHERE rk <= 10),
+       $driftTruthSql
        ${ivfDriftChainCtes("b", "enat", 16)},
        ${ivfDriftChainCtes("r", "e", 16)},
        ${ivfPqDriftChainCtes("b", "enat", 16, 64, 100)},
@@ -2825,21 +2816,7 @@ object SparkEntry {
     * drifted batches each ratioed against the stored corpus's own
     * error. */
   private lazy val ivfDriftMonitorOracleSql: String =
-    s"""WITH raw AS (SELECT vec_id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
-         FROM embeddings),
-       enat AS (SELECT vec_id,
-         list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv))) AS v
-         FROM raw WHERE vec_id % 2 = 0),
-       shf AS (SELECT vec_id,
-         list_transform(rv, x -> x + CAST(0.15 AS DOUBLE)) AS sv
-         FROM raw WHERE vec_id % 2 = 1),
-       eshift AS (SELECT vec_id,
-         list_transform(sv, x -> x / sqrt(list_dot_product(sv, sv))) AS v
-         FROM shf),
-       e AS (SELECT * FROM enat UNION ALL SELECT * FROM eshift),
-       q AS (SELECT vec_id AS query_id, v AS qv FROM eshift
-         WHERE vec_id < 200),
+    s"""$driftPreambleSql
        ${ivfDriftChainCtes("b", "enat", 16)},
        serr AS (SELECT u.vec_id,
            CAST(floor((1 - max(list_dot_product(u.v, c.cv)))

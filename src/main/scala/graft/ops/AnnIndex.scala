@@ -325,9 +325,12 @@ object AnnIndex {
     * between compacts (it only changes when the store does). */
   def assignmentDrift(spark: SparkSession, path: String,
       batch: DataFrame, id: Column, vec: Column): DataFrame = {
+    // guard BEFORE the read: a raw parquet read of a missing
+    // directory throws an unhelpful PATH_NOT_FOUND first
+    require(StoreFiles.exists(spark, s"$path/centroids"),
+      s"no centroids/ under $path — " +
+        "the drift monitor needs a trained store (IVF / IVF-PQ)")
     val cents = readCentroids(spark, path)
-    require(cents.nonEmpty, s"no centroids/ under $path — " +
-      "the drift monitor needs a trained store (IVF / IVF-PQ)")
     def errSum(rows: DataFrame, n: String, s: String): DataFrame =
       rows.select(floor((lit(1.0) -
           Similarity.nearestCellScore(col("v"), cents)) *
@@ -369,9 +372,12 @@ object AnnIndex {
   def retrainIfDrifted(spark: SparkSession, path: String,
       batch: DataFrame, id: Column, vec: Column, maxRatio: Double,
       retrainIters: Int = 2): Boolean = {
-    val ratio = assignmentDrift(spark, path, batch, id, vec)
-      .head().getDouble(4)
-    if (ratio <= maxRatio) false
+    val row = assignmentDrift(spark, path, batch, id, vec).head()
+    // an empty batch (everything gated upstream) or a degenerate
+    // store whose own error floors to zero yields a NULL ratio —
+    // no drift evidence either way, so no retrain (never an NPE on
+    // the per-arrival path)
+    if (row.isNullAt(4) || row.getDouble(4) <= maxRatio) false
     else {
       compactAnnIndex(spark, path, retrainIters = Some(retrainIters))
       true

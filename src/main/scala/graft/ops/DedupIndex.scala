@@ -291,22 +291,26 @@ object DedupIndex {
     * BRIDGE existing clusters (both components relabel to the joint
     * minimum).
     *
-    * Crash ordering: `coverage` (the caller's post-arrival corpus
-    * snapshot) signs FIRST ([[refreshClusterMap]]'s safe-direction
-    * argument), the new edges append to `pairs/` SECOND, the label
-    * rewrite lands LAST — a crash anywhere leaves pairs ⊇ labels,
-    * and re-running the merge with the same edges is IDEMPOTENT on
-    * the labels (already-merged endpoints share labels, so the
-    * contracted graph is empty and the rewrite is a no-op relabel;
-    * `pairs/` may hold the replayed edges twice — harmless to any
-    * rebuild, since duplicate edges don't change components, and
-    * cheaper than anti-joining the full corpus-pair table per
-    * arrival). */
+    * Crash ordering: the new edges append to `pairs/` FIRST, the
+    * label rewrite lands SECOND, and `coverage` (the caller's
+    * post-arrival corpus snapshot) signs LAST — the INVERSE of
+    * [[refreshClusterMap]]'s sign-first order, deliberately: there
+    * the pair pass re-derives from a corpus scan AFTER signing, so a
+    * doc landing between the scans is merely unsigned-but-clustered
+    * (stale-looking, repaired next refresh); here the edges are
+    * FIXED INPUTS, so signing first and crashing before the rewrite
+    * would leave a fresh-looking coverage over labels that lack the
+    * arrival — masked forever. Signing last means a crash anywhere
+    * leaves pairs ⊇ labels AND coverage stale, so a staleness-gated
+    * recovery re-runs the merge, which is IDEMPOTENT on the labels
+    * (already-merged endpoints share labels, so the contracted graph
+    * is empty and the rewrite is a no-op relabel; `pairs/` may hold
+    * the replayed edges twice — harmless to any rebuild, since
+    * duplicate edges don't change components, and cheaper than
+    * anti-joining the full corpus-pair table per arrival). */
   def mergeClusterMap(spark: SparkSession, path: String,
       newPairs: DataFrame, a: Column, b: Column,
       coverage: Option[(DataFrame, Column)] = None): Unit = {
-    coverage.foreach { case (docs, sig) =>
-      writeClusterMapCoverage(docs, sig, path) }
     val e = newPairs.select(a.as("doc_a"), b.as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
@@ -347,6 +351,8 @@ object DedupIndex {
         .repartition(spark.sessionState.conf.numShufflePartitions)
         .write.parquet(tmp)
     }
+    coverage.foreach { case (docs, sig) =>
+      writeClusterMapCoverage(docs, sig, path) }
   }
 
   def nearDupAgainstIndex(spark: SparkSession, batch: DataFrame,

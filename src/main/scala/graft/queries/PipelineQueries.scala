@@ -3260,43 +3260,68 @@ object PipelineQueries {
     * decay and recovery are oracle-exact rows, not a narrated
     * tendency. */
   def ivfRetrainRecall(s: SparkSession, dir: String): DataFrame =
-    ivfRetrainRecallAt(s, dir, RetrainShift)
+    driftRecallRows(s, dir, sizesSub = "index",
+      build = (nat, path) => graft.ops.AnnIndex.writeIvfIndex(nat,
+        col("vec_id"), col("embedding"), path, nList = 16,
+        refineIters = 2),
+      append = (shifted, path) => graft.ops.AnnIndex.appendIvfIndex(
+        shifted, col("vec_id"), col("embedding"), path),
+      probe = (path, queries) => graft.ops.AnnIndex.ivfKnnJoinIndexed(
+        s, path, queries, col("vec_id"), col("embedding"), k = 10,
+        nProbe = 4))
 
-  private[graft] def ivfRetrainRecallAt(s: SparkSession, dir: String,
-      shift: Double): DataFrame = {
+  /** The shared drift fixture of qe54/qe55/qe56: the natural even
+    * half, the odd half shifted +[[RetrainShift]]/dim
+    * pre-normalization, their union, and the 100 drifted queries.
+    * Frames are lazily checkpointed — a consumer that ignores one
+    * (qe56 uses neither union nor queries) pays nothing for it. */
+  private def driftFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = t(s, dir, "embeddings")
     val nat = e.filter(col("vec_id") % 2 === 0)
     val shifted = e.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double") + lit(shift))
-          .as("embedding"))
+        transform(col("embedding"),
+          x => x.cast("double") + lit(RetrainShift)).as("embedding"))
       .localCheckpoint(eager = false)
     val union = nat.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double"))
           .as("embedding"))
       .unionByName(shifted)
       .localCheckpoint(eager = false)
-    val path =
-      java.nio.file.Files.createTempDirectory("graft_ivfretr").toString
-    graft.ops.AnnIndex.writeIvfIndex(nat, col("vec_id"),
-      col("embedding"), path, nList = 16, refineIters = 2)
-    graft.ops.AnnIndex.appendIvfIndex(shifted, col("vec_id"),
-      col("embedding"), path)
     val queries = shifted.filter(col("vec_id") < 200)
       .localCheckpoint(eager = false)
+    (nat, shifted, union, queries)
+  }
+
+  /** The shared decay/recovery driver of qe54/qe55: build on the
+    * natural half, append the drifted half under the frozen model,
+    * probe against brute truth over the union, retrain in the store,
+    * probe again — one (phase, recall, avg_cand) row per phase. The
+    * families differ only in their build/append/probe calls and the
+    * stage-1 table the scan-cost column counts (`index/` for IVF,
+    * `codes/` for IVF-PQ). Each phase row MATERIALIZES before the
+    * store mutates under it (the probe frames are lazy over the
+    * store's files). */
+  private def driftRecallRows(s: SparkSession, dir: String,
+      sizesSub: String,
+      build: (DataFrame, String) => Unit,
+      append: (DataFrame, String) => Unit,
+      probe: (String, DataFrame) => DataFrame): DataFrame = {
+    val (nat, shifted, union, queries) = driftFixture(s, dir)
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_retr").toString
+    build(nat, path)
+    append(shifted, path)
     val truth = Similarity.knnJoin(union, col("vec_id"),
         col("embedding"), queries, col("vec_id"), col("embedding"),
         k = 10)
       .select(col("query_id"), col("vec_id")).localCheckpoint()
-    // each phase row MATERIALIZES before the store mutates under it
-    // (the probe frames are lazy over the store's files)
     def phaseRow(phase: String): DataFrame = {
-      val approx = graft.ops.AnnIndex.ivfKnnJoinIndexed(s, path,
-        queries, col("vec_id"), col("embedding"), k = 10, nProbe = 4)
       val cents = s.read.parquet(s"$path/centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
         .sortBy { case (cell, _) => cell }
-      val sizes = s.read.parquet(s"$path/index")
+      val sizes = s.read.parquet(s"$path/$sizesSub")
         .groupBy(col("cell")).agg(count(lit(1)).as("n_in_cell"))
       val scanned = Similarity.probeCellRanks(queries, col("vec_id"),
           col("embedding"), cents)
@@ -3304,7 +3329,7 @@ object PipelineQueries {
         .join(sizes, Seq("cell"))
         .agg((sum(col("n_in_cell")) / countDistinct(col("query_id")))
           .as("avg_cand"))
-      recallRow(truth, approx)
+      recallRow(truth, probe(path, queries))
         .crossJoin(broadcast(scanned))
         .select(lit(phase).as("phase"), col("k"), col("n_queries"),
           col("n_hit"), col("recall"),
@@ -3322,7 +3347,7 @@ object PipelineQueries {
     * measured through the serving path that actually runs at 100 TB —
     * IVF-PQ ADC + exact rerank ([[graft.ops.AnnIndex
     * .ivfPqKnnJoinIndexed]], nProbe 4, rerank 100). Build on the
-    * natural half (16 cells, 16×64 residual codes, 2 Lloyd rounds),
+    * natural half (16 cells, 16x64 residual codes, 2 Lloyd rounds),
     * append the drifted half under the FROZEN model (frozen
     * centroids assign, frozen codebook encodes), probe 100 drifted
     * queries against brute truth over the union, retrain IN the
@@ -3335,60 +3360,16 @@ object PipelineQueries {
     * oracle re-derives BOTH phases end to end: two Lloyd chains, two
     * residual grids, two md5-sampled codebooks, two per-query
     * exact-integer ADC rankings with their reranks. */
-  def ivfPqRetrainRecall(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val nat = e.filter(col("vec_id") % 2 === 0)
-    val shifted = e.filter(col("vec_id") % 2 === 1)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => x.cast("double") + lit(RetrainShift)).as("embedding"))
-      .localCheckpoint(eager = false)
-    val union = nat.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double"))
-          .as("embedding"))
-      .unionByName(shifted)
-      .localCheckpoint(eager = false)
-    val path =
-      java.nio.file.Files.createTempDirectory("graft_pqretr").toString
-    graft.ops.AnnIndex.writeIvfPqIndex(nat, col("vec_id"),
-      col("embedding"), path, nList = 16, numSub = 16,
-      codebookSize = 64, refineIters = 2)
-    graft.ops.AnnIndex.appendIvfPqIndex(shifted, col("vec_id"),
-      col("embedding"), path)
-    val queries = shifted.filter(col("vec_id") < 200)
-      .localCheckpoint(eager = false)
-    val truth = Similarity.knnJoin(union, col("vec_id"),
-        col("embedding"), queries, col("vec_id"), col("embedding"),
-        k = 10)
-      .select(col("query_id"), col("vec_id")).localCheckpoint()
-    def phaseRow(phase: String): DataFrame = {
-      val approx = graft.ops.AnnIndex.ivfPqKnnJoinIndexed(s, path,
-        queries, col("vec_id"), col("embedding"), k = 10, nProbe = 4,
-        rerank = 100)
-      val cents = s.read.parquet(s"$path/centroids").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-        .sortBy { case (cell, _) => cell }
-      val sizes = s.read.parquet(s"$path/codes")
-        .groupBy(col("cell")).agg(count(lit(1)).as("n_in_cell"))
-      val scanned = Similarity.probeCellRanks(queries, col("vec_id"),
-          col("embedding"), cents)
-        .filter(col("crk") <= 4)
-        .join(sizes, Seq("cell"))
-        .agg((sum(col("n_in_cell")) / countDistinct(col("query_id")))
-          .as("avg_cand"))
-      recallRow(truth, approx)
-        .crossJoin(broadcast(scanned))
-        .select(lit(phase).as("phase"), col("k"), col("n_queries"),
-          col("n_hit"), col("recall"),
-          round(col("avg_cand"), 4).as("avg_cand"))
-        .localCheckpoint()
-    }
-    val before = phaseRow("before_retrain")
-    graft.ops.AnnIndex.compactAnnIndex(s, path,
-      retrainIters = Some(2))
-    val after = phaseRow("after_retrain")
-    before.unionByName(after).orderBy(col("phase"))
-  }
+  def ivfPqRetrainRecall(s: SparkSession, dir: String): DataFrame =
+    driftRecallRows(s, dir, sizesSub = "codes",
+      build = (nat, path) => graft.ops.AnnIndex.writeIvfPqIndex(nat,
+        col("vec_id"), col("embedding"), path, nList = 16,
+        numSub = 16, codebookSize = 64, refineIters = 2),
+      append = (shifted, path) => graft.ops.AnnIndex.appendIvfPqIndex(
+        shifted, col("vec_id"), col("embedding"), path),
+      probe = (path, queries) => graft.ops.AnnIndex
+        .ivfPqKnnJoinIndexed(s, path, queries, col("vec_id"),
+          col("embedding"), k = 10, nProbe = 4, rerank = 100))
 
   /** qe56: the DRIFT MONITOR the retrain loop needs — qe54/qe55
     * measured that drift decays recall and retrain recovers it, but
@@ -3403,12 +3384,7 @@ object PipelineQueries {
     * externally: trained centroids from the Lloyd chain, per-vector
     * max dot, 1e-6-floored error sums as exact integers. */
   def ivfDriftMonitor(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings")
-    val nat = e.filter(col("vec_id") % 2 === 0)
-    val shifted = e.filter(col("vec_id") % 2 === 1)
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => x.cast("double") + lit(RetrainShift)).as("embedding"))
+    val (nat, shifted, _, _) = driftFixture(s, dir)
     val path =
       java.nio.file.Files.createTempDirectory("graft_driftmon").toString
     graft.ops.AnnIndex.writeIvfIndex(nat, col("vec_id"),

@@ -2197,6 +2197,9 @@ class StoreSpec extends AnyFunSuite {
     // ... and converges: the SAME drifted batch no longer triggers
     // against the refitted model
     assert(!check(drift, max = 1.1))
+    // an empty arrival (everything gated upstream) carries no drift
+    // evidence: false, never an NPE on the NULL ratio
+    assert(!check(nat.limit(0), max = 1.1))
   }
 
   test("IVF-PQ retrain at compact == fresh build; attrs carry over; batch-keyed folds") {

@@ -79,14 +79,18 @@ def main() -> int:
             e.pop("slow_min_sec", None)
         elif t > 2 * e["best_sec"] and t - e["best_sec"] > 1.0:
             # flat shuffle (the drift branch above already returned):
-            # host-spread candidate, not a plan regression
-            e["slow_streak"] = e.get("slow_streak", 0) + 1
-            e["slow_min_sec"] = min(t, e.get("slow_min_sec", t))
-            if e.get("host_baseline_sec") is None and \
-                    e["slow_streak"] >= STREAK_FOR_BASELINE:
-                e["host_baseline_sec"] = e.pop("slow_min_sec")
-                e.pop("slow_streak")
-                annotated.append((q, e["best_sec"], e["host_baseline_sec"]))
+            # host-spread candidate, not a plan regression. An entry
+            # already carrying a host baseline tracks no streak — the
+            # annotation exists; accumulating streak keys beside it
+            # would pollute the committed artifact forever.
+            if e.get("host_baseline_sec") is None:
+                e["slow_streak"] = e.get("slow_streak", 0) + 1
+                e["slow_min_sec"] = min(t, e.get("slow_min_sec", t))
+                if e["slow_streak"] >= STREAK_FOR_BASELINE:
+                    e["host_baseline_sec"] = e.pop("slow_min_sec")
+                    e.pop("slow_streak")
+                    annotated.append(
+                        (q, e["best_sec"], e["host_baseline_sec"]))
             baseline = max(e["best_sec"], e.get("host_baseline_sec", 0.0))
             if t > 2 * baseline and t - baseline > 1.0:
                 slow.append((q, baseline, t))
