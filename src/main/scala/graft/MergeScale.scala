@@ -64,10 +64,40 @@ object MergeScale {
       DedupIndex.mergeClusterMap(spark, mapPath, arrival,
         col("doc_a"), col("doc_b"))
       val mergeSec = (System.nanoTime() - t1) / 1e9
+      // per-arrival SEQUENCE cost — the relabel-patch claim: each
+      // successive merge must cost arrival-sized work, corpus-flat,
+      // because the label table is no longer rewritten per arrival
+      // (the log materializes once, at the timed compact below)
+      val seqSecs = (0 until 4).map { i =>
+        val chunk = spark.range(0, nBridges.toLong)
+          .select((pmod(col("id") * (8017 + i * 16), lit(cutoff / 8 - 1))
+            * 8 + 7).as("doc_a"))
+          .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"))
+          .localCheckpoint()
+        val t = System.nanoTime()
+        DedupIndex.mergeClusterMap(spark, mapPath, chunk,
+          col("doc_a"), col("doc_b"))
+        (System.nanoTime() - t) / 1e9
+      }
+      val tc = System.nanoTime()
+      DedupIndex.compactClusterMap(spark, mapPath)
+      val compactSec = (System.nanoTime() - tc) / 1e9
+      println(s"""{"metric":"merge_seq","n_docs":$n,""" +
+        s""""arrival_secs":[${seqSecs.map(s => f"$s%.2f").mkString(",")}],""" +
+        s""""compact_sec":${f"$compactSec%.2f"}}""")
+      // fold the sequence's bridge edges into the rebuild comparison
+      // set so the checksum equality still compares the same graph
+      val seqBridges = (0 until 4).map { i =>
+        spark.range(0, nBridges.toLong)
+          .select((pmod(col("id") * (8017 + i * 16), lit(cutoff / 8 - 1))
+            * 8 + 7).as("doc_a"))
+          .select(col("doc_a"), (col("doc_a") + 1).as("doc_b"))
+      }.reduce(_ unionByName _)
       val rebuildPath = java.nio.file.Files
         .createTempDirectory(s"mergescale_rb_$n").toString
       val t2 = System.nanoTime()
-      DedupIndex.writeClusterMap(base.unionByName(arrival),
+      DedupIndex.writeClusterMap(
+        base.unionByName(arrival).unionByName(seqBridges),
         col("doc_a"), col("doc_b"), rebuildPath)
       val rebuildSec = (System.nanoTime() - t2) / 1e9
       def sig(path: String): (Long, Long, Long) = {

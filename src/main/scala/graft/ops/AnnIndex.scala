@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * Layout (all plain parquet, no external service):
   *   `<path>/index/`      vec_id, v (normalized), partitioned by bucket|cell
   *   `<path>/centroids/`  IVF only: cell, cv
+  *   `<path>/errstate/`   trained families only: the memoized drift
+  *                        state — (batch_id, n, sum_e6) rows whose sum
+  *                        is the live corpus's count + quantization-
+  *                        error sum under the current model
+  *   `<path>/genptr/`, `<path>/gens/g<N>/`  trained families only:
+  *                        the generation pointer + retrained roots
+  *                        (see the Generations section below)
   */
 object AnnIndex {
 
@@ -26,6 +33,175 @@ object AnnIndex {
     while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
     s
   }
+
+  // ------------------------------------------------------------------
+  // Generations — retrain without quiescing probes (trained families).
+  //
+  // A retrain compact used to rewrite the trained store's data tables
+  // in place and swap the tiny model sidecars last, leaving a bounded
+  // window where rows were assigned under a newer model than the
+  // sidecar — IVF-PQ ADC rankings in that window were unreliable, so
+  // the contract quiesced probes through a retrain. At 100 TB a model
+  // retrain is exactly when serving load exists, so the window itself
+  // had to go: a retrain now writes the NEW model and its re-encoded
+  // data under a fresh GENERATION ROOT (`<path>/gens/g<N>`), leaving
+  // the old generation's tables untouched and serving, and flips a
+  // one-row pointer (`<path>/genptr`) LAST — one atomic rename. Every
+  // entry point resolves the pointer ONCE ([[currentRoot]]) and uses
+  // that literal root for its whole plan, so a probe interleaved with
+  // a retrain reads whole-old or whole-new tables, never a mix; a
+  // crash anywhere before the flip leaves the old generation serving
+  // and a re-run converges (the half-written next root is deleted and
+  // rebuilt). Dead generations are REAPED at the next plain compact
+  // (writers quiesced there by the existing contract — the grace
+  // period a pinned probe needs). Only the trained families (IVF,
+  // IVF-PQ) ever create a pointer: untrained stores resolve to their
+  // own path with one existence check, and resolution is idempotent
+  // (a generation root has no pointer of its own).
+  //
+  // Tombstones are PER GENERATION: a retrain trains without the
+  // tombstoned rows and drops them physically, so the new root starts
+  // with no sidecar, while the old root keeps its sidecar for probes
+  // still pinned to it — both die together at reap.
+  // ------------------------------------------------------------------
+
+  /** The generation currently serving at `path` (0 = the path's own
+    * directories, the layout every store starts with). */
+  def currentGeneration(spark: SparkSession, path: String): Long =
+    if (!StoreFiles.exists(spark, s"$path/genptr")) 0L
+    else spark.read.parquet(s"$path/genptr").head().getLong(0)
+
+  /** The directory root the current generation's sub-tables live
+    * under — `path` itself at generation 0, `<path>/gens/g<N>` after N
+    * retrains. Resolved ONCE per operation; all of an operation's
+    * reads then use the returned literal, which is what pins a probe
+    * to a single generation across a concurrent retrain. */
+  def currentRoot(spark: SparkSession, path: String): String = {
+    val g = currentGeneration(spark, path)
+    if (g == 0L) path else s"$path/gens/g$g"
+  }
+
+  private def flipGeneration(spark: SparkSession, path: String,
+      gen: Long): Unit =
+    StoreFiles.replaceDir(spark, s"$path/genptr") { tmp =>
+      spark.createDataFrame(Seq(Tuple1(gen))).toDF("gen")
+        .coalesce(1).write.parquet(tmp)
+    }
+
+  /** Drop every generation below `cur` — the dead gen-0 data dirs at
+    * the store root plus earlier `gens/g*` roots. Runs inside a plain
+    * compact (writers quiesced; probes pinned to a dead generation
+    * must have drained — the documented reap grace). */
+  private def reapGenerations(spark: SparkSession, path: String,
+      cur: Long): Unit =
+    if (cur > 0) {
+      Seq("index", "codes", "bits", "vectors", "centroids", "codebook",
+        "stats", "meta", "tombstones", "errstate")
+        .foreach(d => StoreFiles.delete(spark, s"$path/$d"))
+      (1L until cur).foreach(g =>
+        StoreFiles.delete(spark, s"$path/gens/g$g"))
+    }
+
+  /** A fresh full build is a generation RESET: the new store serves
+    * from the path's own directories again, and any pointer or
+    * generation roots a previous trained store left are gone. */
+  private def resetGenerations(spark: SparkSession, path: String): Unit = {
+    StoreFiles.delete(spark, s"$path/genptr")
+    StoreFiles.delete(spark, s"$path/gens")
+  }
+
+  // ------------------------------------------------------------------
+  // Memoized drift state — the monitor's stored-side error as STORE
+  // STATE (`<root>/errstate`, rows (batch_id, n, sum_e6) whose SUM is
+  // the live corpus's row count and 1e-6-floored quantization-error
+  // sum under the current model). The error sum is exactly additive
+  // under a frozen model (integer-valued terms), so it folds
+  // incrementally instead of being recomputed per arrival:
+  // build/retrain write it wholesale from the stored rows, appends ADD
+  // the batch's own already-computed row, batch-keyed puts overwrite
+  // their own (batch_id) partition (replay-idempotent — the values are
+  // deterministic), deletes SUBTRACT the newly-tombstoned live rows'
+  // error (one scan per delete — the rare direction), and a plain
+  // compact recomputes wholesale (self-healing, and the upgrade path
+  // for stores built before the sidecar existed). The monitor's
+  // per-arrival cost drops from a corpus-sized stored-vector scan to
+  // one batch scan + a sidecar read.
+  // ------------------------------------------------------------------
+
+  /** (row count, 1e-6-floored spherical quantization-error sum) of
+    * `rows` (a (…, v) frame, v normalized) under centroid literals —
+    * one narrow map + a map-side-combined aggregate, collected as two
+    * longs. */
+  private def errSumOf(rows: DataFrame,
+      cents: Array[(Int, Array[Double])]): (Long, Long) = {
+    val r = rows.select(floor((lit(1.0) -
+        Similarity.nearestCellScore(col("v"), cents)) *
+        lit(1000000.0)).cast("long").as("e"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("e")), lit(0L)).as("s")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def writeErrRow(spark: SparkSession, root: String,
+      batchId: Long, n: Long, sumE6: Long, mode: String,
+      dynamic: Boolean = false): Unit = {
+    val w = spark.createDataFrame(Seq((batchId, n, sumE6)))
+      .toDF("batch_id", "n", "sum_e6").coalesce(1).write.mode(mode)
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("batch_id").parquet(s"$root/errstate")
+  }
+
+  /** Recompute + overwrite the whole sidecar from the stored live rows
+    * under `cents` — the build/retrain/compact wholesale form. */
+  private def writeErrStateAll(spark: SparkSession, root: String,
+      storedSub: String, cents: Array[(Int, Array[Double])]): Unit = {
+    val (n, s) = errSumOf(
+      dropTombstoned(spark, root,
+        spark.read.parquet(s"$root/$storedSub")
+          .select(col("vec_id"), col("v"))), cents)
+    writeErrRow(spark, root, -1L, n, s, "overwrite")
+  }
+
+  /** Fold an arriving batch's error into an EXISTING sidecar (a store
+    * built before the sidecar gains it at its next compact/retrain —
+    * a partial fold onto no base would understate the corpus). */
+  private def foldErrState(spark: SparkSession, root: String,
+      rows: DataFrame, cents: Array[(Int, Array[Double])],
+      batchId: Long, dynamic: Boolean): Unit =
+    if (StoreFiles.exists(spark, s"$root/errstate")) {
+      val (n, s) = errSumOf(rows, cents)
+      writeErrRow(spark, root, batchId, n, s,
+        if (dynamic) "overwrite" else "append", dynamic)
+    }
+
+  /** Fold committed errstate batch rows (< keepFrom) into the base
+    * partition — the [[foldBatches]] twin for the sidecar, so a
+    * batch-keyed fold keeps replayable partitions intact. */
+  private def foldErrStateBatches(spark: SparkSession, root: String,
+      keepFrom: Long): Unit =
+    if (StoreFiles.exists(spark, s"$root/errstate"))
+      StoreFiles.replaceDir(spark, s"$root/errstate") { tmp =>
+        val all = spark.read.parquet(s"$root/errstate")
+        all.filter(col("batch_id") < keepFrom)
+          .agg(lit(-1L).as("batch_id"),
+            coalesce(sum(col("n")), lit(0L)).as("n"),
+            coalesce(sum(col("sum_e6")), lit(0L)).as("sum_e6"))
+          .unionByName(all.filter(col("batch_id") >= keepFrom)
+            .select(col("batch_id"), col("n"), col("sum_e6")))
+          .coalesce(1).write.partitionBy("batch_id").parquet(tmp)
+      }
+
+  /** The sidecar's (n_stored, stored_sum_e6), or None when the store
+    * predates it (callers fall back to the recompute scan). */
+  private[graft] def readErrState(spark: SparkSession,
+      root: String): Option[(Long, Long)] =
+    if (!StoreFiles.exists(spark, s"$root/errstate")) None
+    else {
+      val r = spark.read.parquet(s"$root/errstate")
+        .agg(coalesce(sum(col("n")), lit(0L)),
+          coalesce(sum(col("sum_e6")), lit(0L))).head()
+      Some((r.getLong(0), r.getLong(1)))
+    }
 
   /** Build + persist the LSH index: one corpus scan, no shuffle except the
     * partitioned write's file clustering. `numPlanes` is embedded in the
@@ -148,9 +324,15 @@ object AnnIndex {
     * design, so a lower per-dir threshold would re-trip on every
     * append after a compact (a permanent rewrite storm). */
   private def maybeCompactFiles(spark: SparkSession, path: String,
-      maxFilesPerDir: Int, touchedDirs: => Seq[String]): Unit =
+      maxFilesPerDir: Int, touchedDirs: => Seq[String],
+      root: String = null): Unit =
+    // the policy LISTING walks the serving generation's directories
+    // (where the append just landed); the triggered compact takes the
+    // STORE path and re-resolves — `root` defaults to the path itself
+    // for the untrained families, which never have generations
     if (maxFilesPerDir > 0 &&
-        StoreFiles.needsFileCompaction(spark, path, maxFilesPerDir,
+        StoreFiles.needsFileCompaction(spark,
+          Option(root).getOrElse(path), maxFilesPerDir,
           touchedDirs, spark.sessionState.conf.numShufflePartitions))
       compactAnnIndex(spark, path)
 
@@ -161,9 +343,35 @@ object AnnIndex {
     * [[compactAnnIndex]]. The [[DedupIndex]]/[[LexIndex]] lifecycle
     * discipline applied to the vector side. */
   def deleteVecs(spark: SparkSession, path: String, ids: DataFrame,
-      id: Column): Unit =
-    ids.select(id.as("vec_id")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+      id: Column): Unit = {
+    val root = currentRoot(spark, path)
+    val idsD = ids.select(id.as("vec_id")).distinct().localCheckpoint()
+    // exact drift-state subtraction (trained stores with a sidecar):
+    // the error of the rows THIS call newly tombstones — ids that are
+    // live in the store right now — computed against the PRE-delete
+    // tombstone set and collected as two longs BEFORE the sidecar
+    // mutates. Tombstones then land first: a crash between the two
+    // writes leaves the sidecar overstating the stored error (an
+    // UNDER-reading drift ratio — degraded sensitivity, never a false
+    // trigger), repaired wholesale at the next compact; re-running the
+    // same delete subtracts zero (the ids are tombstoned by then), so
+    // the call stays idempotent.
+    val delta =
+      if (StoreFiles.exists(spark, s"$root/errstate") &&
+          StoreFiles.exists(spark, s"$root/centroids")) {
+        val storedSub =
+          if (StoreFiles.exists(spark, s"$root/vectors")) "vectors"
+          else "index"
+        val gone = dropTombstoned(spark, root,
+          spark.read.parquet(s"$root/$storedSub")
+            .select(col("vec_id"), col("v")))
+          .join(idsD, Seq("vec_id"), "left_semi")
+        Some(errSumOf(gone, readCentroids(spark, root)))
+      } else None
+    idsD.write.mode("append").parquet(s"$root/tombstones")
+    delta.foreach { case (n, s) =>
+      if (n > 0) writeErrRow(spark, root, -2L, -n, -s, "append") }
+  }
 
   /** All bucket-XOR masks with ≤ `probeFlips` bits set, enumerated as
     * C(numPlanes, ≤flips) combinations directly — never the full
@@ -229,6 +437,7 @@ object AnnIndex {
   def compactAnnIndex(spark: SparkSession, path: String,
       backfillAttrs: Option[DataFrame] = None,
       retrainIters: Option[Int] = None): Unit = {
+    val root = currentRoot(spark, path)
     val attrF = backfillAttrs.map { a =>
       require(a.columns.contains("vec_id"),
         "backfillAttrs needs a vec_id join column")
@@ -251,10 +460,10 @@ object AnnIndex {
     // vectors/ keeps its narrow two-column layout
     val attrSubs = Set("index", "codes", "bits")
     def sub(name: String): Unit =
-      if (StoreFiles.exists(spark, s"$path/$name"))
-        StoreFiles.replaceDir(spark, s"$path/$name") { tmp =>
-          val live1 = dropTombstoned(spark, path,
-            spark.read.parquet(s"$path/$name"))
+      if (StoreFiles.exists(spark, s"$root/$name"))
+        StoreFiles.replaceDir(spark, s"$root/$name") { tmp =>
+          val live1 = dropTombstoned(spark, root,
+            spark.read.parquet(s"$root/$name"))
           val live = attrF.filter(_ => attrSubs.contains(name))
             .fold(live1)(a => live1.join(a, Seq("vec_id"), "left"))
           val pcol = Seq("bucket", "cell").find(live.columns.contains)
@@ -291,16 +500,36 @@ object AnnIndex {
     retrainIters match {
       case Some(iters) =>
         require(iters > 0, s"retrainIters must be positive, got $iters")
-        require(StoreFiles.exists(spark, s"$path/centroids"),
+        require(StoreFiles.exists(spark, s"$root/centroids"),
           s"retrain at compact needs a trained store (IVF / IVF-PQ): " +
-            s"no centroids/ under $path")
-        if (StoreFiles.exists(spark, s"$path/codes"))
-          retrainIvfPqAtCompact(spark, path, iters, attrF)
-        else retrainIvfAtCompact(spark, path, iters, attrF)
+            s"no centroids/ under $path" +
+            (if (StoreFiles.exists(spark, s"$root/codebook"))
+              " — this is a plain PQ store, TERMINAL under drift by " +
+                "design (it keeps no full-precision vectors to retrain " +
+                "from); rebuild it with writeIvfPqIndex (stores " +
+                "vectors/ and joins the retrain lifecycle) or " +
+                "writeQuantizedIndex if drift is expected"
+            else ""))
+        // the retrain writes the NEW model + re-encoded data under the
+        // next generation root and flips the pointer last — the old
+        // root (tombstones included, for probes still pinned to it)
+        // stays untouched until the next plain compact reaps it
+        if (StoreFiles.exists(spark, s"$root/codes"))
+          retrainIvfPqAtCompact(spark, path, root, iters, attrF)
+        else retrainIvfAtCompact(spark, path, root, iters, attrF)
       case None =>
         Seq("index", "codes", "bits", "vectors").foreach(sub)
+        // refresh the memoized drift state wholesale from the live
+        // rows just compacted — the self-heal point (and the upgrade
+        // path for trained stores built before the sidecar existed)
+        if (StoreFiles.exists(spark, s"$root/centroids"))
+          writeErrStateAll(spark, root,
+            if (StoreFiles.exists(spark, s"$root/vectors")) "vectors"
+            else "index",
+            readCentroids(spark, root))
+        StoreFiles.delete(spark, s"$root/tombstones")
+        reapGenerations(spark, path, currentGeneration(spark, path))
     }
-    StoreFiles.delete(spark, s"$path/tombstones")
   }
 
   /** Quantization-error DRIFT MONITOR for a trained store (IVF /
@@ -325,25 +554,42 @@ object AnnIndex {
     * between compacts (it only changes when the store does). */
   def assignmentDrift(spark: SparkSession, path: String,
       batch: DataFrame, id: Column, vec: Column): DataFrame = {
+    val root = currentRoot(spark, path)
     // guard BEFORE the read: a raw parquet read of a missing
     // directory throws an unhelpful PATH_NOT_FOUND first
-    require(StoreFiles.exists(spark, s"$path/centroids"),
+    require(StoreFiles.exists(spark, s"$root/centroids"),
       s"no centroids/ under $path — " +
-        "the drift monitor needs a trained store (IVF / IVF-PQ)")
-    val cents = readCentroids(spark, path)
+        "the drift monitor needs a trained store (IVF / IVF-PQ)" +
+        (if (StoreFiles.exists(spark, s"$root/codebook"))
+          "; this is a plain PQ store, TERMINAL under drift by design " +
+            "(no full-precision vectors to retrain from) — rebuild it " +
+            "with writeIvfPqIndex to join the monitor + retrain " +
+            "lifecycle"
+        else ""))
+    val cents = readCentroids(spark, root)
     def errSum(rows: DataFrame, n: String, s: String): DataFrame =
       rows.select(floor((lit(1.0) -
           Similarity.nearestCellScore(col("v"), cents)) *
           lit(1000000.0)).cast("long").as("e"))
         .agg(count(lit(1)).as(n), sum(col("e")).as(s))
-    val storedSub =
-      if (StoreFiles.exists(spark, s"$path/vectors")) "vectors"
-      else "index"
-    val stored = errSum(
-      dropTombstoned(spark, path,
-        spark.read.parquet(s"$path/$storedSub")
-          .select(col("vec_id"), col("v"))),
-      "n_stored", "stored_sum_e6")
+    // the stored side comes from the memoized sidecar when the store
+    // carries one (additively maintained at build/append/put/delete,
+    // recomputed at compact/retrain — sidecar == recompute is
+    // spec-pinned across the whole lifecycle), so the per-arrival call
+    // costs ONE batch scan; stores from before the sidecar fall back
+    // to the recompute scan and upgrade at their next compact
+    val stored = readErrState(spark, root) match {
+      case Some((n, s)) =>
+        spark.createDataFrame(Seq((n, s)))
+          .toDF("n_stored", "stored_sum_e6")
+      case None => errSum(
+        dropTombstoned(spark, root,
+          spark.read.parquet(
+              s"$root/" + (if (StoreFiles.exists(spark,
+                s"$root/vectors")) "vectors" else "index"))
+            .select(col("vec_id"), col("v"))),
+        "n_stored", "stored_sum_e6")
+    }
     val b = errSum(
       batch.select(id.as("vec_id"),
         Similarity.l2Normalize(vec).as("v")),
@@ -384,57 +630,68 @@ object AnnIndex {
     }
   }
 
-  /** The IVF retrain rewrite behind [[compactAnnIndex]]: one pass over
-    * the live stored rows trains the new centroids (driver state:
-    * nList × dim doubles) and re-assigns every cell in the rewrite
-    * compact already does — no corpus read outside the store. The
-    * index swap lands first; the centroid sidecar (one tiny rename)
-    * swaps last, bounding the mixed-model window to milliseconds. */
+  /** The IVF retrain behind [[compactAnnIndex]]: one pass over the
+    * live stored rows trains the new centroids (driver state: nList ×
+    * dim doubles) and re-assigns every cell — no corpus read outside
+    * the store. The rewrite lands under the NEXT GENERATION ROOT
+    * (index, centroids, drift state — tombstoned rows dropped, so the
+    * new root starts with no sidecar) while the old generation keeps
+    * serving untouched; the pointer flips last (one atomic rename), so
+    * probes see whole-old or whole-new, never a mixed model — the
+    * quiesce-free retrain. Crash before the flip: the old generation
+    * serves, and a re-run deletes the half-written next root and
+    * converges. */
   private def retrainIvfAtCompact(spark: SparkSession, path: String,
-      iters: Int, attrF: Option[DataFrame]): Unit = {
-    val nList = spark.read.parquet(s"$path/centroids").count().toInt
-    val live = dropTombstoned(spark, path,
-        spark.read.parquet(s"$path/index"))
+      root: String, iters: Int, attrF: Option[DataFrame]): Unit = {
+    val nextGen = currentGeneration(spark, path) + 1
+    val nextRoot = s"$path/gens/g$nextGen"
+    StoreFiles.delete(spark, nextRoot)
+    val nList = spark.read.parquet(s"$root/centroids").count().toInt
+    val live = dropTombstoned(spark, root,
+        spark.read.parquet(s"$root/index"))
       .localCheckpoint(eager = false)
     val cents = Similarity.ivfCentroidsKMeansPre(
       live.select(col("vec_id"), col("v")), nList, iters)
-    StoreFiles.replaceDir(spark, s"$path/index") { tmp =>
-      val re0 = live.drop("cell")
-        .withColumn("cell", Similarity.nearestCell(col("v"), cents))
-      val re = attrF.fold(re0)(a => re0.join(a, Seq("vec_id"), "left"))
-      if (re.columns.contains("batch_id"))
-        re.drop("batch_id").withColumn("batch_id", lit(-1L))
-          .repartition(col("cell"))
-          .write.partitionBy("batch_id", "cell").parquet(tmp)
-      else re.repartition(col("cell"))
-        .write.partitionBy("cell").parquet(tmp)
-    }
-    StoreFiles.replaceDir(spark, s"$path/centroids") { tmp =>
-      spark.createDataFrame(cents.map { case (c, cv) => (c, cv) }.toSeq)
-        .toDF("cell", "cv").write.parquet(tmp)
-    }
+    val re0 = live.drop("cell")
+      .withColumn("cell", Similarity.nearestCell(col("v"), cents))
+    val re = attrF.fold(re0)(a => re0.join(a, Seq("vec_id"), "left"))
+    if (re.columns.contains("batch_id"))
+      re.drop("batch_id").withColumn("batch_id", lit(-1L))
+        .repartition(col("cell"))
+        .write.partitionBy("batch_id", "cell").parquet(s"$nextRoot/index")
+    else re.repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$nextRoot/index")
+    spark.createDataFrame(cents.map { case (c, cv) => (c, cv) }.toSeq)
+      .toDF("cell", "cv").write.parquet(s"$nextRoot/centroids")
+    writeErrStateAll(spark, nextRoot, "index", cents)
+    flipGeneration(spark, path, nextGen)
   }
 
-  /** The IVF-PQ retrain rewrite behind [[compactAnnIndex]]: the
-    * full-precision `vectors/` table (the reason the family stores it)
-    * feeds the SAME training pass a fresh build runs — Lloyd-refined
-    * centroids, residual codebook sample, re-encoded codes — and the
-    * code rows' attr columns carry over by vec_id. Swap order: codes
-    * first (longest rewrite, old store serves consistently until the
-    * rename), vectors' plain compact next, the two tiny model
-    * sidecars last. */
+  /** The IVF-PQ retrain behind [[compactAnnIndex]]: the full-precision
+    * `vectors/` table (the reason the family stores it) feeds the SAME
+    * training pass a fresh build runs — Lloyd-refined centroids,
+    * residual codebook sample, re-encoded codes — and the code rows'
+    * attr columns carry over by vec_id. Everything lands under the
+    * NEXT GENERATION ROOT (codes, compacted vectors, both model
+    * sidecars, drift state), the pointer flips last —
+    * [[retrainIvfAtCompact]]'s quiesce-free contract for the family
+    * whose ADC scores made the old in-place swap's mixed-model window
+    * actually dangerous. */
   private def retrainIvfPqAtCompact(spark: SparkSession, path: String,
-      iters: Int, attrF: Option[DataFrame]): Unit = {
-    val nList = spark.read.parquet(s"$path/centroids").count().toInt
-    val cbOld = readCodebook(spark, s"$path/codebook")
+      root: String, iters: Int, attrF: Option[DataFrame]): Unit = {
+    val nextGen = currentGeneration(spark, path) + 1
+    val nextRoot = s"$path/gens/g$nextGen"
+    StoreFiles.delete(spark, nextRoot)
+    val nList = spark.read.parquet(s"$root/centroids").count().toInt
+    val cbOld = readCodebook(spark, s"$root/codebook")
     val (numSub, cbSize) = (cbOld.length, cbOld(0).length)
-    val oldCodes = dropTombstoned(spark, path,
-      spark.read.parquet(s"$path/codes"))
+    val oldCodes = dropTombstoned(spark, root,
+      spark.read.parquet(s"$root/codes"))
     val batchKeyed = oldCodes.columns.contains("batch_id")
     val attrCols = oldCodes.columns
       .filterNot(Set("vec_id", "cell", "codes", "batch_id"))
-    val liveVecs = dropTombstoned(spark, path,
-        spark.read.parquet(s"$path/vectors"))
+    val liveVecs = dropTombstoned(spark, root,
+        spark.read.parquet(s"$root/vectors"))
       .select(col("vec_id"), col("v"))
       .localCheckpoint(eager = false)
     val (cents, cb, coded0) = Similarity.ivfPqEncodePre(
@@ -446,39 +703,35 @@ object AnnIndex {
         Seq("vec_id"), "left")
     val coded = attrF.fold(withOld)(a =>
       withOld.join(a, Seq("vec_id"), "left"))
-    StoreFiles.replaceDir(spark, s"$path/codes") { tmp =>
-      if (batchKeyed)
-        coded.withColumn("batch_id", lit(-1L))
-          .repartition(col("cell"))
-          .write.partitionBy("batch_id", "cell").parquet(tmp)
-      else coded.repartition(col("cell"))
-        .write.partitionBy("cell").parquet(tmp)
-    }
-    StoreFiles.replaceDir(spark, s"$path/vectors") { tmp =>
-      val live = dropTombstoned(spark, path,
-        spark.read.parquet(s"$path/vectors"))
-      if (batchKeyed)
-        live.drop("batch_id").withColumn("batch_id", lit(-1L))
-          .repartitionByRange(
-            spark.sessionState.conf.numShufflePartitions, col("vec_id"))
-          .sortWithinPartitions(col("vec_id"))
-          .write.partitionBy("batch_id").parquet(tmp)
-      else live.repartitionByRange(
+    if (batchKeyed)
+      coded.withColumn("batch_id", lit(-1L))
+        .repartition(col("cell"))
+        .write.partitionBy("batch_id", "cell").parquet(s"$nextRoot/codes")
+    else coded.repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$nextRoot/codes")
+    val liveFull = dropTombstoned(spark, root,
+      spark.read.parquet(s"$root/vectors"))
+    if (batchKeyed)
+      liveFull.drop("batch_id").withColumn("batch_id", lit(-1L))
+        .repartitionByRange(
           spark.sessionState.conf.numShufflePartitions, col("vec_id"))
         .sortWithinPartitions(col("vec_id"))
-        .write.parquet(tmp)
-    }
-    StoreFiles.replaceDir(spark, s"$path/centroids") { tmp =>
-      spark.createDataFrame(cents.map { case (c, cv) => (c, cv) }.toSeq)
-        .toDF("cell", "cv").write.parquet(tmp)
-    }
-    StoreFiles.replaceDir(spark, s"$path/codebook") { tmp =>
+        .write.partitionBy("batch_id").parquet(s"$nextRoot/vectors")
+    else liveFull.repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions, col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.parquet(s"$nextRoot/vectors")
+    spark.createDataFrame(cents.map { case (c, cv) => (c, cv) }.toSeq)
+      .toDF("cell", "cv").write.parquet(s"$nextRoot/centroids")
+    locally {
       import spark.implicits._
       (for { m <- cb.indices; c <- cb(m).indices; d <- cb(m)(c).indices }
         yield (m, c, d, cb(m)(c)(d)))
         .toDF("m", "cidx", "dim", "c6")
-        .write.parquet(tmp)
+        .write.parquet(s"$nextRoot/codebook")
     }
+    writeErrStateAll(spark, nextRoot, "vectors", cents)
+    flipGeneration(spark, path, nextGen)
   }
 
   /** Top-k against a persisted LSH index. The query vector is collected
@@ -1153,6 +1406,10 @@ object AnnIndex {
   def writeIvfIndex(corpus: DataFrame, id: Column, vec: Column,
       path: String, nList: Int, refineIters: Int = 0,
       batchKeyed: Boolean = false, attrs: Seq[Column] = Nil): Unit = {
+    val spark = corpus.sparkSession
+    // a fresh build resets generations FIRST: a stale pointer must
+    // never redirect readers away from the tables written below
+    resetGenerations(spark, path)
     val cents =
       if (refineIters > 0)
         Similarity.ivfCentroidsKMeans(corpus, id, vec, nList, refineIters)
@@ -1168,10 +1425,14 @@ object AnnIndex {
     out.repartition(col("cell"))
       .write.mode("overwrite").partitionBy(pcols: _*)
       .parquet(s"$path/index")
-    corpus.sparkSession.createDataFrame(
+    spark.createDataFrame(
         cents.map { case (cell, cv) => (cell, cv) }.toSeq)
       .toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // memoized drift state, computed from the STORED rows (bytes the
+    // monitor's fallback scan would read — sidecar == recompute by
+    // construction)
+    writeErrStateAll(spark, path, "index", cents)
   }
 
   /** Idempotently (re)write one micro-batch's vectors under their own
@@ -1185,15 +1446,21 @@ object AnnIndex {
     * build at −1. */
   def putIvfBatch(batch: DataFrame, id: Column, vec: Column,
       path: String, batchId: Long, attrs: Seq[Column] = Nil): Unit = {
-    val cents = readCentroids(batch.sparkSession, path)
-    batch.select(id.as("vec_id") +:
+    val spark = batch.sparkSession
+    val root = currentRoot(spark, path)
+    val cents = readCentroids(spark, root)
+    val rows = batch.select(id.as("vec_id") +:
         Similarity.l2Normalize(vec).as("v") +: attrs: _*)
       .withColumn("cell", Similarity.nearestCell(col("v"), cents))
-      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(eager = false)
+    rows.withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "cell").parquet(s"$path/index")
+      .partitionBy("batch_id", "cell").parquet(s"$root/index")
+    // drift-state fold rides the batch's own partition: a replay
+    // overwrites the same deterministic row — exactly-once preserved
+    foldErrState(spark, root, rows, cents, batchId, dynamic = true)
   }
 
   /** Fold one batch-keyed sub-table's COMMITTED batches
@@ -1228,8 +1495,11 @@ object AnnIndex {
     * (index rows just concatenate; batch identity carries no probe
     * semantics). */
   def compactIvfBatches(spark: SparkSession, path: String,
-      keepFrom: Long): Unit =
-    foldBatches(spark, s"$path/index", Some("cell"), keepFrom)
+      keepFrom: Long): Unit = {
+    val root = currentRoot(spark, path)
+    foldBatches(spark, s"$root/index", Some("cell"), keepFrom)
+    foldErrStateBatches(spark, root, keepFrom)
+  }
 
   /** [[compactIvfBatches]] for the batch-keyed LSH layout. */
   def compactLshBatches(spark: SparkSession, path: String,
@@ -1241,8 +1511,10 @@ object AnnIndex {
     * (re-clustered by vec_id for the stage-2 literal-IN pruning). */
   def compactIvfPqBatches(spark: SparkSession, path: String,
       keepFrom: Long): Unit = {
-    foldBatches(spark, s"$path/codes", Some("cell"), keepFrom)
-    foldBatches(spark, s"$path/vectors", None, keepFrom)
+    val root = currentRoot(spark, path)
+    foldBatches(spark, s"$root/codes", Some("cell"), keepFrom)
+    foldBatches(spark, s"$root/vectors", None, keepFrom)
+    foldErrStateBatches(spark, root, keepFrom)
   }
 
   /** Append a batch of vectors to a persisted IVF index: the STORED
@@ -1259,18 +1531,22 @@ object AnnIndex {
       path: String, maxFilesPerDir: Int = 0,
       attrs: Seq[Column] = Nil): Unit = {
     val spark = batch.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy { case (cell, cv) => cell }
+    val root = currentRoot(spark, path)
+    val cents = readCentroids(spark, root)
     val rows = batch
       .select(id.as("vec_id") +:
         Similarity.l2Normalize(vec).as("v") +: attrs: _*)
       .withColumn("cell", Similarity.nearestCell(col("v"), cents))
       .localCheckpoint(eager = false)
     rows.repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/index")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/index")
+    // additive drift-state fold (exact: integer error terms under the
+    // same frozen model the rows were just assigned with), BEFORE the
+    // file policy — a triggered compact recomputes wholesale
+    foldErrState(spark, root, rows, cents, batchId = -1L,
+      dynamic = false)
     maybeCompactFiles(spark, path, maxFilesPerDir,
-      touchedPartDirs(rows, "index", "cell"))
+      touchedPartDirs(rows, "index", "cell"), root = root)
   }
 
   /** Multi-query top-k against a persisted IVF index: the stored
@@ -1286,9 +1562,10 @@ object AnnIndex {
   def ivfKnnJoinIndexed(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
       nProbe: Int = 4, attrFilter: Option[Column] = None): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy { case (cell, cv) => cell }
+    // resolved ONCE: every read below uses this literal root, pinning
+    // the whole probe to a single generation across concurrent retrains
+    val root = currentRoot(spark, path)
+    val cents = readCentroids(spark, root)
     val probes = Similarity.probeCellRanks(queries, qid, qvec, cents)
       .filter(col("crk") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
@@ -1299,8 +1576,8 @@ object AnnIndex {
     // pruned scan — the predicate pushes to parquet next to the cell
     // pruning (filtered vector search, the queryLshIndex contract:
     // candidates are restricted, distances and ranking are unchanged)
-    val index = dropTombstoned(spark, path,
-      attrFilter.foldLeft(spark.read.parquet(s"$path/index"))(_.filter(_))
+    val index = dropTombstoned(spark, root,
+      attrFilter.foldLeft(spark.read.parquet(s"$root/index"))(_.filter(_))
         .filter(col("cell").isin(probedCells: _*)))
     index.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
@@ -1320,14 +1597,15 @@ object AnnIndex {
   def queryIvfIndex(spark: SparkSession, path: String, query: DataFrame,
       k: Int, nProbe: Int = 4,
       attrFilter: Option[Column] = None): DataFrame = {
-    val index = dropTombstoned(spark, path, attrFilter.foldLeft(
-      spark.read.parquet(s"$path/index"))(_.filter(_)))
+    val root = currentRoot(spark, path) // generation pin (one resolve)
+    val index = dropTombstoned(spark, root, attrFilter.foldLeft(
+      spark.read.parquet(s"$root/index"))(_.filter(_)))
     val qRows = query.select(col(query.columns.head).as("qv")).head(1)
     if (qRows.isEmpty)
       return index.select(col("vec_id"), lit(0.0d).as("cos"),
         lit(0).as("rank")).limit(0)
     val qv = qRows(0).getSeq[Double](0).toArray
-    val cells = spark.read.parquet(s"$path/centroids").collect()
+    val cells = spark.read.parquet(s"$root/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .map { case (cell, cv) => (cell, dotLocal(cv, qv)) }
       .sortBy { case (cell, score) => (-score, cell) }
@@ -1353,6 +1631,7 @@ object AnnIndex {
       path: String, nList: Int = 16, numSub: Int = 8,
       codebookSize: Int = 16, refineIters: Int = 2,
       batchKeyed: Boolean = false, attrs: Seq[Column] = Nil): Unit = {
+    resetGenerations(corpus.sparkSession, path)
     val (cents, cb, coded0) = Similarity.ivfPqEncode(corpus, id, vec,
       nList, numSub, codebookSize, refineIters)
     // attrs denormalize onto the code rows (one build-time join by
@@ -1388,6 +1667,7 @@ object AnnIndex {
         .parquet(s"$path/vectors")
     else vecs.sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite").parquet(s"$path/vectors")
+    writeErrStateAll(spark, path, "vectors", cents)
   }
 
   /** Append a batch to a persisted IVF-PQ index under the STORED model:
@@ -1406,15 +1686,22 @@ object AnnIndex {
   def appendIvfPqIndex(batch: DataFrame, id: Column, vec: Column,
       path: String, maxFilesPerDir: Int = 0,
       attrs: Seq[Column] = Nil): Unit = {
-    val coded = ivfPqEncodeStored(batch, id, vec, path, attrs)
+    val spark = batch.sparkSession
+    val root = currentRoot(spark, path)
+    val coded = ivfPqEncodeStored(batch, id, vec, root, attrs)
       .localCheckpoint(eager = false)
     coded.repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
-    batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
-      .sortWithinPartitions(col("vec_id"))
-      .write.mode("append").parquet(s"$path/vectors")
-    maybeCompactFiles(batch.sparkSession, path, maxFilesPerDir,
-      touchedPartDirs(coded, "codes", "cell") :+ "vectors")
+      .write.mode("append").partitionBy("cell").parquet(s"$root/codes")
+    val vecs = batch
+      .select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+      .localCheckpoint(eager = false)
+    vecs.sortWithinPartitions(col("vec_id"))
+      .write.mode("append").parquet(s"$root/vectors")
+    foldErrState(spark, root, vecs, readCentroids(spark, root),
+      batchId = -1L, dynamic = false)
+    maybeCompactFiles(spark, path, maxFilesPerDir,
+      touchedPartDirs(coded, "codes", "cell") :+ "vectors",
+      root = root)
   }
 
   /** Encode a batch under a stored IVF-PQ index's FROZEN model:
@@ -1454,18 +1741,24 @@ object AnnIndex {
     * [[appendIvfPqIndex]] has under replay). */
   def putIvfPqBatch(batch: DataFrame, id: Column, vec: Column,
       path: String, batchId: Long, attrs: Seq[Column] = Nil): Unit = {
-    ivfPqEncodeStored(batch, id, vec, path, attrs)
+    val spark = batch.sparkSession
+    val root = currentRoot(spark, path)
+    ivfPqEncodeStored(batch, id, vec, root, attrs)
       .withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "cell").parquet(s"$path/codes")
-    batch.select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
-      .withColumn("batch_id", lit(batchId))
+      .partitionBy("batch_id", "cell").parquet(s"$root/codes")
+    val vecs = batch
+      .select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
+      .localCheckpoint(eager = false)
+    vecs.withColumn("batch_id", lit(batchId))
       .sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(s"$path/vectors")
+      .partitionBy("batch_id").parquet(s"$root/vectors")
+    foldErrState(spark, root, vecs, readCentroids(spark, root),
+      batchId, dynamic = true)
   }
 
   private def readCodebook(spark: SparkSession,
@@ -1492,14 +1785,15 @@ object AnnIndex {
   def queryIvfPqIndex(spark: SparkSession, path: String,
       query: DataFrame, k: Int, nProbe: Int = 4,
       attrFilter: Option[Column] = None): DataFrame = {
-    val cents = readCentroids(spark, path)
-    val cb = readCodebook(spark, s"$path/codebook")
+    val root = currentRoot(spark, path) // generation pin (one resolve)
+    val cents = readCentroids(spark, root)
+    val cb = readCodebook(spark, s"$root/codebook")
     val qv = query
       .select(Similarity.l2Normalize(col(query.columns.head)).as("qv"))
       .head().getSeq[Double](0).toArray
     val tabs = Similarity.ivfPqQueryTabs(qv, cents, cb, nProbe)
-    val codes = dropTombstoned(spark, path,
-      attrFilter.foldLeft(spark.read.parquet(s"$path/codes"))(_.filter(_))
+    val codes = dropTombstoned(spark, root,
+      attrFilter.foldLeft(spark.read.parquet(s"$root/codes"))(_.filter(_))
         .filter(col("cell").isin(tabs.map(_._1).toIndexedSeq: _*)))
     Similarity.pqRank(codes.select(col("vec_id"),
       Similarity.ivfPqScoreExpr(col("codes"), tabs).cast("long")
@@ -1589,19 +1883,23 @@ object AnnIndex {
   private[graft] def ivfPqRerankedFrame(spark: SparkSession,
       path: String, qRows: Array[(Long, Array[Double])], nProbe: Int,
       rerank: Int, attrFilter: Option[Column] = None): DataFrame = {
+    // resolution is idempotent (a generation root has no pointer), so
+    // both the public entry and this frame may resolve — stage 1 and
+    // stage 2 then read the SAME pinned generation
+    val root = currentRoot(spark, path)
     require(qRows.length.toLong * rerank <= MaxShortlistIds,
       s"two-stage shortlist is ${qRows.length} queries x $rerank ids — " +
         s"over the $MaxShortlistIds serving-batch ceiling; split the " +
         "query batch into smaller probe calls instead of one " +
         "driver-sized collect")
-    val shortTriples = ivfPqShortlistFrame(spark, path, qRows, nProbe,
+    val shortTriples = ivfPqShortlistFrame(spark, root, qRows, nProbe,
         rerank, attrFilter)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val shortIds = shortTriples.map(_._2).distinct.toIndexedSeq
     import spark.implicits._
     val pairsDf = shortTriples.toSeq.toDF("query_id", "vec_id", "srk")
     val qvDf = qRows.toSeq.toDF("query_id", "qv")
-    spark.read.parquet(s"$path/vectors")
+    spark.read.parquet(s"$root/vectors")
       .filter(col("vec_id").isin(shortIds: _*))
       .join(broadcast(pairsDf), Seq("vec_id"))
       .join(broadcast(qvDf), Seq("query_id"))
@@ -1620,8 +1918,9 @@ object AnnIndex {
   private[graft] def ivfPqShortlistFrame(spark: SparkSession,
       path: String, qRows: Array[(Long, Array[Double])], nProbe: Int,
       rerank: Int, attrFilter: Option[Column] = None): DataFrame = {
-    val cents = readCentroids(spark, path)
-    val cb = readCodebook(spark, s"$path/codebook")
+    val root = currentRoot(spark, path) // idempotent re-resolve
+    val cents = readCentroids(spark, root)
+    val cb = readCodebook(spark, s"$root/codebook")
     val numSub = cb.length; val cbSize = cb(0).length
     val probeRows = qRows.flatMap { case (q, qv) =>
       Similarity.ivfPqQueryTabs(qv, cents, cb, nProbe).map {
@@ -1636,8 +1935,8 @@ object AnnIndex {
     // so a filtered top-k restricts candidates BEFORE the shortlist
     // (post-filtering the top-k would return < k rows) and stage 2
     // inherits the already-filtered shortlist for free
-    val codes = dropTombstoned(spark, path,
-      attrFilter.foldLeft(spark.read.parquet(s"$path/codes"))(_.filter(_))
+    val codes = dropTombstoned(spark, root,
+      attrFilter.foldLeft(spark.read.parquet(s"$root/codes"))(_.filter(_))
         .filter(col("cell").isin(probedCells: _*)))
     val adc = (0 until numSub).map(m =>
         element_at(col("qtab"),

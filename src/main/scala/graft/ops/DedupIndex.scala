@@ -196,16 +196,58 @@ object DedupIndex {
     * doc-count-sized, not corpus-sized. */
   def writeClusterMap(pairs: DataFrame, a: Column, b: Column,
       path: String): Unit = {
+    val spark = pairs.sparkSession
     pairs.select(a.as("doc_a"), b.as("doc_b"))
       .write.mode("overwrite").parquet(s"$path/pairs")
-    val stored = pairs.sparkSession.read.parquet(s"$path/pairs")
+    val stored = spark.read.parquet(s"$path/pairs")
     Dedup.dupClusters(stored, col("doc_a"), col("doc_b"))
       .write.mode("overwrite").parquet(s"$path/clusters")
+    // a full rebuild resets the relabel-patch log: stale patches over
+    // a fresh base would relabel components that no longer exist
+    StoreFiles.delete(spark, s"$path/patches")
   }
 
-  /** The stored (doc_id, cluster) labels of [[writeClusterMap]]. */
-  def readClusterMap(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/clusters")
+  /** The stored (doc_id, cluster) labels of [[writeClusterMap]], with
+    * the relabel-patch log applied — reads stay ONE coalesce deep
+    * because [[mergeClusterMap]] keeps the log depth-1 by
+    * construction: every appended patch row maps an old label to its
+    * FINAL target as of that merge (prior rows whose target moves are
+    * re-pointed under a higher seq, and the fold takes the latest row
+    * per label). A map with no log (fresh build, or just compacted)
+    * reads the base table verbatim. */
+  def readClusterMap(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/clusters")
+    if (!StoreFiles.exists(spark, s"$path/patches")) base
+    else base.join(foldedPatches(spark, path),
+        base("cluster") === col("old_lab"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_lab"), col("cluster")).as("cluster"))
+  }
+
+  /** The patch log folded to its latest row per old label — the
+    * function reads apply. Patch-log-sized (labels touched since the
+    * last compact), never corpus-sized. */
+  private def foldedPatches(spark: SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/patches")
+      .groupBy(col("old_lab"))
+      .agg(max_by(col("new_lab"), col("seq")).as("new_lab"))
+
+  /** Materialize the patched labels into the base table and clear the
+    * log — the cluster map's compact. Merges stay arrival-sized
+    * between compacts; this is where the one corpus-linear label
+    * rewrite happens, on the store owner's schedule instead of per
+    * arrival. Writers quiesced (the [[StoreFiles.replaceDir]]
+    * contract). */
+  def compactClusterMap(spark: SparkSession, path: String): Unit =
+    if (StoreFiles.exists(spark, s"$path/patches")) {
+      StoreFiles.replaceDir(spark, s"$path/clusters") { tmp =>
+        readClusterMap(spark, path)
+          .repartition(spark.sessionState.conf.numShufflePartitions)
+          .write.parquet(tmp)
+      }
+      StoreFiles.delete(spark, s"$path/patches")
+    }
 
   /** Corpus-coverage sidecar for the cluster map — the STALENESS
     * CONTRACT for long-lived deployments: the map is a write-once
@@ -291,23 +333,38 @@ object DedupIndex {
     * BRIDGE existing clusters (both components relabel to the joint
     * minimum).
     *
+    * The label table is NOT rewritten per arrival (that was one
+    * corpus-linear pass per merge — compact's cost class at arrival
+    * cadence): the relabel lands as an append-only PATCH LOG
+    * (`patches/`: old_lab, new_lab, seq) plus the new docs' base rows,
+    * and [[readClusterMap]] applies the folded log with one coalesce.
+    * The log stays DEPTH-1 by construction: a merge appends its own
+    * relabel rows fully resolved, and RE-POINTS the prior folded rows
+    * whose target this merge moves (x → b stored, this merge maps
+    * b → c ⇒ append x → c under the new seq) — so no read ever
+    * chases a chain. [[compactClusterMap]] materializes the log into
+    * the base on the owner's schedule — the rewrite still happens,
+    * but once per compact, not once per arrival.
+    *
     * Crash ordering: the new edges append to `pairs/` FIRST, the
-    * label rewrite lands SECOND, and `coverage` (the caller's
-    * post-arrival corpus snapshot) signs LAST — the INVERSE of
-    * [[refreshClusterMap]]'s sign-first order, deliberately: there
-    * the pair pass re-derives from a corpus scan AFTER signing, so a
-    * doc landing between the scans is merely unsigned-but-clustered
-    * (stale-looking, repaired next refresh); here the edges are
-    * FIXED INPUTS, so signing first and crashing before the rewrite
-    * would leave a fresh-looking coverage over labels that lack the
-    * arrival — masked forever. Signing last means a crash anywhere
-    * leaves pairs ⊇ labels AND coverage stale, so a staleness-gated
-    * recovery re-runs the merge, which is IDEMPOTENT on the labels
-    * (already-merged endpoints share labels, so the contracted graph
-    * is empty and the rewrite is a no-op relabel; `pairs/` may hold
-    * the replayed edges twice — harmless to any rebuild, since
-    * duplicate edges don't change components, and cheaper than
-    * anti-joining the full corpus-pair table per arrival). */
+    * new-doc base rows SECOND, the patch rows THIRD, and `coverage`
+    * (the caller's post-arrival corpus snapshot) signs LAST — the
+    * INVERSE of [[refreshClusterMap]]'s sign-first order,
+    * deliberately: there the pair pass re-derives from a corpus scan
+    * AFTER signing, so a doc landing between the scans is merely
+    * unsigned-but-clustered (stale-looking, repaired next refresh);
+    * here the edges are FIXED INPUTS, so signing first and crashing
+    * before the label writes would leave a fresh-looking coverage
+    * over labels that lack the arrival — masked forever. Signing last
+    * means a crash anywhere leaves pairs ⊇ labels AND coverage stale,
+    * so a staleness-gated recovery re-runs the merge, which is
+    * IDEMPOTENT on the effective labels: already-merged endpoints
+    * share labels, so the contracted graph is empty and no patch is
+    * appended; already-appended new docs are in the base, so no base
+    * row duplicates; `pairs/` may hold the replayed edges twice —
+    * harmless to any rebuild, since duplicate edges don't change
+    * components, and cheaper than anti-joining the full corpus-pair
+    * table per arrival. */
   def mergeClusterMap(spark: SparkSession, path: String,
       newPairs: DataFrame, a: Column, b: Column,
       coverage: Option[(DataFrame, Column)] = None): Unit = {
@@ -316,6 +373,9 @@ object DedupIndex {
       .distinct()
       .localCheckpoint()
     e.write.mode("append").parquet(s"$path/pairs")
+    // EFFECTIVE labels (base + folded patches): the contracted graph
+    // must be built over what reads see, or a second merge would
+    // re-derive relabels the log already holds
     val stored = readClusterMap(spark, path)
     val ends = e.select(col("doc_a").as("d"))
       .union(e.select(col("doc_b").as("d"))).distinct()
@@ -330,26 +390,43 @@ object DedupIndex {
         Seq("doc_b"))
       .select(col("la"), col("lb"))
       .filter(col("la") =!= col("lb"))
+    // identity rows (a component whose label didn't move) add nothing
+    // to the log; no broadcast hint — relabel is arrival-neighborhood-
+    // sized, not bounded, so the strategy is left to AQE (a
+    // backfill-scale merge must not die on the broadcast ceiling)
     val relabel = Dedup.dupClusters(labEdges, col("la"), col("lb"))
       .select(col("doc_id").as("old_lab"), col("cluster").as("new_lab"))
+      .filter(col("old_lab") =!= col("new_lab"))
       .localCheckpoint()
     // rows for arrival endpoints the map has never seen (their label
     // may come straight from the contracted propagation, or stay
-    // themselves when their component didn't shrink below them)
+    // themselves when their component didn't shrink below them) land
+    // in the BASE, fully resolved as of this merge
     val newRows = endLab
       .join(stored.select(col("doc_id").as("d")), Seq("d"), "left_anti")
       .join(relabel, col("lab") === col("old_lab"), "left")
       .select(col("d").as("doc_id"),
         coalesce(col("new_lab"), col("lab")).as("cluster"))
-    StoreFiles.replaceDir(spark, s"$path/clusters") { tmp =>
-      stored
-        .join(broadcast(relabel), col("cluster") === col("old_lab"),
-          "left")
-        .select(col("doc_id"),
-          coalesce(col("new_lab"), col("cluster")).as("cluster"))
-        .unionByName(newRows)
-        .repartition(spark.sessionState.conf.numShufflePartitions)
-        .write.parquet(tmp)
+    newRows.write.mode("append").parquet(s"$path/clusters")
+    if (!relabel.isEmpty) {
+      val hasLog = StoreFiles.exists(spark, s"$path/patches")
+      val seq =
+        if (!hasLog) 0L
+        else spark.read.parquet(s"$path/patches")
+          .agg(coalesce(max(col("seq")), lit(-1L))).head().getLong(0) + 1L
+      // re-point the prior folded rows whose CURRENT target this
+      // merge relabels — the depth-1 invariant's maintenance write;
+      // joining the folded view (not the raw log) is what keeps a
+      // superseded row from resurrecting under the new seq
+      val repoint =
+        if (!hasLog) relabel.limit(0)
+        else foldedPatches(spark, path)
+          .withColumnRenamed("new_lab", "cur")
+          .join(relabel.withColumnRenamed("old_lab", "cur"), Seq("cur"))
+          .select(col("old_lab"), col("new_lab"))
+      relabel.unionByName(repoint)
+        .withColumn("seq", lit(seq))
+        .write.mode("append").parquet(s"$path/patches")
     }
     coverage.foreach { case (docs, sig) =>
       writeClusterMapCoverage(docs, sig, path) }

@@ -30,10 +30,23 @@ object StoreManifest {
   /** One classified store: `store` (directory name under the root),
     * `family`, `meta` (the family's sidecar fields, stringified),
     * `attr_columns` (filtered-serving attrs denormalized onto the
-    * stage-1 table), `batch_keyed`, `has_tombstones`. */
+    * stage-1 table), `batch_keyed`, `has_tombstones` — plus the
+    * HEALTH REGISTRY signals a deployment schedules maintenance from:
+    * `generation` (trained ANN stores — how many retrains this store
+    * has served through; classification follows the pointer, so a
+    * retrained store still manifests by its family), `tombstone_rows`
+    * (> 0 ⇒ a compact will shrink probes), `pending_patches` (cluster
+    * maps: relabel-log rows awaiting [[DedupIndex.compactClusterMap]]),
+    * `has_drift_state` (trained ANN stores: the memoized
+    * quantization-error sidecar is present, so the drift monitor's
+    * per-arrival check is batch-sized — absent means a legacy store
+    * that upgrades at its next compact). "What needs compact/retrain
+    * under this root" is then one DataFrame filter. */
   case class StoreEntry(store: String, family: String,
       meta: Map[String, String], attr_columns: Seq[String],
-      batch_keyed: Boolean, has_tombstones: Boolean)
+      batch_keyed: Boolean, has_tombstones: Boolean,
+      generation: Long, tombstone_rows: Long, pending_patches: Long,
+      has_drift_state: Boolean)
 
   // per-family reserved (non-attr) columns of the stage-1 table
   private val FpReserved =
@@ -62,9 +75,20 @@ object StoreManifest {
   private def classify(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem,
       store: org.apache.hadoop.fs.Path): StoreEntry = {
-    val subs = fs.listStatus(store)
-      .filter(_.isDirectory).map(_.getPath.getName).toSet
-    def p(sub: String) = s"$store/$sub"
+    // trained ANN stores serve from a generation root after a retrain
+    // — classify what the PROBES read, not the pointer plumbing. A
+    // corrupt pointer degrades to generation 0 (describe, don't die).
+    val generation =
+      try AnnIndex.currentGeneration(spark, store.toString)
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    val root = new org.apache.hadoop.fs.Path(
+      if (generation == 0L) store.toString
+      else s"$store/gens/g$generation")
+    val subs =
+      try fs.listStatus(root)
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+    def p(sub: String) = s"$root/$sub"
     def cols(sub: String): Seq[String] =
       spark.read.parquet(p(sub)).columns.toIndexedSeq
     // the single-row sidecar, stringified field-by-field
@@ -90,11 +114,20 @@ object StoreManifest {
     def attrsOf(sub: String, reserved: Set[String]): Seq[String] =
       cols(sub).filterNot(reserved)
     def entry(family: String, meta: Map[String, String],
-        attrs: Seq[String], stage1: Option[String]): StoreEntry =
+        attrs: Seq[String], stage1: Option[String]): StoreEntry = {
+      val tombSub = Seq("tombstones", "hll_tombstones").find(subs)
       StoreEntry(store.getName, family, meta, attrs,
         batch_keyed = stage1.exists(s => cols(s).contains("batch_id")),
-        has_tombstones = subs.contains("tombstones") ||
-          subs.contains("hll_tombstones"))
+        has_tombstones = tombSub.nonEmpty,
+        generation = generation,
+        tombstone_rows = tombSub.fold(0L)(t =>
+          spark.read.parquet(p(t)).count()),
+        pending_patches =
+          if (subs.contains("patches"))
+            spark.read.parquet(p("patches")).count()
+          else 0L,
+        has_drift_state = subs.contains("errstate"))
+    }
     try {
       if (subs("sigs") && subs("bands"))
         entry("fingerprint", sidecar("meta"),
@@ -134,9 +167,18 @@ object StoreManifest {
           Seq("hll", "cms", "hist").find(subs))
       else entry("unknown", Map.empty, Nil, None)
     } catch {
-      // a half-written or foreign directory manifests as unknown
+      // a half-written or foreign directory manifests as unknown —
+      // constructed directly (no sidecar reads: a corrupt tombstone or
+      // patch table must not turn the describe-don't-die contract into
+      // a second exception)
       case scala.util.control.NonFatal(_) =>
-        entry("unknown", Map.empty, Nil, None)
+        StoreEntry(store.getName, "unknown", Map.empty, Nil,
+          batch_keyed = false,
+          has_tombstones = subs.contains("tombstones") ||
+            subs.contains("hll_tombstones"),
+          generation = generation, tombstone_rows = -1L,
+          pending_patches = -1L,
+          has_drift_state = subs.contains("errstate"))
     }
   }
 }

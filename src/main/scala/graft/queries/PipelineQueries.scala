@@ -3148,10 +3148,16 @@ object PipelineQueries {
       graft.ops.Dedup.hammingNearDup(even, col("media_id"), col("sh"),
         maxHamming = 10),
       col("doc_a"), col("doc_b"), map)
+    // probePairs MATERIALIZES before the append below mutates the
+    // store it scans: correctness must not hang on spark.read pinning
+    // its file listing at frame-creation time (and a compacting append
+    // would delete the listed files mid-query) — this loop is the
+    // documented per-arrival exemplar, so the ordering is explicit
     val probePairs = FP.hammingAgainstIndex(s, odd, col("media_id"),
         col("sh"), store)
       .select(col("batch_doc").as("doc_a"),
         col("index_doc").as("doc_b"))
+      .localCheckpoint()
     val innerPairs = graft.ops.Dedup.hammingNearDup(odd,
         col("media_id"), col("sh"), maxHamming = 10)
       .select(col("doc_a"), col("doc_b"))
@@ -3318,10 +3324,13 @@ object PipelineQueries {
         k = 10)
       .select(col("query_id"), col("vec_id")).localCheckpoint()
     def phaseRow(phase: String): DataFrame = {
-      val cents = s.read.parquet(s"$path/centroids").collect()
+      // the retrain flips the store to a new GENERATION root — read
+      // the model/scan-cost tables where the probes read them
+      val root = graft.ops.AnnIndex.currentRoot(s, path)
+      val cents = s.read.parquet(s"$root/centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
         .sortBy { case (cell, _) => cell }
-      val sizes = s.read.parquet(s"$path/$sizesSub")
+      val sizes = s.read.parquet(s"$root/$sizesSub")
         .groupBy(col("cell")).agg(count(lit(1)).as("n_in_cell"))
       val scanned = Similarity.probeCellRanks(queries, col("vec_id"),
           col("embedding"), cents)

@@ -1999,6 +1999,36 @@ class StoreSpec extends AnyFunSuite {
     val m3 = StoreManifest.manifest(spark, root).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m3("junk") == "unknown")
+    // HEALTH REGISTRY: stage maintenance-pending state on three stores
+    // — a tombstoned ANN store, a cluster map with a pending patch
+    // log, and a retrained (generation > 0) trained store — and read
+    // all of it back as one frame
+    DedupIndex.mergeClusterMap(spark, at("clmap"),
+      Seq((2L, 3L), (10L, 11L), (11L, 1L)).toDF("a", "b"),
+      col("a"), col("b"))
+    AnnIndex.compactAnnIndex(spark, at("ivfpq"), retrainIters = Some(1))
+    val h = StoreManifest.manifest(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getBoolean(9))).toMap
+    // (family, generation, tombstone_rows, pending_patches, drift)
+    assert(h("ivf") == (("ann_ivf", 0L, 1L, 0L, true)))
+    assert(h("clmap")._1 == "cluster_map" && h("clmap")._4 > 0L)
+    // the retrained store still classifies by family, one generation up,
+    // with the memoized drift sidecar present in the serving root
+    assert(h("ivfpq") == (("ann_ivfpq", 1L, 0L, 0L, true)))
+    // untrained families carry no drift sidecar — nothing to monitor
+    assert(h("lsh")._5 == false && h("bin")._5 == false)
+    // "what needs compact under this root" is one filter
+    val needs = StoreManifest.manifest(spark, root)
+      .filter(col("tombstone_rows") > 0 || col("pending_patches") > 0)
+      .select("store").collect().map(_.getString(0)).toSet
+    assert(needs == Set("ivf", "clmap"))
+    // compacts clear both signals
+    AnnIndex.compactAnnIndex(spark, at("ivf"))
+    DedupIndex.compactClusterMap(spark, at("clmap"))
+    val h2 = StoreManifest.manifest(spark, root).collect()
+      .map(r => r.getString(0) -> (r.getLong(7), r.getLong(8))).toMap
+    assert(h2("ivf") == ((0L, 0L)) && h2("clmap") == ((0L, 0L)))
   }
 
   test("pixel AVI synth + DIB frame decode round-trip; corrupt payloads decode NULL") {
@@ -2071,6 +2101,64 @@ class StoreSpec extends AnyFunSuite {
       col("b"), coverage = Some((docsNow, col("doc_id"))))
     assert(!DI.clusterMapIsStale(spark, docsNow, col("doc_id"), path))
     assert(labels(path) == want)
+  }
+
+  test("cluster map relabel-patch log: N successive merges == rebuild at every step; depth-1 reads; compact materializes") {
+    import spark.implicits._
+    val DI = graft.ops.DedupIndex
+    val path = tmp("st_cpatch")
+    DI.writeClusterMap(Seq((1L, 2L), (10L, 11L), (20L, 21L),
+        (30L, 31L)).toDF("a", "b"),
+      col("a"), col("b"), path)
+    def labels(p: String) = DI.readClusterMap(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a CHAINING sequence: each arrival relabels the component the
+    // previous merge just built — exactly the case where a naive
+    // append-only log would grow chains (20→10 then 10→1), and the
+    // re-point discipline must keep every read one hop deep
+    val arrivals = Seq(
+      Seq((21L, 30L)),             // {20,21,30,31} → label 20
+      Seq((11L, 20L)),             // ... ∪ {10,11} → label 10
+      Seq((2L, 10L)),              // ... ∪ {1,2} → label 1 (20→1, 10→1)
+      Seq((50L, 51L), (51L, 2L)))  // new docs straight into label 1
+    var sofar = Seq((1L, 2L), (10L, 11L), (20L, 21L), (30L, 31L))
+    arrivals.zipWithIndex.foreach { case (arr, i) =>
+      DI.mergeClusterMap(spark, path, arr.toDF("a", "b"), col("a"),
+        col("b"))
+      sofar = sofar ++ arr
+      val ref = tmp(s"st_cpatch_ref$i")
+      DI.writeClusterMap(sofar.toDF("a", "b"), col("a"), col("b"), ref)
+      assert(labels(path) == labels(ref),
+        s"sequence step $i diverged from rebuild")
+    }
+    // every doc resolves to label 1 through the folded log
+    assert(labels(path).forall(_._2 == 1L) && labels(path).size == 10)
+    // depth-1 invariant on the LOG itself: after folding, no target is
+    // also a source — a read never needs a second hop
+    val folded = spark.read.parquet(s"$path/patches")
+      .groupBy(col("old_lab"))
+      .agg(max_by(col("new_lab"), col("seq")).as("new_lab"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sources = folded.map(_._1).toSet
+    assert(folded.nonEmpty && folded.forall { case (_, t) =>
+      !sources.contains(t) })
+    // the base table was NOT rewritten by the merges: it still holds
+    // the original labels (the per-arrival cost claim, observable)
+    val rawBase = spark.read.parquet(s"$path/clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rawBase.contains((21L, 20L)) && rawBase.contains((11L, 10L)))
+    // compact materializes the effective labels and clears the log;
+    // reads are unchanged
+    val before = labels(path)
+    DI.compactClusterMap(spark, path)
+    assert(!StoreFiles.exists(spark, s"$path/patches"))
+    assert(labels(path) == before)
+    assert(spark.read.parquet(s"$path/clusters").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == before)
+    // ... and merging continues cleanly on the compacted base
+    DI.mergeClusterMap(spark, path, Seq((31L, 60L)).toDF("a", "b"),
+      col("a"), col("b"))
+    assert(labels(path).contains((60L, 1L)))
   }
 
   test("fingerprint store hammingTopK: ranked == brute cut at the radius; under-filled pages; filtered") {
@@ -2151,13 +2239,16 @@ class StoreSpec extends AnyFunSuite {
       refineIters = 2)
     // the retrained MODEL is bit-identical to the fresh build's (the
     // stored vectors ARE the normalized build inputs, and the
-    // md5-seeded sample + 1e-6-rounded Lloyd rounds are deterministic)
-    def centsOf(p: String) = spark.read.parquet(s"$p/centroids")
+    // md5-seeded sample + 1e-6-rounded Lloyd rounds are deterministic);
+    // post-retrain tables live under the flipped GENERATION root
+    def centsOf(p: String) = spark.read
+      .parquet(s"${AnnIndex.currentRoot(spark, p)}/centroids")
       .orderBy("cell").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     assert(centsOf(store) == centsOf(fresh))
     // ... as is the re-assigned cell of every live row
-    def cellsOf(p: String) = spark.read.parquet(s"$p/index")
+    def cellsOf(p: String) = spark.read
+      .parquet(s"${AnnIndex.currentRoot(spark, p)}/index")
       .select(col("vec_id"), col("cell")).orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(cellsOf(store) == cellsOf(fresh) && cellsOf(store).nonEmpty)
@@ -2170,7 +2261,18 @@ class StoreSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getLong(3))).toSeq
     assert(top(store) == top(fresh) && top(store).nonEmpty)
-    assert(!StoreFiles.exists(spark, s"$store/tombstones"))
+    // the NEW generation starts with no tombstone sidecar (trained
+    // without the deleted rows); the old root keeps its sidecar for
+    // probes still pinned to it, and both die at the next compact's
+    // generation reap
+    val newRoot = AnnIndex.currentRoot(spark, store)
+    assert(newRoot != store &&
+      !StoreFiles.exists(spark, s"$newRoot/tombstones") &&
+      StoreFiles.exists(spark, s"$store/tombstones"))
+    AnnIndex.compactAnnIndex(spark, store)
+    assert(!StoreFiles.exists(spark, s"$store/tombstones") &&
+      !StoreFiles.exists(spark, s"$store/index"))
+    assert(top(store) == top(fresh))
   }
 
   test("retrainIfDrifted: control batch never triggers, drifted batch retrains once and quiesces") {
@@ -2184,16 +2286,16 @@ class StoreSpec extends AnyFunSuite {
       AnnIndex.retrainIfDrifted(spark, store, batch, col("vec_id"),
         col("embedding"), maxRatio = max)
     // a control (in-distribution) batch sits near ratio 1 — no retrain
-    val centsBefore = spark.read.parquet(s"$store/centroids")
+    def cents() = spark.read
+      .parquet(s"${AnnIndex.currentRoot(spark, store)}/centroids")
       .orderBy("cell").collect().toSeq
+    val centsBefore = cents()
     assert(!check(nat.limit(20), max = 1.1))
-    assert(spark.read.parquet(s"$store/centroids")
-      .orderBy("cell").collect().toSeq == centsBefore)
+    assert(cents() == centsBefore)
     // the drifted batch exceeds the threshold — the retrain runs and
-    // the model moves
+    // the model moves (to a new generation root)
     assert(check(drift, max = 1.1))
-    assert(spark.read.parquet(s"$store/centroids")
-      .orderBy("cell").collect().toSeq != centsBefore)
+    assert(cents() != centsBefore)
     // ... and converges: the SAME drifted batch no longer triggers
     // against the refitted model
     assert(!check(drift, max = 1.1))
@@ -2226,17 +2328,21 @@ class StoreSpec extends AnyFunSuite {
       fresh, nList = 4, numSub = 8, codebookSize = 8, refineIters = 2,
       attrs = Seq(attrOf(union)))
     // model: centroids AND the residual codebook re-derive identically
-    def centsOf(p: String) = spark.read.parquet(s"$p/centroids")
+    // (post-retrain tables live under the flipped generation root)
+    def centsOf(p: String) = spark.read
+      .parquet(s"${AnnIndex.currentRoot(spark, p)}/centroids")
       .orderBy("cell").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
     assert(centsOf(store) == centsOf(fresh))
-    def cbOf(p: String) = spark.read.parquet(s"$p/codebook")
+    def cbOf(p: String) = spark.read
+      .parquet(s"${AnnIndex.currentRoot(spark, p)}/codebook")
       .orderBy("m", "cidx", "dim").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
         r.getDouble(3))).toSeq
     assert(cbOf(store) == cbOf(fresh))
     // codes re-encode under the new model, attr columns intact
-    def codesOf(p: String) = spark.read.parquet(s"$p/codes")
+    def codesOf(p: String) = spark.read
+      .parquet(s"${AnnIndex.currentRoot(spark, p)}/codes")
       .select(col("vec_id"), col("cell"), col("codes"), col("lang"))
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2),
@@ -2263,9 +2369,10 @@ class StoreSpec extends AnyFunSuite {
       batchId = 0L)
     AnnIndex.compactAnnIndex(spark, bk, retrainIters = Some(2))
     import spark.implicits._
-    assert(spark.read.parquet(s"$bk/codes").select("batch_id")
+    val bkRoot = AnnIndex.currentRoot(spark, bk)
+    assert(spark.read.parquet(s"$bkRoot/codes").select("batch_id")
       .distinct().as[Long].collect().toSeq == Seq(-1L))
-    assert(spark.read.parquet(s"$bk/vectors").select("batch_id")
+    assert(spark.read.parquet(s"$bkRoot/vectors").select("batch_id")
       .distinct().as[Long].collect().toSeq == Seq(-1L))
     def topPlain(p: String) =
       AnnIndex.ivfPqKnnJoinIndexed(spark, p, q, col("vec_id"),
