@@ -217,6 +217,8 @@ object SparkEntry {
     "qe55_ivfpq_retrain_recall" ->
       (PipelineQueries.ivfPqRetrainRecall _),
     "qe56_ivf_drift_monitor" -> (PipelineQueries.ivfDriftMonitor _),
+    "qe57_vector_arrival_loop" ->
+      (PipelineQueries.vectorArrivalLoop _),
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
@@ -2050,6 +2052,11 @@ object SparkEntry {
     // quantization error 1 - max dot as 1e-6-floored exact integers,
     // control vs drifted batch against the stored corpus's own error.
     "qe56_ivf_drift_monitor" -> ivfDriftMonitorOracleSql,
+    // qe57: the composed arrival loop — sign-block gate, live-corpus
+    // monitor sums (re-checking the folded sidecar), the same > 1.1
+    // retrain conditional, and the post-retrain ADC + rerank recall,
+    // all one closed-form derivation.
+    "qe57_vector_arrival_loop" -> vectorArrivalLoopOracleSql,
     // qm01: multimodal decode — Spark synthesizes REAL container bytes
     // per doc id and decodes them with the real parsers; the oracle
     // re-derives every field from the same integer arithmetic, so the
@@ -2587,7 +2594,7 @@ object SparkEntry {
     * natural/normalized halves, the +0.15 drifted half, union `e` and
     * the 100 drifted queries `q` — ONE definition, so the fixture can
     * never diverge between the three truths. */
-  private val driftPreambleSql: String =
+  private val driftHalvesSql: String =
     """WITH raw AS (SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS rv
          FROM embeddings),
@@ -2599,7 +2606,10 @@ object SparkEntry {
          FROM raw WHERE vec_id % 2 = 1),
        eshift AS (SELECT vec_id,
          list_transform(sv, x -> x / sqrt(list_dot_product(sv, sv))) AS v
-         FROM shf),
+         FROM shf),"""
+
+  private val driftPreambleSql: String =
+    s"""$driftHalvesSql
        e AS (SELECT * FROM enat UNION ALL SELECT * FROM eshift),
        q AS (SELECT vec_id AS query_id, v AS qv FROM eshift
          WHERE vec_id < 200),"""
@@ -2851,6 +2861,104 @@ object SparkEntry {
              (s.stored_sum_e6 * 1.0 / s.n_stored), 4)
          FROM ssum s, dsum d
        ) z ORDER BY batch"""
+
+  /** qe57: the composed vector arrival loop — the gate re-derived from
+    * sign arithmetic (per-16-dim block values as exact powers of two;
+    * candidate = any shared block, verified at round(dot, 4) ≥ 0.99 —
+    * in-batch keep-lowest-id first, then the screen against the stored
+    * natural half), the LIVE corpus `e` as natural ∪ survivors, the
+    * monitor row's error sums over exactly that corpus (independently
+    * re-checking the engine's additively-folded sidecar), the retrain
+    * decision as the same > 1.1 conditional, and the post-retrain
+    * IVF-PQ serving path (Lloyd chain + residual codebook + codes +
+    * ADC + rerank, all trained on the live corpus) cut against brute
+    * truth. */
+  private lazy val vectorArrivalLoopOracleSql: String =
+    s"""$driftHalvesSql
+       av AS (SELECT vec_id, v FROM enat WHERE vec_id < 40
+         UNION ALL SELECT vec_id, v FROM eshift),
+       ab AS (SELECT vec_id, (dim - 1) // 16 AS m,
+           sum(CASE WHEN x >= 0
+             THEN CAST(power(2, (dim - 1) % 16) AS BIGINT)
+             ELSE 0 END) AS bv
+         FROM (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+             unnest(v) AS x FROM av) u
+         GROUP BY 1, 2),
+       ib AS (SELECT vec_id, (dim - 1) // 16 AS m,
+           sum(CASE WHEN x >= 0
+             THEN CAST(power(2, (dim - 1) % 16) AS BIGINT)
+             ELSE 0 END) AS bv
+         FROM (SELECT vec_id, generate_subscripts(v, 1) AS dim,
+             unnest(v) AS x FROM enat) u
+         GROUP BY 1, 2),
+       inb AS (SELECT DISTINCT c.ib2 AS vec_id
+         FROM (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib2
+             FROM ab a JOIN ab b
+               ON a.m = b.m AND a.bv = b.bv AND a.vec_id < b.vec_id) c
+         JOIN av va ON va.vec_id = c.ia
+         JOIN av vb ON vb.vec_id = c.ib2
+         WHERE round(list_dot_product(va.v, vb.v), 4) >= 0.99),
+       solo AS (SELECT * FROM av
+         WHERE vec_id NOT IN (SELECT vec_id FROM inb)),
+       hit AS (SELECT DISTINCT s.vec_id
+         FROM solo s JOIN ab sb ON sb.vec_id = s.vec_id
+         JOIN ib ON ib.m = sb.m AND ib.bv = sb.bv
+         JOIN enat iv ON iv.vec_id = ib.vec_id
+         WHERE round(list_dot_product(s.v, iv.v), 4) >= 0.99),
+       surv AS (SELECT vec_id, v FROM solo
+         WHERE vec_id NOT IN (SELECT vec_id FROM hit)),
+       e AS (SELECT vec_id, v FROM enat
+         UNION ALL SELECT vec_id, v FROM surv),
+       q AS (SELECT vec_id AS query_id, v AS qv FROM eshift
+         WHERE vec_id < 200),
+       qx AS (SELECT query_id, generate_subscripts(qv, 1) AS dim,
+         unnest(qv) AS x FROM q),
+       $driftTruthSql
+       ${ivfDriftChainCtes("b", "enat", 16)},
+       ${ivfDriftChainCtes("r", "e", 16)},
+       ${ivfPqDriftChainCtes("r", "e", 16, 64, 100)},
+       mserr AS (SELECT u.vec_id,
+           CAST(floor((1 - max(list_dot_product(u.v, c.cv)))
+             * 1000000.0) AS BIGINT) AS e6
+         FROM e u, bc2 c GROUP BY u.vec_id, u.v),
+       mssum AS (SELECT CAST(count(*) AS BIGINT) AS n_stored,
+           CAST(sum(e6) AS BIGINT) AS stored_sum_e6 FROM mserr),
+       mberr AS (SELECT u.vec_id,
+           CAST(floor((1 - max(list_dot_product(u.v, c.cv)))
+             * 1000000.0) AS BIGINT) AS e6
+         FROM surv u, bc2 c GROUP BY u.vec_id, u.v),
+       mbsum AS (SELECT CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(sum(e6) AS BIGINT) AS batch_sum_e6 FROM mberr),
+       mratio AS (SELECT s.n_stored, s.stored_sum_e6, b.n_batch,
+           b.batch_sum_e6,
+           round((b.batch_sum_e6 * 1.0 / b.n_batch) /
+             (s.stored_sum_e6 * 1.0 / s.n_stored), 4) AS ratio
+         FROM mssum s, mbsum b)
+       SELECT * FROM (
+         SELECT 'a_gate' AS step,
+           CAST((SELECT count(*) FROM av) AS BIGINT) AS m1,
+           CAST((SELECT count(*) FROM av)
+             - (SELECT count(*) FROM surv) AS BIGINT) AS m2,
+           CAST((SELECT count(*) FROM surv) AS BIGINT) AS m3,
+           CAST(NULL AS DOUBLE) AS v
+         UNION ALL
+         SELECT 'b_monitor', m.n_stored, m.stored_sum_e6,
+           m.batch_sum_e6, m.ratio FROM mratio m
+         UNION ALL
+         SELECT 'c_retrain',
+           CAST(CASE WHEN m.ratio > 1.1 THEN 1 ELSE 0 END AS BIGINT),
+           CAST(CASE WHEN m.ratio > 1.1 THEN 1 ELSE 0 END AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE) FROM mratio m
+         UNION ALL
+         SELECT 'd_probe',
+           CAST((SELECT count(DISTINCT query_id) FROM truth) AS BIGINT),
+           CAST((SELECT count(*) FROM truth JOIN rpqapprox
+             USING (query_id, vec_id)) AS BIGINT),
+           CAST(NULL AS BIGINT),
+           round((SELECT count(*) FROM truth JOIN rpqapprox
+               USING (query_id, vec_id)) * 1.0 /
+             ((SELECT count(DISTINCT query_id) FROM truth) * 10), 4)
+       ) z ORDER BY step"""
 
   /** qe33: the stored trained-IVF index's per-cell populations — the
     * persisted assignment re-derived from the same 1e-6-rounded Lloyd

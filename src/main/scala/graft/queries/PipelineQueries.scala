@@ -3392,6 +3392,125 @@ object PipelineQueries {
     * `compactAnnIndex(retrainIters)` now". Both rows re-derive
     * externally: trained centroids from the Lloyd chain, per-vector
     * max dot, 1e-6-floored error sums as exact integers. */
+  /** qe57: the VECTOR steady-state arrival loop composed as one row —
+    * qm15's twin on the trained-vector side, exercising together what
+    * qe54/qe55/qe56 pinned separately: an arrival batch (the drifted
+    * odd half + 20 verbatim re-ingests of stored docs) runs the
+    * near-dup GATE (the [[graft.streaming.StreamingIngest
+    * .vectorNearDupIngestTo]] batch logic: in-batch keep-lowest-id on
+    * shared 16-bit sign blocks verified at exact rounded cosine
+    * ≥ 0.99, then the same screen against the stored gate index — the
+    * re-ingests match themselves at cosine 1.0 and drop), survivors
+    * INGEST into both stores (gate bits/vectors + the trained IVF-PQ
+    * serving store under its frozen model, folding the memoized drift
+    * state additively), the MONITOR reads one sidecar row + one batch
+    * scan, the ratio trips the threshold and the conditional RETRAIN
+    * flips a new generation, and the PROBE serves the drifted queries
+    * through ADC + exact rerank at fresh-build recall. Four rows out —
+    * gate counts, the monitor row, the retrain decision + generation,
+    * the recall row — every number re-derived in closed-form SQL
+    * (sign-block gate included); the monitor row in particular
+    * re-verifies the ADDITIVE sidecar fold against an independent
+    * whole-corpus error sum. */
+  def vectorArrivalLoop(s: SparkSession, dir: String): DataFrame = {
+    val AI = graft.ops.AnnIndex
+    val (nat, shifted, _, queries) = driftFixture(s, dir)
+    val serving = java.nio.file.Files
+      .createTempDirectory("graft_valoop_pq").toString
+    val gate = java.nio.file.Files
+      .createTempDirectory("graft_valoop_bin").toString
+    AI.writeIvfPqIndex(nat, col("vec_id"), col("embedding"), serving,
+      nList = 16, numSub = 16, codebookSize = 64, refineIters = 2)
+    AI.writeBinaryIndex(nat, col("vec_id"), col("embedding"), gate)
+    val natD = nat.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val arrival = natD.filter(col("vec_id") < 40).unionByName(shifted)
+      .localCheckpoint(eager = false)
+    // --- the gate (vectorNearDupIngestTo's per-batch logic) ---
+    val sig = arrival.select(col("vec_id"),
+        Similarity.l2Normalize(col("embedding")).as("v"),
+        Similarity.signBits(col("embedding"), 0).as("lo"),
+        Similarity.signBits(col("embedding"), 32).as("hi"))
+      .localCheckpoint()
+    def blocksOf(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        posexplode(Similarity.signBlockArray(col("lo"), col("hi")))
+          .as(Seq("bidx", "bval")))
+    val bBlocks = blocksOf(sig, "vec_id")
+    val inDup = bBlocks.as("a")
+      .join(bBlocks.as("b"),
+        col("a.bidx") === col("b.bidx") &&
+          col("a.bval") === col("b.bval") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+      .join(sig.select(col("vec_id").as("id_a"), col("v").as("va")),
+        "id_a")
+      .join(sig.select(col("vec_id").as("id_b"), col("v").as("vb")),
+        "id_b")
+      .filter(round(Similarity.dot(col("va"), col("vb")), 4) >= 0.99)
+      .select(col("id_b").as("vec_id")).distinct()
+    val solo = sig.join(inDup, Seq("vec_id"), "left_anti")
+    val iBlocks = s.read.parquet(s"$gate/bits")
+      .select(col("vec_id").as("idx_id"),
+        posexplode(Similarity.signBlockArray(col("lo"), col("hi")))
+          .as(Seq("bidx", "bval")))
+    val hit = blocksOf(solo, "vec_id")
+      .join(iBlocks, Seq("bidx", "bval"))
+      .select(col("vec_id"), col("idx_id")).distinct()
+      .join(solo.select(col("vec_id"), col("v").as("bv")), "vec_id")
+      .join(s.read.parquet(s"$gate/vectors")
+        .select(col("vec_id").as("idx_id"), col("v").as("iv")),
+        "idx_id")
+      .filter(round(Similarity.dot(col("bv"), col("iv")), 4) >= 0.99)
+      .select(col("vec_id")).distinct()
+    val fresh = solo.join(hit, Seq("vec_id"), "left_anti")
+      .localCheckpoint() // probe once: the ingests mutate both stores
+    val nArrival = arrival.count()
+    val nSurv = fresh.count()
+    // --- ingest: gate parts first (the streaming crash order), then
+    // the serving store (raw vectors — the append normalizes, keeping
+    // stored v == l2Normalize(raw) for the retrain identity) ---
+    fresh.select(col("vec_id"), col("v"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("append").parquet(s"$gate/vectors")
+    fresh.select(col("vec_id"), col("lo"), col("hi"))
+      .write.mode("append").parquet(s"$gate/bits")
+    val freshRaw = arrival
+      .join(fresh.select("vec_id"), Seq("vec_id"), "left_semi")
+      .localCheckpoint(eager = false)
+    AI.appendIvfPqIndex(freshRaw, col("vec_id"), col("embedding"),
+      serving)
+    // --- monitor (sidecar + one batch scan) → conditional retrain ---
+    val mon = AI.assignmentDrift(s, serving, freshRaw, col("vec_id"),
+      col("embedding")).head()
+    val retrained = AI.retrainIfDrifted(s, serving, freshRaw,
+      col("vec_id"), col("embedding"), maxRatio = 1.1,
+      retrainIters = 2)
+    val gen = AI.currentGeneration(s, serving)
+    // --- probe through the serving path, recall vs brute truth over
+    // the live corpus (stored natural half + ingested survivors) ---
+    val truth = Similarity.knnJoin(natD.unionByName(freshRaw),
+        col("vec_id"), col("embedding"), queries, col("vec_id"),
+        col("embedding"), k = 10)
+      .select(col("query_id"), col("vec_id"))
+    val rec = recallRow(truth, AI.ivfPqKnnJoinIndexed(s, serving,
+      queries, col("vec_id"), col("embedding"), k = 10, nProbe = 4,
+      rerank = 100)).head()
+    import s.implicits._
+    Seq(
+      ("a_gate", nArrival, nArrival - nSurv, Option(nSurv),
+        Option.empty[Double]),
+      ("b_monitor", mon.getLong(0), mon.getLong(1),
+        Option(mon.getLong(3)), Option(mon.getDouble(4))),
+      ("c_retrain", if (retrained) 1L else 0L, gen,
+        Option.empty[Long], Option.empty[Double]),
+      ("d_probe", rec.getLong(1), rec.getLong(2), Option.empty[Long],
+        Option(rec.getDouble(3))))
+      .toDF("step", "m1", "m2", "m3", "v")
+      .orderBy(col("step"))
+  }
+
   def ivfDriftMonitor(s: SparkSession, dir: String): DataFrame = {
     val (nat, shifted, _, _) = driftFixture(s, dir)
     val path =
