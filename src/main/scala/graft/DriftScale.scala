@@ -16,13 +16,19 @@ import org.apache.spark.sql.functions._
   * return the same row (checked), so the speedup is of two AGREEING
   * computations. One JSON line per size.
   *
+  * The optional third arg picks the family: `ivf` (default) or `pq`
+  * (a keepVectors plain-PQ store — same sidecar contract, the
+  * family's own exact-integer residual error).
+  *
   * Usage: runMain graft.DriftScale [sizes=1000000,4000000] [dim=16]
+  *        [family=ivf|pq]
   */
 object DriftScale {
   def main(args: Array[String]): Unit = {
     val sizes = args.headOption.getOrElse("1000000,4000000")
       .split(",").map(_.trim.toLong).toSeq
     val dim = args.lift(1).map(_.toInt).getOrElse(16)
+    val family = args.lift(2).getOrElse("ivf")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,8 +50,13 @@ object DriftScale {
       val corpus = vecsOf(spark.range(0, n).toDF("id"))
       val path = java.nio.file.Files
         .createTempDirectory(s"driftscale_$n").toString
-      AnnIndex.writeIvfIndex(corpus, col("vec_id"), col("embedding"),
-        path, nList = 16)
+      if (family == "pq")
+        AnnIndex.writePqIndex(corpus, col("vec_id"), col("embedding"),
+          path, numSub = dim / 2, codebookSize = 16,
+          keepVectors = true)
+      else
+        AnnIndex.writeIvfIndex(corpus, col("vec_id"), col("embedding"),
+          path, nList = 16)
       val batch = vecsOf(spark.range(n, n + 10000).toDF("id"))
         .localCheckpoint()
       def monitorRow() = AnnIndex.assignmentDrift(spark, path, batch,
@@ -59,7 +70,8 @@ object DriftScale {
       val scanSec = (System.nanoTime() - t1) / 1e9
       require(memo == scan,
         s"sidecar and fallback disagree: $memo vs $scan")
-      println(s"""{"metric":"drift_scale","n_docs":$n,"dim":$dim,""" +
+      println(s"""{"metric":"drift_scale","family":"$family",""" +
+        s""""n_docs":$n,"dim":$dim,""" +
         s""""monitor_memo_sec":${f"$memoSec%.2f"},""" +
         s""""monitor_scan_sec":${f"$scanSec%.2f"},""" +
         s""""drift_ratio":${memo.getDouble(4)}}""")

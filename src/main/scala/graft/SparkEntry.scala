@@ -219,6 +219,7 @@ object SparkEntry {
     "qe56_ivf_drift_monitor" -> (PipelineQueries.ivfDriftMonitor _),
     "qe57_vector_arrival_loop" ->
       (PipelineQueries.vectorArrivalLoop _),
+    "qe58_pq_retrain_recall" -> (PipelineQueries.pqRetrainRecall _),
     "qm01_media_decode" -> (PipelineQueries.mediaDecodeProfile _),
     "qm02_media_resize_plan" -> (PipelineQueries.mediaResizePlan _),
     "qm03_media_frame_sample" -> (PipelineQueries.mediaFrameSample _),
@@ -2057,6 +2058,12 @@ object SparkEntry {
     // retrain conditional, and the post-retrain ADC + rerank recall,
     // all one closed-form derivation.
     "qe57_vector_arrival_loop" -> vectorArrivalLoopOracleSql,
+    // qe58: the keepVectors plain-PQ lifecycle — both md5-sampled
+    // codebooks, both full-union exact-integer encodes + ADC
+    // rankings, brute cosine truth, and both monitor ratios
+    // (arrival-time trigger, post-retrain quiesce) re-derived in
+    // closed form
+    "qe58_pq_retrain_recall" -> pqRetrainRecallOracleSql,
     // qm01: multimodal decode — Spark synthesizes REAL container bytes
     // per doc id and decodes them with the real parsers; the oracle
     // re-derives every field from the same integer arithmetic, so the
@@ -2861,6 +2868,101 @@ object SparkEntry {
              (s.stored_sum_e6 * 1.0 / s.n_stored), 4)
          FROM ssum s, dsum d
        ) z ORDER BY batch"""
+
+  /** One phase of the qe58 plain-PQ drift chain: the md5('pq:')
+    * codebook sample drawn from `baseWhere`'s rows (the natural half
+    * for the build phase — exactly what `writePqIndex` saw; the whole
+    * union for the retrain phase — exactly the live stored q4 vectors
+    * `pqCodebookFrom` re-draws from), exact-integer argmin codes for
+    * EVERY union row under that codebook, each row's residual error
+    * `<pfx>verr` (the min the argmin leaves behind — the drift
+    * monitor's PQ grid), the 100 drifted queries' per-subspace
+    * distance tables and their ADC top-10. Expects `pv`/`v4`/`sub`
+    * (the UNNORMALIZED q4 space — plain PQ never normalizes) in
+    * scope. */
+  private def pqDriftChainCtes(pfx: String, baseWhere: String): String =
+    s"""${pfx}cbsel AS (SELECT vec_id, row_number() OVER (
+           ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+           AS cidx
+         FROM (SELECT vec_id FROM pv $baseWhere) zb QUALIFY cidx < 16),
+       ${pfx}cb AS (SELECT c.cidx, v.dim, v.x AS cx,
+           (v.dim - 1) // 8 AS m
+         FROM ${pfx}cbsel c JOIN v4 v USING (vec_id)),
+       ${pfx}d AS (SELECT s.vec_id, s.m, cb.cidx,
+           sum((s.x - cb.cx) * (s.x - cb.cx)) AS dist
+         FROM sub s JOIN ${pfx}cb cb ON s.m = cb.m AND s.dim = cb.dim
+         GROUP BY 1, 2, 3),
+       ${pfx}code AS (SELECT vec_id, m, cidx FROM (SELECT *,
+           row_number() OVER (PARTITION BY vec_id, m
+             ORDER BY dist, cidx) AS rn
+           FROM ${pfx}d) zc WHERE rn = 1),
+       ${pfx}verr AS (SELECT vec_id, CAST(sum(md) AS BIGINT) AS e
+         FROM (SELECT vec_id, m, min(dist) AS md FROM ${pfx}d
+           GROUP BY 1, 2) zm GROUP BY 1),
+       ${pfx}qd AS (SELECT s.vec_id AS query_id, cb.m, cb.cidx,
+           sum((s.x - cb.cx) * (s.x - cb.cx)) AS qdist
+         FROM sub s JOIN ${pfx}cb cb ON s.m = cb.m AND s.dim = cb.dim
+         WHERE s.vec_id % 2 = 1 AND s.vec_id < 200
+         GROUP BY 1, 2, 3),
+       ${pfx}sc AS (SELECT b.query_id, c.vec_id,
+           CAST(sum(b.qdist) AS BIGINT) AS adc
+         FROM ${pfx}code c
+           JOIN ${pfx}qd b ON c.m = b.m AND c.cidx = b.cidx
+         GROUP BY 1, 2),
+       ${pfx}approx AS (SELECT query_id, vec_id FROM (SELECT query_id,
+           vec_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc, vec_id) AS rk FROM ${pfx}sc) za
+         WHERE rk <= 10)"""
+
+  private def pqDriftPhaseRow(phase: String, pfx: String,
+      ratioCte: String): String =
+    s"""SELECT '$phase' AS phase, CAST(10 AS BIGINT) AS k,
+         CAST((SELECT count(DISTINCT query_id) FROM truth) AS BIGINT)
+           AS n_queries,
+         CAST((SELECT count(*) FROM truth JOIN ${pfx}approx
+           USING (query_id, vec_id)) AS BIGINT) AS n_hit,
+         round((SELECT count(*) FROM truth JOIN ${pfx}approx
+             USING (query_id, vec_id)) * 1.0 /
+           ((SELECT count(DISTINCT query_id) FROM truth) * 10), 4)
+           AS recall,
+         (SELECT r FROM $ratioCte) AS drift_ratio"""
+
+  /** qe58: the keepVectors plain-PQ lifecycle end-to-end — both
+    * md5-sampled codebooks (natural-half build, union retrain), both
+    * full-union exact-integer encodes, the 100 drifted queries' ADC
+    * rankings under each, brute cosine truth over the union, and both
+    * monitor ratios: the before ratio ARRIVAL-time (drifted batch vs
+    * the natural-only store — the trigger signal), the after ratio
+    * against the retrained union store (the quiesce signal). Every
+    * number exact-integer or round-4 deterministic. */
+  private lazy val pqRetrainRecallOracleSql: String =
+    s"""$driftPreambleSql
+       $driftTruthSql
+       pv AS (SELECT vec_id, rv AS pvec FROM raw WHERE vec_id % 2 = 0
+         UNION ALL SELECT vec_id, sv FROM shf),
+       v4 AS (SELECT vec_id, generate_subscripts(pvec, 1) AS dim,
+           CAST(floor(CAST(unnest(pvec) AS DOUBLE) * 10000.0)
+             AS BIGINT) AS x
+         FROM pv),
+       sub AS (SELECT vec_id, (dim - 1) // 8 AS m, dim, x FROM v4),
+       ${pqDriftChainCtes("b", "WHERE vec_id % 2 = 0")},
+       ${pqDriftChainCtes("r", "")},
+       bratio AS (SELECT round(
+           ((SELECT sum(e) FROM bverr WHERE vec_id % 2 = 1) * 1.0 /
+            (SELECT count(*) FROM bverr WHERE vec_id % 2 = 1)) /
+           ((SELECT sum(e) FROM bverr WHERE vec_id % 2 = 0) * 1.0 /
+            (SELECT count(*) FROM bverr WHERE vec_id % 2 = 0)), 4)
+           AS r),
+       rratio AS (SELECT round(
+           ((SELECT sum(e) FROM rverr WHERE vec_id % 2 = 1) * 1.0 /
+            (SELECT count(*) FROM rverr WHERE vec_id % 2 = 1)) /
+           ((SELECT sum(e) FROM rverr) * 1.0 /
+            (SELECT count(*) FROM rverr)), 4) AS r)
+       SELECT * FROM (
+         ${pqDriftPhaseRow("before_retrain", "b", "bratio")}
+         UNION ALL
+         ${pqDriftPhaseRow("after_retrain", "r", "rratio")}
+       ) z ORDER BY phase"""
 
   /** qe57: the composed vector arrival loop — the gate re-derived from
     * sign arithmetic (per-16-dim block values as exact powers of two;

@@ -191,6 +191,48 @@ object AnnIndex {
           .coalesce(1).write.partitionBy("batch_id").parquet(tmp)
       }
 
+  /** (row count, PQ quantization-error sum) of `rows` (a (…, v) frame,
+    * v on the 1e-4 q4 grid) under codebook literals — the
+    * [[errSumOf]] twin for the plain-PQ family, whose error is the
+    * exact-integer residual the per-subspace argmin leaves behind
+    * ([[Similarity.pqMinDistExpr]]). Integer-valued terms, so the sum
+    * is exactly additive across batches under a frozen codebook —
+    * the same property the spherical sidecar folds on. */
+  private def pqErrSumOf(rows: DataFrame,
+      cb: Array[Array[Array[Double]]]): (Long, Long) = {
+    val r = rows.select(Similarity.pqMinDistExpr(col("v"), cb)
+        .cast("long").as("e"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("e")), lit(0L)).as("s")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** [[writeErrStateAll]] for a keepVectors plain-PQ store: recompute
+    * + overwrite the sidecar from the stored q4 vectors under the
+    * current codebook. The `sum_e6` column carries the family's OWN
+    * exact integer error grid (squared 1e-4 units — not the trained
+    * families' 1e-6-floored spherical error); the monitor's ratio is
+    * unitless, so the two grids never mix. */
+  private def writePqErrStateAll(spark: SparkSession, root: String,
+      cb: Array[Array[Array[Double]]]): Unit = {
+    val (n, s) = pqErrSumOf(
+      dropTombstoned(spark, root,
+        spark.read.parquet(s"$root/vectors")
+          .select(col("vec_id"), col("v"))), cb)
+    writeErrRow(spark, root, -1L, n, s, "overwrite")
+  }
+
+  /** [[foldErrState]] for the plain-PQ grid — same existence guard,
+    * same batch-keyed dynamic-overwrite idempotence. */
+  private def foldPqErrState(spark: SparkSession, root: String,
+      rows: DataFrame, cb: Array[Array[Array[Double]]],
+      batchId: Long, dynamic: Boolean): Unit =
+    if (StoreFiles.exists(spark, s"$root/errstate")) {
+      val (n, s) = pqErrSumOf(rows, cb)
+      writeErrRow(spark, root, batchId, n, s,
+        if (dynamic) "overwrite" else "append", dynamic)
+    }
+
   /** The sidecar's (n_stored, stored_sum_e6), or None when the store
     * predates it (callers fall back to the recompute scan). */
   private[graft] def readErrState(spark: SparkSession,
@@ -357,8 +399,7 @@ object AnnIndex {
     // same delete subtracts zero (the ids are tombstoned by then), so
     // the call stays idempotent.
     val delta =
-      if (StoreFiles.exists(spark, s"$root/errstate") &&
-          StoreFiles.exists(spark, s"$root/centroids")) {
+      if (StoreFiles.exists(spark, s"$root/errstate")) {
         val storedSub =
           if (StoreFiles.exists(spark, s"$root/vectors")) "vectors"
           else "index"
@@ -366,7 +407,14 @@ object AnnIndex {
           spark.read.parquet(s"$root/$storedSub")
             .select(col("vec_id"), col("v")))
           .join(idsD, Seq("vec_id"), "left_semi")
-        Some(errSumOf(gone, readCentroids(spark, root)))
+        if (StoreFiles.exists(spark, s"$root/centroids"))
+          Some(errSumOf(gone, readCentroids(spark, root)))
+        else if (StoreFiles.exists(spark, s"$root/codebook"))
+          // keepVectors plain PQ: the stored v IS the q4 grid the
+          // family's error is defined over
+          Some(pqErrSumOf(gone,
+            readCodebook(spark, s"$root/codebook")))
+        else None
       } else None
     idsD.write.mode("append").parquet(s"$root/tombstones")
     delta.foreach { case (n, s) =>
@@ -431,9 +479,10 @@ object AnnIndex {
     * rankings in that window are unreliable, so quiesce probes
     * through a retrain compact — the writer-quiesce contract's probe
     * twin); re-running the retrain compact converges. Requires a
-    * trained store (IVF / IVF-PQ — plain PQ keeps no full-precision
-    * vectors, so its model is not retrainable from the store by
-    * design). */
+    * trained store (IVF / IVF-PQ) or a keepVectors plain-PQ store
+    * ([[writePqIndex]] `keepVectors = true` — the opt-in that makes
+    * the otherwise-terminal family retrainable; a plain PQ store
+    * WITHOUT it keeps no vectors and stays terminal by design). */
   def compactAnnIndex(spark: SparkSession, path: String,
       backfillAttrs: Option[DataFrame] = None,
       retrainIters: Option[Int] = None): Unit = {
@@ -500,21 +549,29 @@ object AnnIndex {
     retrainIters match {
       case Some(iters) =>
         require(iters > 0, s"retrainIters must be positive, got $iters")
-        require(StoreFiles.exists(spark, s"$root/centroids"),
-          s"retrain at compact needs a trained store (IVF / IVF-PQ): " +
-            s"no centroids/ under $path" +
+        val hasCent = StoreFiles.exists(spark, s"$root/centroids")
+        val pqRetrainable = !hasCent &&
+          StoreFiles.exists(spark, s"$root/codebook") &&
+          StoreFiles.exists(spark, s"$root/vectors")
+        require(hasCent || pqRetrainable,
+          s"retrain at compact needs a trained store (IVF / IVF-PQ) " +
+            s"or a keepVectors plain-PQ store: no centroids/ under " +
+            s"$path" +
             (if (StoreFiles.exists(spark, s"$root/codebook"))
-              " — this is a plain PQ store, TERMINAL under drift by " +
-                "design (it keeps no full-precision vectors to retrain " +
-                "from); rebuild it with writeIvfPqIndex (stores " +
-                "vectors/ and joins the retrain lifecycle) or " +
-                "writeQuantizedIndex if drift is expected"
+              " — this is a plain PQ store built WITHOUT keepVectors, " +
+                "TERMINAL under drift by design (it keeps no stored " +
+                "vectors to retrain from); rebuild it with " +
+                "writePqIndex(keepVectors = true) (stores the q4 " +
+                "vectors and joins the retrain lifecycle), " +
+                "writeIvfPqIndex, or writeQuantizedIndex if drift is " +
+                "expected"
             else ""))
         // the retrain writes the NEW model + re-encoded data under the
         // next generation root and flips the pointer last — the old
         // root (tombstones included, for probes still pinned to it)
         // stays untouched until the next plain compact reaps it
-        if (StoreFiles.exists(spark, s"$root/codes"))
+        if (!hasCent) retrainPqAtCompact(spark, path, root, attrF)
+        else if (StoreFiles.exists(spark, s"$root/codes"))
           retrainIvfPqAtCompact(spark, path, root, iters, attrF)
         else retrainIvfAtCompact(spark, path, root, iters, attrF)
       case None =>
@@ -527,13 +584,85 @@ object AnnIndex {
             if (StoreFiles.exists(spark, s"$root/vectors")) "vectors"
             else "index",
             readCentroids(spark, root))
+        else if (StoreFiles.exists(spark, s"$root/codebook") &&
+            StoreFiles.exists(spark, s"$root/vectors"))
+          writePqErrStateAll(spark, root,
+            readCodebook(spark, s"$root/codebook"))
         StoreFiles.delete(spark, s"$root/tombstones")
         reapGenerations(spark, path, currentGeneration(spark, path))
     }
   }
 
+  /** The plain-PQ retrain behind [[compactAnnIndex]] — the family's
+    * model is an md5-seeded SAMPLE, not a Lloyd chain, so
+    * `retrainIters` is accepted for API uniformity and ignored: the
+    * retrain re-draws the codebook from the live stored q4 vectors
+    * (the identical `md5('pq:' || vec_id)` ordering a fresh build
+    * runs over its corpus — and the stored `v` IS the build's q4
+    * input, so retrain == fresh build over the live corpus BIT-exact)
+    * and re-encodes every live row's codes. Everything lands under
+    * the NEXT GENERATION ROOT and the pointer flips last — the
+    * quiesce-free contract of the trained families, which matters
+    * here for the same reason as IVF-PQ: ADC rankings under a mixed
+    * codebook window would be unreliable. */
+  private def retrainPqAtCompact(spark: SparkSession, path: String,
+      root: String, attrF: Option[DataFrame]): Unit = {
+    val nextGen = currentGeneration(spark, path) + 1
+    val nextRoot = s"$path/gens/g$nextGen"
+    StoreFiles.delete(spark, nextRoot)
+    val cbOld = readCodebook(spark, s"$root/codebook")
+    val (numSub, cbSize) = (cbOld.length, cbOld(0).length)
+    val oldCodes = dropTombstoned(spark, root,
+      spark.read.parquet(s"$root/codes"))
+    val batchKeyed = oldCodes.columns.contains("batch_id")
+    val attrCols = oldCodes.columns
+      .filterNot(Set("vec_id", "codes", "batch_id"))
+    val liveVecs = dropTombstoned(spark, root,
+        spark.read.parquet(s"$root/vectors"))
+      .select(col("vec_id"), col("v"))
+      .localCheckpoint(eager = false)
+    val cb = Similarity.pqCodebookFrom(
+      liveVecs.select(col("vec_id"), col("v").as("q")),
+      numSub, cbSize, "pq:")
+    val coded0 = liveVecs.select(col("vec_id"),
+      Similarity.pqCodesExprWide(col("v"), cb).as("codes"))
+    val withOld =
+      if (attrCols.isEmpty) coded0
+      else coded0.join(
+        oldCodes.select("vec_id", attrCols.toIndexedSeq: _*),
+        Seq("vec_id"), "left")
+    val coded = attrF.fold(withOld)(a =>
+      withOld.join(a, Seq("vec_id"), "left"))
+    def flat(df: DataFrame, dir: String): Unit =
+      if (batchKeyed)
+        df.withColumn("batch_id", lit(-1L))
+          .repartitionByRange(
+            spark.sessionState.conf.numShufflePartitions, col("vec_id"))
+          .sortWithinPartitions(col("vec_id"))
+          .write.partitionBy("batch_id").parquet(dir)
+      else df.repartitionByRange(
+          spark.sessionState.conf.numShufflePartitions, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.parquet(dir)
+    flat(coded, s"$nextRoot/codes")
+    flat(liveVecs, s"$nextRoot/vectors")
+    locally {
+      import spark.implicits._
+      (for { m <- cb.indices; c <- cb(m).indices; d <- cb(m)(c).indices }
+        yield (m, c, d, cb(m)(c)(d)))
+        .toDF("m", "cidx", "dim", "c4")
+        .write.parquet(s"$nextRoot/codebook")
+    }
+    writePqErrStateAll(spark, nextRoot, cb)
+    flipGeneration(spark, path, nextGen)
+  }
+
   /** Quantization-error DRIFT MONITOR for a trained store (IVF /
-    * IVF-PQ) — the cheap, label-free signal for WHEN to run the
+    * IVF-PQ) or a keepVectors plain-PQ store (whose family-local
+    * error is the exact-integer PQ residual — see
+    * [[Similarity.pqMinDistExpr]]; the `sum_e6` columns then carry
+    * that grid, and the ratio stays unitless) — the cheap,
+    * label-free signal for WHEN to run the
     * retrain compact: under a frozen model, drift decays recall
     * invisibly (truth-labeled recall rows like qe54/qe55 are
     * evaluation artifacts, not something a production arrival loop
@@ -557,21 +686,37 @@ object AnnIndex {
     val root = currentRoot(spark, path)
     // guard BEFORE the read: a raw parquet read of a missing
     // directory throws an unhelpful PATH_NOT_FOUND first
-    require(StoreFiles.exists(spark, s"$root/centroids"),
+    val trained = StoreFiles.exists(spark, s"$root/centroids")
+    // a keepVectors plain-PQ store monitors too: its quantization
+    // error is the exact-integer residual the per-subspace argmin
+    // leaves behind, computable from the stored q4 vectors + the
+    // frozen codebook — the spherical error's family-local analog
+    val pqRetrainable = !trained &&
+      StoreFiles.exists(spark, s"$root/codebook") &&
+      StoreFiles.exists(spark, s"$root/vectors")
+    require(trained || pqRetrainable,
       s"no centroids/ under $path — " +
-        "the drift monitor needs a trained store (IVF / IVF-PQ)" +
+        "the drift monitor needs a trained store (IVF / IVF-PQ) or a " +
+        "keepVectors plain-PQ store" +
         (if (StoreFiles.exists(spark, s"$root/codebook"))
-          "; this is a plain PQ store, TERMINAL under drift by design " +
-            "(no full-precision vectors to retrain from) — rebuild it " +
-            "with writeIvfPqIndex to join the monitor + retrain " +
+          "; this is a plain PQ store built WITHOUT keepVectors, " +
+            "TERMINAL under drift by design (no stored vectors to " +
+            "retrain from) — rebuild it with writePqIndex(keepVectors " +
+            "= true) or writeIvfPqIndex to join the monitor + retrain " +
             "lifecycle"
         else ""))
-    val cents = readCentroids(spark, root)
-    def errSum(rows: DataFrame, n: String, s: String): DataFrame =
-      rows.select(floor((lit(1.0) -
-          Similarity.nearestCellScore(col("v"), cents)) *
-          lit(1000000.0)).cast("long").as("e"))
+    def errSum(rows: DataFrame, n: String, s: String): DataFrame = {
+      val e =
+        if (trained) {
+          val cents = readCentroids(spark, root)
+          floor((lit(1.0) -
+            Similarity.nearestCellScore(col("v"), cents)) *
+            lit(1000000.0)).cast("long")
+        } else Similarity.pqMinDistExpr(col("v"),
+          readCodebook(spark, s"$root/codebook")).cast("long")
+      rows.select(e.as("e"))
         .agg(count(lit(1)).as(n), sum(col("e")).as(s))
+    }
     // the stored side comes from the memoized sidecar when the store
     // carries one (additively maintained at build/append/put/delete,
     // recomputed at compact/retrain — sidecar == recompute is
@@ -590,9 +735,13 @@ object AnnIndex {
             .select(col("vec_id"), col("v"))),
         "n_stored", "stored_sum_e6")
     }
+    // each family's batch vectors enter the SAME space its stored
+    // side lives in: normalized for the spherical error, the q4 grid
+    // for the PQ residual error
     val b = errSum(
       batch.select(id.as("vec_id"),
-        Similarity.l2Normalize(vec).as("v")),
+        (if (trained) Similarity.l2Normalize(vec)
+         else Similarity.pqQ4(vec)).as("v")),
       "n_batch", "batch_sum_e6")
     stored.crossJoin(b)
       .select(col("n_stored"), col("stored_sum_e6"), col("n_batch"),
@@ -1019,10 +1168,33 @@ object AnnIndex {
     * (m, cidx, dim, c4) dictionary. One corpus scan encodes everything
     * ([[Similarity.pqCodesExpr]] — a single narrow codegen'd map); at
     * query time only `codes/` is read, two columns, no join, no
-    * shuffle — a pure scan + TakeOrdered. */
+    * shuffle — a pure scan + TakeOrdered.
+    *
+    * `keepVectors = true` OPTS INTO RETRAINABILITY: plain PQ by
+    * design stores no vectors, which makes its model TERMINAL under
+    * drift (nothing to retrain the codebook from — the compression is
+    * the point). With the flag the build additionally persists
+    * `vectors/` holding the q4-QUANTIZED form (`Similarity.pqQ4` —
+    * the exact input both training and encoding consume; full raw
+    * precision is used by no PQ path, and storing the quantized form
+    * is what makes retrain == fresh build BIT-exact, since q4 is not
+    * idempotent) plus the memoized drift-state sidecar — the store
+    * then joins the [[assignmentDrift]] monitor and the
+    * generation-pinned [[compactAnnIndex]] retrain lifecycle exactly
+    * like IVF / IVF-PQ. Cost: the stored q4 grid is the full vector
+    * table (the 64× compression no longer bounds the store's
+    * footprint) — that is the explicit price of retrainability, paid
+    * only by deployments that choose it.
+    *
+    * `batchKeyed = true` writes codes (and vectors, when kept) under
+    * `batch_id` partitions — the exactly-once streaming layout
+    * ([[putPqBatch]] composes with it). */
   def writePqIndex(corpus: DataFrame, id: Column, vec: Column,
       path: String, numSub: Int = 8, codebookSize: Int = 16,
-      attrs: Seq[Column] = Nil): Unit = {
+      attrs: Seq[Column] = Nil, keepVectors: Boolean = false,
+      batchKeyed: Boolean = false): Unit = {
+    val spark = corpus.sparkSession
+    resetGenerations(spark, path)
     val cb = Similarity.pqCodebook(corpus, id, vec, numSub, codebookSize)
     // Quantize lambda materialized once, then encoded: two projection
     // steps so the argmin tree references a plain attribute instead of
@@ -1031,18 +1203,130 @@ object AnnIndex {
     // filtered ADC scan needs no corpus join.
     val q4 = corpus.select(id.as("vec_id") +:
       Similarity.pqQ4(vec).as("_v4") +: attrs: _*)
-    q4.select(col("vec_id") +: Similarity.pqCodesExpr(col("_v4"), cb)
-        .as("codes") +:
-        q4.columns.filterNot(c => c == "vec_id" || c == "_v4")
-          .map(col).toSeq: _*)
-      .write.mode("overwrite").parquet(s"$path/codes")
-    val spark = corpus.sparkSession
+    val coded = q4.select(col("vec_id") +:
+      Similarity.pqCodesExpr(col("_v4"), cb).as("codes") +:
+      q4.columns.filterNot(c => c == "vec_id" || c == "_v4")
+        .map(col).toSeq: _*)
+    if (batchKeyed)
+      coded.withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$path/codes")
+    else coded.write.mode("overwrite").parquet(s"$path/codes")
     import spark.implicits._
     val rows = for {
       m <- cb.indices; c <- cb(m).indices; d <- cb(m)(c).indices
     } yield (m, c, d, cb(m)(c)(d))
     rows.toDF("m", "cidx", "dim", "c4")
       .write.mode("overwrite").parquet(s"$path/codebook")
+    if (keepVectors) {
+      val vecs = corpus.select(id.as("vec_id"),
+        Similarity.pqQ4(vec).as("v"))
+      if (batchKeyed)
+        vecs.withColumn("batch_id", lit(-1L))
+          .sortWithinPartitions(col("vec_id"))
+          .write.mode("overwrite").partitionBy("batch_id")
+          .parquet(s"$path/vectors")
+      else vecs.sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$path/vectors")
+      writePqErrStateAll(spark, path, cb)
+    } else {
+      // a rebuild WITHOUT the flag over a path that previously kept
+      // vectors must not leave the stale table behind — the monitor
+      // would read vectors that no longer match the codebook
+      StoreFiles.delete(spark, s"$path/vectors")
+      StoreFiles.delete(spark, s"$path/errstate")
+    }
+  }
+
+  /** Encode a batch under a stored plain-PQ index's FROZEN codebook:
+    * (vec_id, v, codes [, attrs]) with `v` the q4 grid — deterministic,
+    * so a streaming replay reproduces its rows byte-for-byte. The
+    * wide encoder computes the identical exact-integer argmin the
+    * build's unrolled form does (same math, same lower-code
+    * tiebreak), so appended codes are bit-equal to a fresh encode. */
+  private def pqEncodeStored(batch: DataFrame, id: Column, vec: Column,
+      root: String, attrs: Seq[Column] = Nil): DataFrame = {
+    val cb = readCodebook(batch.sparkSession, s"$root/codebook")
+    val q4 = batch.select(id.as("vec_id") +:
+      Similarity.pqQ4(vec).as("v") +: attrs: _*)
+    q4.select(col("vec_id") +: col("v") +:
+      Similarity.pqCodesExprWide(col("v"), cb).as("codes") +:
+      q4.columns.filterNot(c => c == "vec_id" || c == "v")
+        .map(col).toSeq: _*)
+  }
+
+  /** Append a batch to a persisted plain-PQ index under the STORED
+    * codebook — frozen model, no corpus re-read (the
+    * [[appendIvfPqIndex]] contract). On a `keepVectors` store the q4
+    * vectors append too and the batch's own quantization error FOLDS
+    * additively into the drift-state sidecar; when drift warrants,
+    * retrain IN the store via [[compactAnnIndex]]`(retrainIters)`.
+    * `attrs` must match the build's attribute columns.
+    * `maxFilesPerDir` > 0 applies the [[appendLshIndex]] small-file
+    * policy. */
+  def appendPqIndex(batch: DataFrame, id: Column, vec: Column,
+      path: String, attrs: Seq[Column] = Nil,
+      maxFilesPerDir: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val root = currentRoot(spark, path)
+    val enc = pqEncodeStored(batch, id, vec, root, attrs)
+      .localCheckpoint(eager = false)
+    enc.drop("v").write.mode("append").parquet(s"$root/codes")
+    val hasVecs = StoreFiles.exists(spark, s"$root/vectors")
+    if (hasVecs) {
+      val vecs = enc.select(col("vec_id"), col("v"))
+      vecs.sortWithinPartitions(col("vec_id"))
+        .write.mode("append").parquet(s"$root/vectors")
+      foldPqErrState(spark, root, vecs,
+        readCodebook(spark, s"$root/codebook"),
+        batchId = -1L, dynamic = false)
+    }
+    maybeCompactFiles(spark, path, maxFilesPerDir,
+      "codes" +: (if (hasVecs) Seq("vectors") else Nil),
+      root = root)
+  }
+
+  /** Idempotently (re)write one micro-batch into a BATCH-KEYED
+    * plain-PQ index: the frozen stored codebook encodes
+    * ([[pqEncodeStored]] — deterministic) and the batch's rows land
+    * under their own `batch_id` partitions via dynamic partition
+    * overwrite — EXACTLY-once under foreachBatch's at-least-once
+    * contract (the [[putIvfPqBatch]] discipline). On a `keepVectors`
+    * store the q4 vectors and the errstate partition rewrite the same
+    * way (replay-idempotent — the values are deterministic). */
+  def putPqBatch(batch: DataFrame, id: Column, vec: Column,
+      path: String, batchId: Long, attrs: Seq[Column] = Nil): Unit = {
+    val spark = batch.sparkSession
+    val root = currentRoot(spark, path)
+    val enc = pqEncodeStored(batch, id, vec, root, attrs)
+      .localCheckpoint(eager = false)
+    enc.drop("v").withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$root/codes")
+    if (StoreFiles.exists(spark, s"$root/vectors")) {
+      val vecs = enc.select(col("vec_id"), col("v"))
+      vecs.withColumn("batch_id", lit(batchId))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$root/vectors")
+      foldPqErrState(spark, root, vecs,
+        readCodebook(spark, s"$root/codebook"), batchId,
+        dynamic = true)
+    }
+  }
+
+  /** [[compactIvfBatches]] for the batch-keyed plain-PQ layout: the
+    * flat `codes/` fold plus — on a keepVectors store — the flat q4
+    * `vectors/` fold and the errstate batch fold. */
+  def compactPqBatches(spark: SparkSession, path: String,
+      keepFrom: Long): Unit = {
+    val root = currentRoot(spark, path)
+    foldBatches(spark, s"$root/codes", None, keepFrom)
+    if (StoreFiles.exists(spark, s"$root/vectors"))
+      foldBatches(spark, s"$root/vectors", None, keepFrom)
+    foldErrStateBatches(spark, root, keepFrom)
   }
 
   /** ADC top-k against a persisted PQ index. The query frame carries the
@@ -1051,14 +1335,15 @@ object AnnIndex {
     * integer math, and the scan touches `codes/` only. */
   def queryPqIndex(spark: SparkSession, path: String, query: DataFrame,
       k: Int, attrFilter: Option[Column] = None): DataFrame = {
-    val cb = readCodebook(spark, s"$path/codebook")
+    val root = currentRoot(spark, path) // generation pin (one resolve)
+    val cb = readCodebook(spark, s"$root/codebook")
     val q4Row = query
       .select(Similarity.pqQ4(col(query.columns.head)).as("v4"))
       .head().getSeq[Double](0).toArray
     val qTable = Similarity.pqAdcTable(q4Row, cb)
     Similarity.pqRank(
-      dropTombstoned(spark, path, attrFilter.foldLeft(
-          spark.read.parquet(s"$path/codes"))(_.filter(_)))
+      dropTombstoned(spark, root, attrFilter.foldLeft(
+          spark.read.parquet(s"$root/codes"))(_.filter(_)))
         .select(col("vec_id"),
           Similarity.pqScoreFromCodes(col("codes"), qTable)
             .cast("long").as("adc_score")), k)
@@ -1083,7 +1368,8 @@ object AnnIndex {
   def pqKnnJoinIndexed(spark: SparkSession, path: String,
       queries: DataFrame, qid: Column, qvec: Column, k: Int,
       attrFilter: Option[Column] = None): DataFrame = {
-    val cb = readCodebook(spark, s"$path/codebook")
+    val root = currentRoot(spark, path) // generation pin (one resolve)
+    val cb = readCodebook(spark, s"$root/codebook")
     val numSub = cb.length
     val cbSize = cb(0).length
     val qRows = collectQueryBatch(
@@ -1091,7 +1377,7 @@ object AnnIndex {
           Similarity.pqQ4(qvec).as("q4")), perQuery = k)
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     if (qRows.isEmpty)
-      return spark.read.parquet(s"$path/codes")
+      return spark.read.parquet(s"$root/codes")
         .select(lit(0L).as("query_id"), col("vec_id"),
           lit(0L).as("adc_score"), lit(0L).as("rank")).limit(0)
     import spark.implicits._
@@ -1102,8 +1388,8 @@ object AnnIndex {
         element_at(col("qtab"),
           lit(m * cbSize) + element_at(col("codes"), m + 1) + lit(1)))
       .reduce(_ + _)
-    dropTombstoned(spark, path, attrFilter.foldLeft(
-        spark.read.parquet(s"$path/codes"))(_.filter(_)))
+    dropTombstoned(spark, root, attrFilter.foldLeft(
+        spark.read.parquet(s"$root/codes"))(_.filter(_)))
       .crossJoin(broadcast(qDf))
       .select(col("query_id"), col("vec_id"),
         adc.cast("long").as("adc_score"))

@@ -640,6 +640,28 @@ object Similarity {
     }: _*)
   }
 
+  /** The PQ quantization error of an already-quantized vector — the
+    * sum over subspaces of the MINIMUM exact-integer distance to any
+    * codeword, i.e. exactly the residual [[pqCodesExprWide]]'s argmin
+    * leaves behind. This is the plain-PQ analog of the trained
+    * families' spherical quantization error: under a frozen codebook
+    * it is per-row deterministic and integer-valued (1e-4-grid terms
+    * squared), so error SUMS fold additively across batches — the
+    * property the drift-state sidecar relies on. Same transform form
+    * as the wide encoder (interpreted lambda, build/append-time
+    * cost class only). */
+  private[ops] def pqMinDistExpr(v4: Column,
+      codebook: Array[Array[Array[Double]]]): Column = {
+    val subDim = codebook(0)(0).length
+    codebook.indices.map { m =>
+      val sub = slice(v4, m * subDim + 1, subDim)
+      val cbm = array(codebook(m).map(cb => lit(cb)): _*)
+      array_min(transform(cbm, cb =>
+        aggregate(zip_with(sub, cb, (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x)))
+    }.reduce(_ + _)
+  }
+
   /** ADC score lookup over a STORED codes column. */
   private[ops] def pqScoreFromCodes(codes: Column,
       qTable: Array[Array[Double]]): Column =

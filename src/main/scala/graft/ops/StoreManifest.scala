@@ -147,8 +147,12 @@ object StoreManifest {
           codebookMeta + ("n_list" -> count("centroids")),
           attrsOf("codes", VecReserved), Some("codes"))
       else if (subs("codes") && subs("codebook"))
-        entry("ann_pq", codebookMeta, attrsOf("codes", VecReserved),
-          Some("codes"))
+        // keep_vectors marks the retrainability opt-in (writePqIndex
+        // keepVectors): with it the store monitors + retrains like
+        // the trained families; without it, terminal under drift
+        entry("ann_pq",
+          codebookMeta + ("keep_vectors" -> subs("vectors").toString),
+          attrsOf("codes", VecReserved), Some("codes"))
       else if (subs("codes") && subs("stats"))
         entry("ann_int8", Map.empty, attrsOf("codes", VecReserved),
           Some("codes"))

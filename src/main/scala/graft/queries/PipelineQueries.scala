@@ -3511,6 +3511,60 @@ object PipelineQueries {
       .orderBy(col("step"))
   }
 
+  /** qe58: the drift fixture on the OPT-IN retrainable plain-PQ
+    * family — [[graft.ops.AnnIndex.writePqIndex]] `keepVectors =
+    * true`, the flag that turns the terminal-by-design family into a
+    * full lifecycle citizen. Build the PQ store on the natural half
+    * (8×16 codebook — an md5 SAMPLE, not a Lloyd chain, so the model
+    * is codebook fit only), read the MONITOR at arrival time (the
+    * number the loop acts on: the drifted batch's exact-integer PQ
+    * residual against the natural store's memoized sidecar), append
+    * the drifted half under the frozen codebook, probe 100 drifted
+    * queries' ADC top-10 against brute cosine truth over the union,
+    * RETRAIN in the store (`compactAnnIndex(retrainIters)` — codebook
+    * re-drawn from the stored q4 vectors by the identical md5
+    * ordering a fresh union build runs, generation-flipped), and
+    * probe + monitor again. Two rows out: (phase, recall,
+    * drift_ratio) — the before ratio is the arrival-time trigger
+    * signal, the after ratio the quiesce signal (store = union,
+    * codebook = union ⇒ ≈ 1); both phases deterministic end-to-end,
+    * so the DuckDB oracle re-derives BOTH codebook samples, both
+    * full-corpus encodes, both per-query exact-integer ADC rankings
+    * and both residual-error ratios in closed form. */
+  def pqRetrainRecall(s: SparkSession, dir: String): DataFrame = {
+    val AI = graft.ops.AnnIndex
+    val (nat, shifted, union, queries) = driftFixture(s, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pqretr").toString
+    AI.writePqIndex(nat, col("vec_id"), col("embedding"), path,
+      numSub = 8, codebookSize = 16, keepVectors = true)
+    // arrival-time monitor read — BEFORE the batch ingests (store =
+    // natural half, codebook natural): one sidecar read + one batch
+    // scan, the retrainIfDrifted steady-state cost
+    val ratioBefore = AI.assignmentDrift(s, path, shifted,
+        col("vec_id"), col("embedding"))
+      .select(col("drift_ratio")).localCheckpoint()
+    AI.appendPqIndex(shifted, col("vec_id"), col("embedding"), path)
+    val truth = Similarity.knnJoin(union, col("vec_id"),
+        col("embedding"), queries, col("vec_id"), col("embedding"),
+        k = 10)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    // each phase row materializes before the store mutates under it
+    def phaseRow(phase: String, ratio: DataFrame): DataFrame =
+      recallRow(truth, AI.pqKnnJoinIndexed(s, path, queries,
+          col("vec_id"), col("embedding"), k = 10))
+        .crossJoin(broadcast(ratio))
+        .select(lit(phase).as("phase"), col("k"), col("n_queries"),
+          col("n_hit"), col("recall"), col("drift_ratio"))
+        .localCheckpoint()
+    val before = phaseRow("before_retrain", ratioBefore)
+    AI.compactAnnIndex(s, path, retrainIters = Some(1))
+    val after = phaseRow("after_retrain",
+      AI.assignmentDrift(s, path, shifted, col("vec_id"),
+        col("embedding")).select(col("drift_ratio")))
+    before.unionByName(after).orderBy(col("phase"))
+  }
+
   def ivfDriftMonitor(s: SparkSession, dir: String): DataFrame = {
     val (nat, shifted, _, _) = driftFixture(s, dir)
     val path =

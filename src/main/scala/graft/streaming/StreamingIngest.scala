@@ -295,6 +295,33 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming vector ingest into a persisted BATCH-KEYED plain-PQ
+    * index ([[graft.ops.AnnIndex.writePqIndex]] with
+    * `batchKeyed = true`): the frozen stored codebook encodes each
+    * batch deterministically and the rows land under their own
+    * `batch_id` partitions via dynamic partition overwrite —
+    * EXACTLY-once under foreachBatch's at-least-once contract (the
+    * [[ivfPqIngestTo]] argument, minus the cell partitioning: plain
+    * PQ is the compressed full scan). On a `keepVectors` store the q4
+    * vectors and drift-state sidecar ingest the same way, so the
+    * store keeps its monitor + retrain lifecycle under streaming
+    * arrivals. */
+  def pqIngestTo(vecs: DataFrame, indexPath: String,
+      checkpoint: String, compactEvery: Int = 0, maxBatchParts: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.AnnIndex.putPqBatch(batch, col("vec_id"),
+          col("embedding"), indexPath, batchId)
+        if (shouldCompact(batch.sparkSession, indexPath, batchId,
+            compactEvery, maxBatchParts))
+          graft.ops.AnnIndex.compactPqBatches(batch.sparkSession,
+            indexPath, keepFrom = batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming LEXICAL ingest into a persisted BATCH-KEYED BM25 index
     * ([[graft.ops.LexIndex.writeBm25IndexBatchKeyed]]): each
     * micro-batch is tokenized once and its postings (+ positions, when

@@ -1852,6 +1852,48 @@ class OpsSpec extends AnyFunSuite {
     assert(live.head == -1L && live.size <= 2, live.toString)
   }
 
+  test("streaming plain-PQ ingest: frozen codebook encodes batches; keepVectors sidecar stays exact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ppqingest").toString
+    val idx = s"$root/idx"; val in = s"$root/in"
+    val e = Tables.load(spark, sf, "embeddings")
+    val nib = conv(substring(md5(col("vec_id").cast("string")), 1, 1),
+      16, 10).cast("int")
+    AnnIndex.writePqIndex(e.filter(nib < 8), col("vec_id"),
+      col("embedding"), idx, numSub = 8, codebookSize = 8,
+      keepVectors = true, batchKeyed = true)
+    e.filter(nib >= 8 && nib < 12).write.parquet(s"$in/f1")
+    def run() = StreamingIngest.pqIngestTo(
+      StreamingIngest.watchParquetDir(spark, s"$in/*", e.schema),
+      idx, s"$root/ckpt", maxBatchParts = 1).awaitTermination()
+    run()
+    e.filter(nib >= 12).write.parquet(s"$in/f2")
+    run()
+    // probes equal the same frozen codebook grown by the plain append
+    // path; the streamed sidecar equals a from-scratch recompute
+    val ref = s"$root/ref"
+    AnnIndex.writePqIndex(e.filter(nib < 8), col("vec_id"),
+      col("embedding"), ref, numSub = 8, codebookSize = 8,
+      keepVectors = true)
+    AnnIndex.appendPqIndex(e.filter(nib >= 8), col("vec_id"),
+      col("embedding"), ref)
+    val q5 = e.filter(col("vec_id") < 5)
+    def probe(p: String) = AnnIndex.pqKnnJoinIndexed(spark, p, q5,
+        col("vec_id"), col("embedding"), k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(probe(idx) == probe(ref) && probe(idx).nonEmpty)
+    assert(spark.read.parquet(s"$idx/codes").count() == e.count())
+    assert(spark.read.parquet(s"$idx/vectors").count() == e.count())
+    assert(AnnIndex.readErrState(spark, idx) ==
+      AnnIndex.readErrState(spark, ref))
+    // the introspection-driven fold fired: committed history under -1
+    val live = spark.read.parquet(s"$idx/codes").select("batch_id")
+      .distinct().as[Long].collect().sorted.toSeq
+    assert(live.head == -1L && live.size <= 2, live.toString)
+  }
+
   test("streaming NEAR-dup ingest: index rejects, in-batch twins resolve, replay idempotent") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("neardupingest").toString
