@@ -191,44 +191,47 @@ object AnnIndex {
           .coalesce(1).write.partitionBy("batch_id").parquet(tmp)
       }
 
-  /** (row count, PQ quantization-error sum) of `rows` (a (…, v) frame,
-    * v on the 1e-4 q4 grid) under codebook literals — the
-    * [[errSumOf]] twin for the plain-PQ family, whose error is the
-    * exact-integer residual the per-subspace argmin leaves behind
-    * ([[Similarity.pqMinDistExpr]]). Integer-valued terms, so the sum
-    * is exactly additive across batches under a frozen codebook —
-    * the same property the spherical sidecar folds on. */
-  private def pqErrSumOf(rows: DataFrame,
-      cb: Array[Array[Array[Double]]]): (Long, Long) = {
-    val r = rows.select(Similarity.pqMinDistExpr(col("v"), cb)
+  /** [[writeErrStateAll]] for a keepVectors plain-PQ store: recompute
+    * + overwrite the sidecar from the stored q4 vectors under the
+    * current codebook. The min is SKIPPED: the store's own codes
+    * table says which codeword each row quantized to, so the error is
+    * a direct distance to the assigned codeword
+    * ([[Similarity.pqErrFromCodes]] — dist-to-argmin == min-dist),
+    * one narrow join instead of a numSub × codebookSize argmin scan.
+    * The `sum_e6` column carries the family's OWN exact integer error
+    * grid (squared 1e-4 units — not the trained families'
+    * 1e-6-floored spherical error); the monitor's ratio is unitless,
+    * so the two grids never mix. */
+  private def writePqErrStateAll(spark: SparkSession, root: String,
+      cb: Array[Array[Array[Double]]]): Unit = {
+    val codes = dropTombstoned(spark, root,
+        spark.read.parquet(s"$root/codes"))
+      .select(col("vec_id"), col("codes"))
+    val r = dropTombstoned(spark, root,
+        spark.read.parquet(s"$root/vectors")
+          .select(col("vec_id"), col("v")))
+      .join(codes, Seq("vec_id"))
+      .select(Similarity.pqErrFromCodes(col("v"), col("codes"), cb)
         .cast("long").as("e"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("e")), lit(0L)).as("s")).head()
-    (r.getLong(0), r.getLong(1))
+    writeErrRow(spark, root, -1L, r.getLong(0), r.getLong(1),
+      "overwrite")
   }
 
-  /** [[writeErrStateAll]] for a keepVectors plain-PQ store: recompute
-    * + overwrite the sidecar from the stored q4 vectors under the
-    * current codebook. The `sum_e6` column carries the family's OWN
-    * exact integer error grid (squared 1e-4 units — not the trained
-    * families' 1e-6-floored spherical error); the monitor's ratio is
-    * unitless, so the two grids never mix. */
-  private def writePqErrStateAll(spark: SparkSession, root: String,
-      cb: Array[Array[Array[Double]]]): Unit = {
-    val (n, s) = pqErrSumOf(
-      dropTombstoned(spark, root,
-        spark.read.parquet(s"$root/vectors")
-          .select(col("vec_id"), col("v"))), cb)
-    writeErrRow(spark, root, -1L, n, s, "overwrite")
-  }
-
-  /** [[foldErrState]] for the plain-PQ grid — same existence guard,
-    * same batch-keyed dynamic-overwrite idempotence. */
-  private def foldPqErrState(spark: SparkSession, root: String,
-      rows: DataFrame, cb: Array[Array[Array[Double]]],
-      batchId: Long, dynamic: Boolean): Unit =
+  /** Fold an OBSERVED (n, sum_e6) into the sidecar — the plain-PQ
+    * fold, fed by the metrics the encode's write action already
+    * computed ([[org.apache.spark.sql.Observation]] on the `e`
+    * column), so an append/put pays ONE argmin pass, not two. Same
+    * existence guard and batch-keyed dynamic-overwrite idempotence as
+    * [[foldErrState]]. */
+  private def foldPqErrObserved(spark: SparkSession, root: String,
+      obs: org.apache.spark.sql.Observation, batchId: Long,
+      dynamic: Boolean): Unit =
     if (StoreFiles.exists(spark, s"$root/errstate")) {
-      val (n, s) = pqErrSumOf(rows, cb)
+      val m = obs.get
+      val n = m("n").asInstanceOf[Long]
+      val s = if (m("s") == null) 0L else m("s").asInstanceOf[Long]
       writeErrRow(spark, root, batchId, n, s,
         if (dynamic) "overwrite" else "append", dynamic)
     }
@@ -409,12 +412,21 @@ object AnnIndex {
           .join(idsD, Seq("vec_id"), "left_semi")
         if (StoreFiles.exists(spark, s"$root/centroids"))
           Some(errSumOf(gone, readCentroids(spark, root)))
-        else if (StoreFiles.exists(spark, s"$root/codebook"))
+        else if (StoreFiles.exists(spark, s"$root/codebook")) {
           // keepVectors plain PQ: the stored v IS the q4 grid the
-          // family's error is defined over
-          Some(pqErrSumOf(gone,
-            readCodebook(spark, s"$root/codebook")))
-        else None
+          // family's error is defined over, and the stored codes say
+          // which codeword each row quantized to — dist-to-argmin,
+          // no re-min (the writePqErrStateAll form on the gone set)
+          val cb = readCodebook(spark, s"$root/codebook")
+          val r = gone.join(dropTombstoned(spark, root,
+              spark.read.parquet(s"$root/codes"))
+              .select(col("vec_id"), col("codes")), Seq("vec_id"))
+            .select(Similarity.pqErrFromCodes(col("v"), col("codes"),
+              cb).cast("long").as("e"))
+            .agg(count(lit(1)).as("n"),
+              coalesce(sum(col("e")), lit(0L)).as("s")).head()
+          Some((r.getLong(0), r.getLong(1)))
+        } else None
       } else None
     idsD.write.mode("append").parquet(s"$root/tombstones")
     delta.foreach { case (n, s) =>
@@ -653,6 +665,10 @@ object AnnIndex {
         .toDF("m", "cidx", "dim", "c4")
         .write.parquet(s"$nextRoot/codebook")
     }
+    // no observe here: the range-clustered rewrite SAMPLES its child
+    // before shuffling, which would double-count observed metrics —
+    // the sidecar instead derives from the freshly-written tables via
+    // the codes join (dist-to-argmin, no re-min)
     writePqErrStateAll(spark, nextRoot, cb)
     flipGeneration(spark, path, nextGen)
   }
@@ -1203,15 +1219,37 @@ object AnnIndex {
     // filtered ADC scan needs no corpus join.
     val q4 = corpus.select(id.as("vec_id") +:
       Similarity.pqQ4(vec).as("_v4") +: attrs: _*)
-    val coded = q4.select(col("vec_id") +:
-      Similarity.pqCodesExpr(col("_v4"), cb).as("codes") +:
-      q4.columns.filterNot(c => c == "vec_id" || c == "_v4")
-        .map(col).toSeq: _*)
+    // keepVectors builds take the struct-argmin encode so the error
+    // sidecar rides the codes write as observed metrics (one argmin
+    // pass total); plain builds keep the unrolled codegen'd encode —
+    // both produce bit-identical codes (same exact integer math, same
+    // lower-code tiebreak; probe parity is spec-pinned)
+    val coded =
+      if (keepVectors) {
+        val ms = q4.withColumn("_ms",
+          Similarity.pqMinStructs(col("_v4"), cb))
+        ms.select(col("vec_id") +:
+          transform(col("_ms"), s => s.getField("i")).as("codes") +:
+          aggregate(transform(col("_ms"), s => s.getField("d")),
+            lit(0.0d), (acc, x) => acc + x).cast("long").as("e") +:
+          ms.columns.filterNot(c =>
+            c == "vec_id" || c == "_v4" || c == "_ms")
+            .map(col).toSeq: _*)
+      } else q4.select(col("vec_id") +:
+        Similarity.pqCodesExpr(col("_v4"), cb).as("codes") +:
+        q4.columns.filterNot(c => c == "vec_id" || c == "_v4")
+          .map(col).toSeq: _*)
+    val obs = new org.apache.spark.sql.Observation()
+    val codesOut =
+      if (keepVectors)
+        coded.observe(obs, count(lit(1)).as("n"),
+          sum(col("e")).as("s")).drop("e")
+      else coded
     if (batchKeyed)
-      coded.withColumn("batch_id", lit(-1L))
+      codesOut.withColumn("batch_id", lit(-1L))
         .write.mode("overwrite").partitionBy("batch_id")
         .parquet(s"$path/codes")
-    else coded.write.mode("overwrite").parquet(s"$path/codes")
+    else codesOut.write.mode("overwrite").parquet(s"$path/codes")
     import spark.implicits._
     val rows = for {
       m <- cb.indices; c <- cb(m).indices; d <- cb(m)(c).indices
@@ -1228,7 +1266,10 @@ object AnnIndex {
           .parquet(s"$path/vectors")
       else vecs.sortWithinPartitions(col("vec_id"))
         .write.mode("overwrite").parquet(s"$path/vectors")
-      writePqErrStateAll(spark, path, cb)
+      val m = obs.get
+      writeErrRow(spark, path, -1L, m("n").asInstanceOf[Long],
+        if (m("s") == null) 0L else m("s").asInstanceOf[Long],
+        "overwrite")
     } else {
       // a rebuild WITHOUT the flag over a path that previously kept
       // vectors must not leave the stale table behind — the monitor
@@ -1239,19 +1280,26 @@ object AnnIndex {
   }
 
   /** Encode a batch under a stored plain-PQ index's FROZEN codebook:
-    * (vec_id, v, codes [, attrs]) with `v` the q4 grid — deterministic,
-    * so a streaming replay reproduces its rows byte-for-byte. The
-    * wide encoder computes the identical exact-integer argmin the
-    * build's unrolled form does (same math, same lower-code
-    * tiebreak), so appended codes are bit-equal to a fresh encode. */
+    * (vec_id, v, codes, e [, attrs]) with `v` the q4 grid and `e` the
+    * row's quantization error — the argmin's OWN min distance
+    * ([[Similarity.pqMinStructs]]), kept so the sidecar fold rides
+    * the encode's write action instead of re-running the argmin.
+    * Deterministic, so a streaming replay reproduces its rows
+    * byte-for-byte; the struct argmin computes the identical
+    * exact-integer codes the build's form does (same math, same
+    * lower-code tiebreak). */
   private def pqEncodeStored(batch: DataFrame, id: Column, vec: Column,
       root: String, attrs: Seq[Column] = Nil): DataFrame = {
     val cb = readCodebook(batch.sparkSession, s"$root/codebook")
     val q4 = batch.select(id.as("vec_id") +:
       Similarity.pqQ4(vec).as("v") +: attrs: _*)
-    q4.select(col("vec_id") +: col("v") +:
-      Similarity.pqCodesExprWide(col("v"), cb).as("codes") +:
-      q4.columns.filterNot(c => c == "vec_id" || c == "v")
+    val ms = q4.withColumn("_ms", Similarity.pqMinStructs(col("v"), cb))
+    ms.select(col("vec_id") +: col("v") +:
+      transform(col("_ms"), s => s.getField("i")).as("codes") +:
+      aggregate(transform(col("_ms"), s => s.getField("d")),
+        lit(0.0d), (acc, x) => acc + x).cast("long").as("e") +:
+      ms.columns.filterNot(c =>
+        c == "vec_id" || c == "v" || c == "_ms")
         .map(col).toSeq: _*)
   }
 
@@ -1271,15 +1319,18 @@ object AnnIndex {
     val root = currentRoot(spark, path)
     val enc = pqEncodeStored(batch, id, vec, root, attrs)
       .localCheckpoint(eager = false)
-    enc.drop("v").write.mode("append").parquet(s"$root/codes")
+    // the sidecar's (n, Σe) rides the codes write as observed metrics
+    // — the append pays exactly one argmin pass
+    val obs = new org.apache.spark.sql.Observation()
+    enc.observe(obs, count(lit(1)).as("n"), sum(col("e")).as("s"))
+      .drop("v", "e").write.mode("append").parquet(s"$root/codes")
     val hasVecs = StoreFiles.exists(spark, s"$root/vectors")
     if (hasVecs) {
-      val vecs = enc.select(col("vec_id"), col("v"))
-      vecs.sortWithinPartitions(col("vec_id"))
+      enc.select(col("vec_id"), col("v"))
+        .sortWithinPartitions(col("vec_id"))
         .write.mode("append").parquet(s"$root/vectors")
-      foldPqErrState(spark, root, vecs,
-        readCodebook(spark, s"$root/codebook"),
-        batchId = -1L, dynamic = false)
+      foldPqErrObserved(spark, root, obs, batchId = -1L,
+        dynamic = false)
     }
     maybeCompactFiles(spark, path, maxFilesPerDir,
       "codes" +: (if (hasVecs) Seq("vectors") else Nil),
@@ -1300,20 +1351,20 @@ object AnnIndex {
     val root = currentRoot(spark, path)
     val enc = pqEncodeStored(batch, id, vec, root, attrs)
       .localCheckpoint(eager = false)
-    enc.drop("v").withColumn("batch_id", lit(batchId))
+    val obs = new org.apache.spark.sql.Observation()
+    enc.observe(obs, count(lit(1)).as("n"), sum(col("e")).as("s"))
+      .drop("v", "e").withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$root/codes")
     if (StoreFiles.exists(spark, s"$root/vectors")) {
-      val vecs = enc.select(col("vec_id"), col("v"))
-      vecs.withColumn("batch_id", lit(batchId))
+      enc.select(col("vec_id"), col("v"))
+        .withColumn("batch_id", lit(batchId))
         .sortWithinPartitions(col("vec_id"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(s"$root/vectors")
-      foldPqErrState(spark, root, vecs,
-        readCodebook(spark, s"$root/codebook"), batchId,
-        dynamic = true)
+      foldPqErrObserved(spark, root, obs, batchId, dynamic = true)
     }
   }
 

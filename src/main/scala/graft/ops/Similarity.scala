@@ -647,9 +647,12 @@ object Similarity {
     * families' spherical quantization error: under a frozen codebook
     * it is per-row deterministic and integer-valued (1e-4-grid terms
     * squared), so error SUMS fold additively across batches — the
-    * property the drift-state sidecar relies on. Same transform form
-    * as the wide encoder (interpreted lambda, build/append-time
-    * cost class only). */
+    * property the drift-state sidecar relies on. Both forms compute
+    * Σ(a−b)² = ‖a‖² − 2a·b + ‖b‖² in exact integer doubles, so the
+    * value is form-independent. This standalone form costs one argmin
+    * pass — when codes are ALREADY at hand (an encode just ran, or
+    * the store's codes table is joinable) prefer piggybacking
+    * [[pqMinStructs]] / [[pqErrFromCodes]], which skip the min. */
   private[ops] def pqMinDistExpr(v4: Column,
       codebook: Array[Array[Array[Double]]]): Column = {
     val subDim = codebook(0)(0).length
@@ -659,6 +662,47 @@ object Similarity {
       array_min(transform(cbm, cb =>
         aggregate(zip_with(sub, cb, (a, b) => (a - b) * (a - b)),
           lit(0.0d), (acc, x) => acc + x)))
+    }.reduce(_ + _)
+  }
+
+  /** Per-subspace argmin (dist, code) STRUCTS of a quantized vector —
+    * the shared core the PQ encode AND its quantization error both
+    * derive from in ONE pass: `codes[m] = _ms[m].i`,
+    * `err = Σ_m _ms[m].d`. Same exact integer math and lower-code
+    * tiebreak as [[pqCodesExprWide]] (whose argmin this is, with the
+    * dist kept instead of discarded — a keepVectors build/append that
+    * computed codes and then re-ran a min for the error sidecar would
+    * pay the argmin pass twice). */
+  private[ops] def pqMinStructs(v4: Column,
+      codebook: Array[Array[Array[Double]]]): Column = {
+    val subDim = codebook(0)(0).length
+    array(codebook.indices.map { m =>
+      val sub = slice(v4, m * subDim + 1, subDim)
+      val cbm = array(codebook(m).map(cb => lit(cb)): _*)
+      array_min(transform(cbm, (cb, i) => struct(
+        aggregate(zip_with(sub, cb, (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x).as("d"),
+        i.as("i"))))
+    }: _*)
+  }
+
+  /** The PQ quantization error RE-DERIVED from stored codes — no min:
+    * each subspace's distance goes straight to its assigned codeword
+    * (dist-to-argmin == min-dist by definition; ties picked SOME
+    * argmin, whose distance equals the min). 8 native dots + literal
+    * lookups per row instead of numSub × codebookSize interpreted
+    * lambdas — the form the wholesale sidecar recompute uses, joining
+    * the store's own codes table it just rewrote. */
+  private[ops] def pqErrFromCodes(v4: Column, codes: Column,
+      codebook: Array[Array[Array[Double]]]): Column = {
+    val subDim = codebook(0)(0).length
+    codebook.indices.map { m =>
+      val sub = slice(v4, m * subDim + 1, subDim)
+      val cbm = array(codebook(m).map(cb => lit(cb)): _*)
+      val sel = element_at(cbm, element_at(codes, m + 1) + 1)
+      val cbSq = lit(codebook(m).map(_.map(x => x * x).sum))
+      dot(sub, sub) - lit(2.0) * dot(sub, sel) +
+        element_at(cbSq, element_at(codes, m + 1) + 1)
     }.reduce(_ + _)
   }
 
