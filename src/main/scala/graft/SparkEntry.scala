@@ -61,6 +61,7 @@ object SparkEntry {
     "qd42_dup_clusters_star" -> (PipelineQueries.dupClustersStar _),
     "qd90_cluster_map_merge" -> (PipelineQueries.clusterMapMerge _),
     "qd91_text_fp_topk" -> (PipelineQueries.textFpTopK _),
+    "qd92_maintenance_sweep" -> (PipelineQueries.maintenanceSweep _),
     "qd14_curated_corpus" -> (PipelineQueries.curatedCorpus _),
     "qd15_decontaminate" -> (PipelineQueries.decontaminate _),
     "qd43_bloom_decontaminate" -> (PipelineQueries.decontaminateBloom _),
@@ -753,6 +754,49 @@ object SparkEntry {
            AND a.doc_id < 4000 AND b.doc_id < 4000) z
        WHERE hamming <= 2
        QUALIFY rank <= 3 ORDER BY batch_doc, rank"""),
+    // qd92: the maintenance sweep — after Maintenance.applyPlan clears
+    // the registry's signals (tombstones pending drop, relabel patches
+    // pending materialization) the served data must sit on closed-form
+    // truth: the probe sees the post-delete corpus (every tenth stored
+    // even doc gone), the cluster map sits on the full-rebuild
+    // fixpoint over ALL brute radius-2 pairs (deletion touches only
+    // the fingerprint store, never the labels), the sweep row carries
+    // (stores compacted, residual actions, pre-sweep tombstone count —
+    // the one registry signal that is SQL-derivable).
+    "qd92_maintenance_sweep" -> (simhashSigCtes
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+       sg AS (SELECT doc_id, hi, lo FROM sig WHERE doc_id < 4000),
+       pr AS (SELECT doc_a, doc_b FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+               AS h
+           FROM sg a JOIN sg b ON a.doc_id < b.doc_id) z
+         WHERE h <= 2),
+       e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+         UNION SELECT doc_b, doc_a FROM pr),
+       cc(a, b) AS (SELECT a, b FROM e
+         UNION SELECT cc.a, e.b FROM cc JOIN e ON cc.b = e.a),
+       cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+         FROM cc GROUP BY a),
+       fp AS (SELECT batch_doc, index_doc, hamming FROM (
+           SELECT a.doc_id AS batch_doc, b.doc_id AS index_doc,
+             CAST(bit_count(xor(a.hi, b.hi))
+               + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+           FROM sg a JOIN sg b
+             ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+             AND b.doc_id % 10 <> 0) z
+         WHERE hamming <= 2),
+       del AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sg
+         WHERE doc_id % 2 = 0 AND doc_id % 10 = 0)
+       SELECT phase, id_a, id_b, val FROM (
+         SELECT 'cluster' AS phase, doc_id AS id_a, cluster AS id_b,
+           CAST(NULL AS BIGINT) AS val FROM cl
+         UNION ALL
+         SELECT 'fp_pairs', batch_doc, index_doc, hamming FROM fp
+         UNION ALL
+         SELECT 'sweep', CAST(2 AS BIGINT), CAST(0 AS BIGINT), n
+           FROM del) u
+       ORDER BY phase, id_a, id_b"""),
     // qd52: repeat factors as a CASE chain; fractional copy decided by
     // the same md5-threshold compare as the sampling family.
     "qd52_epoch_upsample" ->

@@ -40,13 +40,18 @@ object StoreManifest {
     * `has_drift_state` (trained ANN stores: the memoized
     * quantization-error sidecar is present, so the drift monitor's
     * per-arrival check is batch-sized — absent means a legacy store
-    * that upgrades at its next compact). "What needs compact/retrain
-    * under this root" is then one DataFrame filter. */
+    * that upgrades at its next compact), `dead_generations`
+    * (generation roots a retrain left behind that the next plain
+    * compact will reap — storage pending reclaim, counted as ROOTS:
+    * the store-level gen-0 data dirs count as one when any remain).
+    * "What needs compact/retrain under this root" is then one
+    * DataFrame filter — and [[Maintenance.plan]] derives the dispatch.
+    */
   case class StoreEntry(store: String, family: String,
       meta: Map[String, String], attr_columns: Seq[String],
       batch_keyed: Boolean, has_tombstones: Boolean,
       generation: Long, tombstone_rows: Long, pending_patches: Long,
-      has_drift_state: Boolean)
+      has_drift_state: Boolean, dead_generations: Long)
 
   // per-family reserved (non-attr) columns of the stage-1 table
   private val FpReserved =
@@ -88,6 +93,21 @@ object StoreManifest {
       try fs.listStatus(root)
         .filter(_.isDirectory).map(_.getPath.getName).toSet
       catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+    // dead generation ROOTS pending reap (listing-only): earlier
+    // gens/g* plus — when any survive — the store-level gen-0 data
+    // dirs, which count as one root together
+    val deadGens =
+      if (generation == 0L) 0L
+      else {
+        def dirExists(p: String) =
+          try fs.exists(new org.apache.hadoop.fs.Path(p))
+          catch { case scala.util.control.NonFatal(_) => false }
+        val gen0 = Seq("index", "codes", "bits", "vectors", "centroids",
+          "codebook", "stats", "tombstones", "errstate")
+          .exists(d => dirExists(s"$store/$d"))
+        (if (gen0) 1L else 0L) +
+          (1L until generation).count(g => dirExists(s"$store/gens/g$g"))
+      }
     def p(sub: String) = s"$root/$sub"
     def cols(sub: String): Seq[String] =
       spark.read.parquet(p(sub)).columns.toIndexedSeq
@@ -126,7 +146,8 @@ object StoreManifest {
           if (subs.contains("patches"))
             spark.read.parquet(p("patches")).count()
           else 0L,
-        has_drift_state = subs.contains("errstate"))
+        has_drift_state = subs.contains("errstate"),
+        dead_generations = deadGens)
     }
     try {
       if (subs("sigs") && subs("bands"))
@@ -182,7 +203,8 @@ object StoreManifest {
             subs.contains("hll_tombstones"),
           generation = generation, tombstone_rows = -1L,
           pending_patches = -1L,
-          has_drift_state = subs.contains("errstate"))
+          has_drift_state = subs.contains("errstate"),
+          dead_generations = deadGens)
     }
   }
 }

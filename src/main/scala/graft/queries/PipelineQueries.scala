@@ -3235,6 +3235,81 @@ object PipelineQueries {
         col("hamming").cast("long").as("hamming"), col("rank"))
       .orderBy(col("batch_doc"), col("rank"))
 
+  /** qd92: the MAINTENANCE SWEEP over a root of heterogeneous stores,
+    * composed and oracle-closed — the nightly window a 100 TB
+    * deployment actually runs, as one query: yesterday's corpus (even
+    * docs) lives in a persisted text fingerprint store and a cluster
+    * map of its own banded pairs; today's arrival merges its pairs in
+    * (leaving a relabel-patch log pending materialization) and a
+    * deletion request tombstones every tenth stored doc (pending
+    * physical drop); a healthy BM25 store shares the root.
+    * [[graft.ops.Maintenance.applyPlan]] must read exactly those
+    * signals off [[graft.ops.StoreManifest]]'s registry, clear them
+    * with each family's own compact, and leave the SERVED data on
+    * closed-form truth: the post-sweep probe sees the post-delete
+    * corpus, the cluster map sits on the full-rebuild fixpoint
+    * (recursive closure over ALL brute radius-2 pairs — deletion
+    * touches only the fingerprint store, never the labels), and a
+    * re-plan finds nothing left to do. */
+  def maintenanceSweep(s: SparkSession, dir: String): DataFrame = {
+    val FP = graft.ops.FingerprintIndex
+    val DI = graft.ops.DedupIndex
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_msweep").toString
+    val even = textSimhashSigs(s, dir, parity = 0)
+      .localCheckpoint(eager = false)
+    val odd = textSimhashSigs(s, dir, parity = 1)
+      .localCheckpoint(eager = false)
+    FP.writeHammingIndex(even, col("doc_id"), col("sig"),
+      s"$root/fp", maxHamming = 2)
+    DI.writeClusterMap(
+      graft.ops.Dedup.hammingNearDup(even, col("doc_id"), col("sig"),
+        maxHamming = 2),
+      col("doc_a"), col("doc_b"), s"$root/clmap")
+    graft.ops.LexIndex.writeBm25Index(
+      t(s, dir, "documents").filter(col("doc_id") < 200),
+      col("doc_id"), col("text"), s"$root/lex")
+    // probePairs MATERIALIZES before the sweep below compacts the
+    // store it scans (the qm15 ordering rule)
+    val probePairs = FP.hammingAgainstIndex(s, odd, col("doc_id"),
+        col("sig"), s"$root/fp")
+      .select(col("batch_doc").as("doc_a"),
+        col("index_doc").as("doc_b"))
+      .localCheckpoint()
+    val innerPairs = graft.ops.Dedup.hammingNearDup(odd,
+        col("doc_id"), col("sig"), maxHamming = 2)
+      .select(col("doc_a"), col("doc_b"))
+    DI.mergeClusterMap(s, s"$root/clmap",
+      probePairs.unionByName(innerPairs), col("doc_a"), col("doc_b"))
+    FP.deleteDocs(s, s"$root/fp",
+      even.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
+      col("doc_id"))
+    // the registry's pre-sweep deletion signal — SQL-derivable, so it
+    // rides in the oracle row (the patch-row count is layout-internal
+    // and stays spec-side)
+    val tombBefore = graft.ops.StoreManifest.manifest(s, root)
+      .filter(col("store") === "fp")
+      .select(col("tombstone_rows")).head().getLong(0)
+    val swept = graft.ops.Maintenance.applyPlan(s, root)
+    val compacted =
+      swept.filter(col("action") === "compact").count()
+    val residual = graft.ops.Maintenance.plan(s, root)
+      .filter(col("action") =!= "none").count()
+    val sweepRow = s.range(1).select(lit("sweep").as("phase"),
+      lit(compacted).as("id_a"), lit(residual).as("id_b"),
+      lit(tombBefore).as("val"))
+    val fpRows = FP.hammingAgainstIndex(s, odd, col("doc_id"),
+        col("sig"), s"$root/fp")
+      .select(lit("fp_pairs").as("phase"),
+        col("batch_doc").as("id_a"), col("index_doc").as("id_b"),
+        col("hamming").cast("long").as("val"))
+    val clRows = DI.readClusterMap(s, s"$root/clmap")
+      .select(lit("cluster").as("phase"), col("doc_id").as("id_a"),
+        col("cluster").as("id_b"), lit(null).cast("long").as("val"))
+    sweepRow.unionByName(fpRows).unionByName(clRows)
+      .orderBy(col("phase"), col("id_a"), col("id_b"))
+  }
+
   /** The qe54 drift constant: every dimension of the appended half
     * shifts by this before normalization, tilting the arrivals into a
     * wide cap the natural-trained centroids never saw. 0.15 is the
