@@ -231,11 +231,293 @@ case class DHash64(child: Expression)
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Codegen'd PRODUCT-QUANTIZATION argmin over a frozen codebook — the
+  * PQ encode's hot core. The declarative form (`transform` over a
+  * literal array-of-arrays with an `aggregate(zip_with(...))` distance
+  * per codeword) evaluates numSub × codebookSize interpreted lambdas
+  * per ROW — measured at ~26 s per 1M rows on a 16×64 book, which is
+  * the whole encode cost of a 100 TB ingest arriving at a PQ store.
+  * This compiles the same math into one tight primitive loop inside
+  * whole-stage codegen.
+  *
+  * Exactness contract (what keeps every PQ oracle untouched): per
+  * subspace m the distance to codeword c is Σ_d (v[m·subDim+d] −
+  * cb[m][c][d])², accumulated in ascending d — the identical IEEE op
+  * sequence as the `aggregate(zip_with(...))` left fold (and equal to
+  * the expanded ‖a‖²−2ab+‖b‖² form on the 1e-4/1e-6 integer grids all
+  * PQ inputs live on); the argmin keeps the FIRST minimum in ascending
+  * c (strict <), which is `array_min` on (dist, code) structs — ties
+  * to the lower code. `asCodes = true` returns the argmin indexes
+  * (`array<int>` — the stored codes column); `asCodes = false` returns
+  * Σ_m min-dist as a double (the quantization error the drift-state
+  * sidecar folds). Null input, a length ≠ numSub × subDim, or any
+  * null element yields null — a malformed vector surfaces as a null
+  * encode, never a silently-truncated one. */
+case class PqArgmin(child: Expression, numSub: Int, cbSize: Int,
+    subDim: Int, flatCb: Array[Double], asCodes: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    if (asCodes) org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+    else DoubleType
+  override def prettyName: String =
+    if (asCodes) "pq_encode" else "pq_min_dist"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != numSub * subDim) return null
+    var i = 0
+    while (i < numSub * subDim) {
+      if (x.isNullAt(i)) return null
+      i += 1
+    }
+    val codes = if (asCodes) new Array[Int](numSub) else null
+    var errSum = 0.0
+    var m = 0
+    while (m < numSub) {
+      var best = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < cbSize) {
+        var s = 0.0
+        var d = 0
+        val base = (m * cbSize + c) * subDim
+        while (d < subDim) {
+          val diff = x.getDouble(m * subDim + d) - flatCb(base + d)
+          s += diff * diff
+          d += 1
+        }
+        if (s < best) { best = s; bestC = c }
+        c += 1
+      }
+      if (asCodes) codes(m) = bestC
+      errSum += best
+      m += 1
+    }
+    if (asCodes)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+    else errSum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("flatCb", flatCb, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestC = ctx.freshName("bestC")
+      val bad = ctx.freshName("bad")
+      val codes = ctx.freshName("codes")
+      val errSum = ctx.freshName("errSum")
+      val out =
+        if (asCodes)
+          s"""${ev.value} =
+             new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);"""
+        else s"${ev.value} = $errSum;"
+      val codesDecl =
+        if (asCodes) s"final int[] $codes = new int[$numSub];" else ""
+      val codesSet = if (asCodes) s"$codes[$m] = $bestC;" else ""
+      s"""
+        boolean $bad = ($a.numElements() != ${numSub * subDim});
+        for (int $i = 0; $i < ${numSub * subDim} && !$bad; $i++) {
+          if ($a.isNullAt($i)) { $bad = true; }
+        }
+        if ($bad) {
+          ${ev.isNull} = true;
+        } else {
+          $codesDecl
+          double $errSum = 0.0;
+          for (int $m = 0; $m < $numSub; $m++) {
+            double $best = Double.POSITIVE_INFINITY;
+            int $bestC = 0;
+            for (int $c = 0; $c < $cbSize; $c++) {
+              double $s = 0.0;
+              final int $base = ($m * $cbSize + $c) * $subDim;
+              for (int $d = 0; $d < $subDim; $d++) {
+                final double $diff =
+                  $a.getDouble($m * $subDim + $d) - $cbRef[$base + $d];
+                $s += $diff * $diff;
+              }
+              if ($s < $best) { $best = $s; $bestC = $c; }
+            }
+            $codesSet
+            $errSum += $best;
+          }
+          $out
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Codegen'd BEST-CENTROID argmax over a frozen centroid set — the
+  * assignment core of every literal-centroid operator (IVF cell
+  * assignment, spherical k-means iterations, the drift monitor's
+  * error term). The historical form unrolled one [[DotProduct]] per
+  * centroid under a `greatest()` over (score, cell) structs: correct
+  * and codegen'd, but the generated code EMBEDS the centroid values,
+  * so every Lloyd iteration and every retrain phase compiles a fresh
+  * janino class (~0.2–0.5 s each — the lifecycle fixtures measured
+  * ~200+ compiles per run), and the method size grows with
+  * nList × dim. Here the centroids ride a REFERENCE object: the
+  * generated code is identical for every centroid set of any shape,
+  * so one compile serves all iterations, phases and queries.
+  *
+  * Semantics are `greatest()` over struct(score, cell) exactly: score
+  * = dot(v, centroid) summed in ascending dim order (the
+  * [[DotProduct]] fold), winner = highest score, ties to the HIGHEST
+  * cell id, independent of centroid order. Null input, a length
+  * mismatch with the centroid dim, or any null element yields null
+  * (the [[DotProduct]] malformed-vector contract). Returns
+  * struct<score:double, cell:int>. */
+case class CellArgmax(child: Expression, cells: Array[Int],
+    flat: Array[Double], dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("score", DoubleType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "cell_argmax"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    var i = 0
+    while (i < dim) {
+      if (x.isNullAt(i)) return null
+      i += 1
+    }
+    var bs = Double.NegativeInfinity
+    var bc = Int.MinValue
+    var c = 0
+    while (c < cells.length) {
+      var s = 0.0
+      var d = 0
+      while (d < dim) { s += x.getDouble(d) * flat(c * dim + d); d += 1 }
+      if (s > bs || (s == bs && cells(c) > bc)) { bs = s; bc = cells(c) }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bs, bc))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("flatCents", flat, "double[]")
+    val cellsRef = ctx.addReferenceObj("cellIds", cells, "int[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val bs = ctx.freshName("bs")
+      val bc = ctx.freshName("bc")
+      val bad = ctx.freshName("bad")
+      s"""
+        boolean $bad = ($a.numElements() != $dim);
+        for (int $i = 0; $i < $dim && !$bad; $i++) {
+          if ($a.isNullAt($i)) { $bad = true; }
+        }
+        if ($bad) {
+          ${ev.isNull} = true;
+        } else {
+          double $bs = Double.NEGATIVE_INFINITY;
+          int $bc = Integer.MIN_VALUE;
+          for (int $c = 0; $c < $cellsRef.length; $c++) {
+            double $s = 0.0;
+            for (int $d = 0; $d < $dim; $d++) {
+              $s += $a.getDouble($d) * $flatRef[$c * $dim + $d];
+            }
+            if ($s > $bs || ($s == $bs && $cellsRef[$c] > $bc)) {
+              $bs = $s; $bc = $cellsRef[$c];
+            }
+          }
+          ${ev.value} =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              new Object[] { $bs, $bc });
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd dot product of two `array<double>` columns. */
   def vecDot(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Codegen'd best-centroid struct<score, cell> of an `array<double>`
+    * vector against a centroid set carried as a reference object —
+    * see [[CellArgmax]] for the greatest()-equivalence contract. */
+  def cellArgmax(v: Column,
+      cents: Array[(Int, Array[Double])]): Column = {
+    val dim = cents(0)._2.length
+    require(cents.forall(_._2.length == dim),
+      "cell_argmax needs uniform centroid dimensions")
+    val flat = new Array[Double](cents.length * dim)
+    cents.zipWithIndex.foreach { case ((_, cv), c) =>
+      System.arraycopy(cv, 0, flat, c * dim, dim)
+    }
+    GraftShims.column(CellArgmax(GraftShims.expression(v),
+      cents.map(_._1).toArray, flat, dim))
+  }
+
+  private def flatten(codebook: Array[Array[Array[Double]]])
+      : (Int, Int, Int, Array[Double]) = {
+    val numSub = codebook.length
+    val cbSize = codebook(0).length
+    val subDim = codebook(0)(0).length
+    val flat = new Array[Double](numSub * cbSize * subDim)
+    var m = 0
+    while (m < numSub) {
+      var c = 0
+      while (c < cbSize) {
+        System.arraycopy(codebook(m)(c), 0, flat,
+          (m * cbSize + c) * subDim, subDim)
+        c += 1
+      }
+      m += 1
+    }
+    (numSub, cbSize, subDim, flat)
+  }
+
+  /** Codegen'd PQ encode: per-subspace argmin codes (`array<int>`)
+    * of a quantized `array<double>` vector against a frozen codebook
+    * — see [[PqArgmin]] for the exactness contract. */
+  def pqEncode(v4: Column,
+      codebook: Array[Array[Array[Double]]]): Column = {
+    val (numSub, cbSize, subDim, flat) = flatten(codebook)
+    GraftShims.column(PqArgmin(GraftShims.expression(v4),
+      numSub, cbSize, subDim, flat, asCodes = true))
+  }
+
+  /** Codegen'd PQ quantization error: Σ over subspaces of the minimum
+    * squared distance to any codeword — the residual [[pqEncode]]'s
+    * argmin leaves behind, in one pass. */
+  def pqMinDist(v4: Column,
+      codebook: Array[Array[Array[Double]]]): Column = {
+    val (numSub, cbSize, subDim, flat) = flatten(codebook)
+    GraftShims.column(PqArgmin(GraftShims.expression(v4),
+      numSub, cbSize, subDim, flat, asCodes = false))
+  }
 
   /** Codegen'd 64-bit perceptual average-hash of an `array<long>` of
     * grayscale values (≤ 64, row-major 8×8). */

@@ -128,19 +128,49 @@ object AnnIndex {
   // one batch scan + a sidecar read.
   // ------------------------------------------------------------------
 
+  /** The 1e-6-floored spherical quantization error of a normalized
+    * vector under centroid literals — the integer term every sidecar
+    * sum is made of. */
+  private def errE6(v: Column,
+      cents: Array[(Int, Array[Double])]): Column =
+    floor((lit(1.0) - Similarity.nearestCellScore(v, cents)) *
+      lit(1000000.0)).cast("long")
+
   /** (row count, 1e-6-floored spherical quantization-error sum) of
     * `rows` (a (…, v) frame, v normalized) under centroid literals —
     * one narrow map + a map-side-combined aggregate, collected as two
     * longs. */
   private def errSumOf(rows: DataFrame,
       cents: Array[(Int, Array[Double])]): (Long, Long) = {
-    val r = rows.select(floor((lit(1.0) -
-        Similarity.nearestCellScore(col("v"), cents)) *
-        lit(1000000.0)).cast("long").as("e"))
+    val r = rows.select(errE6(col("v"), cents).as("e"))
       .agg(count(lit(1)).as("n"),
         coalesce(sum(col("e")), lit(0L)).as("s")).head()
     (r.getLong(0), r.getLong(1))
   }
+
+  /** Attach the sidecar fold's (n, Σe) as OBSERVATION metrics on the
+    * frame an append/put is about to write — the plain-PQ
+    * [[foldPqErrObserved]] discipline applied to the trained families:
+    * the error sum rides the SAME write action that persists the rows,
+    * so the fold costs zero extra batch scans (the r12 monitor's whole
+    * point was per-arrival cost; a separate errSumOf scan per append
+    * paid one anyway). Returns the frame unchanged when the store has
+    * no sidecar (pre-sidecar stores upgrade at their next compact —
+    * the [[foldErrState]] guard). Callers must keep the observe BELOW
+    * only hash repartitions / in-partition sorts: an observe under
+    * `repartitionByRange` double-counts (range partitioning SAMPLES
+    * its child — the spec-pinned hazard). */
+  private def observeErr(rows: DataFrame, root: String,
+      cents: Array[(Int, Array[Double])])
+      : (DataFrame, Option[org.apache.spark.sql.Observation]) =
+    if (!StoreFiles.exists(rows.sparkSession, s"$root/errstate"))
+      (rows, None)
+    else {
+      val obs = new org.apache.spark.sql.Observation()
+      (rows.observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(errE6(col("v"), cents)), lit(0L)).as("s")),
+        Some(obs))
+    }
 
   private def writeErrRow(spark: SparkSession, root: String,
       batchId: Long, n: Long, sumE6: Long, mode: String,
@@ -161,18 +191,6 @@ object AnnIndex {
           .select(col("vec_id"), col("v"))), cents)
     writeErrRow(spark, root, -1L, n, s, "overwrite")
   }
-
-  /** Fold an arriving batch's error into an EXISTING sidecar (a store
-    * built before the sidecar gains it at its next compact/retrain —
-    * a partial fold onto no base would understate the corpus). */
-  private def foldErrState(spark: SparkSession, root: String,
-      rows: DataFrame, cents: Array[(Int, Array[Double])],
-      batchId: Long, dynamic: Boolean): Unit =
-    if (StoreFiles.exists(spark, s"$root/errstate")) {
-      val (n, s) = errSumOf(rows, cents)
-      writeErrRow(spark, root, batchId, n, s,
-        if (dynamic) "overwrite" else "append", dynamic)
-    }
 
   /** Fold committed errstate batch rows (< keepFrom) into the base
     * partition — the [[foldBatches]] twin for the sidecar, so a
@@ -219,12 +237,15 @@ object AnnIndex {
       "overwrite")
   }
 
-  /** Fold an OBSERVED (n, sum_e6) into the sidecar — the plain-PQ
-    * fold, fed by the metrics the encode's write action already
-    * computed ([[org.apache.spark.sql.Observation]] on the `e`
-    * column), so an append/put pays ONE argmin pass, not two. Same
-    * existence guard and batch-keyed dynamic-overwrite idempotence as
-    * [[foldErrState]]. */
+  /** Fold an OBSERVED (n, sum_e6) into the sidecar — fed by the
+    * metrics a write action already computed
+    * ([[org.apache.spark.sql.Observation]] on the error expression),
+    * so an append/put pays no separate sidecar scan. Shared by every
+    * family: plain PQ observes the encode's `e` column on the codes
+    * write; IVF / IVF-PQ observe the spherical error on their
+    * index/vectors write ([[observeErr]]). The errstate existence
+    * guard keeps pre-sidecar stores unchanged until their next
+    * compact. */
   private def foldPqErrObserved(spark: SparkSession, root: String,
       obs: org.apache.spark.sql.Observation, batchId: Long,
       dynamic: Boolean): Unit =
@@ -1219,23 +1240,20 @@ object AnnIndex {
     // filtered ADC scan needs no corpus join.
     val q4 = corpus.select(id.as("vec_id") +:
       Similarity.pqQ4(vec).as("_v4") +: attrs: _*)
-    // keepVectors builds take the struct-argmin encode so the error
-    // sidecar rides the codes write as observed metrics (one argmin
-    // pass total); plain builds keep the unrolled codegen'd encode —
-    // both produce bit-identical codes (same exact integer math, same
-    // lower-code tiebreak; probe parity is spec-pinned)
+    // keepVectors builds additionally compute the row's quantization
+    // error so the sidecar rides the codes write as observed metrics;
+    // both encode and error run the native codegen'd argmin
+    // ([[graft.functions.PqArgmin]] — same exact integer math, same
+    // lower-code tiebreak as the historical forms; probe parity is
+    // spec-pinned)
     val coded =
-      if (keepVectors) {
-        val ms = q4.withColumn("_ms",
-          Similarity.pqMinStructs(col("_v4"), cb))
-        ms.select(col("vec_id") +:
-          transform(col("_ms"), s => s.getField("i")).as("codes") +:
-          aggregate(transform(col("_ms"), s => s.getField("d")),
-            lit(0.0d), (acc, x) => acc + x).cast("long").as("e") +:
-          ms.columns.filterNot(c =>
-            c == "vec_id" || c == "_v4" || c == "_ms")
+      if (keepVectors)
+        q4.select(col("vec_id") +:
+          Similarity.pqCodesExpr(col("_v4"), cb).as("codes") +:
+          Similarity.pqMinDistExpr(col("_v4"), cb).cast("long").as("e") +:
+          q4.columns.filterNot(c => c == "vec_id" || c == "_v4")
             .map(col).toSeq: _*)
-      } else q4.select(col("vec_id") +:
+      else q4.select(col("vec_id") +:
         Similarity.pqCodesExpr(col("_v4"), cb).as("codes") +:
         q4.columns.filterNot(c => c == "vec_id" || c == "_v4")
           .map(col).toSeq: _*)
@@ -1281,11 +1299,11 @@ object AnnIndex {
 
   /** Encode a batch under a stored plain-PQ index's FROZEN codebook:
     * (vec_id, v, codes, e [, attrs]) with `v` the q4 grid and `e` the
-    * row's quantization error — the argmin's OWN min distance
-    * ([[Similarity.pqMinStructs]]), kept so the sidecar fold rides
-    * the encode's write action instead of re-running the argmin.
+    * row's quantization error (the native argmin's own min distance,
+    * [[graft.functions.PqArgmin]]), kept so the sidecar fold rides
+    * the encode's write action instead of a second scan.
     * Deterministic, so a streaming replay reproduces its rows
-    * byte-for-byte; the struct argmin computes the identical
+    * byte-for-byte; the native argmin computes the identical
     * exact-integer codes the build's form does (same math, same
     * lower-code tiebreak). */
   private def pqEncodeStored(batch: DataFrame, id: Column, vec: Column,
@@ -1293,13 +1311,10 @@ object AnnIndex {
     val cb = readCodebook(batch.sparkSession, s"$root/codebook")
     val q4 = batch.select(id.as("vec_id") +:
       Similarity.pqQ4(vec).as("v") +: attrs: _*)
-    val ms = q4.withColumn("_ms", Similarity.pqMinStructs(col("v"), cb))
-    ms.select(col("vec_id") +: col("v") +:
-      transform(col("_ms"), s => s.getField("i")).as("codes") +:
-      aggregate(transform(col("_ms"), s => s.getField("d")),
-        lit(0.0d), (acc, x) => acc + x).cast("long").as("e") +:
-      ms.columns.filterNot(c =>
-        c == "vec_id" || c == "v" || c == "_ms")
+    q4.select(col("vec_id") +: col("v") +:
+      Similarity.pqCodesExpr(col("v"), cb).as("codes") +:
+      Similarity.pqMinDistExpr(col("v"), cb).cast("long").as("e") +:
+      q4.columns.filterNot(c => c == "vec_id" || c == "v")
         .map(col).toSeq: _*)
   }
 
@@ -1790,14 +1805,17 @@ object AnnIndex {
         Similarity.l2Normalize(vec).as("v") +: attrs: _*)
       .withColumn("cell", Similarity.nearestCell(col("v"), cents))
       .localCheckpoint(eager = false)
-    rows.withColumn("batch_id", lit(batchId))
+    // drift-state fold rides the batch's own partition as metrics
+    // OBSERVED on this write (zero extra scans): a replay overwrites
+    // the same deterministic row — exactly-once preserved
+    val (toWrite, obsOpt) = observeErr(rows, root, cents)
+    toWrite.withColumn("batch_id", lit(batchId))
       .repartition(col("cell"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "cell").parquet(s"$root/index")
-    // drift-state fold rides the batch's own partition: a replay
-    // overwrites the same deterministic row — exactly-once preserved
-    foldErrState(spark, root, rows, cents, batchId, dynamic = true)
+    obsOpt.foreach(o =>
+      foldPqErrObserved(spark, root, o, batchId, dynamic = true))
   }
 
   /** Fold one batch-keyed sub-table's COMMITTED batches
@@ -1875,13 +1893,15 @@ object AnnIndex {
         Similarity.l2Normalize(vec).as("v") +: attrs: _*)
       .withColumn("cell", Similarity.nearestCell(col("v"), cents))
       .localCheckpoint(eager = false)
-    rows.repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$root/index")
     // additive drift-state fold (exact: integer error terms under the
-    // same frozen model the rows were just assigned with), BEFORE the
-    // file policy — a triggered compact recomputes wholesale
-    foldErrState(spark, root, rows, cents, batchId = -1L,
-      dynamic = false)
+    // same frozen model the rows were just assigned with) rides the
+    // index write as observed metrics — zero extra batch scans; BEFORE
+    // the file policy, since a triggered compact recomputes wholesale
+    val (toWrite, obsOpt) = observeErr(rows, root, cents)
+    toWrite.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$root/index")
+    obsOpt.foreach(o =>
+      foldPqErrObserved(spark, root, o, batchId = -1L, dynamic = false))
     maybeCompactFiles(spark, path, maxFilesPerDir,
       touchedPartDirs(rows, "index", "cell"), root = root)
   }
@@ -2032,10 +2052,14 @@ object AnnIndex {
     val vecs = batch
       .select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
       .localCheckpoint(eager = false)
-    vecs.sortWithinPartitions(col("vec_id"))
+    // the sidecar fold rides the vectors write as observed metrics —
+    // zero extra batch scans per arrival
+    val (toWrite, obsOpt) =
+      observeErr(vecs, root, readCentroids(spark, root))
+    toWrite.sortWithinPartitions(col("vec_id"))
       .write.mode("append").parquet(s"$root/vectors")
-    foldErrState(spark, root, vecs, readCentroids(spark, root),
-      batchId = -1L, dynamic = false)
+    obsOpt.foreach(o =>
+      foldPqErrObserved(spark, root, o, batchId = -1L, dynamic = false))
     maybeCompactFiles(spark, path, maxFilesPerDir,
       touchedPartDirs(coded, "codes", "cell") :+ "vectors",
       root = root)
@@ -2089,13 +2113,15 @@ object AnnIndex {
     val vecs = batch
       .select(id.as("vec_id"), Similarity.l2Normalize(vec).as("v"))
       .localCheckpoint(eager = false)
-    vecs.withColumn("batch_id", lit(batchId))
+    val (toWrite, obsOpt) =
+      observeErr(vecs, root, readCentroids(spark, root))
+    toWrite.withColumn("batch_id", lit(batchId))
       .sortWithinPartitions(col("vec_id"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$root/vectors")
-    foldErrState(spark, root, vecs, readCentroids(spark, root),
-      batchId, dynamic = true)
+    obsOpt.foreach(o =>
+      foldPqErrObserved(spark, root, o, batchId, dynamic = true))
   }
 
   private def readCodebook(spark: SparkSession,

@@ -95,14 +95,13 @@ object Clustering {
     val cents = kmeansCentroids(corpus, id, vec, k, iters)
     val scored = corpus.select(id.as("vec_id"),
       Similarity.l2Normalize(vec).as("v"))
-    val best = cents.map { case (cell, cv) =>
-      struct(Similarity.dot(col("v"), lit(cv)).as("score"),
-        lit(cell).as("cell"))
-    }
+    // greatest() over (score, cell) structs, as the native reference-
+    // object argmax (one janino compile shared across iterations and
+    // centroid sets — [[graft.functions.CellArgmax]])
     val pick =
-      if (best.length == 1) struct(Similarity.dot(col("v"),
+      if (cents.length == 1) struct(Similarity.dot(col("v"),
         lit(cents.head._2)).as("score"), lit(cents.head._1).as("cell"))
-      else greatest(best.toIndexedSeq: _*)
+      else graft.functions.VectorExpressions.cellArgmax(col("v"), cents)
     scored
       .withColumn("_b", pick)
       .select(col("vec_id"), col("_b.cell").as("cell"),
@@ -120,14 +119,11 @@ object Clustering {
     val cents = kmeansCentroids(corpus, id, vec, k, iters)
     val scored = corpus.select(id.as("vec_id"),
       Similarity.l2Normalize(vec).as("v"))
-    val best = cents.map { case (cell, cv) =>
-      struct(Similarity.dot(col("v"), lit(cv)).as("score"),
-        lit(cell).as("cell"))
-    }
     val assigned = scored
       .withColumn("cell",
-        (if (best.length == 1) lit(cents.head._1)
-         else greatest(best.toIndexedSeq: _*).getField("cell")))
+        (if (cents.length == 1) lit(cents.head._1)
+         else graft.functions.VectorExpressions
+           .cellArgmax(col("v"), cents).getField("cell")))
       .select(col("vec_id"), col("cell"), col("v"))
       .localCheckpoint(eager = false)
     val dropped = assigned.as("a")

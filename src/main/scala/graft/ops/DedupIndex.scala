@@ -29,29 +29,47 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
-  /** The partition value is "x" + the first 2 fp hex chars — the letter
-    * prefix keeps Hive partition-column TYPE INFERENCE from reading an
-    * all-digit directory set ("42", "98", …) as integers on one run and
-    * strings on the next (a mixed-type read then fails casting "6d"). */
-  private def withFp(docs: DataFrame, id: Column, text: Column): DataFrame =
+  /** The partition value is "x" + the first `width` fp hex chars — the
+    * letter prefix keeps Hive partition-column TYPE INFERENCE from
+    * reading an all-digit directory set ("42", "98", …) as integers on
+    * one run and strings on the next (a mixed-type read then fails
+    * casting "6d"). The width is chosen at build time from the corpus
+    * size ([[StoreFiles.pfxWidthFor]]) and inferred from the directory
+    * names everywhere else, so probes always derive prefixes under the
+    * width the store was actually written with. */
+  private def withFp(docs: DataFrame, id: Column, text: Column,
+      width: Int): DataFrame =
     docs.select(id.as("doc_id"),
         TextAnalysis.fingerprint(text).as("fp"))
-      .withColumn("pfx", concat(lit("x"), substring(col("fp"), 1, 2)))
+      .withColumn("pfx", concat(lit("x"), substring(col("fp"), 1, width)))
 
-  /** Build + persist the exact-fingerprint index: one corpus scan. The
-    * pre-write `repartition(pfx)` clusters each prefix into one file per
-    * shuffle partition — without it a 1000-task scan writes 1000×256
-    * tiny files and the write dominates. */
+  /** The exact store's built prefix width, from its directory names
+    * (2 when the store is empty/legacy — the pre-adaptive constant). */
+  private def exactPfxWidth(spark: SparkSession, path: String): Int =
+    StoreFiles.prefixWidth(spark, s"$path/exact", "pfx").getOrElse(2)
+
+  /** Build + persist the exact-fingerprint index: one corpus scan (plus
+    * one column-pruned count that sizes the partition fan-out — 16
+    * directories below 100k docs, 256 above, so a small store is not
+    * carved into 256 near-empty files whose listings then dominate
+    * every probe). The pre-write `repartition(pfx)` clusters each
+    * prefix into one file per shuffle partition — without it a
+    * 1000-task scan writes 1000×256 tiny files and the write
+    * dominates. */
   def writeExactIndex(docs: DataFrame, id: Column, text: Column,
       path: String): Unit =
-    withFp(docs, id, text)
+    withFp(docs, id, text,
+        StoreFiles.pfxWidthFor(docs.count()))
       .repartition(col("pfx"))
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$path/exact")
 
-  /** Append an accepted batch's fingerprints to the index. */
+  /** Append an accepted batch's fingerprints to the index (prefix
+    * width inferred from the store — an append can never band a
+    * different layout than the base build). */
   def appendExact(batch: DataFrame, id: Column, text: Column,
       path: String): Unit =
-    withFp(batch, id, text)
+    withFp(batch, id, text,
+        exactPfxWidth(batch.sparkSession, path))
       .repartition(col("pfx"))
       .write.mode("append").partitionBy("pfx").parquet(s"$path/exact")
 
@@ -66,7 +84,8 @@ object DedupIndex {
     * re-read — only its stored 32-byte fingerprints. */
   def newOnly(spark: SparkSession, batch: DataFrame, id: Column,
       text: Column, path: String): DataFrame = {
-    val b = withFp(batch, id, text).localCheckpoint(eager = false)
+    val b = withFp(batch, id, text, exactPfxWidth(spark, path))
+      .localCheckpoint(eager = false)
     val pfxs = b.select(col("pfx")).distinct().collect()
       .map(_.getString(0)).toSeq
     val idx = dropTombstoned(spark, path,
@@ -396,13 +415,31 @@ object DedupIndex {
       .select(col("la"), col("lb"))
       .filter(col("la") =!= col("lb"))
     // identity rows (a component whose label didn't move) add nothing
-    // to the log; no broadcast hint — relabel is arrival-neighborhood-
-    // sized, not bounded, so the strategy is left to AQE (a
-    // backfill-scale merge must not die on the broadcast ceiling)
-    val relabel = Dedup.dupClusters(labEdges, col("la"), col("lb"))
-      .select(col("doc_id").as("old_lab"), col("cluster").as("new_lab"))
-      .filter(col("old_lab") =!= col("new_lab"))
-      .localCheckpoint()
+    // to the log. The contracted graph is arrival-neighborhood-sized
+    // by construction, so the steady-state merge resolves it DRIVER-
+    // SIDE: one bounded collect + an in-memory union-find replaces the
+    // log(diameter) Spark propagation rounds (each a checkpoint + a
+    // count job) that dominated the per-arrival cost — the label
+    // semantics (component minimum) are identical. A merge whose
+    // contracted graph exceeds the cap (a backfill-scale arrival)
+    // falls back to the distributed propagation, strategy left to AQE
+    // — it must not die on a driver or broadcast ceiling.
+    val localEdges =
+      labEdges.limit(MergeDriverEdgeCap + 1).collect()
+    val (relabel, relabelEmpty) =
+      if (localEdges.length <= MergeDriverEdgeCap) {
+        val pairs = unionFindMinRelabel(localEdges.map(r =>
+          (r.getLong(0), r.getLong(1))))
+        import spark.implicits._
+        (pairs.toDF("old_lab", "new_lab"), pairs.isEmpty)
+      } else {
+        val r = Dedup.dupClusters(labEdges, col("la"), col("lb"))
+          .select(col("doc_id").as("old_lab"),
+            col("cluster").as("new_lab"))
+          .filter(col("old_lab") =!= col("new_lab"))
+          .localCheckpoint()
+        (r, r.isEmpty)
+      }
     // rows for arrival endpoints the map has never seen (their label
     // may come straight from the contracted propagation, or stay
     // themselves when their component didn't shrink below them) land
@@ -412,7 +449,7 @@ object DedupIndex {
       .select(col("d").as("doc_id"),
         coalesce(col("new_lab"), col("lab")).as("cluster"))
     newRows.write.mode("append").parquet(s"$path/clusters")
-    if (!relabel.isEmpty) {
+    if (!relabelEmpty) {
       val hasLog = StoreFiles.exists(spark, s"$path/patches")
       val seq =
         if (!hasLog) 0L
@@ -434,6 +471,43 @@ object DedupIndex {
     }
     coverage.foreach { case (docs, sig) =>
       writeClusterMapCoverage(docs, sig, path) }
+  }
+
+  /** Contracted-graph size cap for [[mergeClusterMap]]'s driver-side
+    * union-find fast path: up to this many label edges collect (≤ ~2 MB
+    * of longs) and resolve in memory; beyond it the merge falls back
+    * to the distributed propagation. Arrival-cadence merges sit far
+    * below this by construction (the contracted nodes are the labels
+    * one arrival touches); only backfill-scale merges cross it. */
+  private val MergeDriverEdgeCap = 131072
+
+  /** Min-label connected components of a local edge list via
+    * union-find, returned as the (old → new) relabel pairs (identity
+    * rows dropped) — exactly [[Dedup.dupClusters]]' contract on the
+    * contracted graph: every node labels to its component minimum. */
+  private def unionFindMinRelabel(
+      edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      // union toward the smaller root: the root IS the running
+      // component minimum, so no second min pass is needed
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+    edges.foreach { case (a, b) => nodes += a; nodes += b }
+    nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
+      .toSeq
   }
 
   def nearDupAgainstIndex(spark: SparkSession, batch: DataFrame,

@@ -43,7 +43,7 @@ import org.apache.spark.sql.functions._
   */
 object FingerprintIndex {
 
-  /** Default partition fan-out of `bands/`: 64 directories keeps the
+  /** At-scale partition fan-out of `bands/`: 64 directories keeps the
     * store flat-cap-friendly while giving narrow probes a real
     * directory lever — at small radii (c = 1, e.g. 4 combinations at
     * radius 3) a single-doc probe touches ≤ 4 of the 64 directories.
@@ -54,8 +54,20 @@ object FingerprintIndex {
     * 16-byte band scan as the floor. Deployments probing single-doc /
     * small arrivals at wide radii can raise the fan-out at build time
     * (`pfxBuckets`); the value is meta-pinned like the radius, so
-    * probes always derive prefixes under the store's own constant. */
+    * probes always derive prefixes under the store's own constant.
+    *
+    * The build DEFAULT is scale-adaptive ([[adaptiveBuckets]]): small
+    * corpora take 8 directories, 100k+ take the full 64 — a 64-way
+    * fan-out on a few thousand signatures writes 64 near-empty files
+    * per table and pushes every read past the 32-path parallel-listing
+    * threshold (one distributed listing JOB per scan), costing more
+    * than the pruning saves. Probes are unaffected either way: they
+    * read the fan-out from meta. */
   val BandPfxBuckets = 64
+
+  /** The scale-adaptive build default — see [[BandPfxBuckets]]. */
+  private def adaptiveBuckets(nSigs: Long): Int =
+    if (nSigs < 100000L) 8 else BandPfxBuckets
 
   // batch_id is reserved too: the batch-keyed layout writes it as a
   // partition column, and a same-named attr would silently be
@@ -116,7 +128,7 @@ object FingerprintIndex {
   def writeHammingIndex(sigs0: DataFrame, id: Column, sig: Column,
       path: String, maxHamming: Int, attrs: Seq[Column] = Nil,
       batchKeyed: Boolean = false,
-      pfxBuckets: Int = BandPfxBuckets): Unit = {
+      pfxBuckets: Int = 0): Unit = {
     // the band-row count per signature is C(maxHamming + c, c): radius
     // 16 is 4,845 rows/doc (the exact-recall price, heavy but
     // servable); radius 20 would be 53,130 and radius 32 ~77M — a
@@ -125,18 +137,25 @@ object FingerprintIndex {
     require(maxHamming >= 0 && maxHamming <= 16,
       s"need 0 <= maxHamming <= 16 (band rows per signature grow as " +
         s"C(maxHamming+c, c) — 4,845 at 16, 53,130 at 20), got $maxHamming")
-    require(pfxBuckets >= 1 && pfxBuckets <= 4096,
-      s"need 1 <= pfxBuckets <= 4096, got $pfxBuckets")
+    // 0 = the scale-adaptive default (sized from the corpus below);
+    // an explicit value pins the fan-out, as before
+    require(pfxBuckets == 0 || (pfxBuckets >= 1 && pfxBuckets <= 4096),
+      s"need 1 <= pfxBuckets <= 4096 (or 0 = adaptive), got $pfxBuckets")
     val sigs = sigs0
       .select(id.cast("long").as("doc_id") +: sig.as("sh") +: attrs: _*)
       .localCheckpoint(eager = false)
     checkAttrs(sigs)
+    // the count doubles as the lazy checkpoint's materialization — the
+    // writes below reuse the checkpointed rows, so sizing the fan-out
+    // costs no extra corpus scan
+    val buckets =
+      if (pfxBuckets != 0) pfxBuckets else adaptiveBuckets(sigs.count())
     if (batchKeyed)
       sigs.withColumn("batch_id", lit(-1L))
         .write.mode("overwrite").partitionBy("batch_id")
         .parquet(s"$path/sigs")
     else sigs.write.mode("overwrite").parquet(s"$path/sigs")
-    val banded = bandedOf(sigs, maxHamming, pfxBuckets)
+    val banded = bandedOf(sigs, maxHamming, buckets)
       .repartition(col("bpfx"))
       .sortWithinPartitions(col("block_idx"), col("block_val"))
     if (batchKeyed)
@@ -145,7 +164,7 @@ object FingerprintIndex {
         .parquet(s"$path/bands")
     else banded.write.mode("overwrite").partitionBy("bpfx")
       .parquet(s"$path/bands")
-    sigs.sparkSession.createDataFrame(Seq((maxHamming, pfxBuckets)))
+    sigs.sparkSession.createDataFrame(Seq((maxHamming, buckets)))
       .toDF("max_hamming", "pfx_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
   }

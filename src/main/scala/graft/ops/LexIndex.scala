@@ -45,11 +45,24 @@ import org.apache.spark.sql.functions._
   * verbatim). */
 object LexIndex {
 
-  /** Prefix partition key: "x" + first 2 term-md5 hex chars (the letter
-    * guard keeps Hive partition-type inference string-stable, same as
-    * [[DedupIndex]]'s fingerprint prefixes). */
-  private def tpfx(term: Column): Column =
-    concat(lit("x"), substring(md5(term), 1, 2))
+  /** Prefix partition key: "x" + first `width` term-md5 hex chars (the
+    * letter guard keeps Hive partition-type inference string-stable,
+    * same as [[DedupIndex]]'s fingerprint prefixes). The width is
+    * chosen at build time from the corpus size
+    * ([[StoreFiles.pfxWidthFor]] — 16 directories small, 256 at scale;
+    * a small store carved into 256 × 3 near-empty sub-table
+    * directories pays more in listings and file opens than the
+    * pruning saves) and inferred from the directory names on every
+    * other path, so probes always derive prefixes under the width the
+    * store was written with. */
+  private def tpfx(term: Column, width: Int): Column =
+    concat(lit("x"), substring(md5(term), 1, width))
+
+  /** The store's built prefix width, from its postings directory names
+    * (2 when absent — the pre-adaptive constant, so legacy stores keep
+    * pruning exactly as built). One driver-side listing, no job. */
+  private def storedTpfxWidth(spark: SparkSession, path: String): Int =
+    StoreFiles.prefixWidth(spark, s"$path/postings", "tpfx").getOrElse(2)
 
   /** Build + persist the index: ONE corpus tokenization feeds both the
     * postings table and the stats sidecar. The pre-write
@@ -118,18 +131,18 @@ object LexIndex {
   /** Doc-level columns (doc_id, dl, any attrs) carry through the
     * explode onto every posting row; they are functionally dependent
     * on doc_id, so widening the group-by keys changes no counts. */
-  private def postingsOf(toks: DataFrame): DataFrame = {
+  private def postingsOf(toks: DataFrame, width: Int): DataFrame = {
     val docCols = toks.columns.filter(_ != "toks").map(col).toSeq
     toks.select(docCols :+ explode(col("toks")).as("term"): _*)
       .groupBy(col("term") +: docCols: _*)
       .agg(count(lit(1)).as("tf"))
-      .withColumn("tpfx", tpfx(col("term")))
+      .withColumn("tpfx", tpfx(col("term"), width))
   }
 
   /** Position rows carry the doc attrs too (dl stays postings-only —
     * phrase matching never needs it), so a filtered phrase probe
     * prunes candidates in its own positions scan. */
-  private def positionsOf(toks: DataFrame): DataFrame = {
+  private def positionsOf(toks: DataFrame, width: Int): DataFrame = {
     val attrCols = toks.columns
       .filterNot(c => c == "doc_id" || c == "toks" || c == "dl")
       .map(col).toSeq
@@ -137,7 +150,7 @@ object LexIndex {
         posexplode(col("toks")).as(Seq("pos", "term")) +: attrCols: _*)
       .select(col("term") +: col("doc_id") +:
         col("pos").cast("long").as("pos") +: attrCols: _*)
-      .withColumn("tpfx", tpfx(col("term")))
+      .withColumn("tpfx", tpfx(col("term"), width))
   }
 
   private def statsOf(toks: DataFrame): DataFrame =
@@ -165,6 +178,13 @@ object LexIndex {
     val fresh = !StoreFiles.exists(spark, s"$path/postings")
     val writeDf = mode == "overwrite" || fresh ||
       StoreFiles.exists(spark, s"$path/df")
+    // fan-out: a fresh build sizes it from the corpus (one
+    // column-pruned count); an append derives the built width from the
+    // store's own directory names so the layouts can never mix
+    val width =
+      if (mode == "overwrite" || fresh)
+        StoreFiles.pfxWidthFor(docs.count())
+      else storedTpfxWidth(spark, path)
     val toks = tokenized(docs, id, text, attrs)
     // the postings frame feeds two writes (rows + df partial): the lazy
     // checkpoint materializes it once at the first write. The df
@@ -174,14 +194,14 @@ object LexIndex {
     // [[compactBm25Index]] recount), whereas postings-first would
     // leave terms whose rows exist but whose df is missing, and the
     // probe's inner df join would silently drop those documents.
-    val post = postingsOf(toks).localCheckpoint(eager = false)
+    val post = postingsOf(toks, width).localCheckpoint(eager = false)
     if (writeDf)
       dfOf(post).repartition(col("tpfx"))
         .write.mode(mode).partitionBy("tpfx").parquet(s"$path/df")
     post.repartition(col("tpfx"))
       .write.mode(mode).partitionBy("tpfx").parquet(s"$path/postings")
     if (positions)
-      positionsOf(toks).repartition(col("tpfx"))
+      positionsOf(toks, width).repartition(col("tpfx"))
         .write.mode(mode).partitionBy("tpfx").parquet(s"$path/positions")
     statsOf(toks).write.mode(mode).parquet(s"$path/stats")
     post
@@ -206,7 +226,9 @@ object LexIndex {
       path: String, positions: Boolean = false,
       attrs: Seq[Column] = Nil): Unit = {
     val toks = tokenized(docs, id, text, attrs)
-    val post = postingsOf(toks).localCheckpoint(eager = false)
+    // fresh overwrite: fan-out sized from the corpus (adaptive width)
+    val width = StoreFiles.pfxWidthFor(docs.count())
+    val post = postingsOf(toks, width).localCheckpoint(eager = false)
     // df FIRST — the [[writeBatch]] crash ordering: postings-first
     // would leave NEW postings paired with the OLD sidecar's partials
     // (silently wrong idf, dropped new-vocabulary terms). NOTE an
@@ -222,7 +244,7 @@ object LexIndex {
       .write.mode("overwrite").partitionBy("batch_id", "tpfx")
       .parquet(s"$path/postings")
     if (positions)
-      positionsOf(toks).withColumn("batch_id", lit(-1L))
+      positionsOf(toks, width).withColumn("batch_id", lit(-1L))
         .repartition(col("tpfx"))
         .write.mode("overwrite").partitionBy("batch_id", "tpfx")
         .parquet(s"$path/positions")
@@ -245,13 +267,19 @@ object LexIndex {
     // stream-only store creates it with its first batch
     val fresh = !StoreFiles.exists(spark, s"$path/postings")
     val writeDf = fresh || StoreFiles.exists(spark, s"$path/df")
+    // a stream-only store sizes its fan-out from its FIRST batch (the
+    // one count this put ever pays); later puts infer the built width
+    // from the directory names — one driver listing, no job
+    val width =
+      if (fresh) StoreFiles.pfxWidthFor(batch.count())
+      else storedTpfxWidth(spark, path)
     val toks = tokenized(batch, id, text, attrs)
     def put(df: DataFrame, dir: String, pcols: Seq[String]): Unit =
       df.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(pcols: _*).parquet(dir)
-    val post = postingsOf(toks).localCheckpoint(eager = false)
+    val post = postingsOf(toks, width).localCheckpoint(eager = false)
     // df FIRST — the [[writeBatch]] crash ordering: a crash between
     // the two writes on a df-carrying store must leave df merely
     // over-counted for this batch's terms (benign staleness; the
@@ -265,7 +293,7 @@ object LexIndex {
     put(post.repartition(col("tpfx")),
       s"$path/postings", Seq("batch_id", "tpfx"))
     if (StoreFiles.exists(spark, s"$path/positions"))
-      put(positionsOf(toks).repartition(col("tpfx")),
+      put(positionsOf(toks, width).repartition(col("tpfx")),
         s"$path/positions", Seq("batch_id", "tpfx"))
     put(statsOf(toks), s"$path/stats", Seq("batch_id"))
   }
@@ -576,7 +604,7 @@ object LexIndex {
       term: Column, k: Int, k1: Double = 1.2, b: Double = 0.75,
       attrFilter: Option[Column] = None): DataFrame = {
     val tq = terms.select(term.as("term")).distinct()
-      .withColumn("tpfx", tpfx(col("term")))
+      .withColumn("tpfx", tpfx(col("term"), storedTpfxWidth(spark, path)))
       .localCheckpoint(eager = false)
     val pfxs = tq.select(col("tpfx")).distinct().collect()
       .map(_.getString(0)).toSeq
@@ -645,7 +673,7 @@ object LexIndex {
         term.as("term")).distinct()
       .localCheckpoint() // read once, serve prefixes + fan-out
     val tq = qt.select(col("term")).distinct()
-      .withColumn("tpfx", tpfx(col("term")))
+      .withColumn("tpfx", tpfx(col("term"), storedTpfxWidth(spark, path)))
       .localCheckpoint(eager = false)
     val pfxs = tq.select(col("tpfx")).distinct().collect()
       .map(_.getString(0)).toSeq
@@ -719,7 +747,7 @@ object LexIndex {
     import spark.implicits._
     val ph = phrase.zipWithIndex.map { case (w, i) => (w, i.toLong) }
       .toDF("term", "off")
-      .withColumn("tpfx", tpfx(col("term")))
+      .withColumn("tpfx", tpfx(col("term"), storedTpfxWidth(spark, path)))
       .localCheckpoint(eager = false)
     val pfxs = ph.select(col("tpfx")).distinct().collect()
       .map(_.getString(0)).toIndexedSeq
@@ -816,7 +844,7 @@ object LexIndex {
         "— over the serving-batch ceiling; split the batch into " +
         "smaller probe calls instead of one driver-sized one")
     val ph = phRows.toSeq.toDF("query_id", "term", "off")
-      .withColumn("tpfx", tpfx(col("term")))
+      .withColumn("tpfx", tpfx(col("term"), storedTpfxWidth(spark, path)))
       .localCheckpoint(eager = false)
     val pfxs = ph.select(col("tpfx")).distinct().collect()
       .map(_.getString(0)).toIndexedSeq

@@ -601,44 +601,20 @@ object Similarity {
     * unrolls numSub × codebookSize literal struct branches and its
     * generated code grows past what janino compiles quickly. */
   private[ops] def pqCodesExpr(v4: Column,
-      codebook: Array[Array[Array[Double]]]): Column = {
-    val subDim = codebook(0)(0).length
-    array(codebook.indices.map { m =>
-      val sub = slice(v4, m * subDim + 1, subDim)
-      val sumSq = dot(sub, sub)
-      val cands = array(codebook(m).indices.map { c =>
-        val cb = codebook(m)(c)
-        val dist = sumSq - lit(2.0) * dot(sub, lit(cb)) +
-          lit(cb.map(x => x * x).sum)
-        struct(dist.as("d"), lit(c).as("i"))
-      }: _*)
-      array_min(cands).getField("i")
-    }: _*)
-  }
+      codebook: Array[Array[Array[Double]]]): Column =
+    graft.functions.VectorExpressions.pqEncode(v4, codebook)
 
-  /** [[pqCodesExpr]] for WIDE codebooks: the candidate loop moves from
-    * unrolled literal branches into a higher-order `transform` over a
-    * literal array-of-arrays, so the plan stays O(numSub) nodes no
-    * matter the codebook width (16×64 as a when-chain is ~1024 struct
-    * branches — a janino compile measured in seconds per query). The
-    * lambda evaluates interpreted, but the encode is one build-time
-    * scan of numSub × codebookSize × subDim multiplies per row —
-    * data cost is unchanged; only the pathological codegen goes. Same
-    * exact integer math, same lower-code tiebreak (array_min on
-    * (dist, idx) structs). */
+  /** Historical alias of [[pqCodesExpr]] — the two forms existed only
+    * because the unrolled when-chain encode hit a janino compile wall
+    * on wide codebooks while the `transform`-lambda form evaluated
+    * interpreted (~26 s per 1M rows on a 16×64 book). Both are now the
+    * single native codegen'd argmin ([[graft.functions.PqArgmin]]):
+    * one tight primitive loop, any codebook width, same exact integer
+    * math and lower-code tiebreak — bit-identical codes, so every
+    * stored-bytes oracle is untouched. */
   private[ops] def pqCodesExprWide(v4: Column,
-      codebook: Array[Array[Array[Double]]]): Column = {
-    val subDim = codebook(0)(0).length
-    array(codebook.indices.map { m =>
-      val sub = slice(v4, m * subDim + 1, subDim)
-      val cbm = array(codebook(m).map(cb => lit(cb)): _*)
-      val cands = transform(cbm, (cb, i) => struct(
-        aggregate(zip_with(sub, cb, (a, b) => (a - b) * (a - b)),
-          lit(0.0d), (acc, x) => acc + x).as("d"),
-        i.as("i")))
-      array_min(cands).getField("i")
-    }: _*)
-  }
+      codebook: Array[Array[Array[Double]]]): Column =
+    pqCodesExpr(v4, codebook)
 
   /** The PQ quantization error of an already-quantized vector — the
     * sum over subspaces of the MINIMUM exact-integer distance to any
@@ -650,41 +626,12 @@ object Similarity {
     * property the drift-state sidecar relies on. Both forms compute
     * Σ(a−b)² = ‖a‖² − 2a·b + ‖b‖² in exact integer doubles, so the
     * value is form-independent. This standalone form costs one argmin
-    * pass — when codes are ALREADY at hand (an encode just ran, or
-    * the store's codes table is joinable) prefer piggybacking
-    * [[pqMinStructs]] / [[pqErrFromCodes]], which skip the min. */
+    * pass (native codegen'd — [[graft.functions.PqArgmin]]); when the
+    * store's codes table is joinable prefer [[pqErrFromCodes]], which
+    * skips the min entirely. */
   private[ops] def pqMinDistExpr(v4: Column,
-      codebook: Array[Array[Array[Double]]]): Column = {
-    val subDim = codebook(0)(0).length
-    codebook.indices.map { m =>
-      val sub = slice(v4, m * subDim + 1, subDim)
-      val cbm = array(codebook(m).map(cb => lit(cb)): _*)
-      array_min(transform(cbm, cb =>
-        aggregate(zip_with(sub, cb, (a, b) => (a - b) * (a - b)),
-          lit(0.0d), (acc, x) => acc + x)))
-    }.reduce(_ + _)
-  }
-
-  /** Per-subspace argmin (dist, code) STRUCTS of a quantized vector —
-    * the shared core the PQ encode AND its quantization error both
-    * derive from in ONE pass: `codes[m] = _ms[m].i`,
-    * `err = Σ_m _ms[m].d`. Same exact integer math and lower-code
-    * tiebreak as [[pqCodesExprWide]] (whose argmin this is, with the
-    * dist kept instead of discarded — a keepVectors build/append that
-    * computed codes and then re-ran a min for the error sidecar would
-    * pay the argmin pass twice). */
-  private[ops] def pqMinStructs(v4: Column,
-      codebook: Array[Array[Array[Double]]]): Column = {
-    val subDim = codebook(0)(0).length
-    array(codebook.indices.map { m =>
-      val sub = slice(v4, m * subDim + 1, subDim)
-      val cbm = array(codebook(m).map(cb => lit(cb)): _*)
-      array_min(transform(cbm, (cb, i) => struct(
-        aggregate(zip_with(sub, cb, (a, b) => (a - b) * (a - b)),
-          lit(0.0d), (acc, x) => acc + x).as("d"),
-        i.as("i"))))
-    }: _*)
-  }
+      codebook: Array[Array[Array[Double]]]): Column =
+    graft.functions.VectorExpressions.pqMinDist(v4, codebook)
 
   /** The PQ quantization error RE-DERIVED from stored codes — no min:
     * each subspace's distance goes straight to its assigned codeword
@@ -939,16 +886,16 @@ object Similarity {
     * index build scan 100 TB once, partition-locally. Returns
     * (bestCell, bestScore) columns via a fold over the centroids. */
   private[graft] def nearestCell(v: Column,
-      centroids: Array[(Int, Array[Double])]): Column = {
-    val scored = centroids.map { case (cell, cv) =>
-      struct(dotLit(v, cv).as("score"), lit(cell).as("cell"))
-    }
-    // greatest() on structs compares field-by-field: score first, then
-    // cell id as the deterministic tiebreak (higher cell wins ties).
-    // greatest() needs >= 2 args, so a single-centroid index short-circuits.
-    if (scored.length == 1) lit(centroids.head._1)
-    else greatest(scored.toIndexedSeq: _*).getField("cell")
-  }
+      centroids: Array[(Int, Array[Double])]): Column =
+    // the native argmax IS greatest() on (score, cell) structs: score
+    // first, then cell id as the deterministic tiebreak (higher cell
+    // wins ties) — with the centroids as a reference object instead of
+    // unrolled literals, so the generated code (and its janino
+    // compile) is shared across centroid sets. Single-centroid indexes
+    // short-circuit as before.
+    if (centroids.length == 1) lit(centroids.head._1)
+    else graft.functions.VectorExpressions.cellArgmax(v, centroids)
+      .getField("cell")
 
   /** The BEST-CELL SCORE of [[nearestCell]]'s assignment — max dot
     * against the centroid literals, the quantization-quality signal
@@ -956,11 +903,10 @@ object Similarity {
     * (1 − score is the spherical quantization error). Same fold, the
     * score field instead of the cell. */
   private[graft] def nearestCellScore(v: Column,
-      centroids: Array[(Int, Array[Double])]): Column = {
-    val scored = centroids.map { case (_, cv) => dotLit(v, cv) }
-    if (scored.length == 1) scored.head
-    else greatest(scored.toIndexedSeq: _*)
-  }
+      centroids: Array[(Int, Array[Double])]): Column =
+    if (centroids.length == 1) dotLit(v, centroids.head._2)
+    else graft.functions.VectorExpressions.cellArgmax(v, centroids)
+      .getField("score")
 
   /** IVF (inverted-file) ANN. Index build: one partition-local pass
     * assigning every vector to its nearest of `nList` sampled centroids —

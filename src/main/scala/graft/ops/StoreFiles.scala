@@ -50,6 +50,50 @@ private[graft] object StoreFiles {
       s"rename $tmp -> $dir failed; folded rows remain at $tmp")
   }
 
+  /** The character width of partition column `pcol`'s VALUES under
+    * `dir` (minus the "x" type-guard every prefix value carries),
+    * inferred from the partition directory names — ONE driver-side
+    * listing, no Spark job, no sidecar read. Descends through a
+    * leading `batch_id=` level when present (the batch-keyed layouts
+    * nest `<dir>/batch_id=N/<pcol>=xV/`). None when the directory is
+    * missing or holds no such partition yet; stores written before the
+    * adaptive-width policy used 2-char prefixes, so probe/append
+    * callers default to 2 on None — legacy layouts keep pruning
+    * exactly as built. */
+  def prefixWidth(spark: SparkSession, dir: String,
+      pcol: String): Option[Int] = {
+    val f = fs(spark, dir)
+    val root = new Path(dir)
+    if (!f.exists(root)) return None
+    val marker = pcol + "=x"
+    def widthIn(p: Path, depth: Int): Option[Int] = {
+      val dirs = f.listStatus(p).filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      dirs.collectFirst {
+        case s if s.getPath.getName.startsWith(marker) =>
+          s.getPath.getName.length - marker.length
+      }.orElse {
+        if (depth >= 1) None
+        else dirs.find(_.getPath.getName.startsWith("batch_id="))
+          .flatMap(s => widthIn(s.getPath, depth + 1))
+      }
+    }
+    widthIn(root, 0)
+  }
+
+  /** Build-time prefix width for a store holding `n` rows/docs: 1 hex
+    * char (16 directories) below 100k, 2 (256) above — the partition
+    * fan-out then SCALES with the store instead of pinning the 100 TB
+    * constant onto small corpora, where 256 directories × near-empty
+    * files cost more in listings (a > 32-path listing launches a
+    * distributed listing job per read) and per-file opens than the
+    * pruning saves. Probes and appends never call this: they infer the
+    * built width from the directory names ([[prefixWidth]]), so a
+    * store is internally consistent for life regardless of the policy
+    * the build ran under. */
+  def pfxWidthFor(n: Long): Int = if (n < 100000L) 1 else 2
+
   /** The base-fold (−1) and reserved negative-partial (−2) partitions:
     * permanent residents of a batch-keyed layout, never IN-FLIGHT
     * batches — compaction policies must not count them, or the

@@ -109,8 +109,14 @@ object StoreManifest {
           (1L until generation).count(g => dirExists(s"$store/gens/g$g"))
       }
     def p(sub: String) = s"$root/$sub"
+    // schema reads are memoized per sub-table: a classification asks
+    // for the stage-1 columns twice (attrs + batch_keyed), and each
+    // read re-lists the table's partition directories — on a 64-way
+    // band fan-out that is a distributed listing job per call
+    val colsMemo = scala.collection.mutable.Map.empty[String, Seq[String]]
     def cols(sub: String): Seq[String] =
-      spark.read.parquet(p(sub)).columns.toIndexedSeq
+      colsMemo.getOrElseUpdate(sub,
+        spark.read.parquet(p(sub)).columns.toIndexedSeq)
     // the single-row sidecar, stringified field-by-field
     def sidecar(sub: String): Map[String, String] =
       if (!subs.contains(sub)) Map.empty
