@@ -219,8 +219,21 @@ object DedupIndex {
     pairs.select(a.as("doc_a"), b.as("doc_b"))
       .write.mode("overwrite").parquet(s"$path/pairs")
     val stored = spark.read.parquet(s"$path/pairs")
-    Dedup.dupClusters(stored, col("doc_a"), col("doc_b"))
-      .write.mode("overwrite").parquet(s"$path/clusters")
+    // small edge sets (the count is a parquet-metadata read — the
+    // pairs just landed on disk, so probing the size re-runs no pair
+    // generation) resolve with the driver-side union-find instead of
+    // the iterative propagation's per-round checkpoint + count jobs;
+    // past the cap, the distributed loop runs unchanged. Labels are
+    // identical either way (component minimum for every paired doc).
+    val labels =
+      if (stored.count() <= MergeDriverEdgeCap) {
+        val edges = stored.collect()
+          .map(r => (r.get(0).asInstanceOf[Number].longValue,
+            r.get(1).asInstanceOf[Number].longValue))
+        import spark.implicits._
+        unionFindLabels(edges).toDF("doc_id", "cluster")
+      } else Dedup.dupClusters(stored, col("doc_a"), col("doc_b"))
+    labels.write.mode("overwrite").parquet(s"$path/clusters")
     // a full rebuild resets the relabel-patch log: stale patches over
     // a fresh base would relabel components that no longer exist
     StoreFiles.delete(spark, s"$path/patches")
@@ -429,7 +442,8 @@ object DedupIndex {
     val (relabel, relabelEmpty) =
       if (localEdges.length <= MergeDriverEdgeCap) {
         val pairs = unionFindMinRelabel(localEdges.map(r =>
-          (r.getLong(0), r.getLong(1))))
+          (r.get(0).asInstanceOf[Number].longValue,
+            r.get(1).asInstanceOf[Number].longValue)))
         import spark.implicits._
         (pairs.toDF("old_lab", "new_lab"), pairs.isEmpty)
       } else {
@@ -482,10 +496,11 @@ object DedupIndex {
   private val MergeDriverEdgeCap = 131072
 
   /** Min-label connected components of a local edge list via
-    * union-find, returned as the (old → new) relabel pairs (identity
-    * rows dropped) — exactly [[Dedup.dupClusters]]' contract on the
-    * contracted graph: every node labels to its component minimum. */
-  private def unionFindMinRelabel(
+    * union-find — exactly [[Dedup.dupClusters]]' contract: every node
+    * appearing in an edge labels to its component minimum. Returns
+    * (node, label) for ALL nodes; [[unionFindMinRelabel]] keeps the
+    * non-identity rows. */
+  private def unionFindLabels(
       edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
@@ -506,9 +521,14 @@ object DedupIndex {
     }
     val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
     edges.foreach { case (a, b) => nodes += a; nodes += b }
-    nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2)
-      .toSeq
+    nodes.iterator.map(n => (n, find(n))).toSeq
   }
+
+  /** [[unionFindLabels]] cut to the (old → new) relabel pairs the
+    * merge's patch log records (identity rows dropped). */
+  private def unionFindMinRelabel(
+      edges: Array[(Long, Long)]): Seq[(Long, Long)] =
+    unionFindLabels(edges).filter(p => p._1 != p._2)
 
   def nearDupAgainstIndex(spark: SparkSession, batch: DataFrame,
       id: Column, text: Column, path: String,
