@@ -361,6 +361,134 @@ case class PqArgmin(child: Expression, numSub: Int, cbSize: Int,
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Codegen'd L2-NORMALIZE of a float/double vector — the single most
+  * shared primitive in the engine: every similarity operator, every
+  * store build/append and every probe normalizes its vectors first.
+  * The declarative form
+  * (`transform(d, x => x / sqrt(vec_dot(d, d)))` with
+  * `d = transform(vec, _.cast("double"))`) evaluates TWO interpreted
+  * higher-order lambdas per row, and the norm subexpression rides
+  * inside the second lambda — measured at ~0.35 s per 2,000-row pass
+  * (64-dim) against ~0.06 s for the native dot on the same frame, a
+  * ~6× interpreted tax on the hottest path in the engine (at 100 TB
+  * this is the difference between normalizing an ingest at scan speed
+  * and paying an interpreter per element).
+  *
+  * Exactness contract (what keeps every oracle hash untouched): the
+  * element cast is the plain `(double)` widening the `cast("double")`
+  * form runs; the norm is `sqrt` of the ascending-index sum of
+  * squares — the identical IEEE op sequence as [[DotProduct]]'s fold;
+  * each output element is `d_i / norm` — including the ANSI
+  * divide-by-zero ERROR a zero vector raises (Spark 4 runs ANSI by
+  * default, so the `transform` form throws there too; an
+  * all-zero embedding surfaces loudly, never as a quiet NaN row; an
+  * EMPTY vector stays an empty array — no element, no division, the
+  * `transform` behavior). Null semantics mirror the
+  * declarative composition exactly: a null vector yields null; a null
+  * ELEMENT nulls the norm (the [[DotProduct]] contract), which in the
+  * `transform` form nulls EVERY output element — so the native form
+  * returns an all-null array of the input length, never a partial
+  * normalize. */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.FloatType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType |
+          org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"l2_normalize needs array<float> or array<double>, got " +
+              other.catalogString)
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    DoubleType, containsNull = true)
+  override def prettyName: String = "l2_normalize"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val isF = elemIsFloat
+    var i = 0
+    var anyNull = false
+    while (i < n && !anyNull) {
+      if (x.isNullAt(i)) anyNull = true
+      i += 1
+    }
+    val out = new Array[Any](n)
+    if (!anyNull) {
+      var s = 0.0
+      i = 0
+      while (i < n) {
+        val d = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+        s += d * d
+        i += 1
+      }
+      val norm = math.sqrt(s)
+      if (n > 0 && norm == 0.0)
+        throw org.apache.spark.sql.GraftShims.divideByZeroError()
+      i = 0
+      while (i < n) {
+        val d = if (isF) x.getFloat(i).toDouble else x.getDouble(i)
+        out(i) = d / norm
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val nrm = ctx.freshName("nrm")
+      val anyNull = ctx.freshName("anyNull")
+      val out = ctx.freshName("out")
+      def get(idx: String) =
+        if (elemIsFloat) s"(double) $a.getFloat($idx)"
+        else s"$a.getDouble($idx)"
+      s"""
+        final int $n = $a.numElements();
+        boolean $anyNull = false;
+        for (int $i = 0; $i < $n && !$anyNull; $i++) {
+          if ($a.isNullAt($i)) { $anyNull = true; }
+        }
+        final Object[] $out = new Object[$n];
+        if (!$anyNull) {
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            final double $d = ${get(i)};
+            $s += $d * $d;
+          }
+          final double $nrm = Math.sqrt($s);
+          if ($n > 0 && $nrm == 0.0) {
+            throw org.apache.spark.sql.GraftShims.divideByZeroError();
+          }
+          for (int $i = 0; $i < $n; $i++) {
+            $out[$i] = ${get(i)} / $nrm;
+          }
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** Codegen'd BEST-CENTROID argmax over a frozen centroid set — the
   * assignment core of every literal-centroid operator (IVF cell
   * assignment, spherical k-means iterations, the drift monitor's
@@ -463,6 +591,12 @@ object VectorExpressions {
   def vecDot(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Codegen'd L2-normalize of an `array<float>`/`array<double>` vector
+    * — see [[L2Normalize]] for the bit-exactness contract vs the
+    * declarative `transform`/`sqrt(vec_dot)` composition. */
+  def l2normalize(v: Column): Column =
+    GraftShims.column(L2Normalize(GraftShims.expression(v)))
 
   /** Codegen'd best-centroid struct<score, cell> of an `array<double>`
     * vector against a centroid set carried as a reference object —

@@ -26,12 +26,15 @@ object Similarity {
     graft.functions.VectorExpressions.vecDot(a, b)
 
   /** Cast a float vector to double and L2-normalize it. Normalizing once
-    * at ingest makes every later similarity a plain dot product. */
-  def l2Normalize(vec: Column): Column = {
-    val d = transform(vec, x => x.cast("double"))
-    val norm = sqrt(graft.functions.VectorExpressions.vecDot(d, d))
-    transform(d, x => x / norm)
-  }
+    * at ingest makes every later similarity a plain dot product. A native
+    * Catalyst expression with `doGenCode`
+    * (graft.functions.L2Normalize) — the declarative
+    * `transform(d, x => x / sqrt(vecDot(d, d)))` form evaluates two
+    * interpreted lambdas per row (~6× the native cost on this, the
+    * single most shared primitive in the engine); bit-equal by the
+    * expression's exactness contract. */
+  def l2Normalize(vec: Column): Column =
+    graft.functions.VectorExpressions.l2normalize(vec)
 
   /** Brute-force cosine scores of every corpus vector against one query
     * vector (given as a 1-row DataFrame with column `qv`, pre-normalized).

@@ -279,6 +279,65 @@ class OpsSpec extends AnyFunSuite {
     assert(viaSql == 11.0)
   }
 
+  test("l2_normalize: native expression is bit-equal to the declarative HOF form") {
+    import spark.implicits._
+    def declarative(vec: org.apache.spark.sql.Column) = {
+      val d = transform(vec, x => x.cast("double"))
+      val norm = sqrt(graft.functions.VectorExpressions.vecDot(d, d))
+      transform(d, x => x / norm)
+    }
+    // float input (the parquet embedding type), incl. an empty array
+    // (no element, no division — stays empty, no ANSI error)
+    val f = Seq(
+      (1L, Array(1.0f, -2.0f, 3.5f, 0.25f)),
+      (3L, Array.empty[Float]),
+      (4L, Array(7.25f))).toDF("id", "v")
+    val both = f.select(col("id"),
+      graft.functions.VectorExpressions.l2normalize(col("v")).as("nat"),
+      declarative(col("v")).as("dec"))
+    assert(both.schema("nat").dataType == both.schema("dec").dataType)
+    both.collect().foreach { r =>
+      val (nat, dec) = (r.getSeq[Any](1), r.getSeq[Any](2))
+      assert(nat.length == dec.length, s"id=${r.getLong(0)}")
+      nat.zip(dec).foreach { case (a, b) =>
+        // bit-level equality, NaN included (0-vector rows divide by 0)
+        assert(java.lang.Double.doubleToLongBits(a.asInstanceOf[Double]) ==
+          java.lang.Double.doubleToLongBits(b.asInstanceOf[Double]),
+          s"id=${r.getLong(0)}: $a != $b")
+      }
+    }
+    // double input (re-normalize path) — same equality
+    val d = Seq((1L, Array(0.125, -3.0, 9.75))).toDF("id", "v")
+    val bd = d.select(
+      graft.functions.VectorExpressions.l2normalize(col("v")).as("nat"),
+      declarative(col("v")).as("dec")).head()
+    assert(bd.getSeq[Double](0) == bd.getSeq[Double](1))
+    // null vector -> null; null ELEMENT -> all-null array of input length
+    // (the norm nulls, which nulls every transform output element)
+    val n = Seq((1L, null: Array[java.lang.Double]),
+      (2L, Array[java.lang.Double](1.0, null, 3.0)))
+      .toDF("id", "v")
+    val rows = n.select(col("id"),
+      graft.functions.VectorExpressions.l2normalize(col("v")).as("nat"),
+      declarative(col("v")).as("dec")).orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(rows(1).getSeq[Any](1) == Seq(null, null, null))
+    assert(rows(1).getSeq[Any](1) == rows(1).getSeq[Any](2))
+    // a zero vector raises the same ANSI divide-by-zero the
+    // declarative transform form raises (Spark 4 default) — loud,
+    // never a quiet NaN row
+    val z = Seq((1L, Array(0.0, 0.0))).toDF("id", "v")
+    val eNat = intercept[Exception] {
+      z.select(graft.functions.VectorExpressions.l2normalize(col("v")))
+        .collect()
+    }
+    val eDec = intercept[Exception] {
+      z.select(declarative(col("v"))).collect()
+    }
+    assert(eNat.getMessage.contains("DIVIDE_BY_ZERO") &&
+      eDec.getMessage.contains("DIVIDE_BY_ZERO"))
+  }
+
   test("signature aggregates and winnow are SQL-registered via extensions") {
     Seq(graft.GraftExtensions.minhashDescriptor,
       graft.GraftExtensions.simhashDescriptor,
