@@ -49,8 +49,16 @@ object Maintenance {
     * triggering signals (empty for none). The frame is
     * manifest-derived, so its cost class is the manifest's (explicit
     * operator — not a per-micro-batch trigger). */
-  def plan(spark: SparkSession, root: String): DataFrame = {
-    val m = StoreManifest.manifest(spark, root)
+  def plan(spark: SparkSession, root: String): DataFrame =
+    plan(StoreManifest.manifest(spark, root))
+
+  /** [[plan]] over an ALREADY-BUILT manifest frame — the reuse seam for
+    * callers that read registry signals AND dispatch off the same walk
+    * (one manifest walk instead of two; the walk is the operator's
+    * whole cost: per-store directory listings + footer reads). The
+    * caller owns freshness: the plan reflects store state AS OF the
+    * manifest's walk. */
+  def plan(m: DataFrame): DataFrame = {
     val reasons = array_compact(array(
       when(col("tombstone_rows") > 0,
         concat(col("tombstone_rows").cast("string"),
@@ -79,8 +87,9 @@ object Maintenance {
     * return the executed plan. The collect is bounded by construction:
     * one row per child directory of `root` — the manifest's own walk
     * size, not data-sized. */
-  def applyPlan(spark: SparkSession, root: String): DataFrame = {
-    val p = plan(spark, root).localCheckpoint()
+  def applyPlan(spark: SparkSession, root: String,
+      manifest: Option[DataFrame] = None): DataFrame = {
+    val p = manifest.fold(plan(spark, root))(plan).localCheckpoint()
     p.filter(col("action") === "compact")
       .select(col("store"), col("family")).collect()
       .foreach { r =>

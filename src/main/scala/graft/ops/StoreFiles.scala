@@ -50,6 +50,33 @@ private[graft] object StoreFiles {
       s"rename $tmp -> $dir failed; folded rows remain at $tmp")
   }
 
+  /** Total row count of the parquet files under `dir` — pure FOOTER
+    * reads on the driver (one metadata read per file, no Spark job).
+    * The manifest/health registry's count-shaped signals (tombstone
+    * rows, pending patches, nList) live in tiny tables whose
+    * `.count()` still pays a full job launch each; the parquet footer
+    * carries the exact row count, so the walk reads it directly —
+    * equal to `.count()` by the parquet contract. Recurses through
+    * partition directories; `_`/`.`-prefixed names skipped (the
+    * reader's own hidden-file convention). */
+  def parquetRowCount(spark: SparkSession, dir: String): Long = {
+    val f = fs(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def walk(p: Path): Long =
+      f.listStatus(p).map { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) 0L
+        else if (s.isDirectory) walk(s.getPath)
+        else if (n.endsWith(".parquet")) {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(s, conf))
+          try r.getRecordCount finally r.close()
+        } else 0L
+      }.sum
+    walk(new Path(dir))
+  }
+
   /** The character width of partition column `pcol`'s VALUES under
     * `dir` (minus the "x" type-guard every prefix value carries),
     * inferred from the partition directory names — ONE driver-side

@@ -127,8 +127,10 @@ object StoreManifest {
             .map { case (c, i) => c -> String.valueOf(r.get(i)) }.toMap
         }
       }
+    // count-shaped signals read parquet FOOTERS driver-side (equal to
+    // .count() by the parquet contract) — no job launch per signal
     def count(sub: String): String =
-      spark.read.parquet(p(sub)).count().toString
+      StoreFiles.parquetRowCount(spark, p(sub)).toString
     // codebook shape: (numSub, codebookSize) from the max indices
     def codebookMeta: Map[String, String] = {
       val r = spark.read.parquet(p("codebook"))
@@ -147,10 +149,10 @@ object StoreManifest {
         has_tombstones = tombSub.nonEmpty,
         generation = generation,
         tombstone_rows = tombSub.fold(0L)(t =>
-          spark.read.parquet(p(t)).count()),
+          StoreFiles.parquetRowCount(spark, p(t))),
         pending_patches =
           if (subs.contains("patches"))
-            spark.read.parquet(p("patches")).count()
+            StoreFiles.parquetRowCount(spark, p("patches"))
           else 0L,
         has_drift_state = subs.contains("errstate"),
         dead_generations = deadGens)
