@@ -3286,11 +3286,14 @@ object PipelineQueries {
       col("doc_id"))
     // the registry's pre-sweep deletion signal — SQL-derivable, so it
     // rides in the oracle row (the patch-row count is layout-internal
-    // and stays spec-side)
-    val tombBefore = graft.ops.StoreManifest.manifest(s, root)
-      .filter(col("store") === "fp")
+    // and stays spec-side). ONE manifest walk serves both the signal
+    // read and the sweep's plan (no store mutates in between — the
+    // Maintenance.plan(manifest) freshness contract); the post-sweep
+    // residual re-plan below still re-walks, as it must.
+    val pre = graft.ops.StoreManifest.manifest(s, root)
+    val tombBefore = pre.filter(col("store") === "fp")
       .select(col("tombstone_rows")).head().getLong(0)
-    val swept = graft.ops.Maintenance.applyPlan(s, root)
+    val swept = graft.ops.Maintenance.applyPlan(s, root, Some(pre))
     val compacted =
       swept.filter(col("action") === "compact").count()
     val residual = graft.ops.Maintenance.plan(s, root)
@@ -3405,19 +3408,31 @@ object PipelineQueries {
       val cents = s.read.parquet(s"$root/centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
         .sortBy { case (cell, _) => cell }
-      val sizes = s.read.parquet(s"$root/$sizesSub")
+      // avg_cand folds DRIVER-side from two bounded collects — the
+      // per-cell sizes (≤ nList rows) and the probed (query, cell)
+      // pairs (|queries| × nProbe rows); the former inner join +
+      // aggregate + crossJoin cost ~4 exchanges per phase on frames
+      // this small. The cell ranking itself stays IN Spark
+      // (probeCellRanks — the oracle-pinned dot/tiebreak arithmetic);
+      // only the trivial join-sum-divide-round moves, replicated
+      // bit-exactly: long sum over the size-matched pairs, distinct
+      // query count over the same, double divide, Spark's own Round
+      // (via round(lit)) for the HALF_UP grid.
+      val sizeByCell = s.read.parquet(s"$root/$sizesSub")
         .groupBy(col("cell")).agg(count(lit(1)).as("n_in_cell"))
-      val scanned = Similarity.probeCellRanks(queries, col("vec_id"),
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val probed = Similarity.probeCellRanks(queries, col("vec_id"),
           col("embedding"), cents)
         .filter(col("crk") <= 4)
-        .join(sizes, Seq("cell"))
-        .agg((sum(col("n_in_cell")) / countDistinct(col("query_id")))
-          .as("avg_cand"))
+        .select(col("query_id"), col("cell")).collect()
+        .filter(r => sizeByCell.contains(r.getInt(1)))
+      val candSum = probed.map(r => sizeByCell(r.getInt(1))).sum
+      val nProbeQ = probed.map(_.getLong(0)).distinct.length
+      val avgCand = candSum.toDouble / nProbeQ.toDouble
       recallRow(truth, probe(path, queries))
-        .crossJoin(broadcast(scanned))
         .select(lit(phase).as("phase"), col("k"), col("n_queries"),
           col("n_hit"), col("recall"),
-          round(col("avg_cand"), 4).as("avg_cand"))
+          round(lit(avgCand), 4).as("avg_cand"))
         .localCheckpoint()
     }
     val before = phaseRow("before_retrain")
