@@ -760,17 +760,17 @@ object AnnIndex {
     // spec-pinned across the whole lifecycle), so the per-arrival call
     // costs ONE batch scan; stores from before the sidecar fall back
     // to the recompute scan and upgrade at their next compact
-    val stored = readErrState(spark, root) match {
-      case Some((n, s)) =>
-        spark.createDataFrame(Seq((n, s)))
-          .toDF("n_stored", "stored_sum_e6")
-      case None => errSum(
-        dropTombstoned(spark, root,
-          spark.read.parquet(
-              s"$root/" + (if (StoreFiles.exists(spark,
-                s"$root/vectors")) "vectors" else "index"))
-            .select(col("vec_id"), col("v"))),
-        "n_stored", "stored_sum_e6")
+    val (ns, ss) = readErrState(spark, root) match {
+      case Some((n, s)) => (n, Option(s))
+      case None =>
+        val r = errSum(
+          dropTombstoned(spark, root,
+            spark.read.parquet(
+                s"$root/" + (if (StoreFiles.exists(spark,
+                  s"$root/vectors")) "vectors" else "index"))
+              .select(col("vec_id"), col("v"))),
+          "n_stored", "stored_sum_e6").head()
+        (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
     }
     // each family's batch vectors enter the SAME space its stored
     // side lives in: normalized for the spherical error, the q4 grid
@@ -779,12 +779,22 @@ object AnnIndex {
       batch.select(id.as("vec_id"),
         (if (trained) Similarity.l2Normalize(vec)
          else Similarity.pqQ4(vec)).as("v")),
-      "n_batch", "batch_sum_e6")
-    stored.crossJoin(b)
-      .select(col("n_stored"), col("stored_sum_e6"), col("n_batch"),
-        col("batch_sum_e6"),
-        round((col("batch_sum_e6") * lit(1.0) / col("n_batch")) /
-          (col("stored_sum_e6") * lit(1.0) / col("n_stored")), 4)
+      "n_batch", "batch_sum_e6").head()
+    val (nb, bs) =
+      (b.getLong(0), if (b.isNullAt(1)) None else Some(b.getLong(1)))
+    // the one-row result is a LOCAL relation of literals with the
+    // ratio computed by the SAME Spark expressions as before (an
+    // empty batch's null sum still nulls the ratio, a zero stored
+    // mean still divides identically) — the monitor's whole cost is
+    // the ONE batch-scan job above; callers' head() launches nothing
+    def optLong(v: Option[Long]) =
+      v.fold(lit(null).cast("long"))(x => lit(x))
+    import spark.implicits._
+    Seq(1).toDF("one")
+      .select(lit(ns).as("n_stored"), optLong(ss).as("stored_sum_e6"),
+        lit(nb).as("n_batch"), optLong(bs).as("batch_sum_e6"),
+        round((optLong(bs) * lit(1.0) / lit(nb)) /
+          (optLong(ss) * lit(1.0) / lit(ns)), 4)
           .as("drift_ratio"))
   }
 
