@@ -2684,6 +2684,7 @@ object PipelineQueries {
     * probing fewer tables is just a tighter partition filter
     * ([[graft.ops.AnnIndex.lshMultiKnnJoinIndexed]] `tables`). */
   def lshMultiTableGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e = t(s, dir, "embeddings")
     val path = lshMultiIndexPath(s, dir)
     val truth = evalTruth(e).localCheckpoint(eager = false)
@@ -2691,36 +2692,73 @@ object PipelineQueries {
     // derivation): 4 × 6 splitmix planes, per-(query, table) buckets,
     // flip-mask unions — all bounded by the serving batch
     val all = graft.ops.Similarity.planeVectors(24, 64)
-    val qvs = evalQueries(e)
-      .select(graft.ops.Similarity.l2Normalize(col("embedding")))
-      .collect().map(_.getSeq[Double](0).toArray)
+    val qRows = evalQueries(e)
+      .select(col("vec_id").cast("long"),
+        graft.ops.Similarity.l2Normalize(col("embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val masks = (0L +: (0 until 6).map(p => 1L << p)).toIndexedSeq
+    // every (query, table, bucket) probe of the FULL L = 4 level —
+    // level l's probe set is exactly the rows with tab < l
+    val pairRows = qRows.toSeq.flatMap { case (q, qv) =>
+      (0 until 4).flatMap { t =>
+        val planes = all.slice(t * 6, (t + 1) * 6)
+        val qb = planes.zipWithIndex.foldLeft(0L) {
+          case (acc, (pl, p)) =>
+            var s0 = 0.0; var i = 0
+            while (i < pl.length && i < qv.length) {
+              s0 += pl(i) * qv(i); i += 1 }
+            if (s0 >= 0) acc | (1L << p) else acc
+        }
+        masks.map(m => (q, t, (t.toLong << 6) + (m ^ qb)))
+      }
+    }
     val stored = s.read.parquet(s"$path/index")
       .select(col("bucket").cast("long")).distinct().collect()
       .map(_.getLong(0)).toSet
-    val levels = Seq(1, 2, 4).map { l =>
-      val probed = qvs.flatMap { qv =>
-        (0 until l).flatMap { t =>
-          val planes = all.slice(t * 6, (t + 1) * 6)
-          val qb = planes.zipWithIndex.foldLeft(0L) {
-            case (acc, (pl, p)) =>
-              var s0 = 0.0; var i = 0
-              while (i < pl.length && i < qv.length) {
-                s0 += pl(i) * qv(i); i += 1 }
-              if (s0 >= 0) acc | (1L << p) else acc
-          }
-          masks.map(m => (t.toLong << 6) + (m ^ qb))
-        }
-      }.distinct.count(stored.contains)
-      recallRow(truth,
-        graft.ops.AnnIndex.lshMultiKnnJoinIndexed(s, path,
-          evalQueries(e), col("vec_id"), col("embedding"), k = 10,
-          probeFlips = 1, tables = l))
-        .select(lit(l.toLong).as("n_tables"),
-          lit(probed.toLong).as("n_buckets"), col("k"),
-          col("n_queries"), col("n_hit"), col("recall"))
-    }
-    levels.reduce(_ unionByName _).orderBy(col("n_tables"))
+    val nBuckets = Seq(1, 2, 4).map(l => l.toLong ->
+      pairRows.filter(_._2 < l).map(_._3).distinct
+        .count(stored.contains).toLong)
+    // ONE pruned index scan serves all three levels (the qe39 srk-cut
+    // discipline): candidates carry the MINIMUM table index that
+    // reached them, level l's candidate set is min-table < l — the
+    // same per-level sets the three per-level probes scanned, scored
+    // by the identical rounded dot, cut by the identical topk_agg, so
+    // every grid row is unchanged while two of the three probe scans
+    // (and their recall rounds) drop out.
+    val pairs = pairRows.toDF("query_id", "tab", "bucket")
+    val probedAll = pairRows.map(_._3).distinct.toIndexedSeq
+    val qvDf = qRows.toSeq.toDF("query_id", "qv")
+    val cand = s.read.parquet(s"$path/index")
+      .filter(col("bucket").isin(probedAll: _*))
+      .join(broadcast(pairs), Seq("bucket"))
+      .join(broadcast(qvDf), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.ops.Similarity.dot(col("v"), col("qv")), 4)
+          .as("cos"), col("tab"))
+      .groupBy(col("query_id"), col("vec_id"), col("cos"))
+      .agg(min(col("tab")).as("mt"))
+      .localCheckpoint()
+    val lvls = nBuckets.toDF("l", "n_buckets")
+      .localCheckpoint(eager = false)
+    val hits = cand.join(broadcast(lvls.select(col("l"))),
+        col("mt") < col("l"))
+      .groupBy(col("l"), col("query_id"))
+      .agg(graft.functions.TopKAggregate
+        .topk(col("cos"), col("vec_id"), 10).as("top"))
+      .select(col("l"), col("query_id"), explode(col("top")).as("p"))
+      .select(col("l"), col("query_id"), col("p.id").as("vec_id"))
+      .join(truth, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("l")).agg(count(lit(1)).as("n_hit"))
+    lvls.join(hits, Seq("l"), "left")
+      .crossJoin(broadcast(truth.select(
+        countDistinct(col("query_id")).as("n_queries"))))
+      .select(col("l").as("n_tables"), col("n_buckets"),
+        lit(10L).as("k"), col("n_queries"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)) * lit(1.0) /
+          (col("n_queries") * lit(10)), 4).as("recall"))
+      .orderBy(col("n_tables"))
   }
 
   /** Session memo of the ATTR-carrying multi-table LSH index probed by
