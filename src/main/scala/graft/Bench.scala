@@ -20,10 +20,22 @@ object Bench {
     // cores).
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    // Spark's generated-class cache holds 100 entries by default; the
+    // lifecycle operators alone materialize ~160 distinct codegen units
+    // per query, so at the default EVERY run recompiles every unit
+    // (~200+ janino compiles per warm run, measured ~2-4 s of driver
+    // time each on qe55/qd92 — and queries evict each other across a
+    // sweep). 2000 entries is a few tens of MB of compiled classes on
+    // the driver — a size-independent JVM knob any long-running
+    // serving driver wants (the cache is keyed on generated SOURCE, so
+    // this caches code, never data or results). Env-overridable; 100
+    // restores the Spark default.
+    val cgCache = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", aqe)
+      .config("spark.sql.codegen.cache.maxEntries", cgCache)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
